@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `Array[Float]`/`Array[Double]`
+  * embedding column — the ANN layer of a training-data pipeline.
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcastable query side).
+  * Scale path: LSH bucketing via random-hyperplane signs — candidates
+  * meet in buckets (equi-join, shuffle on bucket id) instead of a full
+  * cross join, which is the 100-TB-safe formulation.
+  */
+object SimSearch {
+
+  /** Sequential-fold dot product (deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, an: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
+  /** Exact top-k cosine neighbors for each query row.
+    * @param queries (idCol, vecCol) rows — small side, broadcast
+    * @param corpus  (idCol, vecCol) rows */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, round6: Boolean = true): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(
+      col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val cosRaw = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
+    val cos = if (round6) round(cosRaw, 6) else cosRaw
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold (upper triangle).
+    * Exact O(n²) formulation — correct at test scale; swap in
+    * [[lshBuckets]] candidates for the 100-TB path. */
+  def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = vectors.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val a = base.toDF("a_id", "av", "an")
+    val b = base.toDF("b_id", "bv", "bn")
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv"), col("an"), col("bn")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Embedding dimensionality / plane count used by the registered LSH
+    * queries (the driver's embeddings table is 64-wide). */
+  val LshDim = 64
+  val LshPlanes = 8
+
+  /** Hyperplane component (p, i) from a fixed integer LCG — deterministic
+    * and reproducible in plain SQL (no RNG state), so the DuckDB oracle
+    * derives the identical planes. Uniform in [-0.5, 0.5); for sign-bit
+    * LSH a uniform distribution hashes as well as a Gaussian one. */
+  def planeComponent(p: Int, i: Int): Double =
+    ((1103515245L * (p * 131 + i) + 12345L) % 2147483648L) / 2147483648.0 - 0.5
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products against
+    * the [[planeComponent]] planes. Vectors sharing a bucket are cosine
+    * candidates; join on (bucket) instead of cross join. */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int = LshDim): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bucket = (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
+  }
+
+  /** LSH-accelerated near-dup pairs: bucket join then exact re-rank. */
+  def lshDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dim: Int = LshDim): DataFrame = {
+    val bucketed = lshBuckets(vectors, idCol, vecCol, nPlanes, dim)
+      .withColumn("n", l2norm(col("v")))
+    val a = bucketed.toDF("a_id", "av", "bucket", "an")
+    val b = bucketed.toDF("b_id", "bv", "bucket", "bn")
+    a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv"), col("an"), col("bn")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+  }
+}

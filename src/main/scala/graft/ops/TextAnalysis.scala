@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data-pipeline work (tokenizing,
+  * hashing, shingling, language-ID, quality scoring, fingerprinting).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no Scala UDFs — so plans stay inside
+  * whole-stage codegen and scale linearly with rows. All hash arithmetic
+  * is deliberately expressible in ANSI SQL (fold of `(acc*31 + ascii) % p`)
+  * so DuckDB oracles can reproduce values bit-for-bit.
+  */
+object TextAnalysis {
+
+  val HashMod = 1000000007L // fits 64-bit intermediate products
+  val MinHashP = 2147483647L // 2^31 - 1
+
+  /** Whitespace tokens with empties dropped (split keeps trailing empties
+    * under Java's limit=-1 semantics, DuckDB's string_split does not). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Deterministic 64-bit-safe string hash: fold of
+    * (acc*31 + codepoint) % HashMod over characters. */
+  def tokenHash(t: Column): Column =
+    aggregate(
+      filter(split(t, ""), c => c =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % HashMod)
+
+  /** Word n-gram shingles (space-joined), empty array when too short. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One min-hash: min over (a*h + b) % MinHashP of hashed shingles.
+    * Null for empty shingle sets. */
+  def minHash(shingleHashes: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleHashes, h => (h * a + lit(b)) % MinHashP))
+
+  /** Default coefficient pairs for min-hash signatures (fixed primes —
+    * deterministic across runs and engines by design). */
+  val MinHashCoeffs: Seq[(Long, Long)] =
+    Seq((1299721L, 1299827L), (1299833L, 1299709L),
+      (1300021L, 1300033L), (1300109L, 1300151L))
+
+  /** b-bit SimHash over token hashes (with multiplicity): bit j is set
+    * when sum of (+1/-1 for bit j of each token hash) is positive. */
+  def simHash(tokenHashes: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Rolling document fingerprint: fold of (acc*131 + tokenHash) % HashMod
+    * over tokens in order — order-sensitive, content-defined. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 131L + tokenHash(t)) % HashMod)
+
+  /** Marker-token language/topic ID: count hits per marker set, argmax
+    * with a fixed precedence for ties. Returns (scores..., label). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "core" -> Seq("the", "a", "of", "and"),
+    "db" -> Seq("table", "row", "column", "key", "query"),
+    "perf" -> Seq("fast", "slow", "big", "small"))
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  def langId(s1: Column, s2: Column, s3: Column): Column =
+    when(s3 > s1 && s3 > s2, lit("perf"))
+      .when(s2 > s1, lit("db"))
+      .otherwise(lit("core"))
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Relational operators from SURVEY.md §2 restated over the driver's
+  * TPC-H-ish tables (FIXTURES.md §C): per-group gas-price-style stats
+  * (A1/A2/F13), signature dedup (A3/K3), max-indexed-block (A14/W2),
+  * top-k (W2), FK star joins (J3/J4), semi/anti joins (J2 and the
+  * stream's insert-if-absent), and the account-dimension union (§2.7).
+  */
+object Relational {
+
+  /** Exact population std-dev via decimal sums: sqrt(E[x²] − E[x]²) with
+    * order-independent decimal accumulation, so Spark and DuckDB agree
+    * bit-for-bit. Mirrors the reference's ÷n semantics (block.rs:57-59). */
+  private def stddevPopExact(x: Column, n: Column): Column = {
+    val d = x.cast("decimal(18,2)")
+    val s1 = sum(d).cast("double")
+    val s2 = sum(d * d).cast("double")
+    sqrt(s2 / n - (s1 / n) * (s1 / n))
+  }
+
+  private val stdSql =
+    """sqrt(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+      | - (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*))
+      | * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*)))""".stripMargin.replace("\n", "")
+
+  def defs: Map[String, Q] = Map(
+    // A1/A2/F13: per-block gas statistics — min/max/avg/stddev_pop + count
+    "q01_group_stats" -> Q(
+      (s, d) => {
+        val li = lineitem(s, d)
+        val n = count(lit(1))
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          n.as("n_tx"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / n, 6).as("avg_price"),
+          round(stddevPopExact(col("l_extendedprice"), n), 6).as("std_price"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_tx, sum(l_quantity) AS sum_qty,
+              | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+              | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS avg_price,
+              | round($stdSql, 6) AS std_price
+              |FROM lineitem GROUP BY 1, 2""".stripMargin),
+      "block gas stats analog: SURVEY §2.5 A1/A2, F13 population stddev"),
+
+    // A3/K3: global signature dedup (dropDuplicates before the sink)
+    "q02_distinct_signatures" -> Q(
+      (s, d) => lineitem(s, d).select("l_returnflag", "l_linestatus").dropDuplicates(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      "signature dedup analog: SURVEY §2.5 A3 / sink gate K3"),
+
+    // A14/A15: max indexed block + run counters
+    "q03_max_indexed" -> Q(
+      (s, d) => orders(s, d).agg(
+        max(col("o_orderkey")).as("max_block"),
+        count(lit(1)).as("n_rows")),
+      Some("SELECT max(o_orderkey) AS max_block, count(*) AS n_rows FROM orders"),
+      "max-indexed-block analog: SURVEY §2.5 A14/A15"),
+
+    // W2: top-1 block by number desc, generalized to top-5 (TakeOrdered)
+    "q04_top_k" -> Q(
+      (s, d) => orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(5),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin),
+      "ordered limit: SURVEY §2.6 W2"),
+
+    // J4: natural-key FK resolution joins (Account/Block/Tx dimension star)
+    "q05_star_join" -> Q(
+      (s, d) => {
+        val o = orders(s, d)
+        val c = broadcast(customer(s, d))
+        val n = broadcast(nation(s, d))
+        val r = broadcast(region(s, d))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_orders,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2""".stripMargin),
+      "FK star join with broadcast dims: SURVEY §2.4 J3/J4"),
+
+    // J2: semi join (failed-tx set membership)
+    "q06_semi_join" -> Q(
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_cust FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1""".stripMargin),
+      "left-semi join: SURVEY §2.4 J2"),
+
+    // anti join: insert-only-when-absent (stream.rs:214-246)
+    "q07_anti_join" -> Q(
+      (s, d) => {
+        val c = customer(s, d)
+        val o = orders(s, d).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_cust FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1""".stripMargin),
+      "left-anti join: SURVEY §2.4 notes (insert-if-absent)"),
+
+    // §2.7: account-dimension UNION DISTINCT over address-bearing columns
+    "q14_union_dim" -> Q(
+      (s, d) => customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+        .distinct(),
+      Some("""SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+             |UNION
+             |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin),
+      "account dim union distinct: SURVEY §2.7"),
+
+    // A8/A9: compliancy score — membership count against a literal set
+    "q15_compliancy" -> Q(
+      (s, d) => part(s, d).groupBy(col("p_brand")).agg(
+        countDistinct(when(col("p_type").isin(
+          "ECONOMY", "STANDARD", "LARGE", "MEDIUM", "PROMO"), col("p_type")))
+          .as("compliancy"),
+        count(lit(1)).as("n_parts")),
+      Some("""SELECT p_brand,
+             | count(DISTINCT CASE WHEN p_type IN ('ECONOMY','STANDARD','LARGE','MEDIUM','PROMO') THEN p_type END) AS compliancy,
+             | count(*) AS n_parts
+             |FROM part GROUP BY 1""".stripMargin),
+      "ERC-20/721 compliancy analog: SURVEY §2.5 A8/A9"))
+}

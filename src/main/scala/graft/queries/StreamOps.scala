@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** The reference's streaming semantics (SURVEY.md §2.10) as driver-
+  * verifiable batch queries. The live pipeline itself lives in
+  * [[graft.streaming.Incremental]] (exercised by IncrementalSpec with a
+  * real Structured Streaming query); here we verify the two semantic
+  * pillars against the DuckDB oracle:
+  *
+  *  - q50: delete-then-reinsert per block == recompute-partition-and-union
+  *    equals a full recompute (idempotency of K5 / partition overwrite);
+  *  - q51: event-time sliding windows (the watermark+window shape Spark
+  *    adds over the reference).
+  */
+object StreamOps {
+
+  def defs: Map[String, Q] = Map(
+    // §2.10 K5: recompute last-day partition + untouched history, then
+    // merge — must equal the straight per-hour aggregate (the oracle).
+    "q50_incremental" -> Q(
+      (s, d) => {
+        val ev = events(s, d).select(
+          date_trunc("hour", col("ts").cast("timestamp")).as("hour"),
+          col("value").cast("decimal(18,2)").as("v"))
+        // "live" partition boundary: the latest day (A14-style max scan —
+        // a scalar, collected like the reference's max-indexed-block)
+        val maxDay = ev.agg(max(to_date(col("hour")))).head().getDate(0)
+        val history = ev.where(to_date(col("hour")) < lit(maxDay))
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val replayed = ev.where(to_date(col("hour")) === lit(maxDay))
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        history.unionByName(replayed)
+          .groupBy(col("hour")).agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("sum_value"))
+          .select(unix_micros(col("hour")).as("hour_us"),
+            col("n_events"), col("sum_value"))
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+      "idempotent partition recompute == full recompute: SURVEY §2.10/K5"),
+
+    // event-time sliding window agg (2h window, 1h slide)
+    "q51_sliding_window" -> Q(
+      (s, d) => events(s, d)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("n_events"), col("sum_value")),
+      Some("""WITH w AS (
+             |  SELECT epoch_us(date_trunc('hour', ts)) - off * 3600000000 AS win_start_us,
+             |         value
+             |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off))
+             |SELECT win_start_us, count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1""".stripMargin),
+      "event-time sliding windows: SURVEY §2.10 (Spark-side upgrade)"))
+}

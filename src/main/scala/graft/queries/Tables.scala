@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver's benchmark tables (TESTDATA.md). Explicit
+  * column pruning happens downstream; parquet scans get filter/column
+  * pushdown from Catalyst. */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read it as raw nanos (legacy long mode) and convert
+    * to a micros TimestampType with integer division — `ts div 1000`
+    * stays in Long space (nanos ≈ 1.7e18 would lose precision through a
+    * double). DuckDB reads the same file as TIMESTAMP_NS and its
+    * epoch_us() truncates identically. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis._
+import Tables._
+
+/** Training-data text pipeline over `documents`: quality stats, language
+  * ID, fingerprinting, exact + n-gram-Jaccard + MinHash + SimHash dedup.
+  * Each query's DuckDB oracle reproduces the identical hash arithmetic
+  * (the SQL fragments below are generated from the same constants).
+  */
+object TextOps {
+
+  // ---- DuckDB SQL fragments mirroring TextAnalysis ----
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** char-fold hash of SQL string expression `s` — mirrors tokenHash. */
+  private def tokHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $HashMod)"
+
+  /** 4-token shingles of list expr `T` — mirrors shingles(_, 4). */
+  private def shinglesSql(T: String): String =
+    s"list_transform(range(1, len($T) - 2), i -> $T[i] || ' ' || $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3])"
+
+  def defs: Map[String, Q] = Map(
+    // token counting + quality scoring
+    "q20_text_stats" -> Q(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nUniq = size(array_distinct(toks)).cast("long")
+        val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+        documents(s, d).select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nUniq.as("n_uniq"),
+          round(nUniq.cast("double") / nTok, 6).as("ttr"),
+          round(sumLen.cast("double") / nTok, 6).as("avg_tok_len"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents)
+              |SELECT doc_id, CAST(len(T) AS BIGINT) AS n_tokens,
+              | CAST(len(list_distinct(T)) AS BIGINT) AS n_uniq,
+              | round(CAST(len(list_distinct(T)) AS DOUBLE) / len(T), 6) AS ttr,
+              | round(CAST(list_sum(list_transform(T, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(T), 6) AS avg_tok_len
+              |FROM t""".stripMargin),
+      "token counting + type/token ratio quality metrics"),
+
+    // n-gram-marker language/topic ID
+    "q21_langid" -> Q(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scores = LangMarkers.map { case (_, ms) => markerScore(toks, ms).cast("long") }
+        documents(s, d).select(
+          col("doc_id"),
+          scores(0).as("s_core"),
+          scores(1).as("s_db"),
+          scores(2).as("s_perf"),
+          langId(scores(0), scores(1), scores(2)).as("pred_lang"))
+      },
+      Some {
+        def f(ms: Seq[String]) =
+          s"CAST(len(list_filter(T, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+        val Seq(c1, c2, c3) = LangMarkers.map(m => f(m._2))
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents)
+           |SELECT doc_id, $c1 AS s_core, $c2 AS s_db, $c3 AS s_perf,
+           | CASE WHEN $c3 > $c1 AND $c3 > $c2 THEN 'perf'
+           |      WHEN $c2 > $c1 THEN 'db' ELSE 'core' END AS pred_lang
+           |FROM t""".stripMargin
+      },
+      "marker-based language ID heuristic"),
+
+    // rolling-hash document fingerprint
+    "q22_fingerprint" -> Q(
+      (s, d) => documents(s, d).select(
+        col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents)
+              |SELECT doc_id,
+              | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(T, t -> ${tokHashSql("t")})),
+              |             (a, b) -> (a * 131 + b) % $HashMod) AS fp
+              |FROM t""".stripMargin),
+      "rolling-hash document fingerprint"),
+
+    // exact dedup keyed on content hash
+    "q23_exact_dedup" -> Q(
+      (s, d) => documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS key, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin),
+      "exact dedup: hash-groupBy on content"),
+
+    // n-gram Jaccard near-dup pairs (shingle-join, no O(n^2) cross join)
+    "q24_jaccard_pairs" -> Q(
+      (s, d) => {
+        val sh = documents(s, d).select(
+          col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.toDF("a_id", "sh")
+        val b = sh.toDF("b_id", "sh")
+        val inter = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+          .where(col("inter") >= 2)
+        inter
+          .join(sizes.toDF("a_id", "na"), "a_id")
+          .join(sizes.toDF("b_id", "nb"), "b_id")
+          .select(
+            col("a_id"), col("b_id"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("union_n"),
+            round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+              .as("jaccard"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("T")})) AS sh FROM t),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+              |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT a_id, b_id, inter, sa.n + sb.n - inter AS union_n,
+              |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+              |FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
+      "n-gram Jaccard near-dup via shingle equi-join"),
+
+    // MinHash signatures (the LSH building block)
+    "q25_minhash" -> Q(
+      (s, d) => {
+        val shHashes = transform(array_distinct(shingles(col("text"), 4)), sh => tokenHash(sh))
+        val withH = documents(s, d).withColumn("H", shHashes)
+        val sigCols = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          minHash(col("H"), a, b).as(s"h$j")
+        }
+        withH.select(col("doc_id") +: sigCols: _*)
+      },
+      Some {
+        val sig = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(",\n ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t)
+           |SELECT doc_id, $sig FROM hh""".stripMargin
+      },
+      "MinHash signatures over shingle sets"),
+
+    // SimHash 16-bit fingerprints
+    "q26_simhash" -> Q(
+      (s, d) => documents(s, d)
+        .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+        .select(col("doc_id"), simHash(col("TH"), 16).as("simhash")),
+      Some {
+        val bitTerms = (0 until 16).map { j =>
+          s"(CASE WHEN list_sum(list_transform(TH, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t)
+           |SELECT doc_id, $bitTerms AS simhash FROM th""".stripMargin
+      },
+      "SimHash near-dup fingerprint"))
+}

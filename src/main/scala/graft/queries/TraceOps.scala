@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Evm, Keccak, Sig}
+import Tables._
+
+/** The reference's EVM decode/enrich operators (SURVEY.md §2.3 P1-P8,
+  * §2.4 J1/J2) restated over driver tables. The driver ships no
+  * blockchain-shaped tables, so trace/log shapes are synthesized
+  * DETERMINISTICALLY from `lineitem`/`events` columns inside the query
+  * (inputs stay the driver's parquet; the oracle synthesizes the same
+  * shapes in SQL). Semantics exercised are the reference's: array-prefix
+  * error propagation (traces.rs:6-34), topic-count transfer
+  * classification + 32-byte-word slicing (logs.rs:45-113), selector
+  * projection (transaction.rs:59-63).
+  */
+object TraceOps {
+
+  /** l_linenumber (1..7) → a synthetic trace_address encoding a small
+    * call tree: 1=[] root, 2=[0], 3=[0,0], 4=[0,1], 5=[1], 6=[1,0], 7=[2]. */
+  private def addrFor(n: Column): Column = {
+    def a(xs: Int*) = if (xs.isEmpty) array().cast("array<int>")
+      else array(xs.map(x => lit(x)): _*)
+    when(n === 1, a()).when(n === 2, a(0)).when(n === 3, a(0, 0))
+      .when(n === 4, a(0, 1)).when(n === 5, a(1)).when(n === 6, a(1, 0))
+      .otherwise(a(2))
+  }
+
+  private val addrSqlCase =
+    """CASE l_linenumber WHEN 1 THEN CAST([] AS INT[]) WHEN 2 THEN [0]
+      | WHEN 3 THEN [0,0] WHEN 4 THEN [0,1] WHEN 5 THEN [1]
+      | WHEN 6 THEN [1,0] ELSE [2] END""".stripMargin.replace("\n", "")
+
+  /** Synthetic traces from lineitem; returnflag 'R' marks the trace
+    * itself errored (the reference's `error.is_some()`). The synthetic
+    * data has duplicate (orderkey, linenumber) pairs, so dedupe to one
+    * trace per (tx, address), errored if any source row errored. */
+  private def traces(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+        col("l_orderkey").as("tx_hash"),
+        addrFor(col("l_linenumber")).as("trace_address"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("err"))
+      .groupBy(col("tx_hash"), col("trace_address"))
+      .agg((max(col("err")) === 1).as("errored"))
+
+  /** 32-byte "word" of a bigint as a 64-char zero-padded string — stands
+    * in for the hex word so slicing arithmetic is identical in SQL. */
+  private def word(c: Column): Column = lpad(c.cast("string"), 64, "0")
+  private def wordSql(e: String): String = s"lpad(CAST($e AS VARCHAR), 64, '0')"
+
+  def defs: Map[String, Q] = Map(
+    // J1: trace error propagation — a trace fails if any errored trace's
+    // address is a prefix of its own (a trace is its own prefix).
+    "q40_trace_errors" -> Q(
+      (s, d) => {
+        val t = traces(s, d)
+        val errs = t.where(col("errored"))
+          .select(col("tx_hash").as("p_tx"), col("trace_address").as("p_addr"))
+        val failed = t.join(errs,
+            col("tx_hash") === col("p_tx") &&
+              slice(col("trace_address"), lit(1), size(col("p_addr"))) === col("p_addr"),
+            "left_semi")
+        t.groupBy(col("tx_hash")).agg(count(lit(1)).as("n_traces"))
+          .join(failed.groupBy(col("tx_hash")).agg(count(lit(1)).as("n_failed")),
+            Seq("tx_hash"), "left")
+          .select(col("tx_hash"),
+            col("n_traces"),
+            coalesce(col("n_failed"), lit(0L)).as("n_failed"))
+      },
+      Some(s"""WITH t0 AS (
+              |  SELECT l_orderkey AS tx_hash, $addrSqlCase AS addr,
+              |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS err
+              |  FROM lineitem),
+              |t AS (
+              |  SELECT tx_hash, addr, max(err) = 1 AS errored
+              |  FROM t0 GROUP BY 1, 2),
+              |f AS (
+              |  SELECT DISTINCT c.tx_hash, c.addr FROM t c
+              |  JOIN t p ON c.tx_hash = p.tx_hash AND p.errored
+              |          AND c.addr[1:len(p.addr)] = p.addr),
+              |nf AS (SELECT tx_hash, count(*) AS n_failed FROM f GROUP BY 1)
+              |SELECT t.tx_hash, count(*) AS n_traces,
+              |       coalesce(any_value(nf.n_failed), 0) AS n_failed
+              |FROM t LEFT JOIN nf ON t.tx_hash = nf.tx_hash
+              |GROUP BY 1""".stripMargin),
+      "array-prefix error propagation: SURVEY §2.4 J1 (traces.rs:6-34)"),
+
+    // P4/P6: selector projection + zero-address default
+    "q41_selectors" -> Q(
+      (s, d) => {
+        val input = when(col("n_chars") >= 200,
+          concat(lit("0x"), md5(col("text").cast("binary")))).otherwise(lit("0x"))
+        documents(s, d).select(
+          col("doc_id"),
+          when(length(input) >= 10, substring(input, 3, 8)).as("bytes4"),
+          coalesce(when(length(input) >= 10, substring(input, 3, 8)),
+            lit(Sig.ZeroAddress)).as("selector_or_zero"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |         CASE WHEN n_chars >= 200 THEN '0x' || md5(text) ELSE '0x' END AS input
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN length(input) >= 10 THEN substring(input, 3, 8) END AS bytes4,
+              |  coalesce(CASE WHEN length(input) >= 10 THEN substring(input, 3, 8) END,
+              |           '${Sig.ZeroAddress}') AS selector_or_zero
+              |FROM t""".stripMargin),
+      "bytes4 selector + zero default: SURVEY §2.3 P4/P6"),
+
+    // P1/F11: transfer decode — topic-count classification, word slicing,
+    // ERC-20 value vs ERC-721 token_id split (transfer.rs:184-191).
+    "q42_transfer_decode" -> Q(
+      (s, d) => {
+        val e = events(s, d)
+        val nTopics = when(col("event_type") === "purchase", 4)
+          .when(col("event_type") === "click", 3).otherwise(2)
+        val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("bigint")
+        e.select(col("event_id"), col("user_id"), col("value"), k.as("k"),
+            nTopics.as("n_topics"),
+            word(col("user_id")).as("topic_1"),
+            word(col("user_id") + 7).as("topic_2"))
+          .where(col("n_topics") >= 3)
+          .select(
+            col("event_id"),
+            when(col("n_topics") === 4, lit("ERC721")).otherwise(lit("ERC20"))
+              .as("token_type"),
+            substring(col("topic_1"), 25, 40).as("from_addr"),
+            substring(col("topic_2"), 25, 40).as("to_addr"),
+            when(col("n_topics") === 3,
+              (col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+              .as("value"),
+            when(col("n_topics") === 4, col("k")).as("token_id"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_id, user_id, value,
+              |         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+              |         CASE event_type WHEN 'purchase' THEN 4 WHEN 'click' THEN 3 ELSE 2 END AS n_topics,
+              |         ${wordSql("user_id")} AS topic_1,
+              |         ${wordSql("user_id + 7")} AS topic_2
+              |  FROM events)
+              |SELECT event_id,
+              |  CASE WHEN n_topics = 4 THEN 'ERC721' ELSE 'ERC20' END AS token_type,
+              |  substring(topic_1, 25, 40) AS from_addr,
+              |  substring(topic_2, 25, 40) AS to_addr,
+              |  CASE WHEN n_topics = 3 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS value,
+              |  CASE WHEN n_topics = 4 THEN k END AS token_id
+              |FROM e WHERE n_topics >= 3""".stripMargin),
+      "transfer decode (topic classify + word slice): SURVEY §2.3 P1, F11"),
+
+    // F1/F4/A5: the real bytecode UDF stack — skeleton extraction,
+    // keccak-256 identity, opcode n-grams. Not SQL-expressible (keccak)
+    // → rows-only driver check; exact values are pinned by EvmSpec/
+    // KeccakSpec golden tests instead.
+    "q43_skeletons" -> Q(
+      (s, d) => {
+        val skeletonHex = udf((hex: String) =>
+          graft.functions.Hex.encode(Evm.extractSkeleton(graft.functions.Hex.decode(hex))))
+        val nNgrams = udf((hex: String) =>
+          Evm.ngrams(graft.functions.Hex.decode(hex), 5).size)
+        // synthetic bytecode: md5 of the text, twice (32 bytes — enough
+        // to contain PUSH opcodes with arguments to normalize)
+        val code = concat(md5(col("text").cast("binary")), md5(upper(col("text")).cast("binary")))
+        documents(s, d)
+          .select(col("doc_id"), code.as("code_hex"))
+          .select(
+            col("doc_id"),
+            skeletonHex(col("code_hex")).as("skeleton"),
+            lower(hex(Keccak.keccak256(unhex(col("code_hex"))))).as("code_keccak"),
+            nNgrams(col("code_hex")).as("n_distinct_ngrams"))
+      },
+      None,
+      "skeleton + keccak + n-grams over synthetic bytecode: SURVEY §2.8 F1/F4, §2.5 A5"),
+
+    // A6/A7 + J7: pairwise cosine over n-gram maps and interface Jaccard
+    // on a blocked self-join (same `source` bucket ~ same length class).
+    "q44_skeleton_similarity" -> Q(
+      (s, d) => {
+        val ngramsUdf = udf((hex: String) => Evm.ngrams(graft.functions.Hex.decode(hex), 3))
+        val cosineUdf = udf((a: Map[String, Long], b: Map[String, Long]) => Evm.cosine(a, b))
+        // same-source docs share the first 16 bytecode bytes, so their
+        // opcode streams overlap — similarity is nonzero within a source
+        val base = documents(s, d)
+          .where(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"),
+            ngramsUdf(concat(md5(col("source").cast("binary")),
+              md5(col("text").cast("binary")))).as("ng"))
+        val a = base.toDF("a_id", "source", "a_ng")
+        val b = base.toDF("b_id", "source", "b_ng")
+        a.join(b, Seq("source")).where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(cosineUdf(col("a_ng"), col("b_ng")), 6).as("cos"))
+          .where(col("cos") > 0.2)
+      },
+      None,
+      "n-gram cosine similarity pairs (blocked self-join): SURVEY §2.5 A6, §2.4 J7"))
+}

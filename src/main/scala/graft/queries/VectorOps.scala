@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimSearch
+import Tables._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — SURVEY.md §2.4 J7/J8 generalized to the
+  * vector/ANN layer of a training-data pipeline.
+  *
+  * Determinism contract with the DuckDB oracle: every dot product is a
+  * sequential left fold over index order (Spark `aggregate`, DuckDB
+  * `list_reduce`), floats are cast to double element-wise before any
+  * arithmetic, and final scores are rounded to 6dp on both sides — so
+  * the IEEE operation sequences are identical and hashes match.
+  */
+object VectorOps {
+
+  /** DuckDB sequential-fold dot product of list exprs `a`·`b` (1-indexed),
+    * mirroring [[SimSearch.dot]]'s fold order exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  /** DuckDB expression for LSH plane component i of plane p — the same
+    * integer LCG [[SimSearch.planeComponent]] uses. */
+  private def planeSql(p: Int, i: String): String =
+    s"(CAST((1103515245 * ($p * 131 + $i) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  private def bucketSql(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val planeList = s"list_transform(range(0, ${SimSearch.LshDim}), i -> ${planeSql(p, "i")})"
+      s"(CASE WHEN ${dotSql(v, planeList)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  def defs: Map[String, Q] = Map(
+    // J8 analog: brute-force exact cosine top-k, query side broadcast
+    "q30_knn" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 8)
+        SimSearch.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |p AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |         ${cosSql("q.v", "c.v")} AS cos
+              |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+              |r AS (
+              |  SELECT q_id, c_id, cos,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+              |  FROM p)
+              |SELECT q_id, rn, c_id, cos FROM r WHERE rn <= 3""".stripMargin),
+      "exact cosine top-k (broadcast query side): SURVEY §2.4 J8"),
+
+    // J7 analog: upper-triangle near-dup pairs above a cosine threshold
+    "q31_cos_pairs" -> Q(
+      (s, d) => SimSearch.cosineDupPairs(
+        embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding", 0.3),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 200),
+              |p AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.3""".stripMargin),
+      "exact cosine near-dup pairs (upper triangle): SURVEY §2.4 J7"),
+
+    // the 100-TB path: LSH bucket histogram (equi-join candidates, no n²)
+    "q32_lsh_buckets" -> Q(
+      (s, d) => SimSearch.lshBuckets(embeddings(s, d), "vec_id", "embedding", SimSearch.LshPlanes)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |b AS (SELECT vec_id, ${bucketSql("v", SimSearch.LshPlanes)} AS bucket FROM e)
+              |SELECT bucket, count(*) AS n_vectors FROM b GROUP BY 1""".stripMargin),
+      "random-hyperplane LSH bucketing: scale path for J7"),
+
+    // LSH candidate pairs re-ranked exactly — the full ANN pipeline
+    "q33_lsh_pairs" -> Q(
+      (s, d) => SimSearch.lshDupPairs(embeddings(s, d), "vec_id", "embedding", 0.2, SimSearch.LshPlanes),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |b AS (SELECT vec_id, v, ${bucketSql("v", SimSearch.LshPlanes)} AS bucket FROM e),
+              |p AS (
+              |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id, ${cosSql("a.v", "b2.v")} AS cos
+              |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+              |SELECT DISTINCT a_id, b_id, cos FROM p WHERE cos >= 0.2""".stripMargin),
+      "LSH bucket-join + exact re-rank: SURVEY §7.5-2 scale plan"))
+}
