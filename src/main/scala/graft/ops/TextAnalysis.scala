@@ -30,9 +30,14 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % HashMod)
 
-  /** Word n-gram shingles (space-joined), empty array when too short. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
+    * token array column, empty array when too short.
+    *
+    * Important: pass a plain column reference, not `tokens(text)` —
+    * lambda bodies don't get common-subexpression elimination, so an
+    * inline tokenizer would re-split the text for every element_at
+    * (observed 25× slowdown on the q24 bench before this split). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     when(count >= 1,
       transform(sequence(lit(1), count), i =>

@@ -26,11 +26,11 @@ object TextOps {
     // token counting + quality scoring
     "q20_text_stats" -> Q(
       (s, d) => {
-        val toks = tokens(col("text"))
+        val toks = col("T")
         val nTok = size(toks).cast("long")
         val nUniq = size(array_distinct(toks)).cast("long")
         val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-        documents(s, d).select(
+        documents(s, d).withColumn("T", tokens(col("text"))).select(
           col("doc_id"),
           nTok.as("n_tokens"),
           nUniq.as("n_uniq"),
@@ -48,9 +48,9 @@ object TextOps {
     // n-gram-marker language/topic ID
     "q21_langid" -> Q(
       (s, d) => {
-        val toks = tokens(col("text"))
+        val toks = col("T")
         val scores = LangMarkers.map { case (_, ms) => markerScore(toks, ms).cast("long") }
-        documents(s, d).select(
+        documents(s, d).withColumn("T", tokens(col("text"))).select(
           col("doc_id"),
           scores(0).as("s_core"),
           scores(1).as("s_db"),
@@ -92,8 +92,10 @@ object TextOps {
     // n-gram Jaccard near-dup pairs (shingle-join, no O(n^2) cross join)
     "q24_jaccard_pairs" -> Q(
       (s, d) => {
-        val sh = documents(s, d).select(
-          col("doc_id"), explode(array_distinct(shingles(col("text"), 4))).as("sh"))
+        val sh = documents(s, d)
+          .withColumn("T", tokens(col("text")))
+          .select(col("doc_id"),
+            explode(array_distinct(shinglesFromTokens(col("T"), 4))).as("sh"))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = sh.toDF("a_id", "sh")
         val b = sh.toDF("b_id", "sh")
@@ -123,8 +125,9 @@ object TextOps {
     // MinHash signatures (the LSH building block)
     "q25_minhash" -> Q(
       (s, d) => {
-        val shHashes = transform(array_distinct(shingles(col("text"), 4)), sh => tokenHash(sh))
-        val withH = documents(s, d).withColumn("H", shHashes)
+        val shHashes = transform(array_distinct(shinglesFromTokens(col("T"), 4)), sh => tokenHash(sh))
+        val withH = documents(s, d)
+          .withColumn("T", tokens(col("text"))).withColumn("H", shHashes)
         val sigCols = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
           minHash(col("H"), a, b).as(s"h$j")
         }
