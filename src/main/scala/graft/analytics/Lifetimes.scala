@@ -1,0 +1,81 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The `analyse lifetimes` research questions (SURVEY.md §2.5 A10-A13,
+  * §2.4 J5/J6; reference src/analysys/lifetimes.rs). Each RQ is a short
+  * aggregation over `deployments ⟗ destructions` — the reference's
+  * graph traversal + rayon folds collapse into two groupBys and a full
+  * outer join on `contract`.
+  */
+object Lifetimes {
+
+  /** J5: per-contract deploy/destroy summary — the `ContractLife` row
+    * (lifetimes.rs:30-45, 320-357). */
+  def contractLives(deployments: DataFrame, destructions: DataFrame): DataFrame = {
+    val dep = deployments.groupBy(col("contract")).agg(
+      count(lit(1)).as("n_deploys"),
+      min(col("block_number")).as("first_deploy_block"),
+      min(col("block_datetime")).as("first_deploy_ts"))
+    val des = destructions.groupBy(col("contract")).agg(
+      count(lit(1)).as("n_destructions"),
+      max(col("block_number")).as("last_destr_block"),
+      max(col("block_datetime")).as("last_destr_ts"))
+    dep.join(des, Seq("contract"), "full_outer")
+      .na.fill(0L, Seq("n_deploys", "n_destructions"))
+  }
+
+  /** A10 (RQ1): contracts with ≥1 destruction vs all (lifetimes.rs:65-82). */
+  def rq1Destroyed(lives: DataFrame): DataFrame =
+    lives.agg(
+      sum(when(col("n_destructions") > 0, 1L).otherwise(0L)).as("n_destroyed"),
+      count(lit(1)).as("n_total"))
+
+  /** A11 (RQ2): of destroyed contracts, destroyed exactly once vs more
+    * (lifetimes.rs:84-104). */
+  def rq2OnceVsMulti(lives: DataFrame): DataFrame =
+    lives.filter(col("n_destructions") > 0).agg(
+      sum(when(col("n_destructions") === 1, 1L).otherwise(0L)).as("n_once"),
+      sum(when(col("n_destructions") > 1, 1L).otherwise(0L)).as("n_multi"))
+
+  /** A12 (RQ3) via J6: per contract, cross-compare every destruction
+    * with every deployment; count pairs sharing a block (different tx)
+    * and pairs sharing a tx (lifetimes.rs:106-157). The cross join is
+    * intra-contract (bounded fan-out per key), an equi-join on contract. */
+  def rq3SameBlockTx(deployments: DataFrame, destructions: DataFrame): DataFrame = {
+    val dep = deployments.select(
+      col("contract"), col("block_number").as("dep_block"), col("tx_hash").as("dep_tx"))
+    val des = destructions.select(
+      col("contract"), col("block_number").as("des_block"), col("tx_hash").as("des_tx"))
+    dep.join(des, Seq("contract"))
+      .select(col("contract"),
+        (col("dep_block") === col("des_block") && col("dep_tx") =!= col("des_tx"))
+          .as("same_block_diff_tx"),
+        (col("dep_tx") === col("des_tx")).as("same_tx"))
+      .agg(
+        sum(when(col("same_block_diff_tx"), 1L).otherwise(0L)).as("n_same_block_pairs"),
+        sum(when(col("same_tx"), 1L).otherwise(0L)).as("n_same_tx_pairs"),
+        countDistinct(when(col("same_block_diff_tx"), col("contract")))
+          .as("n_contracts_same_block"),
+        countDistinct(when(col("same_tx"), col("contract")))
+          .as("n_contracts_same_tx"))
+  }
+
+  /** A13 (RQ4): lifetime = max(destr block) − min(deploy block), kept
+    * when ≥ 0 (lifetimes.rs:227-229); average + POPULATION stddev over
+    * blocks, average over seconds (lifetimes.rs:283-287). */
+  def rq4LifetimeStats(lives: DataFrame): DataFrame =
+    lives
+      .filter(col("n_deploys") > 0 && col("n_destructions") > 0)
+      .select(
+        (col("last_destr_block") - col("first_deploy_block")).as("life_blocks"),
+        (unix_timestamp(col("last_destr_ts")) - unix_timestamp(col("first_deploy_ts")))
+          .as("life_seconds"))
+      .filter(col("life_blocks") >= 0)
+      .agg(
+        count(lit(1)).as("n_contracts"),
+        avg(col("life_blocks")).as("avg_life_blocks"),
+        stddev_pop(col("life_blocks")).as("stddev_life_blocks"),
+        avg(col("life_seconds")).as("avg_life_seconds"))
+}

@@ -1,0 +1,56 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Entity sinks (SURVEY.md §2.2 K1-K5). The reference's hand-rolled
+  * buffered writer + gzip JSON files map to Spark's parquet/json writers;
+  * the delete-all-for-block-then-reinsert idempotency trick (K5,
+  * block.rs:172-284) maps to DYNAMIC partition overwrite on the
+  * block-derived partition column.
+  *
+  * Layout mirrors extract.rs:304-313: `static/{skeletons,events,functions,
+  * errors,blocks,deployments,destructions}` and
+  * `dynamic/{transactions,transfers,logs}` — one directory per entity,
+  * dynamic entities partitioned by a block bucket so a streaming replay
+  * overwrites exactly the partitions it recomputes.
+  */
+object Layout {
+
+  /** Partition-bucket width for dynamic entities: one partition per
+    * `blocksPerPartition` block numbers. At mainnet scale (~20M blocks,
+    * ~100TB of derived rows) 10k-block buckets keep partitions in the
+    * hundreds-of-MB range and bound the file count. */
+  val blocksPerPartition = 10000L
+
+  def withBlockBucket(df: DataFrame): DataFrame =
+    df.withColumn("block_bucket",
+      (col("block_number") / blocksPerPartition).cast("long"))
+
+  /** K1: static entity append (buffering/rolling is Spark's job;
+    * `maxRecordsPerFile` bounds file size like `--size-output`). */
+  def writeStatic(df: DataFrame, root: String, entity: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(s"$root/static/$entity")
+
+  /** K5: idempotent write of a block-keyed dynamic entity — dynamic
+    * partition overwrite replaces exactly the block buckets present in
+    * `df`, the relational form of delete-by-block + reinsert. */
+  def writeDynamic(df: DataFrame, root: String, entity: String): Unit =
+    withBlockBucket(df).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("block_bucket")
+      .parquet(s"$root/dynamic/$entity")
+
+  /** K2: gzip'd JSON bulk-load files (writer.rs:26-48's
+    * `<entity>_<n>.json.gz` shape). */
+  def writeJsonGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** K3: signature-dedup gate before the sink (writer.rs:56-58). */
+  def dedupBeforeWrite(df: DataFrame, keys: String*): DataFrame =
+    df.dropDuplicates(keys)
+}

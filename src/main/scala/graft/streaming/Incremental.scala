@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sinks.Layout
+
+/** The reference's `stream` mode (SURVEY.md §2.10; stream.rs) restated
+  * as Structured Streaming: a stream of raw block-keyed rows →
+  * `foreachBatch` → recompute the derived tables for exactly the blocks
+  * present in the micro-batch → dynamic-partition-overwrite their block
+  * buckets.
+  *
+  * This preserves the reference's idempotency contract — reprocessing a
+  * block REPLACES its derived rows (delete-then-reinsert,
+  * block.rs:172-284) — but upgrades partial-failure semantics from
+  * row-at-a-time "log and continue" (stream.rs:81-131) to all-or-nothing
+  * per micro-batch (SURVEY §7.5-7): a failed batch leaves every
+  * partition at its previous state and is retried by the engine.
+  */
+object Incremental {
+
+  /** One micro-batch: derive per-entity tables from the batch's raw rows
+    * and replace the derived rows of exactly the batch's BLOCKS.
+    *
+    * The sink is bucketed by block range (Layout.blocksPerPartition), so
+    * per-block replacement is a read-modify-write of only the affected
+    * buckets: surviving rows of those buckets (anti-joined against the
+    * batch's block set) union the newly derived rows, then dynamic
+    * partition overwrite. A replay micro-batch touches one or two
+    * buckets — bounded IO regardless of table size — while blocks
+    * sharing a bucket with a replayed block are preserved. The
+    * localCheckpoint materializes survivors before the overwrite (Spark
+    * refuses a write whose plan still reads the target path). */
+  def processBatch(raw: DataFrame, outRoot: String,
+      derive: Map[String, DataFrame => DataFrame]): Unit = {
+    val spark = raw.sparkSession
+    raw.persist()
+    val batchBlocks = raw.select(col("block_number")).distinct().persist()
+    val affectedBuckets = Layout.withBlockBucket(batchBlocks)
+      .select(col("block_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    try derive.foreach { case (entity, f) =>
+      val path = s"$outRoot/dynamic/$entity"
+      val newRows = Layout.withBlockBucket(f(raw))
+      val merged =
+        if (!new java.io.File(path).exists()) newRows // local-FS check; use Hadoop FileSystem on a cluster
+        else {
+          val survivors = spark.read.parquet(path)
+            .where(col("block_bucket").isin(affectedBuckets: _*))
+            .join(broadcast(batchBlocks), Seq("block_number"), "left_anti")
+            .localCheckpoint()
+          newRows.unionByName(survivors)
+        }
+      merged.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("block_bucket")
+        .parquet(path)
+    } finally {
+      batchBlocks.unpersist()
+      raw.unpersist()
+    }
+  }
+
+  /** Wire a raw-row stream into the incremental pipeline. The source can
+    * be anything block-ordered (file drop directory, Kafka, a rate
+    * source in tests); catch-up-then-live (stream.rs:275-336) falls out
+    * of Structured Streaming's source offsets — a restart resumes from
+    * the checkpoint and replays whatever arrived meanwhile. */
+  def run(stream: DataFrame, outRoot: String, checkpoint: String,
+      derive: Map[String, DataFrame => DataFrame],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, outRoot, derive)
+      }
+      .start()
+
+  /** Batch backfill for a block range (the `extract` path, SURVEY §3.1):
+    * same derivations, same sink, one shot. Catch-up before going live =
+    * run this for `max indexed + 1 .. head`, then start [[run]]. */
+  def backfill(raw: DataFrame, outRoot: String,
+      derive: Map[String, DataFrame => DataFrame]): Unit =
+    processBatch(raw, outRoot, derive)
+
+  /** A14: the resume point — max block number already present in a
+    * derived table (stream.rs:284-301). */
+  def maxIndexedBlock(spark: SparkSession, outRoot: String, entity: String): Option[Long] = {
+    val path = s"$outRoot/dynamic/$entity"
+    if (!new java.io.File(path).exists()) None
+    else spark.read.parquet(path)
+      .agg(max(col("block_number"))).head().get(0) match {
+      case n: java.lang.Long => Some(n)
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.TestSpark
+import graft.etl.Decode
+import java.nio.file.Files
+
+/** §2.10: the incremental pipeline must be IDEMPOTENT per block —
+  * reprocessing a block replaces its derived rows (the reference's
+  * delete-then-reinsert, block.rs:172-284) instead of duplicating them.
+  * Driven through a real Structured Streaming query (file source →
+  * foreachBatch → dynamic partition overwrite). */
+class IncrementalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val logSchema = graft.domain.Schemas.log
+
+  private def writeBatch(dir: String, name: String, rows: Seq[org.apache.spark.sql.Row]): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), logSchema)
+      .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+
+  test("replaying a block's logs overwrites its derived transfers (K5 idempotency)") {
+    import graft.etl.Fixtures.{addr, hash, word}
+    import org.apache.spark.sql.Row
+
+    val root = Files.createTempDirectory("graft-stream").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val t = graft.functions.Sig.TransferTopic
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(logSchema).parquet(s"$in/*")
+      val q = Incremental.run(stream, out, ckpt,
+        Map("transfers" -> Decode.transfersFromLogs))
+      q.awaitTermination()
+    }
+
+    // batch 1: block 100 has transfers of value 255 and 7(token), block 101 value 9
+    writeBatch(in, "b1", Seq(
+      Row(100L, hash(1), 0L, 0L, addr(30), t, word(1), word(2), null, word(255), false),
+      Row(100L, hash(1), 0L, 1L, addr(31), t, word(3), word(4), word(7), "0x", false),
+      Row(101L, hash(2), 0L, 0L, addr(30), t, word(1), word(2), null, word(9), false)))
+    run()
+    val after1 = spark.read.parquet(s"$out/dynamic/transfers")
+    assert(after1.count() === 3)
+
+    // batch 2: block 100 REPLAYED with a single different transfer
+    // (reorg), block 102 appears. Block 101 untouched.
+    writeBatch(in, "b2", Seq(
+      Row(100L, hash(9), 0L, 0L, addr(30), t, word(5), word(6), null, word(42), false),
+      Row(102L, hash(3), 0L, 0L, addr(30), t, word(1), word(2), null, word(11), false)))
+    run()
+
+    val after2 = spark.read.parquet(s"$out/dynamic/transfers")
+      .select(col("block_number"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // block 100's old rows are GONE (replaced), 101 survives, 102 added.
+    // Note: both blocks land in block_bucket 0, so this also proves the
+    // overwrite granularity must track the batch's buckets — with plain
+    // mode=overwrite the 101 row would have been lost; with append the
+    // 255/7 rows would have survived.
+    assert(after2 === Set((100L, "42"), (101L, "9"), (102L, "11")))
+  }
+}
