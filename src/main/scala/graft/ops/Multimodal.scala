@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: media is an opaque
+  * BINARY payload plus a typed metadata struct; decode / feature-extract
+  * / frame-sample are Spark-side plumbing around a per-partition codec.
+  *
+  * The actual image/audio codec is NOT available in this environment, so
+  * [[decodePartition]] STUBS the codec call (clearly marked) with a
+  * deterministic fake; everything around it — schema, batch iteration,
+  * partitioning, output shape — is real and tested. Swap `stubDecode`
+  * for an FFI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType), // image | audio | video
+      StructField("n_bytes", LongType),
+      StructField("declared_w", IntegerType),
+      StructField("declared_h", IntegerType))))))
+
+  /** Wrap a text/doc table into media rows (payload = utf-8 bytes) —
+    * the shape a binaryFile/object-store source would produce. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("image").as("kind"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        lit(64).as("declared_w"),
+        lit(64).as("declared_h")).as("meta"))
+
+  /** Codegen'd (UDF-free) feature extraction on the payload: size,
+    * checksum, head bytes. Runs inside whole-stage codegen — this is the
+    * hot path that must NOT be per-row JVM⇄codec calls. */
+  def binaryFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.kind").as("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      lower(hex(substring(col("payload"), 1, 8))).as("head_hex"))
+
+  /** Frame sampling: split the payload into fixed-size frames, keep
+    * every `stride`-th — the video-keyframe access pattern, done with
+    * array expressions (no data explosion until the explode itself). */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
+    media
+      .select(col("media_id"), col("payload"), nFrames.as("n_frames"))
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        col("payload"))
+      .where(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx"),
+        lower(hex(substring(col("payload"),
+          (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))).as("frame_hex"))
+  }
+
+  /** Decoded-media features produced by the (stubbed) codec. */
+  final case class Decoded(
+      media_id: Long, kind: String, width: Int, height: Int,
+      mean_luma: Double, ok: Boolean)
+
+  /** ========== STUB ==========
+    * Stands in for the real codec (libjpeg/ffmpeg/...): deterministic
+    * fake decode — dimensions from the metadata, "luminance" as the mean
+    * payload byte. Replace ONLY this function to integrate a real codec. */
+  private def stubDecode(payload: Array[Byte], kind: String,
+      w: Int, h: Int): Decoded = {
+    val mean =
+      if (payload == null || payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+    Decoded(-1L, kind, w, h, mean, ok = payload != null && payload.nonEmpty)
+  }
+
+  /** Per-partition decode: one codec context per partition (the
+    * expensive init happens once per task, not per row — the same
+    * pattern as a connection-reusing RPC stage, SURVEY §2.9 U1/U2).
+    * Batch shape: Iterator[Row] → Iterator[Decoded]. */
+  def decodePartition(media: DataFrame): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"),
+        col("meta.kind"), col("meta.declared_w"), col("meta.declared_h"))
+      .mapPartitions { rows =>
+        // >>> real integration point: init codec context here, once <<<
+        rows.map { r =>
+          val d = stubDecode(r.getAs[Array[Byte]]("payload"), r.getAs[String]("kind"),
+            r.getAs[Int]("declared_w"), r.getAs[Int]("declared_h"))
+          d.copy(media_id = r.getAs[Long]("media_id"))
+        }
+      }
+  }
+
+  /** "Resize": deterministic downsample of the fake pixel stream —
+    * byte-stride subsample re-checksummed. Real plumbing (projection,
+    * argument flow), stubbed math. */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame =
+    media.select(col("media_id"),
+      md5(col("payload")).as("orig_checksum"),
+      md5(substring(col("payload"), lit(1),
+        greatest(lit(1), (length(col("payload")) / factor)).cast("int"))).as("resized_checksum"),
+      (length(col("payload")) / factor).cast("long").as("resized_bytes"))
+}
