@@ -78,4 +78,26 @@ object Lifetimes {
         avg(col("life_blocks")).as("avg_life_blocks"),
         stddev_pop(col("life_blocks")).as("stddev_life_blocks"),
         avg(col("life_seconds")).as("avg_life_seconds"))
+
+  /** K7: the `res.txt` analysis report (lifetimes.rs:65-294, 300) — the
+    * four RQ results formatted as prose lines. The aggregates are tiny
+    * scalars, so collecting them to the driver is the right plan. */
+  def report(deployments: DataFrame, destructions: DataFrame): String = {
+    val lives = contractLives(deployments, destructions).cache()
+    try {
+      val r1 = rq1Destroyed(lives).head()
+      val r2 = rq2OnceVsMulti(lives).head()
+      val r3 = rq3SameBlockTx(deployments, destructions).head()
+      val r4 = rq4LifetimeStats(lives).head()
+      Seq(
+        s"RQ1: ${r1.getAs[Long]("n_destroyed")} of ${r1.getAs[Long]("n_total")} contracts were destroyed at least once",
+        s"RQ2: ${r2.getAs[Long]("n_once")} destroyed exactly once, ${r2.getAs[Long]("n_multi")} more than once",
+        s"RQ3: ${r3.getAs[Long]("n_same_block_pairs")} deploy/destroy pairs in the same block (different tx), " +
+          s"${r3.getAs[Long]("n_same_tx_pairs")} in the same tx",
+        s"RQ4: avg lifetime ${r4.getAs[Double]("avg_life_blocks")} blocks " +
+          s"(stddev ${r4.getAs[Double]("stddev_life_blocks")}), " +
+          s"${r4.getAs[Double]("avg_life_seconds")} seconds, over ${r4.getAs[Long]("n_contracts")} contracts"
+      ).mkString("\n")
+    } finally lives.unpersist()
+  }
 }

@@ -53,4 +53,18 @@ object Layout {
   /** K3: signature-dedup gate before the sink (writer.rs:56-58). */
   def dedupBeforeWrite(df: DataFrame, keys: String*): DataFrame =
     df.dropDuplicates(keys)
+
+  /** K6: similarity-edge sink — the reference writes each pair in BOTH
+    * directions with the similarity as an edge attribute
+    * (similarities.rs:270-303). Input: (a_id, b_id, similarity). */
+  def similarityEdges(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"),
+      col(pairs.columns(2)).as("similarity"))
+    val bwd = pairs.select(col("b_id").as("src"), col("a_id").as("dst"),
+      col(pairs.columns(2)).as("similarity"))
+    fwd.unionByName(bwd)
+  }
+
+  def writeSimilarityEdges(pairs: DataFrame, path: String): Unit =
+    similarityEdges(pairs).write.mode("overwrite").parquet(path)
 }

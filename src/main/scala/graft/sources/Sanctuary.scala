@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The "smart-contract-sanctuary" verified-source lookup (SURVEY.md §2.1
+  * S5, §2.4 J10, §2.8 F14; reference contract_deployment.rs:158-193).
+  *
+  * The reference globs `contracts/mainnet/<first-2-hex>/<address>_<name>.sol`
+  * per deployment — a filesystem round-trip per contract. Spark-first:
+  * index the WHOLE tree once with `input_file_name()`, parse the address
+  * out of each path, and verification becomes one broadcast-able
+  * left join keyed on lowercase address. The 2-hex shard directory
+  * (F14's glob prefix) is the tree's own partitioning — Spark's file
+  * listing parallelizes over it.
+  */
+object Sanctuary {
+
+  /** Index a sanctuary tree → (address, source_name, source_path).
+    * Address = filename prefix before '_', lowercased, 0x-prefixed. */
+  def index(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("wholetext", "true")
+      .text(s"$root")
+      .select(input_file_name().as("path"), col("value").as("source_code"))
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .withColumn("address",
+        lower(concat(lit("0x"),
+          regexp_extract(col("file"), "^(?:0x)?([0-9a-fA-F]{40})", 1))))
+      .filter(length(col("address")) === 42)
+      .withColumn("source_name",
+        regexp_extract(col("file"), "^[^_]*_(.*)\\.sol$", 1))
+      .select("address", "source_name", "source_code", "path")
+
+  /** J10: flag deployments with verified source (left join against the
+    * index; the index is small relative to deployments → broadcast). */
+  def verify(deployments: DataFrame, sanctuaryIndex: DataFrame,
+      withSource: Boolean = false): DataFrame = {
+    val idx0 = sanctuaryIndex
+      .select(col("address").as("contract"), col("source_name"), col("source_code"))
+      .dropDuplicates("contract")
+    val idx = if (withSource) idx0 else idx0.drop("source_code")
+    deployments
+      .join(broadcast(idx.withColumn("verified_source", lit(true))),
+        Seq("contract"), "left")
+      .withColumn("verified_source", coalesce(col("verified_source"), lit(false)))
+  }
+
+  /** J9: name enrichment — left join against a pre-fetched
+    * (address, name) table (the reference's per-contract `name()`
+    * eth_call, contract_deployment.rs:118-156, becomes a lookup-table
+    * join; live mode would build that table with a mapPartitions RPC
+    * stage, same shape as [[graft.etl.Decompile]]). */
+  def enrichNames(deployments: DataFrame, names: DataFrame): DataFrame =
+    deployments.join(
+      broadcast(names.select(col("address").as("contract"), col("name"))
+        .dropDuplicates("contract")),
+      Seq("contract"), "left")
+}
