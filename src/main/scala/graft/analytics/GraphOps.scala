@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the entity model (BASELINE.json north star:
+  * "DataFrame transformations + GraphX analytics"). The account/transfer
+  * tables ARE a property graph (SURVEY §1.1); these operators analyse it
+  * without leaving the DataFrame planner — iterative algorithms are
+  * join+agg loops with a checkpoint per iteration (lineage stays
+  * bounded), so Catalyst/AQE plan every step and the shuffles stay on
+  * the edge key. [[toGraphX]] bridges to RDD-based GraphX for
+  * cross-validation and for algorithms we don't re-express.
+  *
+  * Edge input convention: (src, dst) columns, any additional columns
+  * ignored. All algorithms treat the graph as directed unless noted.
+  */
+object GraphOps {
+
+  /** In/out/total degree per node — one shuffle per direction. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L)))
+          .as("degree"))
+  }
+
+  /** Connected components (undirected) by min-label propagation: each
+    * node adopts the smallest id reachable so far; iterate until no
+    * label changes (or maxIter). Converges in O(diameter) rounds; each
+    * round is one join + one agg, both shuffling on node id. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint() // truncate lineage per round
+      converged = next.toDF("id", "comp_new")
+        .join(labels.toDF("id", "comp_old"), Seq("id"))
+        .filter(col("comp_new") =!= col("comp_old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** PageRank, `iters` synchronous iterations, damping 0.85, dangling
+    * mass redistributed uniformly. One join + one agg per iteration
+    * (shuffle on dst), ranks checkpointed per round. */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      val danglingMass = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = edges
+        .join(withDeg.filter(col("out_deg").isNotNull)
+          .withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Triangle count per node (undirected, simple graph): canonical-order
+    * edges joined twice — candidate wedges meet the closing edge in an
+    * equi-join, never a cross product. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val canon = und.filter(col("src") < col("dst")).localCheckpoint()
+    val ab = canon.toDF("a", "b")
+    val bc = canon.toDF("b", "c")
+    val ac = canon.toDF("a", "c")
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c")) // a<b<c triangles
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    und.select(col("src").as("id")).distinct()
+      .join(perNode, Seq("id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+  }
+
+  /** Bridge to GraphX for cross-validation / algorithms not re-expressed.
+    * Node ids must be numeric (cast to long). */
+  def toGraphX(edges: DataFrame): org.apache.spark.graphx.Graph[Unit, Unit] = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    org.apache.spark.graphx.Graph.fromEdges(e, ())
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.GraphOps
+import Tables._
+
+/** Graph analytics (north star: "DataFrame transformations + GraphX
+  * analytics") over a deterministic user↔topic graph derived from the
+  * `events` table: src = user_id, dst = 1000 + (k mod 50) where k is the
+  * props payload — a bipartite interaction graph with shared-topic
+  * connectivity. The DuckDB oracles rebuild the same edges in SQL;
+  * components use a recursive CTE as the ground-truth closure. */
+object GraphQueries {
+
+  private def edges(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("user_id").as("src"),
+      (lit(1000) + regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("bigint") % 50).as("dst"))
+      .distinct()
+
+  private val edgesSql =
+    """SELECT DISTINCT user_id AS src,
+      | 1000 + CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 50 AS dst
+      |FROM events""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "q70_degrees" -> Q(
+      (s, d) => GraphOps.degrees(edges(s, d)),
+      Some(s"""WITH e AS ($edgesSql),
+              |o AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+              |i AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY 1)
+              |SELECT coalesce(o.id, i.id) AS id,
+              |       coalesce(out_deg, 0) AS out_deg,
+              |       coalesce(in_deg, 0) AS in_deg,
+              |       coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+              |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin),
+      "node degrees: graph analytics pillar"),
+
+    "q71_components" -> Q(
+      (s, d) => GraphOps.connectedComponents(edges(s, d)),
+      Some(s"""WITH RECURSIVE e AS ($edgesSql),
+              |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id)
+              |SELECT id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin),
+      "connected components (min-label propagation vs recursive-CTE closure)"),
+
+    // float contribution sums are partition-order dependent → rows-only;
+    // exact small-graph values pinned in GraphSpec instead.
+    "q72_pagerank" -> Q(
+      (s, d) => GraphOps.pageRank(edges(s, d), iters = 5),
+      None,
+      "PageRank (join+agg iterations, dangling mass redistributed)"),
+
+    "q73_triangles" -> Q(
+      (s, d) => GraphOps.triangleCounts(edges(s, d))
+        .groupBy(col("triangles")).agg(count(lit(1)).as("n_nodes")),
+      Some(s"""WITH e AS ($edgesSql),
+              |und AS (
+              |  SELECT src, dst FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+              |  WHERE src <> dst),
+              |canon AS (SELECT DISTINCT src AS a, dst AS b FROM und WHERE src < dst),
+              |tri AS (
+              |  SELECT ab.a, ab.b, bc.b AS c FROM canon ab
+              |  JOIN (SELECT a AS b, b AS c FROM canon) bc ON ab.b = bc.b
+              |  JOIN (SELECT a, b AS c FROM canon) ac ON ab.a = ac.a AND bc.c = ac.c),
+              |per_node AS (
+              |  SELECT id, count(*) AS triangles FROM (
+              |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+              |  GROUP BY 1),
+              |nodes AS (SELECT DISTINCT src AS id FROM und)
+              |SELECT coalesce(p.triangles, 0) AS triangles, count(*) AS n_nodes
+              |FROM nodes n LEFT JOIN per_node p ON n.id = p.id
+              |GROUP BY 1""".stripMargin),
+      "per-node triangle counts histogram (wedge equi-joins)"))
+}

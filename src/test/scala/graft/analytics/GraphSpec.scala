@@ -1,0 +1,57 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Graph analytics on hand-computable graphs, cross-validated against
+  * GraphX where the results are exact integers. */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def df(edges: (Long, Long)*) = {
+    import spark.implicits._
+    edges.toSeq.toDF("src", "dst")
+  }
+
+  test("degrees on a small directed graph") {
+    val d = GraphOps.degrees(df(1L -> 2L, 1L -> 3L, 2L -> 3L)).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"))).toMap
+    assert(d(1L) === (2L, 0L))
+    assert(d(2L) === (1L, 1L))
+    assert(d(3L) === (0L, 2L))
+  }
+
+  test("connected components match GraphX on a two-component graph") {
+    val edges = df(1L -> 2L, 2L -> 3L, 10L -> 11L, 12L -> 11L)
+    val mine = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(mine === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val graphx = GraphOps.toGraphX(edges).connectedComponents()
+      .vertices.collect().toMap
+    assert(mine === graphx.map { case (k, v) => (k: Long) -> (v: Long) })
+  }
+
+  test("pageRank: known values on a 2-cycle and a dangling chain") {
+    // 2-cycle: symmetric → ranks 0.5 / 0.5 at any iteration count
+    val cyc = GraphOps.pageRank(df(1L -> 2L, 2L -> 1L), iters = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(cyc(1L) - 0.5) < 1e-12)
+    assert(math.abs(cyc(2L) - 0.5) < 1e-12)
+    // total mass conserved (dangling node 2 redistributes): 1 -> 2
+    val chain = GraphOps.pageRank(df(1L -> 2L), iters = 8).collect()
+      .map(r => r.getAs[Double]("rank")).sum
+    assert(math.abs(chain - 1.0) < 1e-9)
+  }
+
+  test("triangle counts match GraphX on a clique-plus-tail") {
+    // K4 on {1,2,3,4} (each node in 3 triangles) + tail 4-5 (0 triangles)
+    val edges = df(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    val mine = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(mine === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    val graphx = GraphOps.toGraphX(edges).partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.collect().toMap
+    assert(mine === graphx.map { case (k, v) => (k: Long) -> v.toLong })
+  }
+}
