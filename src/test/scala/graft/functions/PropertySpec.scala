@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5 engine test plan): skeleton idempotence
+  * and length preservation (F1), keccak distinctness/stability (F4),
+  * similarity invariants (A6/A7), LSH/minhash determinism. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Seeded property runner (scalatest⇄scalacheck bridge isn't in the
+    * offline cache): 200 deterministic samples per property. */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 200).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(42L + i))
+        b <- gb.apply(Gen.Parameters.default, Seed(10042L + i))
+      } f(a, b)
+    }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 300).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))
+      .map(_.map(_.toByte).toArray))
+
+  test("F1: extract_skeleton is idempotent and length-preserving") {
+    forAll(bytesGen) { code =>
+      val once = Evm.extractSkeleton(code)
+      assert(once.length === code.length)
+      assert(Evm.extractSkeleton(once).toSeq === once.toSeq)
+    }
+  }
+
+  test("F1: skeleton erases only PUSH-argument positions") {
+    forAll(bytesGen) { code =>
+      val sk = Evm.extractSkeleton(code)
+      // opcode positions (as walked) are unchanged
+      val ops = Evm.opcodes(code).toSeq
+      assert(Evm.opcodes(sk).toSeq === ops)
+    }
+  }
+
+  test("F4: keccak-256 is 32 bytes, deterministic, input-sensitive") {
+    forAll(bytesGen, bytesGen) { (a, b) =>
+      val ha = Keccak.hash256(a)
+      assert(ha.length === 32)
+      assert(ha.toSeq === Keccak.hash256(a).toSeq)
+      if (a.toSeq != b.toSeq)
+        assert(ha.toSeq !== Keccak.hash256(b).toSeq) // no collisions expected at this scale
+    }
+  }
+
+  test("A6: cosine symmetric, self=1, range [0,1]") {
+    val mapGen = Gen.mapOf(Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty),
+      Gen.chooseNum(1L, 100L)))
+    forAll(mapGen, mapGen) { (a, b) =>
+      val s = Evm.cosine(a, b)
+      assert(s >= 0.0 && s <= 1.0 + 1e-12)
+      assert(math.abs(s - Evm.cosine(b, a)) < 1e-12)
+      if (a.nonEmpty) assert(math.abs(Evm.cosine(a, a) - 1.0) < 1e-12)
+    }
+  }
+
+  test("A7: jaccard symmetric, self=1, empty=0, range [0,1]") {
+    val setGen = Gen.containerOf[Set, String](Gen.alphaStr.suchThat(_.nonEmpty))
+    forAll(setGen, setGen) { (a, b) =>
+      val s = Evm.jaccard(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s === Evm.jaccard(b, a))
+      if (a.nonEmpty) assert(Evm.jaccard(a, a) === 1.0)
+      assert(Evm.jaccard(a, Set.empty) === 0.0)
+    }
+  }
+
+  test("F2: separate_metadata splits at a marker and reassembles losslessly") {
+    forAll(bytesGen) { code =>
+      Evm.separateMetadata(code).foreach { case (runtime, meta) =>
+        assert(runtime.length + meta.length === code.length)
+        assert((runtime ++ meta).toSeq === code.toSeq)
+      }
+    }
+  }
+
+  test("LSH planes are deterministic and in [-0.5, 0.5)") {
+    import graft.ops.SimSearch
+    for (p <- 0 until 16; i <- 0 until 64) {
+      val v = SimSearch.planeComponent(p, i)
+      assert(v >= -0.5 && v < 0.5)
+      assert(v === SimSearch.planeComponent(p, i))
+    }
+  }
+
+  test("Sig: bytes4 equals first 4 bytes of the signature hash") {
+    forAll(Gen.identifier.suchThat(_.nonEmpty), Gen.listOf(Gen.oneOf("address", "uint256", "bool"))) {
+      (name, types) =>
+        assert(Sig.bytes4(name, types) === Sig.signatureHash(name, types).substring(2, 10))
+    }
+  }
+}
