@@ -65,7 +65,7 @@ object GraphQueries {
               |  WHERE src <> dst),
               |canon AS (SELECT DISTINCT src AS a, dst AS b FROM und WHERE src < dst),
               |tri AS (
-              |  SELECT ab.a, ab.b, bc.b AS c FROM canon ab
+              |  SELECT ab.a, ab.b, bc.c AS c FROM canon ab
               |  JOIN (SELECT a AS b, b AS c FROM canon) bc ON ab.b = bc.b
               |  JOIN (SELECT a, b AS c FROM canon) ac ON ab.a = ac.a AND bc.c = ac.c),
               |per_node AS (
