@@ -132,6 +132,24 @@ object Relational {
              |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin),
       "account dim union distinct: SURVEY §2.7"),
 
+    // the spark.sql(...) surface: same engine, SQL text in — registered
+    // to prove the catalog/view path works alongside the DataFrame API
+    "q17_sql_api" -> Q(
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("v_orders")
+        lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderpriority,
+                |       count(*) AS n_orders,
+                |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                |FROM v_orders JOIN v_lineitem ON l_orderkey = o_orderkey
+                |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin),
+      "spark.sql over temp views: the SQL API surface"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(

@@ -54,19 +54,23 @@ object TraceOps {
     // address is a prefix of its own (a trace is its own prefix).
     "q40_trace_errors" -> Q(
       (s, d) => {
-        val t = traces(s, d)
-        val errs = t.where(col("errored"))
-          .select(col("tx_hash").as("p_tx"), col("trace_address").as("p_addr"))
-        val failed = t.join(errs,
-            col("tx_hash") === col("p_tx") &&
-              slice(col("trace_address"), lit(1), size(col("p_addr"))) === col("p_addr"),
-            "left_semi")
-        t.groupBy(col("tx_hash")).agg(count(lit(1)).as("n_traces"))
-          .join(failed.groupBy(col("tx_hash")).agg(count(lit(1)).as("n_failed")),
-            Seq("tx_hash"), "left")
+        // Single-shuffle formulation: traces-per-tx is bounded (call-tree
+        // size), so collect each tx's traces once and evaluate the
+        // prefix predicate with codegen'd higher-order array functions —
+        // one exchange instead of the join's three. The per-trace join
+        // form lives in Enrich.propagateTraceErrors (same semantics,
+        // PipelineSpec-verified).
+        val errAddrs = filter(col("ts"), t => t.getField("errored"))
+        val isFailed = (t: Column) => exists(errAddrs, e =>
+          slice(t.getField("addr"), lit(1), size(e.getField("addr")))
+            === e.getField("addr"))
+        traces(s, d)
+          .groupBy(col("tx_hash"))
+          .agg(collect_list(struct(
+            col("trace_address").as("addr"), col("errored"))).as("ts"))
           .select(col("tx_hash"),
-            col("n_traces"),
-            coalesce(col("n_failed"), lit(0L)).as("n_failed"))
+            size(col("ts")).cast("long").as("n_traces"),
+            size(filter(col("ts"), isFailed)).cast("long").as("n_failed"))
       },
       Some(s"""WITH t0 AS (
               |  SELECT l_orderkey AS tx_hash, $addrSqlCase AS addr,

@@ -94,6 +94,17 @@ class ExternalSpec extends AnyFunSuite {
     assert(edges === Set(("a", "b", 0.9), ("b", "a", 0.9)))
   }
 
+  test("K2: gzip JSON sink round-trips an entity table") {
+    val out = Files.createTempDirectory("jsongz").toString + "/transfers"
+    val transfers = Decode.transfersFromLogs(Fixtures.logs(spark))
+    Layout.writeJsonGz(transfers, out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")))
+    val back = spark.read.schema(transfers.schema).json(out)
+    assert(back.count() === transfers.count())
+    assert(back.exceptAll(transfers).isEmpty)
+  }
+
   test("K7: lifetimes report formats all four RQs") {
     val rep = Lifetimes.report(Fixtures.deployments(spark), Fixtures.destructions2(spark))
     assert(rep.contains("RQ1: 4 of 5"))
