@@ -68,17 +68,21 @@ object GraphOps {
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
-      val danglingMass = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass as a broadcast 1-row frame: keeps the whole
+      // iteration one lazy plan (one job per round, no driver collect)
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
       val contribs = edges
         .join(withDeg.filter(col("out_deg").isNotNull)
           .withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n)))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("dangling_mass") / n))
             .as("rank"))
         .localCheckpoint()
     }
