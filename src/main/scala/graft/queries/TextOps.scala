@@ -143,6 +143,34 @@ object TextOps {
       },
       "MinHash signatures over shingle sets"),
 
+    // BPE-ish token counting + quality scoring (stopword/char-class ratios)
+    "q27_quality" -> Q(
+      (s, d) => {
+        val words = col("T") // materialized once — lambda bodies get no CSE
+        val nWords = size(words).cast("long")
+        // BPE-ish: words split into ≤4-char subword units → ceil(len/4)
+        val nSubtok = aggregate(words, lit(0L),
+          (a, w) => a + ceil(length(w).cast("double") / 4).cast("long"))
+        val stop = size(filter(words, w => w.isin("the", "a", "of", "and", "to"))).cast("long")
+        val nDigits = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+        documents(s, d)
+          .withColumn("T", tokens(col("text")))
+          .select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            nSubtok.as("n_subtokens"),
+            round(stop.cast("double") / nWords, 6).as("stopword_ratio"),
+            nDigits.as("n_digits"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS T FROM documents)
+              |SELECT doc_id,
+              | CAST(len(T) AS BIGINT) AS n_words,
+              | CAST(list_sum(list_transform(T, w -> CAST(ceil(CAST(length(w) AS DOUBLE)/4) AS BIGINT))) AS BIGINT) AS n_subtokens,
+              | round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / len(T), 6) AS stopword_ratio,
+              | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+              |FROM t""".stripMargin),
+      "BPE-ish subword counting + quality ratios: text-analysis pillar"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
