@@ -14,27 +14,17 @@ object Decode {
 
   /** uint256 hex word (with or without 0x) → decimal string. Values
     * exceed Decimal(38,0) (2^256-1 > 10^77) so the faithful type is a
-    * string, as in the reference (SURVEY §1.3). */
-  val hexToDec = udf { (h: String) =>
-    if (h == null) null
-    else {
-      val s = if (h.startsWith("0x") || h.startsWith("0X")) h.substring(2) else h
-      if (s.isEmpty) "0" else new java.math.BigInteger(s, 16).toString
-    }
-  }
+    * string, as in the reference (SURVEY §1.3). Native codegen
+    * expression ([[graft.functions.EvmExprs]]), not a ScalaUDF. */
+  def hexToDec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.EvmExprs.hexToDec(c)
 
   /** Skeleton hash of deployed bytecode: keccak-256 of
     * extract_skeleton(runtime-part-of(code)) — the reference's skeleton
     * identity (contract_deployment.rs:110-112 over skeleton.rs:8-23 and
-    * metadata.rs:20-34). */
-  val skeletonHash = udf { (codeHex: String) =>
-    if (codeHex == null) null
-    else {
-      val code = Hex.decode(codeHex)
-      val runtime = Evm.separateMetadata(code).map(_._1).getOrElse(code)
-      "0x" + Hex.encode(Keccak.hash256(Evm.extractSkeleton(runtime)))
-    }
-  }
+    * metadata.rs:20-34). Native codegen expression. */
+  def skeletonHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.EvmExprs.skeletonHash(c)
 
   /** Normalized skeleton bytecode itself (hex, no 0x). */
   val skeletonHex = udf { (codeHex: String) =>
