@@ -129,6 +129,21 @@ object Decode {
         when(length(col("input")) >= 10, substring(col("input"), 3, 8)))
       .withColumn("to", coalesce(col("to"), lit(Sig.ZeroAddress)))
 
+  /** Block.withdrawals nested array → one row per withdrawal with the
+    * block FK (block.rs:323-339's nested entity, relationally flattened;
+    * amounts stay uint256-decimal strings). */
+  def explodeWithdrawals(blocks: DataFrame): DataFrame =
+    blocks
+      .filter(col("withdrawals").isNotNull)
+      .select(col("number").as("block_number"),
+        explode(col("withdrawals")).as("w"))
+      .select(
+        col("block_number"),
+        col("w.address").as("address"),
+        col("w.amount").as("amount"),
+        col("w.index").as("index"),
+        col("w.validator_index").as("validator_index"))
+
   /** P8: only keep `removed` when true (reorg marker, log.rs:201-204). */
   def removedFlag(logs: DataFrame): DataFrame =
     logs.withColumn("removed", when(col("removed"), lit(true)))
