@@ -30,9 +30,69 @@ object EvmExprs {
       if (h.isEmpty) "0" else new java.math.BigInteger(h, 16).toString)
   }
 
+  /** Char-fold hash matching graft.ops.TextAnalysis.tokenHash:
+    * (acc*31 + codepoint) % 1e9+7 over the string's characters — the
+    * arithmetic DuckDB oracles reproduce with list_reduce/ascii. */
+  def tokenHashEval(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  private val CoeffA = Array(1299721L, 1299833L, 1300021L, 1300109L)
+  private val CoeffB = Array(1299827L, 1299709L, 1300033L, 1300151L)
+  private val MinHashP = 2147483647L
+  private val HashMod = 1000000007L
+
+  /** Fused 4-way MinHash signature over word-token arrays: 4-token
+    * shingles hashed with the tokenHash char fold (spaces included, no
+    * string allocation), each updating the four (a*h+b)%P minima in one
+    * pass. Equivalent to min over hashes of DISTINCT shingles — dupes
+    * can't change a minimum. Null when fewer than 4 tokens (no
+    * shingles), matching the `size(H) > 0` guard. The interpreted
+    * higher-order formulation (transform+array_min x4 over an exploded
+    * shingle hash array) was the q28 bench bottleneck. */
+  def minHashSigEval(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 4) return null
+    val mins = Array.fill(4)(Long.MaxValue)
+    var i = 0
+    while (i + 4 <= n) {
+      var acc = 0L
+      var k = 0
+      while (k < 4) {
+        if (k > 0) acc = (acc * 31L + 32L) % HashMod // the ' ' joiner
+        val t = arr.getUTF8String(i + k).toString
+        var j = 0
+        while (j < t.length) {
+          val cp = t.codePointAt(j)
+          acc = (acc * 31L + cp) % HashMod
+          j += Character.charCount(cp)
+        }
+        k += 1
+      }
+      var c = 0
+      while (c < 4) {
+        val v = (acc * CoeffA(c) + CoeffB(c)) % MinHashP
+        if (v < mins(c)) mins(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Column API. */
   def skeletonHash(c: Column): Column = Bridge.column(SkeletonHashExpr(Bridge.expression(c)))
   def hexToDec(c: Column): Column = Bridge.column(HexToDecExpr(Bridge.expression(c)))
+  def tokenHash(c: Column): Column = Bridge.column(TokenHashExpr(Bridge.expression(c)))
+  def minHashSig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
 }
 
 /** hex bytecode (0x-optional STRING) → 0x-prefixed keccak of its
@@ -62,5 +122,43 @@ case class HexToDecExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.hexToDecEval($c)")
   override protected def withNewChildInternal(newChild: Expression): HexToDecExpr =
+    copy(child = newChild)
+}
+
+/** String → char-fold hash (the TextAnalysis.tokenHash arithmetic as a
+  * native expression: higher-order-function formulations are interpreted
+  * per element, which dominated the MinHash signature stage). */
+case class TokenHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_hash needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.tokenHashEval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.tokenHashEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashExpr =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long>(4) fused MinHash signature. */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs ARRAY<STRING>, got $t")
+  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.minHashSigEval(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EvmExprs.minHashSigEval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+    code
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }

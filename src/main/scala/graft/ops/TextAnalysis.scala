@@ -23,12 +23,10 @@ object TextAnalysis {
     filter(split(text, " "), t => t =!= "")
 
   /** Deterministic 64-bit-safe string hash: fold of
-    * (acc*31 + codepoint) % HashMod over characters. */
-  def tokenHash(t: Column): Column =
-    aggregate(
-      filter(split(t, ""), c => c =!= ""),
-      lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % HashMod)
+    * (acc*31 + codepoint) % HashMod over characters. Native expression —
+    * the higher-order `aggregate(split(...))` form is interpreted per
+    * element (HOFs have no codegen) and dominated signature stages. */
+  def tokenHash(t: Column): Column = graft.functions.EvmExprs.tokenHash(t)
 
   /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
     * token array column, empty array when too short.

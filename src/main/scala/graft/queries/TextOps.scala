@@ -108,7 +108,10 @@ object TextOps {
         // materialized once (localCheckpoint): sizes + both join sides
         // read it — recomputing the tokenize+shingle explode 3x was the
         // dominant cost at 10x scale
+        // a small parquet file reads as ONE partition; spread rows before
+        // the compute-heavy shingle explode or it runs single-core
         val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("T", tokens(col("text")))
           .select(col("doc_id"),
             explode(array_distinct(shinglesFromTokens(col("T"), 4))).as("sh"))
@@ -149,13 +152,13 @@ object TextOps {
     // MinHash signatures (the LSH building block)
     "q25_minhash" -> Q(
       (s, d) => {
-        val shHashes = transform(array_distinct(shinglesFromTokens(col("T"), 4)), sh => tokenHash(sh))
-        val withH = documents(s, d)
-          .withColumn("T", tokens(col("text"))).withColumn("H", shHashes)
-        val sigCols = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
-          minHash(col("H"), a, b).as(s"h$j")
-        }
-        withH.select(col("doc_id") +: sigCols: _*)
+        // fused native signature (EvmExprs.minHashSig) — one pass over
+        // the token array instead of interpreted HOF chains
+        val sig = graft.functions.EvmExprs.minHashSig(col("T"))
+        documents(s, d)
+          .withColumn("T", tokens(col("text"))).withColumn("sig", sig)
+          .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+            element_at(col("sig"), j + 1).as(s"h$j")): _*)
       },
       Some {
         val sig = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
@@ -194,6 +197,63 @@ object TextOps {
               | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
               |FROM t""".stripMargin),
       "BPE-ish subword counting + quality ratios: text-analysis pillar"),
+
+    // MinHash-LSH banding: the 100-TB near-dup path (candidates meet in
+    // band buckets — equi-join — and are scored by signature agreement;
+    // no shingle-level pair fan-out at all)
+    "q28_minhash_bands" -> Q(
+      (s, d) => {
+        val sig = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("T", tokens(col("text")))
+          .withColumn("sig", graft.functions.EvmExprs.minHashSig(col("T")))
+          .where(col("sig").isNotNull)
+          .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+            element_at(col("sig"), j + 1).as(s"h$j")): _*)
+          .localCheckpoint() // read by both band explodes + the scorer
+        // 2 bands of 2 hashes: candidates share band 0 (h0,h1) or band 1 (h2,h3)
+        val bands = sig.select(col("doc_id"), lit(0).as("band"),
+            col("h0").as("x"), col("h1").as("y"))
+          .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+            col("h2").as("x"), col("h3").as("y")))
+        val cand = bands.toDF("a_id", "band", "x", "y")
+          .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val sa = sig.toDF("a_id", "a0", "a1", "a2", "a3")
+        val sb = sig.toDF("b_id", "b0", "b1", "b2", "b3")
+        cand.join(sa, "a_id").join(sb, "b_id")
+          .select(col("a_id"), col("b_id"),
+            ((when(col("a0") === col("b0"), 1).otherwise(0) +
+              when(col("a1") === col("b1"), 1).otherwise(0) +
+              when(col("a2") === col("b2"), 1).otherwise(0) +
+              when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+              .as("est_jaccard"))
+          .where(col("est_jaccard") >= 0.5)
+      },
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM sig
+           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+           |              AND a.doc_id < b.doc_id),
+           |p AS (SELECT a_id, b_id,
+           |        (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+           |         CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+           |         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+           |         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 AS est_jaccard
+           |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+           |SELECT a_id, b_id, est_jaccard FROM p WHERE est_jaccard >= 0.5""".stripMargin
+      },
+      "MinHash-LSH band join + signature agreement: the q24 scale path"),
 
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
