@@ -34,8 +34,11 @@ object GraphOps {
     * label changes (or maxIter). Converges in O(diameter) rounds; each
     * round is one join + one agg, both shuffling on node id. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialized once: every round joins against it — leaving it lazy
+    // re-runs the upstream scan/distinct per iteration
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var iter = 0
@@ -44,13 +47,16 @@ object GraphOps {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // fold the convergence test into the round's aggregation: carry the
+      // old label through the min() and count diffs in the same pass —
+      // one job per round instead of checkpoint-job + compare-job
+      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(viaNeighbor.schema("comp").dataType)))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
         .localCheckpoint() // truncate lineage per round
-      converged = next.toDF("id", "comp_new")
-        .join(labels.toDF("id", "comp_old"), Seq("id"))
-        .filter(col("comp_new") =!= col("comp_old")).isEmpty
-      labels = next
+      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     labels
@@ -59,12 +65,15 @@ object GraphOps {
   /** PageRank, `iters` synchronous iterations, damping 0.85, dangling
     * mass redistributed uniformly. One join + one agg per iteration
     * (shuffle on dst), ranks checkpointed per round. */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    // edges + out-degrees feed every round — materialize once
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")

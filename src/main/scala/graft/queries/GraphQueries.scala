@@ -13,12 +13,19 @@ import Tables._
   * components use a recursive CTE as the ground-truth closure. */
 object GraphQueries {
 
+  /** Distinct edge list, materialized (localCheckpoint): every graph
+    * algorithm reads the edge set 2-4 times (symmetrize, node universe,
+    * per-iteration joins) — left lazy, each read re-runs the events
+    * scan + regex + 600k-row distinct. The distinct set is tiny
+    * (≤ |users|×|topics|), so this is the classic "shrink, then
+    * materialize the small thing" scale pattern. */
   private def edges(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
       col("user_id").as("src"),
       (lit(1000) + regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
         .cast("bigint") % 50).as("dst"))
       .distinct()
+      .localCheckpoint()
 
   private val edgesSql =
     """SELECT DISTINCT user_id AS src,
