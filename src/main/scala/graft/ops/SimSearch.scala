@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object SimSearch {
 
-  /** Sequential-fold dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (deterministic summation order) —
+    * native codegen expression, same IEEE fold order as the previous
+    * `aggregate(zip_with(...))` and as the oracles' `list_reduce`. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -82,6 +83,70 @@ object SimSearch {
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     vectors.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
+  }
+
+  /** IVF defaults used by the registered queries: 16 coarse cells,
+    * 2 probed per query. */
+  val IvfK = 16
+  val IvfProbe = 2
+
+  /** Deterministic coarse centroids: the k lowest-id vectors. A
+    * production IVF trains the codebook with k-means; id-ordered
+    * sampling is the standard seeding step and keeps the quantizer
+    * reproducible in plain SQL for the DuckDB oracle. Centroids are
+    * tiny (k rows) and broadcast everywhere they're used. */
+  def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = IvfK): DataFrame =
+    vectors.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(col("cid")).limit(k)
+      .withColumn("cn", l2norm(col("cv")))
+
+  /** Rank each vector's cosine against every codebook centroid (k rows
+    * per vector via broadcast cross join — never a shuffle of the
+    * corpus against itself). rn=1 is the inverted-file cell
+    * assignment; rn<=nprobe gives a query's probe list. Rounded to 6dp
+    * with centroid-id tie-break so the ranking is deterministic.
+    * @param centroids output of [[ivfCentroids]] over the CORPUS —
+    *   queries and corpus must rank against the same codebook. */
+  def ivfRank(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val base = vectors.select(
+      col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+    val w = Window.partitionBy(col("id")).orderBy(col("cc").desc, col("cid").asc)
+    base.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("n"), col("cid"),
+        round(cosine(col("v"), col("cv"), col("n"), col("cn")), 6).as("cc"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Cell assignment: (id, cell, v, n), one row per vector. */
+  def ivfCells(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = IvfK): DataFrame =
+    ivfRank(vectors, idCol, vecCol, ivfCentroids(vectors, idCol, vecCol, k))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cid").as("cell"), col("v"), col("n"))
+
+  /** IVF approximate top-k: queries probe their nProbe nearest cells
+    * and score exactly only against vectors assigned there — candidate
+    * generation is an equi-join on cell id (shuffle on cell), never a
+    * query×corpus cross join. Recall is tunable via nProbe; this is
+    * the 100-TB path next to [[bruteForceTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
+    val codebook = ivfCentroids(corpus, idCol, vecCol, k)
+    val cells = ivfRank(corpus, idCol, vecCol, codebook).where(col("rn") === 1)
+      .select(col("id").as("c_id"), col("cid").as("cell"),
+        col("v").as("cv"), col("n").as("cn"))
+    val probes = ivfRank(queries, idCol, vecCol, codebook).where(col("rn") <= nProbe)
+      .select(col("id").as("q_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("n").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
   }
 
   /** LSH-accelerated near-dup pairs: bucket join then exact re-rank. */

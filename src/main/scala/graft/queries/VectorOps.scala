@@ -78,6 +78,44 @@ object VectorOps {
               |SELECT bucket, count(*) AS n_vectors FROM b GROUP BY 1""".stripMargin),
       "random-hyperplane LSH bucketing: scale path for J7"),
 
+    // IVF coarse quantizer: cell assignment histogram (the index build)
+    "q34_ivf_cells" -> Q(
+      (s, d) => SimSearch.ivfCells(embeddings(s, d), "vec_id", "embedding")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors")),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |r AS (SELECT e.vec_id, cid, ${cosSql("e.v", "cv")} AS cc,
+              |        row_number() OVER (PARTITION BY e.vec_id
+              |          ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |      FROM e CROSS JOIN cent)
+              |SELECT cid AS cell, count(*) AS n_vectors FROM r WHERE rn = 1 GROUP BY 1""".stripMargin),
+      "IVF index build: nearest-centroid cell histogram"),
+
+    // IVF approximate top-k: probe nProbe cells, exact re-rank inside —
+    // the equi-join ANN path beside brute-force q30
+    "q35_ivf_topk" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        SimSearch.ivfTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", topK = 3)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |r AS (SELECT e.vec_id, e.v, cid, ${cosSql("e.v", "cv")} AS cc,
+              |        row_number() OVER (PARTITION BY e.vec_id
+              |          ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |      FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id AS c_id, v AS cv, cid AS cell FROM r WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM r
+              |           WHERE vec_id < 8 AND rn <= ${SimSearch.IvfProbe}),
+              |scored AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos
+              |           FROM probes JOIN cells USING (cell) WHERE q_id <> c_id),
+              |ranked AS (SELECT q_id, c_id, cos,
+              |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+              |           FROM scored)
+              |SELECT q_id, rn, c_id, cos FROM ranked WHERE rn <= 3""".stripMargin),
+      "IVF probe + exact re-rank: approximate top-k scale path"),
+
     // LSH candidate pairs re-ranked exactly — the full ANN pipeline
     "q33_lsh_pairs" -> Q(
       (s, d) => SimSearch.lshDupPairs(embeddings(s, d), "vec_id", "embedding", 0.2, SimSearch.LshPlanes),

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimSearchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def vecs = {
+    import spark.implicits._
+    // three tight clusters around orthogonal axes + a near-duplicate pair
+    Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.9, 0.1, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.1, 0.9, 0.0, 0.0)),
+      (4L, Array(0.0, 0.0, 1.0, 0.0)),
+      (5L, Array(0.0, 0.1, 0.9, 0.0)),
+      (6L, Array(1.0, 0.01, 0.0, 0.0)),
+      (7L, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("native dot product equals the HOF fold and keeps its order") {
+    import spark.implicits._
+    val df = Seq((Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0))).toDF("a", "b")
+    val native = df.select(SimSearch.dot(col("a"), col("b"))).head.getDouble(0)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).head.getDouble(0)
+    assert(native === hof)
+    assert(native === (1.5 * 0.5 + (-2.0) * 4.0 + 3.25 * (-1.0)))
+  }
+
+  test("ivfCells: every vector lands in exactly one cell, codebook ids only") {
+    val cells = SimSearch.ivfCells(vecs, "vec_id", "embedding", k = 3).collect()
+    assert(cells.length === 8) // one assignment per vector
+    val cellIds = cells.map(_.getAs[Long]("cell")).toSet
+    assert(cellIds.subsetOf(Set(0L, 1L, 2L))) // centroids = 3 lowest ids
+    // centroids are vectors 0,1,2 themselves: each is its own cell;
+    // cluster members follow their axis (6 → 0, 3 → 2)
+    val byId = cells.map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+    assert(byId(0L) === 0L && byId(1L) === 1L && byId(2L) === 2L)
+    assert(byId(6L) === 0L)
+    assert(byId(3L) === 2L)
+  }
+
+  test("ivfTopK matches brute force when the probe covers the true cell") {
+    val emb = vecs
+    val q = emb.where(col("vec_id") === 1)
+    val ivf = SimSearch.ivfTopK(q, emb, "vec_id", "embedding", topK = 1,
+      k = 3, nProbe = 3) // probing all cells => exact
+    val bf = SimSearch.bruteForceTopK(q, emb, "vec_id", "embedding", k = 1)
+    val ivfTop = ivf.select("c_id", "cos").head
+    val bfTop = bf.select("c_id", "cos").head
+    assert(ivfTop === bfTop)
+  }
+
+  test("ivfTopK never scores outside probed cells (candidate pruning)") {
+    val emb = vecs
+    val q = emb.where(col("vec_id") === 7) // lone axis-w vector
+    val res = SimSearch.ivfTopK(q, emb, "vec_id", "embedding", topK = 8,
+      k = 3, nProbe = 1).collect()
+    // with a single probed cell, candidates are bounded by that cell's size
+    val cells = SimSearch.ivfCells(emb, "vec_id", "embedding", k = 3)
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.length <= cells.values.max)
+  }
+}
