@@ -255,6 +255,27 @@ object TextOps {
       },
       "MinHash-LSH band join + signature agreement: the q24 scale path"),
 
+    // the injected SQL function surface (GraftExtensions), exercised
+    // through the same oracle gate: pure-SQL text hashing over documents
+    "q29_sql_fn_surface" -> Q(
+      (s, d) => {
+        graft.GraftFunctions.register(s)
+        documents(s, d).createOrReplaceTempView("v_documents")
+        s.sql("""SELECT doc_id,
+                |       graft_token_hash(text) AS th,
+                |       element_at(graft_minhash_sig(filter(split(text, ' '), x -> x != '')), 1) AS h0
+                |FROM v_documents""".stripMargin)
+      },
+      Some {
+        val (a0, b0) = MinHashCoeffs.head
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, text, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t)
+           |SELECT doc_id, ${tokHashSql("text")} AS th,
+           |       CASE WHEN len(H) > 0 THEN list_min(list_transform(H, h -> (h * $a0 + $b0) % $MinHashP)) END AS h0
+           |FROM hh""".stripMargin
+      },
+      "graft_* SQL functions (extension-injected) under the oracle gate"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
