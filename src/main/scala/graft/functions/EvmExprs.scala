@@ -88,11 +88,52 @@ object EvmExprs {
     new GenericArrayData(mins)
   }
 
+  /** Fused distinct-shingle hashing: 4-token shingles hashed with the
+    * tokenHash char fold (space joiner folded in, no string allocation),
+    * deduplicated. Equals the oracle's
+    * `list_distinct(list_transform(shingles(T), tokenHash))` because
+    * dedup-then-hash and hash-then-dedup differ only when two distinct
+    * shingles collide — and then both engines compute the identical
+    * colliding value. Null when fewer than 4 tokens. Output order is
+    * ascending (callers explode it; order is immaterial). */
+  def shingleHashesEval(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 4) return null
+    val hs = new Array[Long](n - 3)
+    var i = 0
+    while (i + 4 <= n) {
+      var acc = 0L
+      var k = 0
+      while (k < 4) {
+        if (k > 0) acc = (acc * 31L + 32L) % HashMod // the ' ' joiner
+        val t = arr.getUTF8String(i + k).toString
+        var j = 0
+        while (j < t.length) {
+          val cp = t.codePointAt(j)
+          acc = (acc * 31L + cp) % HashMod
+          j += Character.charCount(cp)
+        }
+        k += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Column API. */
   def skeletonHash(c: Column): Column = Bridge.column(SkeletonHashExpr(Bridge.expression(c)))
   def hexToDec(c: Column): Column = Bridge.column(HexToDecExpr(Bridge.expression(c)))
   def tokenHash(c: Column): Column = Bridge.column(TokenHashExpr(Bridge.expression(c)))
   def minHashSig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
+  def shingleHashes(c: Column): Column = Bridge.column(ShingleHashesExpr(Bridge.expression(c)))
 }
 
 /** hex bytecode (0x-optional STRING) → 0x-prefixed keccak of its
@@ -138,6 +179,26 @@ case class TokenHashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.tokenHashEval($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenHashExpr =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> distinct 4-token shingle hashes. */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs ARRAY<STRING>, got $t")
+  }
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.shingleHashesEval(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EvmExprs.shingleHashesEval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 

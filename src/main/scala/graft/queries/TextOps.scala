@@ -103,6 +103,10 @@ object TextOps {
     // df² ≤ MaxShingleDF·|sh| — the property that keeps this runnable at
     // 100 TB. True near-dup work at that scale goes exact-dedup (q23) →
     // MinHash banding (q25) first; this is the verifiable exact core.
+    // Shingle identity = the char-fold hash (fused native expression:
+    // one pass, no shingle-string allocation, 8-byte join keys instead
+    // of ~40-byte strings); the oracle applies the identical hash, so
+    // any collision produces the same value on both engines.
     "q24_jaccard_pairs" -> Q(
       (s, d) => {
         // materialized once (localCheckpoint): sizes + both join sides
@@ -114,7 +118,7 @@ object TextOps {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("T", tokens(col("text")))
           .select(col("doc_id"),
-            explode(array_distinct(shinglesFromTokens(col("T"), 4))).as("sh"))
+            explode(graft.functions.EvmExprs.shingleHashes(col("T"))).as("sh"))
           .localCheckpoint()
         val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .where(col("df") > MaxShingleDF).select("sh")
@@ -137,7 +141,7 @@ object TextOps {
               .as("jaccard"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
-              |sh0 AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("T")})) AS sh FROM t),
+              |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
               |hot AS (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) > $MaxShingleDF),
               |sh AS (SELECT doc_id, sh FROM sh0 ANTI JOIN hot USING (sh)),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
