@@ -62,5 +62,37 @@ object StreamOps {
              |SELECT win_start_us, count(*) AS n_events,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM w GROUP BY 1""".stripMargin),
-      "event-time sliding windows: SURVEY §2.10 (Spark-side upgrade)"))
+      "event-time sliding windows: SURVEY §2.10 (Spark-side upgrade)"),
+
+    // as-of join: each event picks up the customer's latest order at or
+    // before the event time (single-shuffle union+window formulation;
+    // oracle = DuckDB's native ASOF JOIN). Right side pre-deduped at
+    // (custkey, orderdate) by max orderkey so the tie-break is
+    // deterministic on both engines.
+    "q52_asof_join" -> Q(
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val ord = orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_key"),
+            max(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("o_price"))
+        graft.ops.AsOf.asofJoin(
+          ev, "user_id", "ts",
+          ord, "o_custkey", "o_orderdate", Seq("o_key", "o_price"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("asof_o_key"), col("asof_o_price"))
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey AS k, o_orderdate AS rt,
+             |         max(o_orderkey) AS o_key,
+             |         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_price
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |       r.o_key AS asof_o_key, r.o_price AS asof_o_price
+             |FROM events ASOF LEFT JOIN r
+             |  ON events.user_id = r.k AND events.ts >= r.rt""".stripMargin),
+      "as-of join (latest right row per left timestamp), one shuffle"))
 }
