@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductExpr, HexToDecExpr, KeccakExpr, MinHashSigExpr, SkeletonHashExpr, TokenHashExpr}
+import graft.functions.{DotProductExpr, HexToDecExpr, KeccakExpr, MinHashSigExpr, SkeletonHashExpr, TokenHashExpr, Uint256Sum}
 
 /** The engine's SQL function surface: every native expression callable
   * from plain SQL / `spark.sql(...)`, so SQL-API users get the full
@@ -36,7 +36,9 @@ object GraftFunctions {
     ("graft_minhash_sig", "ARRAY<STRING> tokens -> ARRAY<BIGINT>(4) MinHash signature",
       es => MinHashSigExpr(es.head)),
     ("graft_dot", "(ARRAY<DOUBLE>, ARRAY<DOUBLE>) -> DOUBLE dot product",
-      es => DotProductExpr(es(0), es(1))))
+      es => DotProductExpr(es(0), es(1))),
+    ("graft_uint256_sum", "exact aggregate sum of uint256 decimal/0x-hex STRINGs -> decimal STRING",
+      es => Uint256Sum(es.head)))
 
   /** Register on a live session (temp-function scope). */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, build) =>

@@ -150,6 +150,26 @@ object Relational {
              |GROUP BY 1""".stripMargin),
       "spark.sql over temp views: the SQL API surface"),
 
+    // exact uint256 arithmetic (SURVEY §1.3/§7.5-1): money columns live
+    // as decimal strings because they exceed Decimal(38); Uint256Sum
+    // (TypedImperativeAggregate over BigInteger) sums them exactly with
+    // map-side partial aggregation. Wei-scale values are built by
+    // appending 9 zeros to an exact cents amount — per-group totals
+    // overflow int64, so the oracle must go through HUGEINT.
+    "q19_uint256_sum" -> Q(
+      (s, d) => orders(s, d)
+        .withColumn("wei", concat(
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").cast("string"),
+          lit("000000000")))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.Uint256.sum(col("wei")).as("total_wei"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT o_orderpriority,
+             | CAST(sum(CAST(concat(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), '000000000') AS HUGEINT)) AS VARCHAR) AS total_wei,
+             | count(*) AS n_orders
+             |FROM orders GROUP BY 1""".stripMargin),
+      "exact uint256 string-sum via custom TypedImperativeAggregate"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(
