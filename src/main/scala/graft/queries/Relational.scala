@@ -170,6 +170,21 @@ object Relational {
              |FROM orders GROUP BY 1""".stripMargin),
       "exact uint256 string-sum via custom TypedImperativeAggregate"),
 
+    // exact interpolated percentiles (gas-stats flavor beyond A1's
+    // min/max/avg/stddev): Spark percentile() and DuckDB quantile_cont
+    // share the linear-interpolation definition
+    "q54_percentiles" -> Q(
+      (s, d) => orders(s, d).groupBy(col("o_orderpriority")).agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+             | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             | round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+             | count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin),
+      "exact interpolated percentiles per group"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(

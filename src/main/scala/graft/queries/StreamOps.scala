@@ -94,5 +94,37 @@ object StreamOps {
              |       r.o_key AS asof_o_key, r.o_price AS asof_o_price
              |FROM events ASOF LEFT JOIN r
              |  ON events.user_id = r.k AND events.ts >= r.rt""".stripMargin),
-      "as-of join (latest right row per left timestamp), one shuffle"))
+      "as-of join (latest right row per left timestamp), one shuffle"),
+
+    // banded range join: attribution windows — every event landing
+    // within 1 hour after a purchase by the same user. Inequality-only
+    // joins nested-loop in Spark; the banding turns point-in-interval
+    // into an equi-join on (key, hour-bucket) with bounded interval
+    // fan-out. Oracle = DuckDB's native inequality join.
+    "q53_range_join" -> Q(
+      (s, d) => {
+        val ev = events(s, d).select(
+          col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val anchors = events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id").as("a_user"),
+            col("ts").cast("timestamp").as("ws"), col("event_id"))
+          .groupBy(col("a_user"), col("ws"))
+          .agg(max(col("event_id")).as("anchor_id"))
+          .withColumn("we", col("ws") + expr("INTERVAL 1 HOUR"))
+        graft.ops.RangeJoin.bandedRangeJoin(
+          ev, "user_id", "ts",
+          anchors, "a_user", "ws", "we",
+          Seq("anchor_id"), bucketUs = 3600L * 1000000L)
+          .where(col("event_id") =!= col("anchor_id"))
+          .select(col("event_id"), col("user_id"), col("anchor_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id AS k, ts AS ws, ts + INTERVAL 1 HOUR AS we,
+             |         max(event_id) AS anchor_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+             |SELECT e.event_id, e.user_id, r.anchor_id
+             |FROM events e JOIN r
+             |  ON e.user_id = r.k AND e.ts >= r.ws AND e.ts < r.we
+             |     AND e.event_id <> r.anchor_id""".stripMargin),
+      "banded range join (point-in-interval as bucketed equi-join)"))
 }
