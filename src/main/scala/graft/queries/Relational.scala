@@ -185,6 +185,63 @@ object Relational {
              |FROM orders GROUP BY 1""".stripMargin),
       "exact interpolated percentiles per group"),
 
+    // rollup: region → nation → grand-total hierarchy in one pass
+    // (multi-level aggregation Spark gives for free; DuckDB ROLLUP
+    // mirrors the grouping-id semantics)
+    "q55_rollup" -> Q(
+      (s, d) => {
+        val c = customer(s, d)
+        val n = nation(s, d)
+        val r = region(s, d)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
+      "rollup hierarchy aggregation (region -> nation -> total)"),
+
+    // skew-safe aggregation under the oracle gate: the salted two-phase
+    // count must be indistinguishable from the plain group count
+    "q56_salted_agg" -> Q(
+      (s, d) => graft.ops.Skew.saltedCount(
+        events(s, d), "event_type", buckets = 16,
+        saltSource = col("event_id"))
+        .select(col("event_type"), col("count").as("n_events")),
+      Some("""SELECT event_type, count(*) AS n_events
+             |FROM events GROUP BY 1""".stripMargin),
+      "salted two-phase aggregation == plain aggregation (skew path)"),
+
+    // analytic window frames: per-user running count and 3-row moving
+    // average over event time (frame specs beyond W1-W4's rank/limit)
+    "q57_window_frames" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp").as("ts"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .as("running_n"),
+            sum(col("v")).over(w.rowsBetween(-2, 0))
+              .cast("double").as("mov_sum3"))
+      },
+      Some("""SELECT event_id, user_id,
+             | count(*) OVER w AS running_n,
+             | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+      "window frame specs: running count + bounded moving sum"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(
