@@ -242,6 +242,46 @@ object Relational {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
       "window frame specs: running count + bounded moving sum"),
 
+    // pivot reshape: per-user event-type counts as columns (explicit
+    // value list so the plan is a single pass, no distinct-values
+    // pre-query; oracle = conditional aggregation, same column names)
+    "q58_pivot" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+             | count(*) FILTER (event_type = 'click') AS click,
+             | count(*) FILTER (event_type = 'view') AS view,
+             | count(*) FILTER (event_type = 'purchase') AS purchase,
+             | count(*) FILTER (event_type = 'signup') AS signup,
+             | count(*) FILTER (event_type = 'error') AS error
+             |FROM events GROUP BY 1""".stripMargin),
+      "pivot to per-type count columns (single-pass, explicit values)"),
+
+    // ranking-function family over a deterministic total order
+    "q59_rank_family" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             | row_number() OVER w AS rn,
+             | ntile(4) OVER w AS quartile,
+             | round(percent_rank() OVER w, 6) AS pr,
+             | round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+      "row_number/ntile/percent_rank/cume_dist over one window"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(
