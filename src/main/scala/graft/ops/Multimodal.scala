@@ -25,6 +25,25 @@ object Multimodal {
       StructField("declared_w", IntegerType),
       StructField("declared_h", IntegerType))))))
 
+  /** Ingest raw media files through Spark's `binaryFile` source — the
+    * object-store landing pattern: (path, modificationTime, length,
+    * content) rows, pruned/pushed like any FileScan (a `pathGlobFilter`
+    * keeps non-media files out at the source). File name (sans
+    * extension) becomes media_id. */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String, kind: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        col("content").as("payload"),
+        struct(
+          lit(kind).as("kind"),
+          col("length").as("n_bytes"),
+          lit(64).as("declared_w"),
+          lit(64).as("declared_h")).as("meta"))
+
   /** Wrap a text/doc table into media rows (payload = utf-8 bytes) —
     * the shape a binaryFile/object-store source would produce. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -55,4 +55,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(3L).getAs[Long]("resized_bytes") === 5L) // 20/4
     assert(r(1L).getAs[Long]("resized_bytes") === 1L) // 4/4
   }
+
+  test("readBinaryFiles: binaryFile source with glob filter -> media schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("7.img"), "payload7".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("12.img"), Array[Byte](0, 1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), "nope".getBytes("UTF-8"))
+    val m = Multimodal.readBinaryFiles(spark, dir.toString, "*.img", "image")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m.keySet === Set(7L, 12L)) // .txt filtered at the source
+    assert(new String(m(7L).getAs[Array[Byte]]("payload"), "UTF-8") === "payload7")
+    val meta = m(12L).getStruct(m(12L).fieldIndex("meta"))
+    assert(meta.getAs[String]("kind") === "image")
+    assert(meta.getAs[Long]("n_bytes") === 4L)
+    // composes with the downstream feature stage unchanged
+    val feats = Multimodal.binaryFeatures(
+      Multimodal.readBinaryFiles(spark, dir.toString, "*.img", "image"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("n_bytes")).toMap
+    assert(feats === Map(7L -> 8L, 12L -> 4L))
+  }
 }
