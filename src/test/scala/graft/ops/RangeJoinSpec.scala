@@ -38,4 +38,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!byPid.contains("p1-120"))
     assert(byPid("p2-10") === Set("i3"))
   }
+
+  test("bandedRangeJoin equals the naive join on seeded random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(600).toLong), i.toLong)).toDF("k", "t", "lid")
+    val right = (1 to 120).map { i =>
+      val s = rnd.nextInt(600).toLong
+      (rnd.nextInt(4).toLong, ts(s), ts(s + 1 + rnd.nextInt(150)), i.toLong)
+    }.toDF("k", "s", "e", "rid")
+    val banded = RangeJoin.bandedRangeJoin(left, "k", "t", right, "k", "s", "e",
+        Seq("rid"), bucketUs = 60L * 1000000L)
+      .select(col("lid"), col("rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.join(right, left("k") === right("k") &&
+        col("t") >= col("s") && col("t") < col("e"))
+      .select(col("lid"), col("rid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === naive)
+    assert(naive.nonEmpty) // the generator actually produced matches
+  }
 }
