@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 /** Benchmark main (driver contract): times every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line. Queries run in sorted name
   * order after an untimed warmup action (JVM/codegen/class-load cost
@@ -8,14 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver contract: local[32]
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt // driver contract: local[32]
+    val spark = Sessions.local(cpus)
     // warmup: a scan + shuffle + broadcast join through the same tables
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // best-of-2 per query: first execution pays one-time codegen/classload

@@ -47,7 +47,7 @@ object GraftFunctions {
   }
 
   private[graft] def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scalar_func")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "built-in")
 }
 
 /** Builder-time injection (`spark.sql.extensions=graft.GraftExtensions`). */

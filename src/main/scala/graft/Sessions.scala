@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The session factory a deployment uses: one place owning the configs
+  * that make the engine behave at scale, so every entry point (Verify,
+  * Bench, Smoke, user code) runs the same tuned session with the
+  * graft_* SQL functions registered.
+  *
+  * Config rationale (cluster-sized reasoning, validated on local[N]):
+  *  - AQE on with coalescing + skew-join split: runtime re-planning is
+  *    the first line of defense at 100 TB (stats are always stale).
+  *  - shuffle.partitions sized to the parallelism here; on a real
+  *    cluster leave AQE's coalescing to shrink from a high initial.
+  *  - maxPartitionBytes 128m: scan tasks sized so a row-group per task
+  *    fits executor memory with room for the shuffle writer.
+  *  - autoBroadcastJoinThreshold 32m: dimensions broadcast; fact-fact
+  *    joins shuffle (never silently nested-loop — see the banded
+  *    range-join / as-of operators for the inequality cases).
+  *  - UTC session timezone: timestamp arithmetic must not depend on
+  *    cluster locale (and the DuckDB oracles compare in UTC). */
+object Sessions {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+
+  /** Build + post-create registration (covers getOrCreate returning a
+    * pre-existing session, where builder extensions don't apply). */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+}
