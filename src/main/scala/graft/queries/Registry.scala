@@ -21,7 +21,8 @@ final case class Q(
 object Registry {
   def all: Map[String, Q] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ VectorOps.defs ++
-      TraceOps.defs ++ StreamOps.defs ++ MediaOps.defs ++ GraphQueries.defs
+      TraceOps.defs ++ StreamOps.defs ++ MediaOps.defs ++ GraphQueries.defs ++
+      ExternalOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
