@@ -91,6 +91,49 @@ object EventOps {
              |FROM p""".stripMargin),
       "RQ3 same-block/same-tx pairing: SURVEY §2.4 J6, §2.5 A12"),
 
+    // A13 (RQ4): population lifetime statistics over destroyed+deployed
+    // entities. All math runs on exact integer seconds; avg and
+    // stddev_pop are derived from exact sums with an identical double
+    // operation sequence on both engines (F13's ÷n semantics).
+    "q47_rq4_stats" -> Q(
+      (s, d) => {
+        val e = events(s, d)
+        val lives = e.groupBy(col("user_id")).agg(
+            min(when(col("event_type") === "signup", epochUs(col("ts")))).as("dep_us"),
+            max(when(col("event_type") === "error", epochUs(col("ts")))).as("des_us"))
+          .where(col("dep_us").isNotNull && col("des_us").isNotNull &&
+            col("des_us") >= col("dep_us"))
+          .select(((col("des_us") - col("dep_us")) / 1000000L).cast("long").as("life_s"))
+        lives.agg(
+            count(lit(1)).as("n"),
+            sum(col("life_s")).as("s"),
+            sum(col("life_s") * col("life_s")).as("sq"))
+          .select(
+            col("n").as("n_lived"),
+            round(col("s").cast("double") / col("n"), 6).as("avg_life_s"),
+            round(sqrt(col("sq").cast("double") / col("n") -
+              (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))), 6)
+              .as("std_life_s"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |         min(CASE WHEN event_type='signup' THEN epoch_us(ts) END) AS dep_us,
+             |         max(CASE WHEN event_type='error' THEN epoch_us(ts) END) AS des_us
+             |  FROM events GROUP BY 1),
+             |lives AS (
+             |  SELECT (des_us - dep_us) // 1000000 AS life_s FROM per_user
+             |  WHERE dep_us IS NOT NULL AND des_us IS NOT NULL AND des_us >= dep_us),
+             |agg AS (
+             |  SELECT count(*) AS n, CAST(sum(life_s) AS BIGINT) AS s,
+             |         CAST(sum(life_s * life_s) AS BIGINT) AS sq
+             |  FROM lives)
+             |SELECT n AS n_lived,
+             |       round(CAST(s AS DOUBLE) / n, 6) AS avg_life_s,
+             |       round(sqrt(CAST(sq AS DOUBLE) / n -
+             |             (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS std_life_s
+             |FROM agg""".stripMargin),
+      "RQ4 population lifetime stats (exact-sum avg + stddev_pop)"),
+
     // W1: min_by/max_by per group via window row_number
     "q12_first_last" -> Q(
       (s, d) => {
