@@ -152,6 +152,50 @@ object TraceOps {
               |FROM e WHERE n_topics >= 3""".stripMargin),
       "transfer decode (topic classify + word slice): SURVEY §2.3 P1, F11"),
 
+    // P2: creation-trace extraction — root traces become deployments
+    // (contract address + creator + failed flag projected per tx,
+    // duplicates collapsed like contract_deployment.rs:49-95's TryFrom)
+    "q48_deployments" -> Q(
+      (s, d) => lineitem(s, d).where(col("l_linenumber") === 1)
+        .groupBy(col("l_orderkey").as("tx_hash"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("f"),
+          min(col("l_suppkey")).as("creator_key"))
+        .select(col("tx_hash"),
+          word(col("tx_hash")).as("contract"),
+          word(col("creator_key")).as("creator"),
+          (col("f") === 1).as("failed")),
+      Some(s"""SELECT l_orderkey AS tx_hash,
+              | ${wordSql("l_orderkey")} AS contract,
+              | ${wordSql("min(l_suppkey)")} AS creator,
+              | max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1 AS failed
+              |FROM lineitem WHERE l_linenumber = 1 GROUP BY 1""".stripMargin),
+      "creation-trace extraction to deployments: SURVEY §2.3 P2"),
+
+    // P3: destruction-trace extraction — leaf '7' traces as
+    // SELFDESTRUCTs; balance_left stays a decimal STRING (uint256
+    // column discipline, contract_destruction.rs:33-59)
+    "q49_destructions" -> Q(
+      (s, d) => lineitem(s, d).where(col("l_linenumber") === 7)
+        .groupBy(col("l_orderkey").as("tx_hash"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("f"),
+          min(col("l_suppkey")).as("refund_key"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+            .as("bal"))
+        .select(col("tx_hash"),
+          word(col("tx_hash")).as("contract"),
+          word(col("refund_key")).as("refund_address"),
+          col("bal").cast("string").as("balance_left"),
+          (col("f") === 1).as("failed")),
+      Some(s"""SELECT l_orderkey AS tx_hash,
+              | ${wordSql("l_orderkey")} AS contract,
+              | ${wordSql("min(l_suppkey)")} AS refund_address,
+              | CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS HUGEINT) AS VARCHAR) AS balance_left,
+              | max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1 AS failed
+              |FROM lineitem WHERE l_linenumber = 7 GROUP BY 1""".stripMargin),
+      "destruction-trace extraction: SURVEY §2.3 P3"),
+
     // F1/F4/A5: the real bytecode UDF stack — skeleton extraction,
     // keccak-256 identity, opcode n-grams. Not SQL-expressible (keccak)
     // → rows-only driver check; exact values are pinned by EvmSpec/
