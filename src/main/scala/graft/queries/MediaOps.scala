@@ -41,14 +41,23 @@ object MediaOps {
              |FROM f WHERE frame_idx % 2 = 0""".stripMargin),
       "fixed-size frame sampling via array expressions: multimodal pillar"),
 
-    // per-partition (stubbed) codec decode — not SQL-expressible
-    // (mapPartitions stage); rows-only driver check, exact values pinned
-    // by MultimodalSpec.
+    // per-partition (stubbed) codec decode. The mapPartitions stage is
+    // the real plumbing under test; the stub's arithmetic (mean payload
+    // byte) is deterministic, and the docs are pure ASCII, so the
+    // oracle CAN recompute it — integer byte sums divided once, 6dp.
     "q62_media_decode" -> Q(
       (s, d) => Multimodal.decodePartition(
-        Multimodal.asMedia(documents(s, d), "doc_id", "text")).toDF(),
-      None,
-      "per-partition codec decode (stubbed): multimodal pillar"),
+        Multimodal.asMedia(documents(s, d), "doc_id", "text")).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"), col("ok")),
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             | CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+             | round(CASE WHEN length(text) = 0 THEN 0.0
+             |   ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE) / length(text)
+             |   END, 6) AS mean_luma,
+             | length(text) > 0 AS ok
+             |FROM documents""".stripMargin),
+      "per-partition codec decode (stubbed, oracle-recomputed): multimodal pillar"),
 
     // resize stub — checksum plumbing oracle-checked
     "q63_media_resize" -> Q(

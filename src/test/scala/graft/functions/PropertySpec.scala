@@ -100,4 +100,54 @@ class PropertySpec extends AnyFunSuite {
         assert(Sig.bytes4(name, types) === Sig.signatureHash(name, types).substring(2, 10))
     }
   }
+
+  // ---- native expression evaluators vs plain-Scala references ----
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString))))
+
+  /** Reference char-fold hash (the TextAnalysis/DuckDB arithmetic). */
+  private def refHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+
+  test("ShingleHashesExpr == distinct hashes of space-joined 4-shingles") {
+    forAll(tokensGen) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = Option(EvmExprs.shingleHashesEval(arr)).map(_.toLongArray().toSet)
+      val want =
+        if (toks.length < 4) None
+        else Some(toks.sliding(4).map(sh => refHash(sh.mkString(" "))).toSet)
+      assert(got === want)
+    }
+  }
+
+  test("MinHashSigExpr minima == mins over reference shingle hashes") {
+    val coeffs = Seq((1299721L, 1299827L), (1299833L, 1299709L),
+      (1300021L, 1300033L), (1300109L, 1300151L))
+    forAll(tokensGen.suchThat(_.length >= 4)) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val sig = EvmExprs.minHashSigEval(arr).toLongArray()
+      val hs = toks.sliding(4).map(sh => refHash(sh.mkString(" "))).toSeq
+      coeffs.zipWithIndex.foreach { case ((a, b), j) =>
+        assert(sig(j) === hs.map(h => (h * a + b) % 2147483647L).min)
+      }
+    }
+  }
+
+  test("DotProductExpr == sequential fold, order-sensitive identical") {
+    val vecGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 7.0)))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val ga = new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray[Any])
+      val gb = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray[Any])
+      val want = (0 until n).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      assert(VectorExprs.dotEval(ga, gb) === want)
+    }
+  }
+
 }
