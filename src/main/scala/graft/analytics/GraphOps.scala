@@ -98,6 +98,38 @@ object GraphOps {
     ranks
   }
 
+  /** Single-source hop distances (undirected BFS) by min-distance
+    * propagation — same loop shape as [[connectedComponents]]: one
+    * join + one agg per round shuffling on node id, the convergence
+    * test riding the round's aggregate. Converges in O(eccentricity)
+    * rounds. Unreachable nodes keep a null distance. */
+  def hopDistances(edges: DataFrame, source: Long, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val distType = org.apache.spark.sql.types.LongType
+    var dist = sym.select(col("src").as("id")).distinct()
+      .withColumn("dist", when(col("id") === source, lit(0L)).cast(distType))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = sym
+        .join(dist.where(col("dist").isNotNull).withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val next = dist.select(col("id"), col("dist"), col("dist").as("old"))
+        .unionByName(viaNeighbor.withColumn("old", lit(null).cast(distType)))
+        .groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
+        .localCheckpoint()
+      converged = next.filter(
+        col("dist") =!= col("old") ||
+          (col("dist").isNotNull && col("old").isNull)).isEmpty
+      dist = next.select(col("id"), col("dist"))
+      iter += 1
+    }
+    dist
+  }
+
   /** Triangle count per node (undirected, simple graph): canonical-order
     * edges joined twice — candidate wedges meet the closing edge in an
     * equi-join, never a cross product. */

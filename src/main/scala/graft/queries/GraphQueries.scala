@@ -63,6 +63,22 @@ object GraphQueries {
       None,
       "PageRank (join+agg iterations, dangling mass redistributed)"),
 
+    // BFS hop distances from the hub topic node (min-distance
+    // propagation vs a recursive-CTE ground truth)
+    "q74_bfs" -> Q(
+      (s, d) => GraphOps.hopDistances(edges(s, d), source = 1000L),
+      Some(s"""WITH RECURSIVE e AS ($edgesSql),
+              |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |reach(id, dd) AS (
+              |  SELECT CAST(1000 AS BIGINT), CAST(0 AS BIGINT)
+              |  UNION
+              |  SELECT sym.dst, reach.dd + 1 FROM reach JOIN sym ON sym.src = reach.id
+              |  WHERE reach.dd < 20),
+              |nodes AS (SELECT DISTINCT src AS id FROM sym),
+              |md AS (SELECT id, min(dd) AS dist FROM reach GROUP BY 1)
+              |SELECT n.id, md.dist FROM nodes n LEFT JOIN md ON n.id = md.id""".stripMargin),
+      "single-source BFS hop distances (O(ecc) rounds vs recursive CTE)"),
+
     "q73_triangles" -> Q(
       (s, d) => GraphOps.triangleCounts(edges(s, d))
         .groupBy(col("triangles")).agg(count(lit(1)).as("n_nodes")),

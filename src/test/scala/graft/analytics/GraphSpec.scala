@@ -43,6 +43,16 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(chain - 1.0) < 1e-9)
   }
 
+  test("hopDistances: BFS levels on a chain + branch, unreachable stays null") {
+    // 1-2-3-4 chain, 2-5 branch, isolated pair 8-9
+    val g = df(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L, 8L -> 9L)
+    val got = GraphOps.hopDistances(g, source = 1L).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got === Map(
+      1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L), 4L -> Some(3L),
+      5L -> Some(2L), 8L -> None, 9L -> None))
+  }
+
   test("triangle counts match GraphX on a clique-plus-tail") {
     // K4 on {1,2,3,4} (each node in 3 triangles) + tail 4-5 (0 triangles)
     val edges = df(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
