@@ -71,4 +71,25 @@ class StatefulSpec extends AnyFunSuite {
       assert(rows.contains((t0 + 300_000_000L, 1L, 2.0)))
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark drops replays, bounds state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val deduped = source.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(0), 1.0)) // in-batch dup
+      q.processAllAvailable()
+      source.addData(Ev(1L, ts(0), 1.0)) // cross-batch replay, inside watermark
+      source.addData(Ev(2L, ts(1), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[Ev].collect()
+      assert(rows.count(_.user_id == 1L) === 1) // replays dropped
+      assert(rows.count(_.user_id == 2L) === 1)
+    } finally q.stop()
+  }
 }
