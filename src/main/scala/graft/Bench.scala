@@ -21,6 +21,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // drop blocks leaked by localCheckpoint-ing queries so later
+      // queries aren't measured under earlier queries' memory pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

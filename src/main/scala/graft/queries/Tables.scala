@@ -6,8 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning happens downstream; parquet scans get filter/column
   * pushdown from Catalyst. */
 object Tables {
+  /** Memoized per (session, dir, name): repeated reads of the same
+    * table (63 registered queries × a handful of tables) otherwise
+    * re-list files and re-read parquet footers for schema every time.
+    * DataFrames are immutable plans — sharing one is safe. */
+  private val cache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
