@@ -196,6 +196,66 @@ object TraceOps {
               |FROM lineitem WHERE l_linenumber = 7 GROUP BY 1""".stripMargin),
       "destruction-trace extraction: SURVEY §2.3 P3"),
 
+    // P7 + F2/F3: metadata split + CBOR parse over synthetic bytecode
+    // with REAL golden CBOR trailers (the reference's own test
+    // payloads). The parse runs the actual byte-scan + CBOR reader; the
+    // oracle states the expected decode per row (trailer chosen by
+    // doc_id parity), so the UDF output is hash-checked exactly.
+    "q64_metadata" -> Q(
+      (s, d) => {
+        val bzzr0 = "a165627a7a72305820202020202042756c6b20536d61736821212120202020203c33203020202020200029"
+        val ipfs = "a2646970667358221220aece3e2aea3c94c577aba094d2c5548e8142bc0a311f4a00cda183b42780cc9264736f6c63430008070033"
+        val meta = udf { (codeHex: String) =>
+          graft.functions.Evm.separateMetadata(graft.functions.Hex.decode(codeHex))
+            .flatMap { case (_, m) => graft.functions.Evm.analyzeMetadata(m) }
+        }
+        documents(s, d)
+          .select(col("doc_id"),
+            concat(md5(col("text").cast("binary")),
+              when(col("doc_id") % 2 === 0, lit(bzzr0)).otherwise(lit(ipfs)))
+              .as("code_hex"))
+          .withColumn("m", meta(col("code_hex")))
+          .select(col("doc_id"),
+            col("m.storageProtocol").as("storage_protocol"),
+            col("m.storageHash").as("storage_hash"),
+            col("m.solcVersion").as("compiler"))
+      },
+      Some("""SELECT doc_id,
+             | CASE WHEN doc_id % 2 = 0 THEN 'bzzr0' ELSE 'ipfs' END AS storage_protocol,
+             | CASE WHEN doc_id % 2 = 0
+             |   THEN '202020202042756c6b20536d61736821212120202020203c3320302020202020'
+             |   ELSE '1220aece3e2aea3c94c577aba094d2c5548e8142bc0a311f4a00cda183b42780cc92'
+             | END AS storage_hash,
+             | CASE WHEN doc_id % 2 = 1 THEN '0.8.7' END AS compiler
+             |FROM documents""".stripMargin),
+      "metadata split + CBOR decode vs pinned golden trailers: P7, F2/F3"),
+
+    // K6: the similarity-edge transform — pairs become directed edges
+    // in both directions (the RDF sink's shape; file write exercised in
+    // LayoutSpec/ExternalSpec)
+    "q65_sim_edges" -> Q(
+      (s, d) => graft.sinks.Layout.similarityEdges(
+        graft.ops.SimSearch.cosineDupPairs(
+          embeddings(s, d).where(col("vec_id") < 200), "vec_id", "embedding", 0.3)),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 200),
+              |p AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |             list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))),
+              |           (acc, x) -> acc + x) /
+              |           (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |             list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))),
+              |           (acc, x) -> acc + x)) *
+              |            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |             list_transform(range(1, len(b.v) + 1), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))),
+              |           (acc, x) -> acc + x))), 6) AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              |pairs AS (SELECT a_id, b_id, cos FROM p WHERE cos >= 0.3)
+              |SELECT a_id AS src, b_id AS dst, cos AS similarity FROM pairs
+              |UNION ALL
+              |SELECT b_id, a_id, cos FROM pairs""".stripMargin),
+      "similarity pairs to bidirectional edge list: SURVEY §2.2 K6"),
+
     // F1/F4/A5: the real bytecode UDF stack — skeleton extraction,
     // keccak-256 identity, opcode n-grams. Not SQL-expressible (keccak)
     // → rows-only driver check; exact values are pinned by EvmSpec/
