@@ -126,5 +126,41 @@ object StreamOps {
              |FROM events e JOIN r
              |  ON e.user_id = r.k AND e.ts >= r.ws AND e.ts < r.we
              |     AND e.event_id <> r.anchor_id""".stripMargin),
-      "banded range join (point-in-interval as bucketed equi-join)"))
+      "banded range join (point-in-interval as bucketed equi-join)"),
+
+    // §2.10 END-TO-END under the oracle gate: a REAL Structured
+    // Streaming query (AvailableNow trigger → foreachBatch → per-block
+    // partition replacement) ingests events as block-keyed rows, then a
+    // replay batch reprocesses one block (the delete-then-reinsert
+    // idempotency contract). The read-back aggregate must equal a
+    // plain one-shot aggregate — replay changed nothing.
+    "q66_stream_e2e" -> Q(
+      (s, d) => {
+        import java.nio.file.Files
+        val rawDir = Files.createTempDirectory("graft-stream-raw").toString
+        val outRoot = Files.createTempDirectory("graft-stream-out").toString
+        val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+        val raw = events(s, d).select(
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("block_number"),
+          col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"))
+        raw.write.mode("overwrite").parquet(rawDir)
+        val derive = Map("ev" -> identity[org.apache.spark.sql.DataFrame] _)
+        val q = graft.streaming.Incremental.run(
+          s.readStream.schema(raw.schema).parquet(rawDir), outRoot, ckpt, derive)
+        q.awaitTermination()
+        // replay one block: must replace, not duplicate
+        val someBlock = raw.agg(min(col("block_number"))).head.getLong(0)
+        graft.streaming.Incremental.backfill(
+          raw.where(col("block_number") === someBlock), outRoot, derive)
+        s.read.parquet(s"$outRoot/dynamic/ev")
+          .groupBy(col("block_number"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).cast("double").as("sum_value"))
+      },
+      Some("""SELECT epoch_us(ts) // 3600000000 AS block_number,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+      "real Structured Streaming E2E + idempotent block replay (§2.10)"))
 }
