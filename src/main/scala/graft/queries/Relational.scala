@@ -282,6 +282,41 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin),
       "row_number/ntile/percent_rank/cume_dist over one window"),
 
+    // A7/J7 with a full oracle: Jaccard similarity over interface-name
+    // sets (brand -> set of part types), upper-triangle pairs. The
+    // set sizes are exact integers on both engines, so the similarity
+    // is deterministic (q44 keeps the bytecode-flavored rows-only twin).
+    "q67_interface_jaccard" -> Q(
+      (s, d) => {
+        val sets = part(s, d).groupBy(col("p_brand"))
+          .agg(collect_set(col("p_type")).as("types"))
+        val a = sets.toDF("a_brand", "a_types")
+        val b = sets.toDF("b_brand", "b_types")
+        a.join(b, col("a_brand") < col("b_brand"))
+          .select(col("a_brand"), col("b_brand"),
+            size(array_intersect(col("a_types"), col("b_types"))).cast("long").as("n_inter"),
+            size(array_union(col("a_types"), col("b_types"))).cast("long").as("n_union"))
+          .withColumn("jaccard",
+            round(col("n_inter").cast("double") / col("n_union"), 6))
+      },
+      Some("""WITH s AS (SELECT DISTINCT p_brand, p_type FROM part),
+             |sz AS (SELECT p_brand, count(*) AS n FROM s GROUP BY 1),
+             |inter AS (
+             |  SELECT a.p_brand AS a_brand, b.p_brand AS b_brand, count(*) AS n_inter
+             |  FROM s a JOIN s b ON a.p_type = b.p_type AND a.p_brand < b.p_brand
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT sa.p_brand AS a_brand, sb.p_brand AS b_brand,
+             |         coalesce(i.n_inter, 0) AS n_inter,
+             |         sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union
+             |  FROM sz sa JOIN sz sb ON sa.p_brand < sb.p_brand
+             |  LEFT JOIN inter i ON i.a_brand = sa.p_brand AND i.b_brand = sb.p_brand)
+             |SELECT a_brand, b_brand, CAST(n_inter AS BIGINT) AS n_inter,
+             |       CAST(n_union AS BIGINT) AS n_union,
+             |       round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+             |FROM pairs""".stripMargin),
+      "interface-set Jaccard pairs with exact set arithmetic: A7/J7"),
+
     // A8/A9: compliancy score — membership count against a literal set
     "q15_compliancy" -> Q(
       (s, d) => part(s, d).groupBy(col("p_brand")).agg(
