@@ -280,6 +280,46 @@ object TextOps {
       },
       "graft_* SQL functions (extension-injected) under the oracle gate"),
 
+    // A5+A6 with a full oracle: token-TF cosine similarity — frequency
+    // vectors meet in an equi-join on token (map-side pruned to a doc
+    // subset), dot products and norms from exact integer sums, one
+    // double division at the end. Completes the near-dup measure set
+    // (Jaccard q24, MinHash q25/q28, SimHash q26, embedding-cos q31).
+    "q68_tf_cosine" -> Q(
+      (s, d) => {
+        val tf = documents(s, d).where(col("doc_id") < 300)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // read by norms and both join sides
+        val norms = tf.groupBy(col("doc_id"))
+          .agg(sum(col("c") * col("c")).as("sq"))
+        val a = tf.toDF("a_id", "tok", "ca")
+        val b = tf.toDF("b_id", "tok", "cb")
+        val dots = a.join(b, Seq("tok")).where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(sum(col("ca") * col("cb")).as("dot"))
+        dots
+          .join(norms.toDF("a_id", "sa"), "a_id")
+          .join(norms.toDF("b_id", "sb"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(col("dot").cast("double") /
+              (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))), 6)
+              .as("cos"))
+          .where(col("cos") >= 0.5)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents WHERE doc_id < 300),
+              |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+              |norms AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS sq FROM tf GROUP BY 1),
+              |dots AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+              |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT a_id, b_id,
+              |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) AS cos
+              |FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id
+              |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) >= 0.5""".stripMargin),
+      "token-TF cosine near-dup pairs (exact integer sums): A5/A6"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
