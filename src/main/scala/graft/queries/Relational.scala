@@ -207,6 +207,17 @@ object Relational {
              |GROUP BY ROLLUP (r_name, n_name)""".stripMargin),
       "rollup hierarchy aggregation (region -> nation -> total)"),
 
+    // cube: all 2^2 grouping combinations in one pass (rollup's sibling)
+    "q69_cube" -> Q(
+      (s, d) => orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin),
+      "cube aggregation over all grouping combinations"),
+
     // skew-safe aggregation under the oracle gate: the salted two-phase
     // count must be indistinguishable from the plain group count
     "q56_salted_agg" -> Q(
