@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan assertions for the SCALE.md claims — the plans the
+  * engine promises are the plans Catalyst actually produces. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Registry.all(q).fn(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("star join q05: dimensions broadcast, no sort-merge join") {
+    val p = plan("q05_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("projection q16: scan reads only the projected columns") {
+    val p = plan("q16_selectors")
+    // the events table has 6 columns; the query needs 4
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(!readSchema.contains("ts:") && !readSchema.contains("user_id:"), readSchema)
+  }
+
+  test("group-agg q01: partial aggregation before the single exchange") {
+    val p = plan("q01_group_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("as-of join q52: one window shuffle + one dedup shuffle, no pair explosion") {
+    val p = plan("q52_asof_join")
+    // exchange 1: the right side's (custkey, orderdate) dedup aggregate;
+    // exchange 2: the single keyed window pass — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // as-of is window-carried, not a join
+  }
+
+  test("range join q53: equi-join, never a nested loop") {
+    val p = plan("q53_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k q04: TakeOrdered instead of a global sort") {
+    val p = plan("q04_top_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
