@@ -91,6 +91,35 @@ object EventOps {
              |FROM p""".stripMargin),
       "RQ3 same-block/same-tx pairing: SURVEY §2.4 J6, §2.5 A12"),
 
+    // native session windows: the engine-managed session assignment
+    // (the streaming-capable form of q13's manual lag/cumsum sessions);
+    // the oracle rebuilds identical sessions from first principles
+    "q76_session_window" -> Q(
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast("timestamp"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events")),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END AS is_new
+             |  FROM o),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+             |       count(*) AS n_events
+             |FROM sid GROUP BY user_id, session_id""".stripMargin),
+      "native session_window == manual gap sessions (batch face of streaming sessions)"),
+
     // A13 (RQ4): population lifetime statistics over destroyed+deployed
     // entities. All math runs on exact integer seconds; avg and
     // stddev_pop are derived from exact sums with an identical double
