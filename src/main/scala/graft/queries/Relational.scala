@@ -229,6 +229,23 @@ object Relational {
              |FROM events GROUP BY 1""".stripMargin),
       "salted two-phase aggregation == plain aggregation (skew path)"),
 
+    // skew-safe join under the oracle gate: the salted replicated-dim
+    // join must be indistinguishable from the plain join (oracle = the
+    // plain SQL join + aggregate)
+    "q78_salted_join" -> Q(
+      (s, d) => graft.ops.Skew.saltedJoin(
+          lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          "l_suppkey", buckets = 8, saltSource = col("l_orderkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")),
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1""".stripMargin),
+      "salted replicated-dim join == plain join (skew path, join side)"),
+
     // analytic window frames: per-user running count and 3-row moving
     // average over event time (frame specs beyond W1-W4's rank/limit)
     "q57_window_frames" -> Q(
