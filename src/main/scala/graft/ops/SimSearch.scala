@@ -149,6 +149,28 @@ object SimSearch {
       .where(col("rn") <= topK)
   }
 
+  /** [[ivfTopK]] specialized for queries ⊆ corpus (selected by a
+    * predicate): the codebook ranking runs ONCE over the corpus and
+    * serves both the cell assignment and the probe lists — half the
+    * assignment work of the general form. */
+  def ivfTopKSelf(corpus: DataFrame, queryPred: Column, idCol: String,
+      vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
+    val ranked = ivfRank(corpus, idCol, vecCol, ivfCentroids(corpus, idCol, vecCol, k))
+      .localCheckpoint() // read twice: cells + probes
+    val cells = ranked.where(col("rn") === 1)
+      .select(col("id").as("c_id"), col("cid").as("cell"),
+        col("v").as("cv"), col("n").as("cn"))
+    val probes = ranked.where(queryPred && col("rn") <= nProbe)
+      .select(col("id").as("q_id"), col("cid").as("cell"),
+        col("v").as("qv"), col("n").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+  }
+
   /** LSH-accelerated near-dup pairs: bucket join then exact re-rank. */
   def lshDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int = LshDim): DataFrame = {

@@ -94,11 +94,9 @@ object VectorOps {
     // IVF approximate top-k: probe nProbe cells, exact re-rank inside —
     // the equi-join ANN path beside brute-force q30
     "q35_ivf_topk" -> Q(
-      (s, d) => {
-        val emb = embeddings(s, d)
-        SimSearch.ivfTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", topK = 3)
-          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
-      },
+      (s, d) => SimSearch.ivfTopKSelf(
+          embeddings(s, d), col("id") < 8, "vec_id", "embedding", topK = 3)
+        .select(col("q_id"), col("rn"), col("c_id"), col("cos")),
       Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
               |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
               |r AS (SELECT e.vec_id, e.v, cid, ${cosSql("e.v", "cv")} AS cc,
