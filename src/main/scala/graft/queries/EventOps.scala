@@ -120,6 +120,26 @@ object EventOps {
              |FROM sid GROUP BY user_id, session_id""".stripMargin),
       "native session_window == manual gap sessions (batch face of streaming sessions)"),
 
+    // semi-structured processing: typed JSON extraction from the props
+    // payload (schema-on-read with from_json, not regex), aggregated
+    "q79_json_extract" -> Q(
+      (s, d) => {
+        val schema = "k BIGINT, tag STRING"
+        events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"), schema, Map.empty[String, String]).as("p"))
+          .groupBy(col("event_type"))
+          .agg(count(col("p.k")).as("n_with_k"),
+            sum(col("p.k")).as("sum_k"),
+            countDistinct(col("p.tag")).as("n_tags"))
+      },
+      Some("""SELECT event_type,
+             | count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+             | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             | count(DISTINCT props->>'$.tag') AS n_tags
+             |FROM events GROUP BY 1""".stripMargin),
+      "typed JSON extraction (from_json) over the props payload"),
+
     // A13 (RQ4): population lifetime statistics over destroyed+deployed
     // entities. All math runs on exact integer seconds; avg and
     // stddev_pop are derived from exact sums with an identical double

@@ -229,6 +229,45 @@ object Relational {
              |FROM events GROUP BY 1""".stripMargin),
       "salted two-phase aggregation == plain aggregation (skew path)"),
 
+    // data-quality profiling: per-column null/distinct/min/max summary
+    // in ONE scan (wide aggregate unpivoted to rows) — the profiling
+    // pass a training-data pipeline runs before ingestion
+    "q80_profile" -> Q(
+      (s, d) => {
+        val li = lineitem(s, d)
+        def prof(c: String) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__dist"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+        val cols = Seq("l_quantity", "l_returnflag", "l_suppkey")
+        val wide = li.agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(prof): _*)
+        wide.selectExpr("n_rows", s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', ${c}__nulls, ${c}__dist, ${c}__min, ${c}__max")
+            .mkString(", ") +
+          ") as (col_name, n_nulls, n_distinct, min_s, max_s)")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+             |SELECT n_rows, 'l_quantity' AS col_name,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  count(DISTINCT l_quantity) AS n_distinct,
+             |  CAST(min(l_quantity) AS VARCHAR) AS min_s, CAST(max(l_quantity) AS VARCHAR) AS max_s
+             |FROM lineitem, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT n_rows, 'l_returnflag',
+             |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(DISTINCT l_returnflag),
+             |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+             |FROM lineitem, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT n_rows, 'l_suppkey',
+             |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(DISTINCT l_suppkey),
+             |  CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR)
+             |FROM lineitem, n GROUP BY n_rows""".stripMargin),
+      "one-scan column profiling (nulls/distinct/min/max per column)"),
+
     // skew-safe join under the oracle gate: the salted replicated-dim
     // join must be indistinguishable from the plain join (oracle = the
     // plain SQL join + aggregate)
