@@ -51,4 +51,28 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q04_top_k")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  /** Queries that intentionally plan a broadcast nested loop: the exact
+    * brute-force similarity baselines (documented next to their
+    * equi-join scale twins) and the broadcast-codebook IVF assignment
+    * (bounded k-row build side). */
+  private val intentionalNestedLoop = Set(
+    "q30_knn", "q31_cos_pairs", "q34_ivf_cells", "q35_ivf_topk", "q65_sim_edges",
+    // upper-triangle pairs over the AGGREGATED brand dimension — the
+    // cross is |brands|², a dimension cardinality, not a data size
+    "q67_interface_jaccard")
+
+  test("no other query plans a cartesian product or nested-loop join") {
+    val offenders = Registry.all.keys.toSeq.sorted
+      .filterNot(intentionalNestedLoop)
+      .flatMap { q =>
+        try {
+          val p = plan(q)
+          if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+            Some(q)
+          else None
+        } catch { case _: Throwable => None } // runtime-erroring plans are RegistrySpec's job
+      }
+    assert(offenders.isEmpty, s"unexpected nested loops in: $offenders")
+  }
 }
