@@ -77,5 +77,27 @@ object ExternalOps {
               | 'fn_' || CAST(LEAST((p_partkey % 8) * 4 + 8, 32) AS VARCHAR) AS abi_name,
               | false AS failed_decompilation
               |FROM part WHERE p_partkey < $KeyBound""".stripMargin),
-      "external decompiler subprocess stage, dedup-first (U1/A4)"))
+      "external decompiler subprocess stage, dedup-first (U1/A4)"),
+
+    // K2: the gzip-JSON bulk-load sink round-trips losslessly — write
+    // through the real writer, read back with an explicit schema,
+    // aggregate; money stays a decimal STRING across the JSON hop
+    "q81_jsongz_roundtrip" -> Q(
+      (s, d) => {
+        val out = Files.createTempDirectory("graft-jsongz").toString
+        val sub = orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_s"))
+        graft.sinks.Layout.writeJsonGz(sub, out)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderpriority STRING, price_s STRING")
+          .json(out)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_s").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1""".stripMargin),
+      "gzip JSON sink/source round trip preserves every row (K2)"))
 }

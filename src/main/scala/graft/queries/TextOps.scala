@@ -320,6 +320,27 @@ object TextOps {
               |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) >= 0.5""".stripMargin),
       "token-TF cosine near-dup pairs (exact integer sums): A5/A6"),
 
+    // reproducible train/test split: assignment by the char-fold hash
+    // of the doc id — deterministic, engine-independent (the oracle
+    // computes the identical hash), and stable under re-runs and
+    // repartitioning, unlike sample()/rand()
+    "q82_hash_split" -> Q(
+      (s, d) => {
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        documents(s, d)
+          .withColumn("split",
+            when(pmod(h, lit(10L)) < 9, lit("train")).otherwise(lit("test")))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""SELECT lang,
+              | CASE WHEN ${tokHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 9
+              |   THEN 'train' ELSE 'test' END AS split,
+              | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY 1, 2""".stripMargin),
+      "deterministic hash-based train/test split (stable across engines/runs)"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
