@@ -341,6 +341,34 @@ object TextOps {
               |FROM documents GROUP BY 1, 2""".stripMargin),
       "deterministic hash-based train/test split (stable across engines/runs)"),
 
+    // quality-aware dedup: within each exact-duplicate group keep the
+    // "best" representative (longest text, ties to the lowest id) —
+    // the keep-rule refinement of q23's min-id dedup
+    "q83_dedup_best" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("key"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        documents(s, d)
+          .withColumn("key", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_copies", count(lit(1)).over(
+            Window.partitionBy(col("key"))))
+          .where(col("rn") === 1)
+          .select(col("key"), col("doc_id").as("keep_id"),
+            col("n_chars").as("keep_chars"), col("n_copies"))
+      },
+      Some("""WITH r AS (
+             |  SELECT md5(text) AS key, doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY md5(text)
+             |           ORDER BY n_chars DESC, doc_id) AS rn,
+             |         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+             |  FROM documents)
+             |SELECT key, doc_id AS keep_id, n_chars AS keep_chars,
+             |       CAST(n_copies AS BIGINT) AS n_copies
+             |FROM r WHERE rn = 1""".stripMargin),
+      "quality-aware dedup: best representative per duplicate group"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
