@@ -369,6 +369,65 @@ object TextOps {
              |FROM r WHERE rn = 1""".stripMargin),
       "quality-aware dedup: best representative per duplicate group"),
 
+    // cross-modal rescoring: text near-dup candidates (shingle-hash
+    // equi-join, q24's candidate machinery) validated against the
+    // embedding space — each pair carries its n-gram Jaccard AND its
+    // embedding cosine. The multimodal-pipeline composition: cheap
+    // text candidates first, vector confirmation second, never an
+    // all-pairs pass in either modality.
+    "q84_cross_modal" -> Q(
+      (s, d) => {
+        val sh = documents(s, d).where(col("doc_id") < 500)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("T", tokens(col("text")))
+          .select(col("doc_id"),
+            explode(graft.functions.EvmExprs.shingleHashes(col("T"))).as("sh"))
+          .localCheckpoint()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("sh"), col("doc_id").as("a_id"))
+        val b = sh.select(col("sh"), col("doc_id").as("b_id"))
+        val inter = a.join(b, Seq("sh"))
+          .where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+          .where(col("inter") >= 2)
+        val jac = inter
+          .join(sizes.toDF("a_id", "na"), "a_id")
+          .join(sizes.toDF("b_id", "nb"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+              .as("jaccard"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.ops.SimSearch.l2norm(col("v")))
+        jac
+          .join(emb.toDF("a_id", "av", "an"), "a_id")
+          .join(emb.toDF("b_id", "bv", "bn"), "b_id")
+          .select(col("a_id"), col("b_id"), col("jaccard"),
+            round(graft.ops.SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")), 6)
+              .as("emb_cos"))
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+            "(acc, x) -> acc + x)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents WHERE doc_id < 500),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2 HAVING count(*) >= 2),
+           |jac AS (
+           |  SELECT a_id, b_id,
+           |         round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+           |  FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id),
+           |e AS (SELECT vec_id, embedding AS v FROM embeddings)
+           |SELECT a_id, b_id, jaccard,
+           |       round(${dot("ea.v", "eb.v")} / (sqrt(${dot("ea.v", "ea.v")}) * sqrt(${dot("eb.v", "eb.v")})), 6) AS emb_cos
+           |FROM jac JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id""".stripMargin
+      },
+      "cross-modal near-dup: shingle candidates rescored by embedding cosine"),
+
     // SimHash 16-bit fingerprints
     "q26_simhash" -> Q(
       (s, d) => documents(s, d)
