@@ -234,19 +234,19 @@ object Relational {
     // pass a training-data pipeline runs before ingestion
     "q80_profile" -> Q(
       (s, d) => {
+        // one pruned single-column scan per profiled column, unioned —
+        // a single wide agg with N countDistincts plans an N-way Expand
+        // of every row (N x the shuffle), which benched 4x slower
         val li = lineitem(s, d)
-        def prof(c: String) = Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__dist"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-        val cols = Seq("l_quantity", "l_returnflag", "l_suppkey")
-        val wide = li.agg(count(lit(1)).as("n_rows"),
-          cols.flatMap(prof): _*)
-        wide.selectExpr("n_rows", s"stack(${cols.size}, " +
-          cols.map(c => s"'$c', ${c}__nulls, ${c}__dist, ${c}__min, ${c}__max")
-            .mkString(", ") +
-          ") as (col_name, n_nulls, n_distinct, min_s, max_s)")
+        def prof(c: String) = li.select(col(c))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(col("n_rows"), lit(c).as("col_name"), col("n_nulls"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+        Seq("l_quantity", "l_returnflag", "l_suppkey").map(prof).reduce(_ unionByName _)
       },
       Some("""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
              |SELECT n_rows, 'l_quantity' AS col_name,
