@@ -256,6 +256,17 @@ object TraceOps {
               |SELECT b_id, a_id, cos FROM pairs""".stripMargin),
       "similarity pairs to bidirectional edge list: SURVEY §2.2 K6"),
 
+    // P8: the removed-flag discipline — the reorg marker is serialized
+    // ONLY when true (log.rs:201-204), never as an explicit false
+    "q85_removed_flag" -> Q(
+      (s, d) => events(s, d).select(
+        col("event_id"),
+        when(col("event_type") === "error", lit(true)).as("removed")),
+      Some("""SELECT event_id,
+             | CASE WHEN event_type = 'error' THEN true END AS removed
+             |FROM events""".stripMargin),
+      "reorg removed-flag only-if-true projection: SURVEY §2.3 P8"),
+
     // F1/F4/A5: the real bytecode UDF stack — skeleton extraction,
     // keccak-256 identity, opcode n-grams. Not SQL-expressible (keccak)
     // → rows-only driver check; exact values are pinned by EvmSpec/
