@@ -128,12 +128,134 @@ object EvmExprs {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** split-on-single-space, drop empties — exactly
+    * `filter(split(text, ' '), t -> t <> '')` (the tokens() semantics
+    * every text oracle mirrors). */
+  private def tokenize(text: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) out += text.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def foldToken(acc0: Long, t: String): Long = {
+    var acc = acc0
+    var j = 0
+    while (j < t.length) {
+      val cp = t.codePointAt(j)
+      acc = (acc * 31L + cp) % HashMod
+      j += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Shingle hash of tokens [i, i+4) with the ' ' joiner folded in. */
+  private def shingleHash(toks: Array[String], i: Int): Long = {
+    var acc = 0L
+    var k = 0
+    while (k < 4) {
+      if (k > 0) acc = (acc * 31L + 32L) % HashMod
+      acc = foldToken(acc, toks(i + k))
+      k += 1
+    }
+    acc
+  }
+
+  /** Fused text → distinct 4-token-shingle hashes (tokenize + shingle
+    * + hash in one pass; no token/shingle array materialization). */
+  def shingleHashesFromTextEval(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(text.toString)
+    val n = toks.length
+    if (n < 4) return null
+    val hs = new Array[Long](n - 3)
+    var i = 0
+    while (i + 4 <= n) { hs(i) = shingleHash(toks, i); i += 1 }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < hs.length) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Fused text → 4-way MinHash signature (same arithmetic as
+    * [[minHashSigEval]] over tokenized text). */
+  def minHashSigFromTextEval(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(text.toString)
+    val n = toks.length
+    if (n < 4) return null
+    val mins = Array.fill(4)(Long.MaxValue)
+    var i = 0
+    while (i + 4 <= n) {
+      val h = shingleHash(toks, i)
+      var c = 0
+      while (c < 4) {
+        val v = (h * CoeffA(c) + CoeffB(c)) % MinHashP
+        if (v < mins(c)) mins(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Column API. */
   def skeletonHash(c: Column): Column = Bridge.column(SkeletonHashExpr(Bridge.expression(c)))
   def hexToDec(c: Column): Column = Bridge.column(HexToDecExpr(Bridge.expression(c)))
   def tokenHash(c: Column): Column = Bridge.column(TokenHashExpr(Bridge.expression(c)))
   def minHashSig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
   def shingleHashes(c: Column): Column = Bridge.column(ShingleHashesExpr(Bridge.expression(c)))
+  def shingleHashesFromText(c: Column): Column =
+    Bridge.column(ShingleHashesFromTextExpr(Bridge.expression(c)))
+  def minHashSigFromText(c: Column): Column =
+    Bridge.column(MinHashSigFromTextExpr(Bridge.expression(c)))
+}
+
+/** STRING text → array<long> distinct shingle hashes, tokenize fused. */
+case class ShingleHashesFromTextExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hashes_text needs STRING, got ${child.dataType}")
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.shingleHashesFromTextEval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EvmExprs.shingleHashesFromTextEval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesFromTextExpr =
+    copy(child = newChild)
+}
+
+/** STRING text → array<long>(4) MinHash signature, tokenize fused. */
+case class MinHashSigFromTextExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig_text needs STRING, got ${child.dataType}")
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.minHashSigFromTextEval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EvmExprs.minHashSigFromTextEval($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromTextExpr =
+    copy(child = newChild)
 }
 
 /** hex bytecode (0x-optional STRING) → 0x-prefixed keccak of its

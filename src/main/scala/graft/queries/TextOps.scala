@@ -116,9 +116,8 @@ object TextOps {
         // the compute-heavy shingle explode or it runs single-core
         val sh = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .withColumn("T", tokens(col("text")))
           .select(col("doc_id"),
-            explode(graft.functions.EvmExprs.shingleHashes(col("T"))).as("sh"))
+            explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
           .localCheckpoint()
         val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .where(col("df") > MaxShingleDF).select("sh")
@@ -156,11 +155,10 @@ object TextOps {
     // MinHash signatures (the LSH building block)
     "q25_minhash" -> Q(
       (s, d) => {
-        // fused native signature (EvmExprs.minHashSig) — one pass over
-        // the token array instead of interpreted HOF chains
-        val sig = graft.functions.EvmExprs.minHashSig(col("T"))
+        // fused native signature — tokenize + shingle + hash + min in
+        // ONE pass over the text, no intermediate arrays
         documents(s, d)
-          .withColumn("T", tokens(col("text"))).withColumn("sig", sig)
+          .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
           .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
             element_at(col("sig"), j + 1).as(s"h$j")): _*)
       },
@@ -209,8 +207,7 @@ object TextOps {
       (s, d) => {
         val sig = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .withColumn("T", tokens(col("text")))
-          .withColumn("sig", graft.functions.EvmExprs.minHashSig(col("T")))
+          .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
           .where(col("sig").isNotNull)
           .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
             element_at(col("sig"), j + 1).as(s"h$j")): _*)
@@ -379,9 +376,8 @@ object TextOps {
       (s, d) => {
         val sh = documents(s, d).where(col("doc_id") < 500)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .withColumn("T", tokens(col("text")))
           .select(col("doc_id"),
-            explode(graft.functions.EvmExprs.shingleHashes(col("T"))).as("sh"))
+            explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
           .localCheckpoint()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val a = sh.select(col("sh"), col("doc_id").as("a_id"))

@@ -138,6 +138,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused text->hashes path == tokenize-then-hash path (spaces, empties)") {
+    val textGen: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (8, Gen.chooseNum(1, 5).flatMap(l => Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString))),
+        (2, Gen.const("")))) // empty segments → consecutive spaces
+        .map(_.mkString(" ")))
+    forAll(textGen) { text =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val twoStepSh = Option(EvmExprs.shingleHashesEval(arr)).map(_.toLongArray().toSeq)
+      val fusedSh = Option(EvmExprs.shingleHashesFromTextEval(u)).map(_.toLongArray().toSeq)
+      assert(fusedSh === twoStepSh)
+      val twoStepSig = Option(EvmExprs.minHashSigEval(arr)).map(_.toLongArray().toSeq)
+      val fusedSig = Option(EvmExprs.minHashSigFromTextEval(u)).map(_.toLongArray().toSeq)
+      assert(fusedSig === twoStepSig)
+    }
+  }
+
   test("DotProductExpr == sequential fold, order-sensitive identical") {
     val vecGen = Gen.chooseNum(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 7.0)))
