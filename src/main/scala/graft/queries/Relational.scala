@@ -229,6 +229,43 @@ object Relational {
              |FROM events GROUP BY 1""".stripMargin),
       "salted two-phase aggregation == plain aggregation (skew path)"),
 
+    // statistical aggregates from exact sums: Pearson correlation per
+    // group derived from DECIMAL(38) power sums — streaming corr()
+    // implementations round differently across engines, exact sums
+    // with one identical double sequence at the end do not
+    "q86_corr" -> Q(
+      (s, d) => {
+        val x = (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(19,0)")
+        val y = col("o_orderkey").cast("decimal(19,0)")
+        orders(s, d).groupBy(col("o_orderpriority")).agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("decimal(38,0)").as("sx"),
+            sum(y).cast("decimal(38,0)").as("sy"),
+            sum((x * y).cast("decimal(38,0)")).as("sxy"),
+            sum((x * x).cast("decimal(38,0)")).as("sxx"),
+            sum((y * y).cast("decimal(38,0)")).as("syy"))
+          .select(col("o_orderpriority"), col("n"),
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+              .as("pearson"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority, count(*) AS n,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             |    CAST(sum(CAST(o_orderkey AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+             |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) * CAST(o_orderkey AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+             |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+             |    sum(CAST(CAST(o_orderkey AS DECIMAL(19,0)) * CAST(o_orderkey AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderpriority, n,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson
+             |FROM a""".stripMargin),
+      "Pearson correlation from exact decimal power sums"),
+
     // data-quality profiling: per-column null/distinct/min/max summary
     // in ONE scan (wide aggregate unpivoted to rows) — the profiling
     // pass a training-data pipeline runs before ingestion
