@@ -31,6 +31,9 @@ object Sessions {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); read as raw long once,
+      // session-wide, instead of mutating conf inside a reader.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 

@@ -58,9 +58,19 @@ object EvmExprs {
     * shingles), matching the `size(H) > 0` guard. The interpreted
     * higher-order formulation (transform+array_min x4 over an exploded
     * shingle hash array) was the q28 bench bottleneck. */
+  /** Token arrays normally come from split()/filter() and never hold
+    * nulls, but the input type admits them — treat an array with any
+    * null token as null output rather than NPE-ing the task. */
+  private def anyNullElement(arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   def minHashSigEval(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
-    if (n < 4) return null
+    if (n < 4 || anyNullElement(arr)) return null
     val mins = Array.fill(4)(Long.MaxValue)
     var i = 0
     while (i + 4 <= n) {
@@ -98,7 +108,7 @@ object EvmExprs {
     * ascending (callers explode it; order is immaterial). */
   def shingleHashesEval(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
-    if (n < 4) return null
+    if (n < 4 || anyNullElement(arr)) return null
     val hs = new Array[Long](n - 3)
     var i = 0
     while (i + 4 <= n) {

@@ -32,6 +32,11 @@ object RangeJoin {
         col(startCol).cast("timestamp").as("__s"),   // NTZ-tolerant
         col(endCol).cast("timestamp").as("__e")) ++
         payload.map(col)): _*)
+      // An empty/inverted interval (__e <= __s) matches no point under
+      // the half-open predicate; drop it BEFORE the explode — otherwise
+      // sequence() infers a negative step and a badly inverted interval
+      // fans out into an unbounded descending bucket list.
+      .where(col("__e") > col("__s"))
       .withColumn("__b", explode(sequence(
         floor(unix_micros(col("__s")) / bucketUs),
         floor((unix_micros(col("__e")) - 1) / bucketUs))))

@@ -131,7 +131,11 @@ object SimSearch {
     * and score exactly only against vectors assigned there — candidate
     * generation is an equi-join on cell id (shuffle on cell), never a
     * query×corpus cross join. Recall is tunable via nProbe; this is
-    * the 100-TB path next to [[bruteForceTopK]]. */
+    * the 100-TB *plan shape* next to [[bruteForceTopK]]. Recall caveat:
+    * with the deterministic id-seeded codebook ([[ivfCentroids]]) recall
+    * depends on how representative the lowest-id vectors are — treat the
+    * registered queries as plan/reproducibility claims, not ANN-quality
+    * claims; production deployments train the codebook (k-means). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
     val codebook = ivfCentroids(corpus, idCol, vecCol, k)

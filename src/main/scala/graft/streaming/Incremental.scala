@@ -20,6 +20,15 @@ import graft.sinks.Layout
   */
 object Incremental {
 
+  /** Filesystem-agnostic existence check: resolves the path's own scheme
+    * (file:, hdfs:, s3a:, …) through the session's Hadoop conf, so the
+    * incremental sink works on the cluster filesystems the 100-TB
+    * deployment actually targets, not just the local disk. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** One micro-batch: derive per-entity tables from the batch's raw rows
     * and replace the derived rows of exactly the batch's BLOCKS.
     *
@@ -44,7 +53,7 @@ object Incremental {
       val path = s"$outRoot/dynamic/$entity"
       val newRows = Layout.withBlockBucket(f(raw))
       val merged =
-        if (!new java.io.File(path).exists()) newRows // local-FS check; use Hadoop FileSystem on a cluster
+        if (!pathExists(spark, path)) newRows
         else {
           val survivors = spark.read.parquet(path)
             .where(col("block_bucket").isin(affectedBuckets: _*))
@@ -90,7 +99,7 @@ object Incremental {
     * derived table (stream.rs:284-301). */
   def maxIndexedBlock(spark: SparkSession, outRoot: String, entity: String): Option[Long] = {
     val path = s"$outRoot/dynamic/$entity"
-    if (!new java.io.File(path).exists()) None
+    if (!pathExists(spark, path)) None
     else spark.read.parquet(path)
       .agg(max(col("block_number"))).head().get(0) match {
       case n: java.lang.Long => Some(n)

@@ -65,4 +65,33 @@ class IncrementalSpec extends AnyFunSuite {
     // 255/7 rows would have survived.
     assert(after2 === Set((100L, "42"), (101L, "9"), (102L, "11")))
   }
+
+  test("incremental sink works against a file:-qualified Hadoop path (non-local-FS API path)") {
+    import graft.etl.Fixtures.{addr, hash, word}
+    import org.apache.spark.sql.Row
+
+    // An explicit scheme forces every existence check through Hadoop
+    // FileSystem resolution — java.io.File would treat "file:/…" as a
+    // relative path named "file:" and always say "missing".
+    val root = "file:" + Files.createTempDirectory("graft-stream-fq").toString
+    val out = s"$root/out"
+    val t = graft.functions.Sig.TransferTopic
+
+    assert(Incremental.maxIndexedBlock(spark, out, "transfers").isEmpty)
+
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(200L, hash(1), 0L, 0L, addr(30), t, word(1), word(2), null, word(5), false),
+      Row(201L, hash(2), 0L, 0L, addr(30), t, word(1), word(2), null, word(6), false))), logSchema)
+    Incremental.backfill(raw, out, Map("transfers" -> Decode.transfersFromLogs))
+    assert(Incremental.maxIndexedBlock(spark, out, "transfers") === Some(201L))
+
+    // replay block 201 through the merge path (pathExists now true)
+    val replay = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(201L, hash(3), 0L, 0L, addr(30), t, word(5), word(6), null, word(77), false))), logSchema)
+    Incremental.backfill(replay, out, Map("transfers" -> Decode.transfersFromLogs))
+    val vals = spark.read.parquet(s"$out/dynamic/transfers")
+      .select(col("block_number"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(vals === Set((200L, "5"), (201L, "77")))
+  }
 }
