@@ -80,17 +80,28 @@ object Enrich {
   /** A1/A2: per-block gas-price stats in Gwei — min/max/avg/POPULATION
     * stddev (block.rs:34-64, ÷n at :57-59) + tx_count. Deviation from
     * the reference documented in SURVEY §7.5-4: tx-less or all-type-2
-    * blocks yield NULL stats (the reference yields MAX/0/NaN/NaN). */
+    * blocks yield NULL stats (the reference yields MAX/0/NaN/NaN).
+    *
+    * Stats accumulate as exact decimal power sums over wei (F13
+    * discipline) with a single double conversion at the end, so the
+    * result is aggregation-order-independent — bit-identical on any
+    * partitioning, and reproducible by an external oracle. Variance is
+    * clamped at 0 before the sqrt (the float subtraction can dip a few
+    * ulps negative when all prices in a block are equal). */
   def blockGasStats(blocks: DataFrame, transactions: DataFrame): DataFrame = {
-    val gwei = col("gas_price").cast("double") / 1e9
+    val wei = col("gas_price").cast("decimal(38,0)")
+    val n = count(when(col("gas_price").isNotNull, 1))
+    val s1 = sum(wei).cast("double")
+    val s2 = sum(wei * wei).cast("double")
     val perBlock = transactions
       .groupBy(col("block_number"))
       .agg(
         count(lit(1)).as("tx_count"),
-        min(when(col("gas_price").isNotNull, gwei)).as("gas_price_min"),
-        max(when(col("gas_price").isNotNull, gwei)).as("gas_price_max"),
-        avg(when(col("gas_price").isNotNull, gwei)).as("gas_price_avg"),
-        stddev_pop(when(col("gas_price").isNotNull, gwei)).as("gas_price_std_dev"))
+        (min(wei).cast("double") / 1e9).as("gas_price_min"),
+        (max(wei).cast("double") / 1e9).as("gas_price_max"),
+        (s1 / n / 1e9).as("gas_price_avg"),
+        (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0d))) / 1e9)
+          .as("gas_price_std_dev"))
     blocks.join(perBlock, col("number") === col("block_number"), "left")
       .drop("block_number")
       .withColumn("tx_count", coalesce(col("tx_count"), lit(0L)))
