@@ -291,26 +291,70 @@ object TraceOps {
       None,
       "skeleton + keccak + n-grams over synthetic bytecode: SURVEY §2.8 F1/F4, §2.5 A5"),
 
-    // A6/A7 + J7: pairwise cosine over n-gram maps and interface Jaccard
-    // on a blocked self-join (same `source` bucket ~ same length class).
+    // A6 + J7: pairwise opcode-n-gram cosine as an exploded-ngram
+    // EQUI-join with exact integer dot/norm sums (the q68 shape, the
+    // Similarity.cosinePairs plan — similarities.rs:216-230). Pairs only
+    // materialize for docs sharing at least one n-gram; no pair fan-out
+    // UDF, no cross join. The oracle replays the EVM tokenizer (emit
+    // opcode, skip PUSH args — similarities.rs:115-124) as a recursive
+    // CTE walk over the same 32-byte synthetic bytecode.
     "q44_skeleton_similarity" -> Q(
       (s, d) => {
+        // per-doc (linear) n-gram extraction; pair math is all relational
         val ngramsUdf = udf((hex: String) => Evm.ngrams(graft.functions.Hex.decode(hex), 3))
-        val cosineUdf = udf((a: Map[String, Long], b: Map[String, Long]) => Evm.cosine(a, b))
-        // same-source docs share the first 16 bytecode bytes, so their
-        // opcode streams overlap — similarity is nonzero within a source
-        val base = documents(s, d)
+        val tf = documents(s, d)
           .where(col("doc_id") < 100)
-          .select(col("doc_id"), col("source"),
-            ngramsUdf(concat(md5(col("source").cast("binary")),
-              md5(col("text").cast("binary")))).as("ng"))
-        val a = base.toDF("a_id", "source", "a_ng")
-        val b = base.toDF("b_id", "source", "b_ng")
-        a.join(b, Seq("source")).where(col("a_id") < col("b_id"))
+          .select(col("doc_id"),
+            explode(ngramsUdf(concat(md5(col("source").cast("binary")),
+              md5(col("text").cast("binary"))))).as(Seq("ngram", "c")))
+          .localCheckpoint() // read by norms and both join sides
+        val norms = tf.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("sq"))
+        val a = tf.toDF("a_id", "ngram", "ca")
+        val b = tf.toDF("b_id", "ngram", "cb")
+        val dots = a.join(b, Seq("ngram")).where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(sum(col("ca") * col("cb")).as("dot"))
+        dots
+          .join(norms.toDF("a_id", "sa"), "a_id")
+          .join(norms.toDF("b_id", "sb"), "b_id")
           .select(col("a_id"), col("b_id"),
-            round(cosineUdf(col("a_ng"), col("b_ng")), 6).as("cos"))
-          .where(col("cos") > 0.2)
+            round(col("dot").cast("double") /
+              (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double"))), 6)
+              .as("cos"))
+          .where(col("cos") >= 0.2)
       },
-      None,
-      "n-gram cosine similarity pairs (blocked self-join): SURVEY §2.5 A6, §2.4 J7"))
+      Some("""WITH RECURSIVE
+        |src AS (SELECT doc_id, md5(source) || md5(text) AS h FROM documents WHERE doc_id < 100),
+        |walk(doc_id, pos, pair) AS (
+        |  SELECT doc_id, 0, substr(h, 1, 2) FROM src
+        |  UNION ALL
+        |  SELECT t.doc_id, t.np, substr(s.h, t.np * 2 + 1, 2)
+        |  FROM (
+        |    SELECT w.doc_id, w.pos + 1 + CASE WHEN
+        |        (strpos('0123456789abcdef', substr(w.pair, 1, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(w.pair, 2, 1)) - 1) BETWEEN 96 AND 127
+        |      THEN (strpos('0123456789abcdef', substr(w.pair, 1, 1)) - 1) * 16 +
+        |           (strpos('0123456789abcdef', substr(w.pair, 2, 1)) - 1) - 95
+        |      ELSE 0 END AS np
+        |    FROM walk w) t
+        |  JOIN src s ON s.doc_id = t.doc_id
+        |  WHERE t.np < 32),
+        |ops AS (
+        |  SELECT doc_id, pair,
+        |         lead(pair, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p2,
+        |         lead(pair, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p3
+        |  FROM walk),
+        |tf AS (
+        |  SELECT doc_id, pair || p2 || p3 AS ngram, count(*) AS c
+        |  FROM ops WHERE p3 IS NOT NULL GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS sq FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) AS cos
+        |FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id
+        |WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))), 6) >= 0.2""".stripMargin),
+      "opcode-n-gram cosine pairs (exploded equi-join, exact integer sums): SURVEY §2.5 A6, §2.4 J7"))
 }
