@@ -62,10 +62,20 @@ object GraphOps {
     labels
   }
 
-  /** PageRank, `iters` synchronous iterations, damping 0.85, dangling
-    * mass redistributed uniformly. One join + one agg per iteration
-    * (shuffle on dst), ranks checkpointed per round. */
-  def pageRank(edges0: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  /** PageRank, `iters` synchronous iterations, damping `damping100`/100,
+    * dangling mass redistributed uniformly. One join + one agg per
+    * iteration (shuffle on dst), ranks checkpointed per round.
+    *
+    * FIXED-POINT arithmetic: ranks are carried as `rank * scale`
+    * integers and every per-iteration op is integer `div`/`*`/`+`, so
+    * partial-aggregation order cannot perturb the result — the output
+    * is bit-reproducible across partitionings and engines (the q86
+    * exact-power-sum trick applied to an iterative algorithm). The one
+    * floating division (scaled rank → double rank) happens after the
+    * last iteration. Truncation error per node per round is < 1/scale,
+    * far below any analytical use of PageRank. */
+  def pageRank(edges0: DataFrame, iters: Int = 10, damping100: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
     // edges + out-degrees feed every round — materialize once
     val edges = edges0.select(col("src"), col("dst")).localCheckpoint()
     val nodes = edges.select(col("src").as("id"))
@@ -74,28 +84,27 @@ object GraphOps {
     val n = nodes.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
       .localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    val base = scale * (100 - damping100) / (100 * n) // teleport term, exact Long
+    var ranks = nodes.withColumn("rs", lit(scale / n))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
       // dangling mass as a broadcast 1-row frame: keeps the whole
       // iteration one lazy plan (one job per round, no driver collect)
       val dangling = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+        .agg(coalesce(sum(col("rs")), lit(0L)).as("dm"))
       val contribs = edges
         .join(withDeg.filter(col("out_deg").isNotNull)
           .withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+        .select(col("dst").as("id"), expr("rs div out_deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dangling_mass") / n))
-            .as("rank"))
+        .selectExpr("id",
+          s"${base}L + ($damping100 * (coalesce(contrib, 0L) + dm div ${n}L)) div 100 AS rs")
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("id"),
+      (col("rs").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
   /** Single-source hop distances (undirected BFS) by min-distance

@@ -32,6 +32,37 @@ object GraphQueries {
       | 1000 + CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 50 AS dst
       |FROM events""".stripMargin
 
+  /** Unrolled fixed-point PageRank oracle mirroring
+    * [[GraphOps.pageRank]]'s integer arithmetic exactly: rs0 = S // n,
+    * rs' = (15·S)//(100·n) + (85·(contrib + dangling//n))//100, where
+    * contrib sums per-edge `rs // out_deg`. All-BIGINT until the final
+    * rank = rs / S double division. */
+  private val pageRankSql: String = {
+    val S = "1000000000000"
+    val iters = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS id, CAST(sum($p.rs // od.out_deg) AS BIGINT) AS contrib
+         |  FROM e JOIN $p ON $p.id = e.src JOIN od ON od.id = e.src GROUP BY 1),
+         |d$i AS (
+         |  SELECT CAST(coalesce(sum(rs), 0) AS BIGINT) AS dm
+         |  FROM $p WHERE id NOT IN (SELECT id FROM od)),
+         |r$i AS (
+         |  SELECT n.id,
+         |         (SELECT b FROM consts) +
+         |         (85 * (coalesce(c.contrib, 0) + (SELECT dm FROM d$i) // (SELECT nn FROM consts))) // 100 AS rs
+         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |consts AS (SELECT count(*) AS nn, $S // count(*) AS rs0,
+       |                  (15 * $S) // (100 * count(*)) AS b FROM nodes),
+       |r0 AS (SELECT id, (SELECT rs0 FROM consts) AS rs FROM nodes),
+       |$iters
+       |SELECT id, CAST(rs AS DOUBLE) / $S.0 AS rank FROM r5""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "q70_degrees" -> Q(
       (s, d) => GraphOps.degrees(edges(s, d)),
@@ -56,12 +87,14 @@ object GraphQueries {
               |SELECT id, min(r) AS comp FROM reach GROUP BY 1""".stripMargin),
       "connected components (min-label propagation vs recursive-CTE closure)"),
 
-    // float contribution sums are partition-order dependent → rows-only;
-    // exact small-graph values pinned in GraphSpec instead.
+    // fixed-point ranks (rank * 1e12 integers, integer div/mul per
+    // round) make the iteration bit-reproducible, so the oracle is an
+    // unrolled 5-iteration CTE doing the identical integer arithmetic;
+    // the single double division happens after the last round.
     "q72_pagerank" -> Q(
       (s, d) => GraphOps.pageRank(edges(s, d), iters = 5),
-      None,
-      "PageRank (join+agg iterations, dangling mass redistributed)"),
+      Some(pageRankSql),
+      "PageRank (join+agg iterations, dangling mass redistributed; fixed-point)"),
 
     // BFS hop distances from the hub topic node (min-distance
     // propagation vs a recursive-CTE ground truth)
