@@ -24,7 +24,9 @@ object ExternalOps {
   /** Build contracts/mainnet/<2-hex>/<addr>_Name<k>.sol for every
     * third key — the reference sanctuary layout (F14's glob shape). */
   private def buildTree(keys: Seq[Long]): Path = {
-    val root = Files.createTempDirectory("graft-sanctuary")
+    // memoized root (same tree every invocation) — rewriting the same
+    // files is idempotent; the Temps shutdown hook cleans up
+    val root = java.nio.file.Paths.get(graft.Temps.dirFor("sanctuary"))
     keys.foreach { k =>
       val addr = addrHex(k)
       val shard = root.resolve("contracts").resolve("mainnet").resolve(addr.take(2))
@@ -59,7 +61,8 @@ object ExternalOps {
     // decompiler (emits ABI JSON derived from its argument), dedup-first
     "q46_decompile" -> Q(
       (s, d) => {
-        val script = Files.createTempFile("graft-decompiler", ".sh")
+        val script = java.nio.file.Paths.get(graft.Temps.dirFor("decompiler"))
+          .resolve("decompile.sh")
         Files.writeString(script,
           "#!/bin/sh\n" +
           "printf '[{\"type\":\"function\",\"name\":\"fn_%s\",\"inputs\":[],\"outputs\":[]}]' ${#1}\n")
@@ -84,7 +87,7 @@ object ExternalOps {
     // aggregate; money stays a decimal STRING across the JSON hop
     "q81_jsongz_roundtrip" -> Q(
       (s, d) => {
-        val out = Files.createTempDirectory("graft-jsongz").toString
+        val out = graft.Temps.dirFor(s"jsongz-$d") // writer is mode=overwrite
         val sub = orders(s, d).select(
           col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_s"))

@@ -136,10 +136,13 @@ object StreamOps {
     // plain one-shot aggregate — replay changed nothing.
     "q66_stream_e2e" -> Q(
       (s, d) => {
-        import java.nio.file.Files
-        val rawDir = Files.createTempDirectory("graft-stream-raw").toString
-        val outRoot = Files.createTempDirectory("graft-stream-out").toString
-        val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+        // memoized per dataset dir: re-invocations reuse the same
+        // raw/out/checkpoint trees (reprocessing is idempotent — the
+        // sink replaces block partitions), and the shutdown hook
+        // removes the whole root at JVM exit
+        val rawDir = graft.Temps.dirFor(s"stream-raw-$d")
+        val outRoot = graft.Temps.dirFor(s"stream-out-$d")
+        val ckpt = graft.Temps.dirFor(s"stream-ckpt-$d")
         val raw = events(s, d).select(
           expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("block_number"),
           col("event_id"),

@@ -12,7 +12,7 @@ import graft.sinks.Layout
 object EtlDemo {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val out = java.nio.file.Files.createTempDirectory("graft-etl-demo").toString
+    val out = graft.Temps.dir("graft-etl-demo")
 
     val traces = Fixtures.traces(spark)
     val logs = Fixtures.logs(spark)

@@ -17,7 +17,7 @@ class ExternalSpec extends AnyFunSuite {
   import Fixtures.{addr, hash}
 
   test("S5/J10: sanctuary tree index + verified-source join") {
-    val root = Files.createTempDirectory("sanctuary").toString
+    val root = graft.Temps.dir("sanctuary-spec")
     val a20 = addr(20).stripPrefix("0x")
     val shard = a20.substring(0, 2)
     Files.createDirectories(Paths.get(s"$root/mainnet/$shard"))
@@ -50,7 +50,7 @@ class ExternalSpec extends AnyFunSuite {
 
   test("U1/A4/F15: decompiler stage — dedup, subprocess, timeout, ABI parse") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("decomp")
+    val dir = java.nio.file.Paths.get(graft.Temps.dir("decomp"))
     val ok = dir.resolve("fake-decompiler.sh")
     Files.writeString(ok,
       """#!/bin/sh
@@ -95,7 +95,7 @@ class ExternalSpec extends AnyFunSuite {
   }
 
   test("K2: gzip JSON sink round-trips an entity table") {
-    val out = Files.createTempDirectory("jsongz").toString + "/transfers"
+    val out = graft.Temps.dir("jsongz-spec") + "/transfers"
     val transfers = Decode.transfersFromLogs(Fixtures.logs(spark))
     Layout.writeJsonGz(transfers, out)
     val files = new java.io.File(out).listFiles().map(_.getName)

@@ -57,7 +57,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("readBinaryFiles: binaryFile source with glob filter -> media schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    val dir = java.nio.file.Paths.get(graft.Temps.dir("graft-media"))
     java.nio.file.Files.write(dir.resolve("7.img"), "payload7".getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("12.img"), Array[Byte](0, 1, 2, 3))
     java.nio.file.Files.write(dir.resolve("ignore.txt"), "nope".getBytes("UTF-8"))

@@ -12,7 +12,7 @@ class BucketingSpec extends AnyFunSuite {
 
   private lazy val spark = {
     val s = TestSpark.spark
-    val loc = java.nio.file.Files.createTempDirectory("graft-bucketdb").toString
+    val loc = graft.Temps.dir("graft-bucketdb")
     s.sql(s"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '$loc'")
     s
   }

@@ -13,7 +13,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("dynamic layout prunes partitions on block_bucket filters") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("layout").toString
+    val out = graft.Temps.dir("layout")
     // blocks across 3 buckets (0, 1, 2)
     val rows = Seq(5000L, 15000L, 25000L).flatMap(b =>
       (0 until 10).map(i => (b + i, s"tx$b-$i")))

@@ -26,7 +26,7 @@ class IncrementalSpec extends AnyFunSuite {
     import graft.etl.Fixtures.{addr, hash, word}
     import org.apache.spark.sql.Row
 
-    val root = Files.createTempDirectory("graft-stream").toString
+    val root = graft.Temps.dir("graft-stream")
     val in = s"$root/in"
     val out = s"$root/out"
     val ckpt = s"$root/ckpt"
@@ -73,7 +73,7 @@ class IncrementalSpec extends AnyFunSuite {
     // An explicit scheme forces every existence check through Hadoop
     // FileSystem resolution — java.io.File would treat "file:/…" as a
     // relative path named "file:" and always say "missing".
-    val root = "file:" + Files.createTempDirectory("graft-stream-fq").toString
+    val root = "file:" + graft.Temps.dir("graft-stream-fq")
     val out = s"$root/out"
     val t = graft.functions.Sig.TransferTopic
 
