@@ -109,11 +109,22 @@ object Similarity {
     * scan (similarities.rs:314-429's paged loop becomes one broadcast
     * nested-loop join). */
   def similarToTarget(interfaces: DataFrame, targetHash: String,
+      threshold: Double): DataFrame =
+    similarToTarget(interfaces,
+      interfaces.sparkSession.sql(s"SELECT '$targetHash' AS t_hash"), threshold)
+
+  /** J8, address entry point form: the target skeleton arrives as a
+    * 1-row frame (column `t_hash`) produced by the address → deployment
+    * → skeleton two-hop (similarities.rs:45-107), so the whole
+    * compare_single flow stays one lazy plan — no driver round-trip for
+    * the looked-up hash. */
+  def similarToTarget(interfaces: DataFrame, target: DataFrame,
       threshold: Double): DataFrame = {
-    val target = interfaces.filter(col("skeleton_hash") === targetHash)
-      .select(col("interface").as("t_if"))
-    interfaces.filter(col("skeleton_hash") =!= targetHash)
-      .crossJoin(broadcast(target))
+    val tIf = interfaces.join(broadcast(target),
+        col("skeleton_hash") === col("t_hash"))
+      .select(col("t_hash"), col("interface").as("t_if"))
+    interfaces.crossJoin(broadcast(tIf))
+      .where(col("skeleton_hash") =!= col("t_hash"))
       .select(col("skeleton_hash"),
         when(size(col("interface")) === 0 || size(col("t_if")) === 0, lit(0.0))
           .otherwise(

@@ -220,5 +220,74 @@ object PipelineOps {
              |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) / 1e9, 6) AS gas_price_std_dev,
              |  b.base_fee_wei / 1e9 AS base_fee_per_gas
              |FROM b LEFT JOIN s ON b.number = s.block_number""".stripMargin),
-      "end-to-end extract leg: per-block gas stats through Enrich.blockGasStats (A1/A2/F13)"))
+      "end-to-end extract leg: per-block gas stats through Enrich.blockGasStats (A1/A2/F13)"),
+
+    // similarities.rs:45-107 compare_single: the ADDRESS entry point.
+    // The queried address resolves to its latest deployment (two-hop:
+    // address → deployment → skeleton), the distinct-skeleton universe
+    // goes through the real dedup-first decompiler stage to interface
+    // sets, the one-vs-all jaccard runs against the looked-up target
+    // hash (1-row broadcast, no driver round-trip), and similar
+    // skeletons fan back out to the contracts carrying them. The
+    // stand-in decompiler emits fn_<len(skeleton)>, so the two pinned
+    // skeletons ("60006000526000600055" / "6000600052610000600055")
+    // yield interfaces the oracle states verbatim (fn_20 / fn_22).
+    "q90_similar_to_address" -> Q(
+      (s, d) => {
+        import graft.analytics.Similarity
+        val script = java.nio.file.Paths.get(graft.Temps.dirFor("decompiler"))
+          .resolve("decompile.sh")
+        java.nio.file.Files.writeString(script,
+          "#!/bin/sh\n" +
+          "printf '[{\"type\":\"function\",\"name\":\"fn_%s\",\"inputs\":[],\"outputs\":[]}]' ${#1}\n")
+        val deps = Decode.deployments(entityTraces(s, d))
+          .withColumn("skeleton", Decode.skeletonHex(col("deployed_bytecode")))
+        // the query input: an address (here the one deployed by the
+        // lexicographically-first tx, so every SF has it)
+        val target = deps.orderBy(col("tx_hash")).limit(1)
+          .select(col("contract").as("t_addr"))
+        // hop 1: address → its LATEST deployment → target skeleton hash
+        val tSkel = deps.join(broadcast(target), col("contract") === col("t_addr"))
+          .groupBy(col("t_addr"))
+          .agg(max(struct(col("block_number"), col("tx_hash"),
+            col("skeleton_hash"))).as("r"))
+          .select(col("t_addr"), col("r.skeleton_hash").as("t_hash"))
+        // hop 2: distinct skeletons → decompile (dedup-first) → interfaces
+        val abi = graft.etl.Decompile.parseAbi(graft.etl.Decompile.run(
+          deps.select(col("skeleton_hash"), col("skeleton").as("bytecode")),
+          Seq("sh", script.toString), timeoutMs = 10000L).toDF())
+        val sims = Similarity.similarToTarget(
+          Similarity.interfaceSets(abi), tSkel, threshold = 0.0)
+        // fan back out: every contract carrying a similar skeleton
+        deps.select(col("contract"), col("skeleton_hash")).distinct()
+          .join(sims, "skeleton_hash")
+          .crossJoin(broadcast(tSkel.select(col("t_addr"))))
+          .where(col("contract") =!= col("t_addr"))
+          .select(col("contract"), col("skeleton_hash"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some(s"""WITH $baseSql,
+              |dep AS (
+              |  SELECT CAST(l_orderkey AS VARCHAR) AS tx_hash,
+              |         ${wordSql("skey + 1")} AS contract,
+              |         l_orderkey % 997 AS block_number,
+              |         CASE WHEN l_orderkey % 2 = 0 THEN '$SkelHashBzzr0' ELSE '$SkelHashIpfs' END AS skeleton_hash,
+              |         CASE WHEN l_orderkey % 2 = 0 THEN 'fn_20' ELSE 'fn_22' END AS iface
+              |  FROM base WHERE l_linenumber = 1),
+              |tgt AS (
+              |  SELECT contract AS t_addr FROM dep
+              |  WHERE tx_hash = (SELECT min(tx_hash) FROM dep)),
+              |tskel AS (
+              |  SELECT d.contract AS t_addr, d.skeleton_hash AS t_hash, d.iface AS t_if
+              |  FROM dep d JOIN tgt ON d.contract = tgt.t_addr
+              |  ORDER BY d.block_number DESC, d.tx_hash DESC LIMIT 1),
+              |sims AS (
+              |  SELECT s.skeleton_hash,
+              |         CASE WHEN s.iface = t.t_if THEN 1.0 ELSE 0.0 END AS jaccard
+              |  FROM (SELECT DISTINCT skeleton_hash, iface FROM dep) s, tskel t
+              |  WHERE s.skeleton_hash <> t.t_hash)
+              |SELECT DISTINCT d.contract, d.skeleton_hash, round(s.jaccard, 6) AS jaccard
+              |FROM dep d JOIN sims s ON d.skeleton_hash = s.skeleton_hash, tskel t
+              |WHERE d.contract <> t.t_addr""".stripMargin),
+      "compare_single address entry point: address → deployment → skeleton → one-vs-all (similarities.rs:45-107, J8)"))
 }
