@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, format_string}
 
 /** Entity sinks (SURVEY.md §2.2 K1-K5). The reference's hand-rolled
   * buffered writer + gzip JSON files map to Spark's parquet/json writers;
@@ -67,4 +67,35 @@ object Layout {
 
   def writeSimilarityEdges(pairs: DataFrame, path: String): Unit =
     similarityEdges(pairs).write.mode("overwrite").parquet(path)
+
+  /** K6, literal artifact: the reference's N-Quad similarity lines
+    * (similarities.rs:270-303, 383-417):
+    * `<uid> <Skeleton.similar_code> <uid> (similarity=x.xxxx) .`
+    * — each pair in BOTH directions, similarity to 4 decimals. Pure
+    * codegen'd format_string over the edge relation. */
+  def nquadLines(pairs: DataFrame): DataFrame =
+    similarityEdges(pairs).select(
+      format_string("<%s> <Skeleton.similar_code> <%s> (similarity=%.4f) .",
+        col("src"), col("dst"), col("similarity")).as("nquad"))
+
+  def writeNQuads(pairs: DataFrame, path: String): Unit =
+    nquadLines(pairs).write.mode("overwrite").text(path)
+
+  /** K2 with the reference writer's file naming (writer.rs:26-48):
+    * bulk-load shards named `<entity>_<n>.json.gz`. Spark writes
+    * part-files first; the rename pass is driver-side Hadoop-FS
+    * metadata ops (one per shard, no data movement). */
+  def writeJsonGzNamed(df: DataFrame, root: String, entity: String): Unit = {
+    val path = s"$root/$entity"
+    writeJsonGz(df, path)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".json.gz"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, new org.apache.hadoop.fs.Path(dir, s"${entity}_$i.json.gz"))
+    }
+  }
 }

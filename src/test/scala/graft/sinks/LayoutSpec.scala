@@ -37,6 +37,39 @@ class LayoutSpec extends AnyFunSuite {
       s"unpruned files: $files")
   }
 
+  test("N-Quad similarity lines match the reference format byte-exactly") {
+    import spark.implicits._
+    // similarities.rs:292: "<{}> <Skeleton.similar_code> <{}> (similarity={:.4}) ."
+    val pairs = Seq(("0xaaa", "0xbbb", 0.75), ("0xccc", "0xddd", 0.123456))
+      .toDF("a_id", "b_id", "similarity")
+    val got = Layout.nquadLines(pairs).as[String].collect().sorted
+    assert(got === Array(
+      "<0xaaa> <Skeleton.similar_code> <0xbbb> (similarity=0.7500) .",
+      "<0xbbb> <Skeleton.similar_code> <0xaaa> (similarity=0.7500) .",
+      "<0xccc> <Skeleton.similar_code> <0xddd> (similarity=0.1235) .",
+      "<0xddd> <Skeleton.similar_code> <0xccc> (similarity=0.1235) .").sorted)
+    // and the text sink round-trips the same lines
+    val out = graft.Temps.dir("nquads")
+    Layout.writeNQuads(pairs, out)
+    val back = spark.read.text(out).as[String].collect().sorted
+    assert(back === got)
+  }
+
+  test("json.gz bulk-load shards carry the reference's <entity>_<n> names") {
+    import spark.implicits._
+    val out = graft.Temps.dir("jsongz-named")
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(3) // force multiple shards
+    Layout.writeJsonGzNamed(df, out, "skeletons")
+    val names = new java.io.File(s"$out/skeletons").list().toSeq
+      .filter(_.endsWith(".json.gz")).sorted
+    assert(names === Seq("skeletons_0.json.gz", "skeletons_1.json.gz", "skeletons_2.json.gz"),
+      s"got $names")
+    // content survives the rename
+    val back = spark.read.schema("k BIGINT, v STRING").json(s"$out/skeletons")
+    assert(back.count() === 100)
+  }
+
   test("bucket arithmetic: 10k blocks per partition") {
     import spark.implicits._
     val b = Layout.withBlockBucket(Seq(0L, 9999L, 10000L, 123456789L).toDF("block_number"))
