@@ -289,5 +289,27 @@ object PipelineOps {
               |SELECT DISTINCT d.contract, d.skeleton_hash, round(s.jaccard, 6) AS jaccard
               |FROM dep d JOIN sims s ON d.skeleton_hash = s.skeleton_hash, tskel t
               |WHERE d.contract <> t.t_addr""".stripMargin),
-      "compare_single address entry point: address → deployment → skeleton → one-vs-all (similarities.rs:45-107, J8)"))
+      "compare_single address entry point: address → deployment → skeleton → one-vs-all (similarities.rs:45-107, J8)"),
+
+    // contract_deployment.rs:118-156 resolve_name: the per-contract
+    // name() eth_call enrichment (J9/U2) — a REAL mapPartitions HTTP
+    // JSON-RPC client (keep-alive connection per partition, distinct
+    // addresses only, error → resolved=false) against the deterministic
+    // local stub node, joined back onto deployments via enrichNames.
+    // The oracle replays the stub's name rule in SQL.
+    "q91_rpc_names" -> Q(
+      (s, d) => {
+        val deps = Decode.deployments(entityTraces(s, d))
+        val names = graft.sources.Rpc.resolveNames(deps, graft.sources.RpcStub.endpoint)
+        graft.sources.Sanctuary.enrichNames(deps,
+            names.select(col("contract").as("address"), col("name")))
+          .select(col("tx_hash"), col("contract"), col("name"))
+      },
+      Some(s"""WITH $baseSql
+              |SELECT CAST(l_orderkey AS VARCHAR) AS tx_hash,
+              |  ${wordSql("skey + 1")} AS contract,
+              |  CASE WHEN CAST(right(${wordSql("skey + 1")}, 1) AS INT) % 3 = 0
+              |       THEN NULL ELSE 'C' || right(${wordSql("skey + 1")}, 4) END AS name
+              |FROM base WHERE l_linenumber = 1""".stripMargin),
+      "name() eth_call enrichment through the real RPC client (contract_deployment.rs:118-156, J9/U2)"))
 }
