@@ -46,9 +46,12 @@ object Incremental {
     val spark = raw.sparkSession
     raw.persist()
     val batchBlocks = raw.select(col("block_number")).distinct().persist()
+    // the affected-bucket set stays a (broadcast) FRAME — a replay batch
+    // of unbounded width never materializes its block list on the
+    // driver; partition pruning of the semi-join is Spark's dynamic
+    // partition pruning instead of a driver-built isin literal
     val affectedBuckets = Layout.withBlockBucket(batchBlocks)
-      .select(col("block_bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .select(col("block_bucket")).distinct().persist()
     try derive.foreach { case (entity, f) =>
       val path = s"$outRoot/dynamic/$entity"
       val newRows = Layout.withBlockBucket(f(raw))
@@ -56,7 +59,7 @@ object Incremental {
         if (!pathExists(spark, path)) newRows
         else {
           val survivors = spark.read.parquet(path)
-            .where(col("block_bucket").isin(affectedBuckets: _*))
+            .join(broadcast(affectedBuckets), Seq("block_bucket"), "left_semi")
             .join(broadcast(batchBlocks), Seq("block_number"), "left_anti")
             .localCheckpoint()
           newRows.unionByName(survivors)
@@ -67,6 +70,7 @@ object Incremental {
         .partitionBy("block_bucket")
         .parquet(path)
     } finally {
+      affectedBuckets.unpersist()
       batchBlocks.unpersist()
       raw.unpersist()
     }
