@@ -140,7 +140,11 @@ object PipelineOps {
     "q88_pipeline_accounts" -> Q(
       (s, d) => {
         val t = entityTraces(s, d)
-        val logs = entityLogs(s, d)
+        // materialize the synthesized log shape ONCE: the decoded-
+        // transfer leg and the raw-log leg both consume it, and without
+        // the checkpoint each union branch re-runs the events scan +
+        // synthesis
+        val logs = entityLogs(s, d).localCheckpoint()
         val blocks = orders(s, d).select(
           col("o_orderkey").as("number"), word(col("o_custkey")).as("miner"))
         val txs = lineitem(s, d).where(col("l_linenumber") === 1)

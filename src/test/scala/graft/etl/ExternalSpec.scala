@@ -39,6 +39,29 @@ class ExternalSpec extends AnyFunSuite {
     assert(verified(addr(21)) === false)
   }
 
+  test("S5/J10: listing-only index verifies without reading file bodies") {
+    val root = graft.Temps.dir("sanctuary-listing")
+    val a20 = addr(20).stripPrefix("0x")
+    Files.createDirectories(Paths.get(s"$root/mainnet/${a20.take(2)}"))
+    Files.writeString(Paths.get(s"$root/mainnet/${a20.take(2)}/${a20}_MyToken.sol"),
+      "contract MyToken {}")
+
+    val idx = Sanctuary.indexListing(spark, root)
+    // metadata only: the index schema has no source_code column
+    assert(!idx.columns.contains("source_code"))
+    val rows = idx.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("address") === addr(20))
+    assert(rows.head.getAs[String]("source_name") === "MyToken")
+
+    val verified = Sanctuary.verify(Decode.deployments(Fixtures.traces(spark)), idx)
+    assert(!verified.columns.contains("source_code"))
+    val flags = verified.collect()
+      .map(r => r.getAs[String]("contract") -> r.getAs[Boolean]("verified_source")).toMap
+    assert(flags(addr(20)) === true)
+    assert(flags(addr(21)) === false)
+  }
+
   test("J9: name enrichment via lookup-table join") {
     import spark.implicits._
     val names = Seq((addr(20), "TokenA")).toDF("address", "name")
