@@ -60,7 +60,12 @@ class PlanSpec extends AnyFunSuite {
     "q30_knn", "q31_cos_pairs", "q34_ivf_cells", "q35_ivf_topk", "q65_sim_edges",
     // upper-triangle pairs over the AGGREGATED brand dimension — the
     // cross is |brands|², a dimension cardinality, not a data size
-    "q67_interface_jaccard")
+    "q67_interface_jaccard",
+    // compare_single: the target side of every cross is a 1-row
+    // broadcast frame (the looked-up address/skeleton), so the "nested
+    // loop" is a bounded broadcast of one row against the skeleton
+    // universe — the reference's one-vs-all scan shape
+    "q90_similar_to_address")
 
   test("no other query plans a cartesian product or nested-loop join") {
     val offenders = Registry.all.keys.toSeq.sorted
