@@ -256,6 +256,44 @@ object TraceOps {
               |SELECT b_id, a_id, cos FROM pairs""".stripMargin),
       "similarity pairs to bidirectional edge list: SURVEY §2.2 K6"),
 
+    // K6, the literal artifact: the reference's exact N-Quad text
+    // lines (similarities.rs:292: `<uid> <Skeleton.similar_code> <uid>
+    // (similarity=x.xxxx) .`, both directions) over an equi-join
+    // jaccard pair source. Small unions (≤6) keep every similarity
+    // non-dyadic-or-short, so Java's %.4f and DuckDB's printf agree
+    // digit for digit.
+    "q92_nquad_lines" -> Q(
+      (s, d) => {
+        val ifc = supplier(s, d).where(col("s_suppkey") < 40)
+          .select(col("s_suppkey").cast("string").as("skeleton_hash"),
+            array(
+              concat(lit("a"), col("s_suppkey") % 3),
+              concat(lit("b"), col("s_suppkey") % 5),
+              concat(lit("c"), col("s_suppkey") % 7)).as("interface"))
+        val pairs = graft.analytics.Similarity.jaccardPairsBlocked(ifc, 0.3)
+        graft.sinks.Layout.nquadLines(
+          pairs.select(col("a_id"), col("b_id"), col("jaccard")))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(s_suppkey AS VARCHAR) AS id, s_suppkey AS k
+             |  FROM supplier WHERE s_suppkey < 40),
+             |names AS (
+             |  SELECT id, 'a' || CAST(k % 3 AS VARCHAR) AS nm FROM s
+             |  UNION ALL SELECT id, 'b' || CAST(k % 5 AS VARCHAR) FROM s
+             |  UNION ALL SELECT id, 'c' || CAST(k % 7 AS VARCHAR) FROM s),
+             |pairs AS (
+             |  SELECT a.id AS a_id, b.id AS b_id,
+             |         CAST(count(*) AS DOUBLE) / (6 - count(*)) AS jac
+             |  FROM names a JOIN names b ON a.nm = b.nm AND a.id < b.id
+             |  GROUP BY 1, 2 HAVING CAST(count(*) AS DOUBLE) / (6 - count(*)) >= 0.3),
+             |edges AS (
+             |  SELECT a_id AS src, b_id AS dst, jac FROM pairs
+             |  UNION ALL SELECT b_id, a_id, jac FROM pairs)
+             |SELECT '<' || src || '> <Skeleton.similar_code> <' || dst ||
+             |       '> (similarity=' || printf('%.4f', jac) || ') .' AS nquad
+             |FROM edges""".stripMargin),
+      "literal N-Quad similarity lines, both directions (similarities.rs:270-303, K6)"),
+
     // P8: the removed-flag discipline — the reorg marker is serialized
     // ONLY when true (log.rs:201-204), never as an explicit false
     "q85_removed_flag" -> Q(
