@@ -329,6 +329,61 @@ object TraceOps {
       None,
       "skeleton + keccak + n-grams over synthetic bytecode: SURVEY §2.8 F1/F4, §2.5 A5"),
 
+    // F1/A5 under a COMPUTED oracle: the q43 surface minus keccak (the
+    // one genuinely SQL-inexpressible column, pinned by KeccakSpec).
+    // The oracle replays the tokenizer walk as a recursive CTE, then
+    // reconstructs the zeroed-PUSH-args skeleton positionally and
+    // counts distinct 5-grams from the same walk.
+    "q93_skeleton_hex" -> Q(
+      (s, d) => {
+        val skeletonHex = udf((hex: String) =>
+          graft.functions.Hex.encode(Evm.extractSkeleton(graft.functions.Hex.decode(hex))))
+        val nNgrams = udf((hex: String) =>
+          Evm.ngrams(graft.functions.Hex.decode(hex), 5).size)
+        val code = concat(md5(col("text").cast("binary")), md5(upper(col("text")).cast("binary")))
+        documents(s, d)
+          .select(col("doc_id"), code.as("code_hex"))
+          .select(
+            col("doc_id"),
+            skeletonHex(col("code_hex")).as("skeleton"),
+            nNgrams(col("code_hex")).as("n_distinct_ngrams"))
+      },
+      Some("""WITH RECURSIVE
+        |src AS (SELECT doc_id, md5(text) || md5(upper(text)) AS h FROM documents),
+        |walk(doc_id, pos, pair) AS (
+        |  SELECT doc_id, 0, substr(h, 1, 2) FROM src
+        |  UNION ALL
+        |  SELECT t.doc_id, t.np, substr(s.h, t.np * 2 + 1, 2)
+        |  FROM (
+        |    SELECT w.doc_id, w.pos + 1 + CASE WHEN
+        |        (strpos('0123456789abcdef', substr(w.pair, 1, 1)) - 1) * 16 +
+        |        (strpos('0123456789abcdef', substr(w.pair, 2, 1)) - 1) BETWEEN 96 AND 127
+        |      THEN (strpos('0123456789abcdef', substr(w.pair, 1, 1)) - 1) * 16 +
+        |           (strpos('0123456789abcdef', substr(w.pair, 2, 1)) - 1) - 95
+        |      ELSE 0 END AS np
+        |    FROM walk w) t
+        |  JOIN src s ON s.doc_id = t.doc_id
+        |  WHERE t.np < 32),
+        |sk AS (
+        |  SELECT s.doc_id,
+        |         string_agg(CASE WHEN w.pos IS NOT NULL
+        |                         THEN substr(s.h, p.p * 2 + 1, 2) ELSE '00' END,
+        |                    '' ORDER BY p.p) AS skeleton
+        |  FROM src s
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS p) p
+        |  LEFT JOIN walk w ON w.doc_id = s.doc_id AND w.pos = p.p
+        |  GROUP BY 1),
+        |grams AS (
+        |  SELECT doc_id,
+        |         pair || lead(pair, 1) OVER w || lead(pair, 2) OVER w ||
+        |         lead(pair, 3) OVER w || lead(pair, 4) OVER w AS g
+        |  FROM walk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |n5 AS (SELECT doc_id, count(DISTINCT g) AS n FROM grams WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT sk.doc_id, sk.skeleton,
+        |       CAST(coalesce(n5.n, 0) AS INT) AS n_distinct_ngrams
+        |FROM sk LEFT JOIN n5 ON sk.doc_id = n5.doc_id""".stripMargin),
+      "skeleton reconstruction + distinct 5-gram count under a computed oracle: F1/A5/F12"),
+
     // A6 + J7: pairwise opcode-n-gram cosine as an exploded-ngram
     // EQUI-join with exact integer dot/norm sums (the q68 shape, the
     // Similarity.cosinePairs plan — similarities.rs:216-230). Pairs only
