@@ -27,6 +27,17 @@ class PropertySpec extends AnyFunSuite {
     Gen.chooseNum(0, 300).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))
       .map(_.map(_.toByte).toArray))
 
+  test("U2: ABI string codec round-trips arbitrary unicode names") {
+    import graft.sources.{Rpc, RpcStub}
+    val nameGen: Gen[String] = Gen.chooseNum(0, 80)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf(' ', '_', '-', 'é', 'Ω', '中'))).map(_.mkString))
+    forAll(nameGen) { s =>
+      assert(Rpc.decodeAbiString(RpcStub.abiEncodeString(s)) === Some(s),
+        s"round-trip failed for ${s.map(_.toInt)}")
+    }
+  }
+
   test("F1: extract_skeleton is idempotent and length-preserving") {
     forAll(bytesGen) { code =>
       val once = Evm.extractSkeleton(code)

@@ -42,6 +42,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p) // as-of is window-carried, not a join
   }
 
+  test("rpc enrichment q91: resolved names broadcast back onto deployments") {
+    val p = plan("q91_rpc_names")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("range join q53: equi-join, never a nested loop") {
     val p = plan("q53_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
