@@ -45,15 +45,20 @@ object Rpc {
   /** Resolve `name()` for every DISTINCT contract address in
     * `deployments` against a JSON-RPC endpoint. Returns
     * (contract, name, resolved). */
-  def resolveNames(deployments: DataFrame, endpoint: String): DataFrame = {
+  def resolveNames(deployments: DataFrame, endpoint: String,
+      timeoutMs: Long = 10000L): DataFrame = {
     val spark = deployments.sparkSession
     import spark.implicits._
     deployments.select(col("contract")).dropDuplicates("contract")
       .as[String]
       .mapPartitions { rows =>
         // one client per partition: HTTP/1.1 keep-alive reuses the
-        // socket across the partition's calls
-        val client = HttpClient.newHttpClient()
+        // socket across the partition's calls. Connect + per-request
+        // timeouts so one hung node degrades that call to
+        // resolved=false instead of stalling the task forever.
+        val client = HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+          .build()
         val uri = URI.create(endpoint)
         rows.map { addr =>
           val payload =
@@ -61,6 +66,7 @@ object Rpc {
           try {
             val req = HttpRequest.newBuilder(uri)
               .header("Content-Type", "application/json")
+              .timeout(java.time.Duration.ofMillis(timeoutMs))
               .POST(HttpRequest.BodyPublishers.ofString(payload))
               .build()
             val body = client.send(req, HttpResponse.BodyHandlers.ofString()).body()
