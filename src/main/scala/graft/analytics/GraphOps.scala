@@ -139,19 +139,39 @@ object GraphOps {
     dist
   }
 
-  /** Triangle count per node (undirected, simple graph): canonical-order
-    * edges joined twice — candidate wedges meet the closing edge in an
-    * equi-join, never a cross product. */
+  /** Triangle count per node (undirected, simple graph): DEGREE-ORDERED
+    * orientation — each undirected edge points from the lower-(degree,
+    * id) endpoint to the higher, wedges open at each node's oriented
+    * out-neighbors, and the closing edge meets them in an equi-join.
+    * Ordering by id alone lets a power-law hub keep all its edges
+    * out-oriented (Σ C(out_deg, 2) blows up on the hub); ordering by
+    * degree caps every out-degree at O(arboricity·√m̄), the standard
+    * bound that makes wedge count O(m^{3/2}) on any graph. Never a
+    * cross product. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
-    val canon = und.filter(col("src") < col("dst")).localCheckpoint()
-    val ab = canon.toDF("a", "b")
-    val bc = canon.toDF("b", "c")
-    val ac = canon.toDF("a", "c")
-    val tri = ab.join(bc, "b").join(ac, Seq("a", "c")) // a<b<c triangles
-    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .localCheckpoint()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // orient: src order < dst order, order = (deg, id)
+    val withOrd = und
+      .join(deg.toDF("src", "sdeg"), "src")
+      .join(deg.toDF("dst", "ddeg"), "dst")
+    val oriented = withOrd
+      .filter(struct(col("sdeg"), col("src")) < struct(col("ddeg"), col("dst")))
+      .select(col("src").as("lo"), col("dst").as("hi"),
+        struct(col("ddeg"), col("dst")).as("hi_ord"))
+      .localCheckpoint()
+    // wedges open at the lowest-order corner: two out-edges of `lo`,
+    // deduped by hi_ord ordering; the closing edge is oriented b→c by
+    // construction (b's order < c's order and both > lo's)
+    val w1 = oriented.select(col("lo"), col("hi").as("b"), col("hi_ord").as("b_ord"))
+    val w2 = oriented.select(col("lo"), col("hi").as("c"), col("hi_ord").as("c_ord"))
+    val wedges = w1.join(w2, "lo").filter(col("b_ord") < col("c_ord"))
+    val close = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tri = wedges.join(close, Seq("b", "c"))
+    val perNode = tri.select(explode(array(col("lo"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
     und.select(col("src").as("id")).distinct()
       .join(perNode, Seq("id"), "left")
