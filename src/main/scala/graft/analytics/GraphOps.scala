@@ -82,6 +82,8 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    if (n == 0) // empty graph: empty (id, rank) result, not a div-by-zero
+      return nodes.select(col("id"), lit(0.0).as("rank"))
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
       .localCheckpoint()
     val base = scale * (100 - damping100) / (100 * n) // teleport term, exact Long

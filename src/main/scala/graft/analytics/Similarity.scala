@@ -111,7 +111,8 @@ object Similarity {
   def similarToTarget(interfaces: DataFrame, targetHash: String,
       threshold: Double): DataFrame =
     similarToTarget(interfaces,
-      interfaces.sparkSession.sql(s"SELECT '$targetHash' AS t_hash"), threshold)
+      interfaces.sparkSession.range(1).select(lit(targetHash).as("t_hash")),
+      threshold)
 
   /** J8, address entry point form: the target skeleton arrives as a
     * 1-row frame (column `t_hash`) produced by the address → deployment

@@ -95,7 +95,9 @@ object Layout {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".json.gz"))
       .sortBy(_.getName)
     parts.zipWithIndex.foreach { case (p, i) =>
-      fs.rename(p, new org.apache.hadoop.fs.Path(dir, s"${entity}_$i.json.gz"))
+      val target = new org.apache.hadoop.fs.Path(dir, s"${entity}_$i.json.gz")
+      if (!fs.rename(p, target)) // silent false = a hole in the numbering
+        throw new java.io.IOException(s"rename $p -> $target failed")
     }
   }
 }

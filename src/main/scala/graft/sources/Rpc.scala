@@ -26,6 +26,12 @@ object Rpc {
   /** keccak("name()") selector — the reference's ABI method id. */
   val NameSelector = "0x06fdde03"
 
+  /** JVM-singleton HTTP client (thread-safe; JDK 17 HttpClient has no
+    * close(), so per-call instances would leak selector threads). */
+  lazy val sharedClient: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+
   /** Decode an ABI-encoded `string` return value (0x + offset word +
     * length word + UTF-8 data padded to 32 bytes). None on anything
     * malformed. */
@@ -52,13 +58,13 @@ object Rpc {
     deployments.select(col("contract")).dropDuplicates("contract")
       .as[String]
       .mapPartitions { rows =>
-        // one client per partition: HTTP/1.1 keep-alive reuses the
-        // socket across the partition's calls. Connect + per-request
-        // timeouts so one hung node degrades that call to
-        // resolved=false instead of stalling the task forever.
-        val client = HttpClient.newBuilder()
-          .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
-          .build()
+        // one client per JVM (HttpClient is thread-safe and has no
+        // close() on JDK 17 — per-partition instances would leak their
+        // selector threads): HTTP/1.1 keep-alive reuses sockets across
+        // all of the executor's calls. Per-request timeouts so one
+        // hung node degrades that call to resolved=false instead of
+        // stalling the task forever.
+        val client = Rpc.sharedClient
         val uri = URI.create(endpoint)
         rows.map { addr =>
           val payload =

@@ -55,10 +55,19 @@ object Sanctuary {
         if (st.isDirectory) { stack.push(st.getPath); dirs += st.getPath.toString }
       }
     }
+    // ship the session's Hadoop conf (credentials, fs impls) to the
+    // executor-side listings as a serializable property list
+    val confProps: Seq[(String, String)] = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator(); val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toSeq
+    }
     val listed = spark.createDataset(dirs.toSeq)
       .repartition(math.min(dirs.size, 64))
       .mapPartitions { ps =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
         ps.flatMap { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(conf).listStatus(p).iterator

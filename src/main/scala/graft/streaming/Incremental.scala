@@ -46,12 +46,16 @@ object Incremental {
     val spark = raw.sparkSession
     raw.persist()
     val batchBlocks = raw.select(col("block_number")).distinct().persist()
-    // the affected-bucket set stays a (broadcast) FRAME — a replay batch
-    // of unbounded width never materializes its block list on the
-    // driver; partition pruning of the semi-join is Spark's dynamic
-    // partition pruning instead of a driver-built isin literal
+    // the BLOCK set stays a broadcast frame (a replay batch of
+    // unbounded width never materializes its block list on the
+    // driver); the BUCKET id list is collected — it is bounded by
+    // contract at |blocks| / blocksPerPartition (a 1M-block replay is
+    // 100 ids) and as a literal it prunes the survivors scan
+    // STATICALLY at plan time, which a join-based filter does not
+    // guarantee (DPP only fires for selective build sides)
     val affectedBuckets = Layout.withBlockBucket(batchBlocks)
-      .select(col("block_bucket")).distinct().persist()
+      .select(col("block_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     try derive.foreach { case (entity, f) =>
       val path = s"$outRoot/dynamic/$entity"
       val newRows = Layout.withBlockBucket(f(raw))
@@ -59,7 +63,7 @@ object Incremental {
         if (!pathExists(spark, path)) newRows
         else {
           val survivors = spark.read.parquet(path)
-            .join(broadcast(affectedBuckets), Seq("block_bucket"), "left_semi")
+            .where(col("block_bucket").isin(affectedBuckets: _*))
             .join(broadcast(batchBlocks), Seq("block_number"), "left_anti")
             .localCheckpoint()
           newRows.unionByName(survivors)
@@ -70,7 +74,6 @@ object Incremental {
         .partitionBy("block_bucket")
         .parquet(path)
     } finally {
-      affectedBuckets.unpersist()
       batchBlocks.unpersist()
       raw.unpersist()
     }
