@@ -29,10 +29,14 @@ object GraphOps {
           .as("degree"))
   }
 
-  /** Connected components (undirected) by min-label propagation: each
-    * node adopts the smallest id reachable so far; iterate until no
-    * label changes (or maxIter). Converges in O(diameter) rounds; each
-    * round is one join + one agg, both shuffling on node id. */
+  /** Connected components (undirected) by min-label propagation WITH
+    * pointer jumping: each round every node adopts the smallest label
+    * among itself and its neighbors (one join + one agg on node id),
+    * then shortcuts through its label's own label (one more join) — so
+    * the distance a label travels doubles per round and convergence is
+    * O(log diameter) rounds, not O(diameter). Labels only decrease and
+    * are bounded below by the component minimum, so the fixpoint is
+    * unchanged; the convergence test rides the round's aggregate. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialized once: every round joins against it — leaving it lazy
     // re-runs the upstream scan/distinct per iteration
@@ -50,10 +54,18 @@ object GraphOps {
       // fold the convergence test into the round's aggregation: carry the
       // old label through the min() and count diffs in the same pass —
       // one job per round instead of checkpoint-job + compare-job
-      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+      val folded = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .unionByName(viaNeighbor.withColumn("old", lit(null).cast(viaNeighbor.schema("comp").dataType)))
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
+      // pointer jump: labels are node ids, so a label's own current
+      // label is a valid (smaller-or-equal) label two hops away
+      val next = folded
+        .join(folded.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+          col("old"))
         .localCheckpoint() // truncate lineage per round
       converged = next.filter(col("comp") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("comp"))
