@@ -31,6 +31,16 @@ class GraphSpec extends AnyFunSuite {
     assert(mine === graphx.map { case (k, v) => (k: Long) -> (v: Long) })
   }
 
+  test("components converge on a 100-node chain within 20 rounds (pointer jumping)") {
+    // plain neighbor-min propagation needs ~100 rounds on a path graph;
+    // with per-round label shortcutting the min travels 2^r hops, so
+    // maxIter = 20 only suffices if pointer jumping actually works
+    val chain = df((0L until 99L).map(i => i -> (i + 1)): _*)
+    val comps = GraphOps.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => r.getAs[Long]("comp")).distinct
+    assert(comps === Array(0L))
+  }
+
   test("pageRank: known values on a 2-cycle and a dangling chain") {
     // 2-cycle: symmetric → ranks 0.5 / 0.5 at any iteration count
     val cyc = GraphOps.pageRank(df(1L -> 2L, 2L -> 1L), iters = 10).collect()
