@@ -59,13 +59,17 @@ object GraphOps {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
       // pointer jump: labels are node ids, so a label's own current
-      // label is a valid (smaller-or-equal) label two hops away
-      val next = folded
-        .join(folded.select(col("id").as("comp"), col("comp").as("comp2")),
-          Seq("comp"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
-          col("old"))
+      // label is a valid (smaller-or-equal) label two hops away. Only
+      // from round 4 on — small-world graphs converge before then and
+      // would pay the extra shuffle for nothing; long chains still get
+      // the doubling (3 plain hops, then 6, 12, 24, …)
+      val next = (if (iter < 3) folded
+        else folded
+          .join(folded.select(col("id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+            col("old")))
         .localCheckpoint() // truncate lineage per round
       converged = next.filter(col("comp") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("comp"))
