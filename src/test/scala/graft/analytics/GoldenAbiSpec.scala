@@ -1,0 +1,38 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.etl.Decompile
+
+/** The reference's OWN compliancy test cases (models/tests.rs
+  * check_is_erc20 / check_is_erc721), replayed through our ABI parse +
+  * compliancy pipeline: the BNB token ABI must score exactly 6/6 ERC-20
+  * signatures and the ENS registrar ABI exactly 9/9 ERC-721 signatures.
+  * Fixture JSON extracted verbatim from the reference tests (sanctioned
+  * golden-data reuse, same as EvmSpec's CSVs). */
+class GoldenAbiSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(name: String): String =
+    new String(getClass.getResourceAsStream(s"/$name").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def abiRows(hash: String, json: String) = {
+    import spark.implicits._
+    Decompile.parseAbi(
+      Seq((hash, json, false)).toDF("skeleton_hash", "abi_json", "failed_decompilation"))
+  }
+
+  test("reference golden: BNB ABI scores erc20_compliancy 6 (models/tests.rs check_is_erc20)") {
+    val scores = Similarity.erc20Compliancy(abiRows("0xbnb", fixture("bnb_abi.json")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(scores === Map("0xbnb" -> 6))
+  }
+
+  test("reference golden: ENS registrar ABI scores erc721_compliancy 9 (models/tests.rs check_is_erc721)") {
+    val scores = Similarity.erc721Compliancy(abiRows("0xens", fixture("erc721_abi.json")))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(scores === Map("0xens" -> 9))
+  }
+}
