@@ -170,6 +170,26 @@ object Relational {
              |FROM orders GROUP BY 1""".stripMargin),
       "exact uint256 string-sum via custom TypedImperativeAggregate"),
 
+    // uint256 ORDERING without leaving codegen: non-negative decimal
+    // strings compare numerically once left-padded to 78 digits (the
+    // max-uint256 width) — the reference's balance_left / value sorting
+    // semantics (U256→decimal string, contract_destruction.rs) as plain
+    // min/max aggregates. Values are 24+ digits, beyond any int64.
+    "q94_uint256_minmax" -> Q(
+      (s, d) => {
+        val v = concat(col("p_partkey").cast("string"), lit("9" * 20))
+        part(s, d)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            regexp_replace(min(lpad(v, 78, "0")), "^0+", "").as("min_val"),
+            regexp_replace(max(lpad(v, 78, "0")), "^0+", "").as("max_val"))
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+              | regexp_replace(min(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', '') AS min_val,
+              | regexp_replace(max(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', '') AS max_val
+              |FROM part GROUP BY 1""".stripMargin),
+      "uint256 numeric ordering via fixed-width pad (U3 ordering surface)"),
+
     // exact interpolated percentiles (gas-stats flavor beyond A1's
     // min/max/avg/stddev): Spark percentile() and DuckDB quantile_cont
     // share the linear-interpolation definition
