@@ -54,23 +54,26 @@ object GraphOps {
       // fold the convergence test into the round's aggregation: carry the
       // old label through the min() and count diffs in the same pass —
       // one job per round instead of checkpoint-job + compare-job
+      // checkpointed so the jump round's self-join reads a
+      // materialized frame instead of re-running the union+agg twice
       val folded = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .unionByName(viaNeighbor.withColumn("old", lit(null).cast(viaNeighbor.schema("comp").dataType)))
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
+        .localCheckpoint() // also truncates lineage per round
       // pointer jump: labels are node ids, so a label's own current
       // label is a valid (smaller-or-equal) label two hops away. Only
       // from round 4 on — small-world graphs converge before then and
       // would pay the extra shuffle for nothing; long chains still get
       // the doubling (3 plain hops, then 6, 12, 24, …)
-      val next = (if (iter < 3) folded
+      val next =
+        if (iter < 3) folded
         else folded
           .join(folded.select(col("id").as("comp"), col("comp").as("comp2")),
             Seq("comp"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
-            col("old")))
-        .localCheckpoint() // truncate lineage per round
+            col("old"))
       converged = next.filter(col("comp") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("comp"))
       iter += 1

@@ -178,15 +178,19 @@ object Relational {
     "q94_uint256_minmax" -> Q(
       (s, d) => {
         val v = concat(col("p_partkey").cast("string"), lit("9" * 20))
+        // strip-then-restore-zero: '^0+' on an all-zero pad would yield
+        // '' — coalesce(nullif(…)) keeps a literal uint256 zero as "0"
+        def unpad(c: Column) =
+          coalesce(nullif(regexp_replace(c, "^0+", ""), lit("")), lit("0"))
         part(s, d)
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n"),
-            regexp_replace(min(lpad(v, 78, "0")), "^0+", "").as("min_val"),
-            regexp_replace(max(lpad(v, 78, "0")), "^0+", "").as("max_val"))
+            unpad(min(lpad(v, 78, "0"))).as("min_val"),
+            unpad(max(lpad(v, 78, "0"))).as("max_val"))
       },
       Some(s"""SELECT p_brand, count(*) AS n,
-              | regexp_replace(min(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', '') AS min_val,
-              | regexp_replace(max(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', '') AS max_val
+              | coalesce(nullif(regexp_replace(min(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', ''), ''), '0') AS min_val,
+              | coalesce(nullif(regexp_replace(max(lpad(CAST(p_partkey AS VARCHAR) || '${"9" * 20}', 78, '0')), '^0+', ''), ''), '0') AS max_val
               |FROM part GROUP BY 1""".stripMargin),
       "uint256 numeric ordering via fixed-width pad (U3 ordering surface)"),
 
