@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Rpc, RpcStub}
+
+/** The reference's JSON-RPC fetch faces (S1/S2/S7) driven through the
+  * REAL paged HTTP client in [[graft.sources.Rpc]] against the local
+  * deterministic stub node ([[graft.sources.RpcStub]], the q91
+  * sanction for the zero-egress sandbox): the pagination, bounded
+  * fan-out, JSON envelope decode, hex-quantity conversion, and
+  * past-the-head termination are all the production paths; only the
+  * node behind the socket answers by closed-form rule — which is what
+  * lets the DuckDB oracle replay the entire fetch in SQL from
+  * `generate_series`.
+  */
+object RpcOps {
+
+  def defs: Map[String, Q] = Map(
+    // stream.rs:275-336 sync_to_live + blocks.rs:6-18 get_block_with_txs:
+    // head from eth_blockNumber, then the catch-up page lastIndexed+1..head
+    // fetched with bounded slots; blocks arrive WITH their transaction
+    // arrays and every scalar is decoded from JSON hex quantities.
+    "q95_rpc_blocks" -> Q(
+      (s, _) => {
+        Rpc.syncToLive(s, RpcStub.endpoint, lastIndexed = 699L)
+          .select(col("number"), col("ts"), col("gas_used"), col("gas_limit"),
+            col("base_fee_wei"), col("miner"),
+            size(col("transactions")).cast("long").as("tx_count"))
+      },
+      Some("""SELECT n AS number,
+             |       1438269973 + 12*n AS ts,
+             |       (n*7919) % 30000000 AS gas_used,
+             |       CAST(30000000 AS BIGINT) AS gas_limit,
+             |       (n*104729) % 1000000000000 AS base_fee_wei,
+             |       printf('0x%040x', (n*2654435761) % 1099511627776) AS miner,
+             |       n % 13 AS tx_count
+             |FROM generate_series(700, 750) AS t(n)""".stripMargin),
+      "S1/S7 catch-up block fetch: eth_blockNumber head + paged eth_getBlockByNumber with full txs (stream.rs:275-336, blocks.rs:6-18)"),
+
+    // traces.rs:36-50 get_traces: trace_block per block, then the J1
+    // prefix propagation runs over the FETCHED rows — the stub errors
+    // some roots and some mid-level traces but never descendants, so
+    // every `failed=true` below a healthy trace is Enrich's doing.
+    "q96_rpc_traces" -> Q(
+      (s, _) => {
+        val raw = Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 720L)
+        graft.etl.Enrich.propagateTraceErrors(raw)
+          .select(col("block_number"), col("tx_hash"),
+            array_join(col("trace_address").cast("array<string>"), "_").as("path"),
+            col("failed"))
+      },
+      Some("""WITH blk AS (SELECT n FROM generate_series(700, 720) AS t(n)),
+             |tx AS (SELECT n, i FROM blk, generate_series(0, 12) AS t2(i) WHERE i < n % 13),
+             |kids AS (SELECT n, i, j FROM tx, generate_series(0, 2) AS t3(j) WHERE j < i % 3),
+             |allt AS (
+             |  SELECT n, i, '' AS path, ((n+i) % 7 = 0) AS failed FROM tx
+             |  UNION ALL
+             |  SELECT n, i, CAST(j AS VARCHAR),
+             |         ((n+i) % 7 = 0 OR (n+i+j) % 11 = 0) FROM kids
+             |  UNION ALL
+             |  SELECT n, i, CAST(j AS VARCHAR) || '_0',
+             |         ((n+i) % 7 = 0 OR (n+i+j) % 11 = 0) FROM kids WHERE j % 2 = 1
+             |)
+             |SELECT n AS block_number, printf('0x%064x', n*100000 + i) AS tx_hash,
+             |       path, failed
+             |FROM allt""".stripMargin),
+      "S2 trace fetch + J1 propagation over RPC-fetched traces (traces.rs:36-50)"))
+}

@@ -3,8 +3,9 @@ package graft.sources
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** U2/J9: the per-contract `name()` eth_call enrichment
   * (contract_deployment.rs:118-156) as a `mapPartitions` JSON-RPC
@@ -85,5 +86,147 @@ object Rpc {
         }
       }
       .toDF()
+  }
+
+  // --------------------------------------------------------------------
+  // S1/S2/S7 fetch faces (blocks.rs:6-18 get_block_with_txs,
+  // traces.rs:36-50 trace_block, stream.rs:275-336 sync_to_live). The
+  // mapPartitions stage does ONLY the HTTP hop and returns raw JSON
+  // bodies; everything after — envelope parse, hex-quantity decode,
+  // transaction-array explode — is declarative (`from_json` + `conv`),
+  // so it stays inside whole-stage codegen and Catalyst can prune it.
+  // --------------------------------------------------------------------
+
+  /** One driver-side JSON-RPC POST (the reference's head query and
+    * single-value calls, stream.rs:286-300). */
+  def post(endpoint: String, method: String, params: String,
+      timeoutMs: Long = 10000L): String = {
+    val payload =
+      s"""{"jsonrpc":"2.0","id":1,"method":"$method","params":$params}"""
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/json")
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
+      .build()
+    sharedClient.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private val HexResultRe = """"result"\s*:\s*"0x([0-9a-fA-F]+)"""".r
+
+  /** `eth_blockNumber` — the live chain head (stream.rs:286-300). */
+  def blockNumber(endpoint: String): Long =
+    HexResultRe.findFirstMatchIn(post(endpoint, "eth_blockNumber", "[]"))
+      .map(m => java.lang.Long.parseLong(m.group(1), 16))
+      .getOrElse(throw new IllegalStateException("eth_blockNumber gave no result"))
+
+  /** Fetch one JSON body per block number over `[from, to]`. `slots`
+    * bounds concurrent connections exactly like the reference's
+    * `Semaphore::new(num_jobs)` (stream.rs:303): one partition = one
+    * in-flight request stream with a keep-alive client. A failed call
+    * yields a null body (the caller's drop-null is the reference's
+    * network-retry-or-skip face). */
+  def fetchBodies(spark: SparkSession, endpoint: String, from: Long, to: Long,
+      method: String, slots: Int = 8, timeoutMs: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    require(to >= from, s"empty block range [$from, $to]")
+    spark.range(from, to + 1, 1, math.min(slots.toLong, to - from + 1).toInt)
+      .as[Long]
+      .mapPartitions { nums =>
+        val client = Rpc.sharedClient
+        val uri = URI.create(endpoint)
+        nums.map { n =>
+          val hexN = "0x" + java.lang.Long.toHexString(n)
+          val params =
+            if (method == "eth_getBlockByNumber") s"""["$hexN",true]"""
+            else s"""["$hexN"]"""
+          val payload =
+            s"""{"jsonrpc":"2.0","id":1,"method":"$method","params":$params}"""
+          try {
+            val req = HttpRequest.newBuilder(uri)
+              .header("Content-Type", "application/json")
+              .timeout(java.time.Duration.ofMillis(timeoutMs))
+              .POST(HttpRequest.BodyPublishers.ofString(payload))
+              .build()
+            (n, client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+          } catch { case _: Exception => (n, null: String) }
+        }
+      }
+      .toDF("number", "body")
+  }
+
+  /** Hex quantity "0x1b4" → long. */
+  private def hexLong(c: Column): Column =
+    conv(regexp_replace(c, "^0x", ""), 16, 10).cast(LongType)
+
+  private val txSchema = StructType(Seq(
+    StructField("hash", StringType), StructField("from", StringType),
+    StructField("to", StringType), StructField("value", StringType),
+    StructField("gas", StringType), StructField("input", StringType)))
+
+  private val blockEnvelope = StructType(Seq(StructField("result", StructType(Seq(
+    StructField("number", StringType), StructField("timestamp", StringType),
+    StructField("gasUsed", StringType), StructField("gasLimit", StringType),
+    StructField("baseFeePerGas", StringType), StructField("miner", StringType),
+    StructField("transactions", ArrayType(txSchema)))))))
+
+  private val traceEnvelope = StructType(Seq(StructField("result", ArrayType(
+    StructType(Seq(
+      StructField("action", StructType(Seq(
+        StructField("from", StringType), StructField("to", StringType)))),
+      StructField("error", StringType),
+      StructField("traceAddress", ArrayType(IntegerType)),
+      StructField("subtraces", IntegerType),
+      StructField("transactionHash", StringType),
+      StructField("transactionPosition", IntegerType),
+      StructField("type", StringType)))))))
+
+  /** S1: `eth_getBlockByNumber(n, true)` over a block range → one typed
+    * row per AVAILABLE block (a null `result` — past the head, or a
+    * failed call — drops out, the reference's "block not available yet"
+    * marker, stream.rs:316-321). Keeps the full transaction array
+    * (blocks.rs:6-18 fetches blocks WITH transactions). */
+  def fetchBlocks(spark: SparkSession, endpoint: String, from: Long, to: Long,
+      slots: Int = 8): DataFrame =
+    fetchBodies(spark, endpoint, from, to, "eth_getBlockByNumber", slots)
+      .select(from_json(col("body"), blockEnvelope).getField("result").as("r"))
+      .where(col("r").isNotNull)
+      .select(
+        hexLong(col("r.number")).as("number"),
+        hexLong(col("r.timestamp")).as("ts"),
+        hexLong(col("r.gasUsed")).as("gas_used"),
+        hexLong(col("r.gasLimit")).as("gas_limit"),
+        hexLong(col("r.baseFeePerGas")).as("base_fee_wei"),
+        col("r.miner").as("miner"),
+        col("r.transactions").as("transactions"))
+
+  /** S2: `trace_block(n)` over a block range → one row per trace with
+    * the raw (UNPROPAGATED) error column — error propagation is
+    * [[graft.etl.Enrich.propagateTraceErrors]]'s job, exactly as the
+    * reference propagates after the fetch (traces.rs:36-50). */
+  def fetchTraces(spark: SparkSession, endpoint: String, from: Long, to: Long,
+      slots: Int = 8): DataFrame =
+    fetchBodies(spark, endpoint, from, to, "trace_block", slots)
+      .select(col("number").as("block_number"),
+        explode(from_json(col("body"), traceEnvelope).getField("result")).as("t"))
+      .select(
+        col("block_number"),
+        col("t.transactionHash").as("tx_hash"),
+        col("t.traceAddress").as("trace_address"),
+        col("t.subtraces").as("subtraces"),
+        col("t.type").as("trace_type"),
+        col("t.error").as("error"),
+        col("t.action.from").as("from_address"),
+        col("t.action.to").as("to_address"))
+
+  /** S7: the catch-up scan (stream.rs:275-336 `sync_to_live`): ask the
+    * node for its head, then fetch `lastIndexed+1 .. head` in parallel
+    * bounded by `slots`. Returns the typed block frame for the gap —
+    * the caller unions it with the already-indexed data (K4/K5 replace
+    * semantics live in [[graft.streaming.Incremental]]). */
+  def syncToLive(spark: SparkSession, endpoint: String, lastIndexed: Long,
+      slots: Int = 8): DataFrame = {
+    val head = blockNumber(endpoint)
+    require(head > lastIndexed, s"already at head $head (indexed $lastIndexed)")
+    fetchBlocks(spark, endpoint, lastIndexed + 1, head, slots)
   }
 }

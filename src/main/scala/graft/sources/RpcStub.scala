@@ -8,14 +8,95 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 /** Deterministic local JSON-RPC stand-in for the zero-egress sandbox
   * (the same sanction as the stand-in decompiler script in
   * [[graft.queries.ExternalOps]]): a real node is unreachable here, so
-  * `name()` eth_calls are answered by rule — addresses whose last
-  * digit is divisible by 3 return an RPC error (the unresolvable
-  * case), every other address resolves to `"C" + last-4-chars`,
-  * ABI-encoded exactly as a Solidity `string` return. The HTTP hop,
-  * JSON envelope, ABI decode, and failure path in [[Rpc]] are all
-  * real; only the node behind the socket is synthetic.
+  * the node behind the socket is synthetic — but the HTTP hop, JSON
+  * envelope, hex-quantity decode, pagination, and failure paths in
+  * [[Rpc]] are all real.
+  *
+  * Served methods, all answered by closed-form rules over the block
+  * number so the DuckDB oracle can replay them in SQL:
+  *
+  *  - `eth_call` (`name()` selector): addresses whose last digit is
+  *    divisible by 3 return an RPC error, every other address resolves
+  *    to `"C" + last-4-chars`, ABI-encoded as a Solidity `string`.
+  *  - `eth_blockNumber`: the chain head, fixed at [[Head]]
+  *    (the reference's sync target, stream.rs:286-300).
+  *  - `eth_getBlockByNumber(n, full=true)`: a block object with its
+  *    full transaction list (blocks.rs:6-18 `get_block_with_txs`);
+  *    `result: null` past the head — the reference's "block not
+  *    available yet" termination marker (stream.rs:316-321).
+  *  - `trace_block(n)`: the block's execution traces, three levels
+  *    deep, with `error` set on SOME roots and mid-level traces but
+  *    never pre-propagated — propagation to descendants is the
+  *    engine's job (traces.rs:6-34).
   */
 object RpcStub {
+
+  /** Chain head answered by eth_blockNumber (stream.rs:286-300). */
+  val Head = 750L
+
+  // ---- the block rule (mirrored by the q95 oracle SQL) ----
+  def timestampOf(n: Long): Long = 1438269973L + 12L * n
+  def gasUsedOf(n: Long): Long = (n * 7919L) % 30000000L
+  val GasLimit = 30000000L
+  def baseFeeOf(n: Long): Long = (n * 104729L) % 1000000000000L
+  def minerOf(n: Long): String = f"0x${(n * 2654435761L) % 1099511627776L}%040x"
+  def txCountOf(n: Long): Int = (n % 13L).toInt
+
+  // ---- the transaction rule ----
+  def txHashOf(n: Long, i: Int): String = f"0x${n * 100000L + i}%064x"
+  def txFromOf(n: Long, i: Int): String = f"0x${n * 31L + i + 1}%040x"
+  def txToOf(n: Long, i: Int): String = f"0x${n * 37L + i + 2}%040x"
+  def txValueOf(n: Long, i: Int): Long = n * 1000L + i
+  def txGasOf(i: Int): Long = 21000L + i
+
+  // ---- the trace rule (errors only where stated; NO pre-propagation) ----
+  /** children of tx i's root trace */
+  def subCountOf(i: Int): Int = i % 3
+  /** grandchildren of child j (depth-3 paths exercise prefix walks) */
+  def grandCountOf(j: Int): Int = j % 2
+  def rootErrored(n: Long, i: Int): Boolean = (n + i) % 7L == 0L
+  def childErrored(n: Long, i: Int, j: Int): Boolean = (n + i + j) % 11L == 0L
+
+  private def hexQty(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+
+  /** The eth_getBlockByNumber result object, or None past the head. */
+  def blockJson(n: Long): Option[String] = {
+    if (n > Head) return None
+    val txs = (0 until txCountOf(n)).map { i =>
+      s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
+        s""""value":"${hexQty(txValueOf(n, i))}","gas":"${hexQty(txGasOf(i))}","input":"0x"}"""
+    }.mkString(",")
+    Some(
+      s"""{"number":"${hexQty(n)}","timestamp":"${hexQty(timestampOf(n))}",""" +
+        s""""gasUsed":"${hexQty(gasUsedOf(n))}","gasLimit":"${hexQty(GasLimit)}",""" +
+        s""""baseFeePerGas":"${hexQty(baseFeeOf(n))}","miner":"${minerOf(n)}",""" +
+        s""""transactions":[$txs]}""")
+  }
+
+  /** The trace_block result array, or None past the head. Parity-style
+    * trace objects: traceAddress path, subtraces count, optional error. */
+  def tracesJson(n: Long): Option[String] = {
+    if (n > Head) return None
+    val out = Seq.newBuilder[String]
+    def trace(i: Int, path: Seq[Int], subtraces: Int, error: Option[String]): String = {
+      val err = error.map(e => s""""error":"$e",""").getOrElse("")
+      s"""{"action":{"from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}"},$err""" +
+        s""""traceAddress":[${path.mkString(",")}],"subtraces":$subtraces,""" +
+        s""""transactionHash":"${txHashOf(n, i)}","transactionPosition":$i,"type":"call"}"""
+    }
+    for (i <- 0 until txCountOf(n)) {
+      val subs = subCountOf(i)
+      out += trace(i, Nil, subs, if (rootErrored(n, i)) Some("Reverted") else None)
+      for (j <- 0 until subs) {
+        val grands = grandCountOf(j)
+        out += trace(i, Seq(j), grands,
+          if (childErrored(n, i, j)) Some("Reverted") else None)
+        for (k <- 0 until grands)
+          out += trace(i, Seq(j, k), 0, None)
+      }
+    }
+    Some("[" + out.result().mkString(",") + "]")
+  }
 
   /** ABI-encode a string return: offset word + length word + padded data. */
   def abiEncodeString(s: String): String = {
@@ -25,7 +106,7 @@ object RpcStub {
     "0x" + f"${32}%064x" + f"${bytes.length}%064x" + padded
   }
 
-  /** The deterministic rule (mirrored by q91's oracle SQL). */
+  /** The deterministic name() rule (mirrored by q91's oracle SQL). */
   def nameFor(addr: String): Option[String] = {
     val last = addr.last
     if (last.isDigit && (last - '0') % 3 == 0) None
@@ -33,6 +114,37 @@ object RpcStub {
   }
 
   private val ToRe = """"to"\s*:\s*"([^"]+)"""".r
+  private val MethodRe = """"method"\s*:\s*"([^"]+)"""".r
+  private val ParamHexRe = """"params"\s*:\s*\[\s*"0x([0-9a-fA-F]+)"""".r
+
+  private def ok(result: String) = s"""{"jsonrpc":"2.0","id":1,"result":$result}"""
+  private def err(code: Int, msg: String) =
+    s"""{"jsonrpc":"2.0","id":1,"error":{"code":$code,"message":"$msg"}}"""
+
+  /** Route one JSON-RPC request body to its rule-based answer. */
+  def respond(body: String): String =
+    MethodRe.findFirstMatchIn(body).map(_.group(1)) match {
+      case Some("eth_blockNumber") => ok(s""""${hexQty(Head)}"""")
+      case Some("eth_getBlockByNumber") =>
+        ParamHexRe.findFirstMatchIn(body).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
+          case Some(n) => blockJson(n).map(ok).getOrElse(ok("null"))
+          case None    => err(-32602, "invalid block number")
+        }
+      case Some("trace_block") =>
+        ParamHexRe.findFirstMatchIn(body).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
+          case Some(n) => tracesJson(n).map(ok).getOrElse(ok("null"))
+          case None    => err(-32602, "invalid block number")
+        }
+      case Some("eth_call") =>
+        ToRe.findFirstMatchIn(body).map(_.group(1)) match {
+          case Some(addr) => nameFor(addr) match {
+            case Some(n) => ok(s""""${abiEncodeString(n)}"""")
+            case None    => err(3, "execution reverted")
+          }
+          case None => err(-32600, "bad request")
+        }
+      case _ => err(-32601, "method not found")
+    }
 
   /** Lazily-started singleton on an ephemeral loopback port; daemon
     * executor, lives for the JVM (Temps-style lifecycle). */
@@ -41,17 +153,7 @@ object RpcStub {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val resp = ToRe.findFirstMatchIn(body).map(_.group(1)) match {
-          case Some(addr) => nameFor(addr) match {
-            case Some(n) =>
-              s"""{"jsonrpc":"2.0","id":1,"result":"${abiEncodeString(n)}"}"""
-            case None =>
-              """{"jsonrpc":"2.0","id":1,"error":{"code":3,"message":"execution reverted"}}"""
-          }
-          case None =>
-            """{"jsonrpc":"2.0","id":1,"error":{"code":-32600,"message":"bad request"}}"""
-        }
-        val out = resp.getBytes(StandardCharsets.UTF_8)
+        val out = respond(body).getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, out.length)
         ex.getResponseBody.write(out)

@@ -43,4 +43,63 @@ class RpcSpec extends AnyFunSuite {
       "http://127.0.0.1:1/").collect()
     assert(got.length === 1 && !got(0).getBoolean(2))
   }
+
+  test("blockNumber reads the head from eth_blockNumber") {
+    assert(Rpc.blockNumber(RpcStub.endpoint) === RpcStub.Head)
+  }
+
+  test("fetchBlocks decodes hex quantities and keeps the full tx array") {
+    val rows = Rpc.fetchBlocks(spark, RpcStub.endpoint, 713L, 713L).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("number") === 713L)
+    assert(r.getAs[Long]("ts") === RpcStub.timestampOf(713L))
+    assert(r.getAs[Long]("gas_used") === RpcStub.gasUsedOf(713L))
+    assert(r.getAs[Long]("base_fee_wei") === RpcStub.baseFeeOf(713L))
+    assert(r.getAs[String]("miner") === RpcStub.minerOf(713L))
+    val txs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("transactions")
+    assert(txs.length === RpcStub.txCountOf(713L))
+    assert(txs.head.getAs[String]("hash") === RpcStub.txHashOf(713L, 0))
+  }
+
+  test("past-the-head blocks answer result:null and drop out (termination marker)") {
+    val rows = Rpc.fetchBlocks(spark, RpcStub.endpoint,
+      RpcStub.Head - 1, RpcStub.Head + 5)
+    assert(rows.count() === 2) // head-1 and head only
+  }
+
+  test("syncToLive fetches exactly lastIndexed+1 .. head") {
+    val nums = Rpc.syncToLive(spark, RpcStub.endpoint, RpcStub.Head - 3)
+      .select("number").collect().map(_.getLong(0)).sorted
+    assert(nums.toSeq === (RpcStub.Head - 2 to RpcStub.Head).toSeq)
+    intercept[IllegalArgumentException] {
+      Rpc.syncToLive(spark, RpcStub.endpoint, RpcStub.Head)
+    }
+  }
+
+  test("fetchTraces: stub never pre-propagates; Enrich fails descendants only") {
+    def failedSet(block: Long) = {
+      val traced = Rpc.fetchTraces(spark, RpcStub.endpoint, block, block)
+      // no trace arrives with a propagated error string — only rule-errored
+      assert(traced.collect().filter(_.getAs[String]("error") != null)
+        .forall(_.getAs[String]("error") === "Reverted"))
+      graft.etl.Enrich.propagateTraceErrors(traced).collect()
+        .map(r => (r.getAs[String]("tx_hash"),
+          r.getAs[scala.collection.Seq[Int]]("trace_address").mkString("_"),
+          r.getAs[Boolean]("failed"))).toSet
+    }
+    // block 700, tx 7: root errored ((700+7)%7==0), subs=7%3=1 →
+    // child [0] carries no error of its own but inherits the failure
+    val s700 = failedSet(700L)
+    val h1 = RpcStub.txHashOf(700L, 7)
+    assert(RpcStub.rootErrored(700L, 7) && !RpcStub.childErrored(700L, 7, 0))
+    assert(s700.contains((h1, "", true)) && s700.contains((h1, "0", true)), s700)
+    // block 701, tx 2: root healthy, child [1] errored ((701+2+1)%11==0)
+    // → grandchild [1,0] inherits; root and sibling [0] stay healthy
+    val s701 = failedSet(701L)
+    val h2 = RpcStub.txHashOf(701L, 2)
+    assert(!RpcStub.rootErrored(701L, 2) && RpcStub.childErrored(701L, 2, 1))
+    assert(s701.contains((h2, "", false)) && s701.contains((h2, "0", false))
+      && s701.contains((h2, "1", true)) && s701.contains((h2, "1_0", true)), s701)
+  }
 }
