@@ -64,5 +64,43 @@ object RpcOps {
              |SELECT n AS block_number, printf('0x%064x', n*100000 + i) AS tx_hash,
              |       path, failed
              |FROM allt""".stripMargin),
-      "S2 trace fetch + J1 propagation over RPC-fetched traces (traces.rs:36-50)"))
+      "S2 trace fetch + J1 propagation over RPC-fetched traces (traces.rs:36-50)"),
+
+    // stream.rs:339-372 run_stream_extraction as one code path: a real
+    // rate-ticked streaming query polls the head each tick and pushes
+    // the gap through the per-block-replacement sink; the first tick is
+    // the catch-up batch (sync_to_live), later ticks are the live
+    // follow. Driven here to the fixpoint (indexed == head) and read
+    // back; re-invocation finds the sink already at head and reads back
+    // unchanged — the idempotency contract.
+    "q97_follow_head" -> Q(
+      (s, _) => {
+        import org.apache.spark.sql.DataFrame
+        val outRoot = graft.Temps.dirFor("follow-out")
+        val ckpt = graft.Temps.dirFor("follow-ckpt")
+        val derive = Map("blocks" -> ((raw: DataFrame) => raw.select(
+          col("block_number"), col("ts"), col("gas_used"), col("gas_limit"),
+          col("base_fee_wei"), col("miner"),
+          size(col("transactions")).cast("long").as("tx_count"))))
+        val q = graft.streaming.Incremental.followHead(
+          s, RpcStub.endpoint, outRoot, ckpt, startBlock = 740L, derive, "blocks")
+        try {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (graft.streaming.Incremental.maxIndexedBlock(s, outRoot, "blocks")
+                   != Some(RpcStub.head) && System.nanoTime() < deadline)
+            Thread.sleep(100)
+        } finally q.stop()
+        s.read.parquet(s"$outRoot/dynamic/blocks")
+          .select("block_number", "ts", "gas_used", "gas_limit",
+            "base_fee_wei", "miner", "tx_count")
+      },
+      Some("""SELECT n AS block_number,
+             |       1438269973 + 12*n AS ts,
+             |       (n*7919) % 30000000 AS gas_used,
+             |       CAST(30000000 AS BIGINT) AS gas_limit,
+             |       (n*104729) % 1000000000000 AS base_fee_wei,
+             |       printf('0x%040x', (n*2654435761) % 1099511627776) AS miner,
+             |       n % 13 AS tx_count
+             |FROM generate_series(740, 750) AS t(n)""".stripMargin),
+      "S6 live follow: rate-ticked head poll → gap fetch → per-block replacement sink (stream.rs:339-372)"))
 }

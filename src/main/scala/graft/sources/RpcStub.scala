@@ -31,8 +31,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 object RpcStub {
 
-  /** Chain head answered by eth_blockNumber (stream.rs:286-300). */
+  /** Default chain head answered by eth_blockNumber (stream.rs:286-300). */
   val Head = 750L
+
+  /** The live head — advanceable so tests can exercise the reference's
+    * subscribe-and-follow mode (stream.rs:360-373): a "new block" is the
+    * head moving past what's indexed. Reset to [[Head]] after mutating. */
+  private val headRef = new java.util.concurrent.atomic.AtomicLong(Head)
+  def head: Long = headRef.get
+  def setHead(n: Long): Unit = headRef.set(n)
 
   // ---- the block rule (mirrored by the q95 oracle SQL) ----
   def timestampOf(n: Long): Long = 1438269973L + 12L * n
@@ -61,7 +68,7 @@ object RpcStub {
 
   /** The eth_getBlockByNumber result object, or None past the head. */
   def blockJson(n: Long): Option[String] = {
-    if (n > Head) return None
+    if (n > head) return None
     val txs = (0 until txCountOf(n)).map { i =>
       s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
         s""""value":"${hexQty(txValueOf(n, i))}","gas":"${hexQty(txGasOf(i))}","input":"0x"}"""
@@ -76,7 +83,7 @@ object RpcStub {
   /** The trace_block result array, or None past the head. Parity-style
     * trace objects: traceAddress path, subtraces count, optional error. */
   def tracesJson(n: Long): Option[String] = {
-    if (n > Head) return None
+    if (n > head) return None
     val out = Seq.newBuilder[String]
     def trace(i: Int, path: Seq[Int], subtraces: Int, error: Option[String]): String = {
       val err = error.map(e => s""""error":"$e",""").getOrElse("")
@@ -124,7 +131,7 @@ object RpcStub {
   /** Route one JSON-RPC request body to its rule-based answer. */
   def respond(body: String): String =
     MethodRe.findFirstMatchIn(body).map(_.group(1)) match {
-      case Some("eth_blockNumber") => ok(s""""${hexQty(Head)}"""")
+      case Some("eth_blockNumber") => ok(s""""${hexQty(head)}"""")
       case Some("eth_getBlockByNumber") =>
         ParamHexRe.findFirstMatchIn(body).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
           case Some(n) => blockJson(n).map(ok).getOrElse(ok("null"))

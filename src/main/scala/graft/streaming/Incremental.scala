@@ -102,15 +102,56 @@ object Incremental {
       derive: Map[String, DataFrame => DataFrame]): Unit =
     processBatch(raw, outRoot, derive)
 
+  /** S6 restated: follow the node's head (stream.rs:339-372
+    * `run_stream_extraction` — the websocket subscription becomes a
+    * poll: a "new block" IS the head moving past what's indexed, and
+    * the zero-egress sandbox has no socket to subscribe to). Every
+    * rate-source tick polls `eth_blockNumber`; when the head is past
+    * the max indexed block, the gap `last+1..head` is fetched with the
+    * paged client and pushed through the same per-block-replacement
+    * sink as [[run]] — so catch-up-then-live (stream.rs:275-336) is
+    * one code path: the first tick does the big catch-up batch, later
+    * ticks process whatever arrived since.
+    *
+    * `resumeEntity` names the derived table whose max block is the
+    * resume point (A14); an empty sink starts from `startBlock`. */
+  def followHead(spark: SparkSession, endpoint: String, outRoot: String,
+      checkpoint: String, startBlock: Long,
+      derive: Map[String, DataFrame => DataFrame], resumeEntity: String,
+      slots: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val head = graft.sources.Rpc.blockNumber(endpoint)
+        val last = maxIndexedBlock(spark, outRoot, resumeEntity)
+          .getOrElse(startBlock - 1)
+        if (head > last) {
+          val raw = graft.sources.Rpc
+            .fetchBlocks(spark, endpoint, last + 1, head, slots)
+            .withColumnRenamed("number", "block_number")
+          processBatch(raw, outRoot, derive)
+        }
+      }
+      .start()
+
   /** A14: the resume point — max block number already present in a
     * derived table (stream.rs:284-301). */
   def maxIndexedBlock(spark: SparkSession, outRoot: String, entity: String): Option[Long] = {
     val path = s"$outRoot/dynamic/$entity"
     if (!pathExists(spark, path)) None
-    else spark.read.parquet(path)
+    else try spark.read.parquet(path)
       .agg(max(col("block_number"))).head().get(0) match {
       case n: java.lang.Long => Some(n)
       case _ => None
+    } catch {
+      // the directory exists but holds no committed footer yet (a
+      // first write is still staging, or a prior run aborted): that IS
+      // "nothing indexed" — concurrent pollers (followHead's resume
+      // check, specs watching progress) must not blow up on it
+      case _: org.apache.spark.sql.AnalysisException => None
     }
   }
 }
