@@ -437,5 +437,85 @@ object TextOps {
            |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t)
            |SELECT doc_id, $bitTerms AS simhash FROM th""".stripMargin
       },
-      "SimHash near-dup fingerprint"))
+      "SimHash near-dup fingerprint"),
+
+    // Benchmark decontamination: remove training docs sharing any
+    // 4-token shingle with the held-out benchmark set (doc_id % 29 = 0
+    // plays the benchmark). The benchmark side is small by construction
+    // → its distinct shingle-hash set BROADCASTS, so the contamination
+    // check is a map-side semi-join: linear in the training corpus, no
+    // shuffle of the big side — the shape that holds at 100 TB, where
+    // the eval suites are KBs against TBs of training text.
+    "q98_decontaminate" -> Q(
+      (s, d) => {
+        val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+        val bench = sh.where(col("doc_id") % 29 === 0)
+          .select(col("sh").as("b_sh")).distinct()
+        val hits = sh.where(col("doc_id") % 29 =!= 0)
+          .join(broadcast(bench), col("sh") === col("b_sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        documents(s, d).where(col("doc_id") % 29 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)) === 0L).as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 29 = 0),
+              |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+              |      FROM (SELECT * FROM sh WHERE doc_id % 29 <> 0) s
+              |      SEMI JOIN bench USING (sh) GROUP BY 1)
+              |SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+              |       coalesce(h.hits, 0) = 0 AS keep
+              |FROM documents d LEFT JOIN h USING (doc_id)
+              |WHERE d.doc_id % 29 <> 0""".stripMargin),
+      "benchmark decontamination: broadcast semi-join on shingle hashes"),
+
+    // Gopher/C4-style repetition filtering: within-doc duplicate-3gram
+    // fraction + most-frequent-bigram mass. Pure per-row array math
+    // (no shuffle, no explode): linear scan shape, trivially parallel.
+    "q99_repetition" -> Q(
+      (s, d) => {
+        val g3 = col("G3"); val g2 = col("G2")
+        val n3 = size(g3); val d3 = size(array_distinct(g3)); val n2 = size(g2)
+        val top2 = array_max(transform(array_distinct(g2),
+          x => size(filter(g2, y => y === x))))
+        documents(s, d)
+          .withColumn("T", tokens(col("text")))
+          .withColumn("G3", shinglesFromTokens(col("T"), 3))
+          .withColumn("G2", shinglesFromTokens(col("T"), 2))
+          .select(
+            col("doc_id"),
+            n3.cast("long").as("n_3grams"),
+            d3.cast("long").as("d_3grams"),
+            when(n3 > 0, round(lit(1.0) - d3.cast("double") / n3, 6))
+              .otherwise(0.0).as("dup3_frac"),
+            when(n2 > 0, round(top2.cast("double") / n2, 6))
+              .otherwise(0.0).as("top2_frac"))
+          .withColumn("repetitive",
+            col("dup3_frac") > 0.2 || col("top2_frac") > 0.1)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |g AS (SELECT doc_id,
+              |        list_transform(range(1, len(T) - 1), i -> T[i] || ' ' || T[i+1] || ' ' || T[i+2]) AS G3,
+              |        list_transform(range(1, len(T)), i -> T[i] || ' ' || T[i+1]) AS G2
+              |      FROM t),
+              |m AS (SELECT doc_id,
+              |        CAST(len(G3) AS BIGINT) AS n_3grams,
+              |        CAST(len(list_distinct(G3)) AS BIGINT) AS d_3grams,
+              |        CASE WHEN len(G3) > 0
+              |             THEN round(1.0 - CAST(len(list_distinct(G3)) AS DOUBLE) / len(G3), 6)
+              |             ELSE 0.0 END AS dup3_frac,
+              |        CASE WHEN len(G2) > 0
+              |             THEN round(CAST(list_max(list_transform(list_distinct(G2), x -> len(list_filter(G2, y -> y = x)))) AS DOUBLE) / len(G2), 6)
+              |             ELSE 0.0 END AS top2_frac
+              |      FROM g)
+              |SELECT doc_id, n_3grams, d_3grams, dup3_frac, top2_frac,
+              |       (dup3_frac > 0.2 OR top2_frac > 0.1) AS repetitive
+              |FROM m""".stripMargin),
+      "within-doc repetition quality filter (dup-3gram + top-bigram mass)"))
 }
