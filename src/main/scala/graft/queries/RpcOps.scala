@@ -102,5 +102,22 @@ object RpcOps {
              |       printf('0x%040x', (n*2654435761) % 1099511627776) AS miner,
              |       n % 13 AS tx_count
              |FROM generate_series(740, 750) AS t(n)""".stripMargin),
-      "S6 live follow: rate-ticked head poll → gap fetch → per-block replacement sink (stream.rs:339-372)"))
+      "S6 live follow: rate-ticked head poll → gap fetch → per-block replacement sink (stream.rs:339-372)"),
+
+    // block.rs:323-339: the nested Withdrawal entity — fetched inside
+    // the block objects (real JSON array-of-struct decode, amounts
+    // re-encoded as uint256-decimal strings in flight) and flattened
+    // by the production Decode.explodeWithdrawals.
+    "q102_rpc_withdrawals" -> Q(
+      (s, _) => graft.etl.Decode.explodeWithdrawals(
+        Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)),
+      Some("""SELECT n AS block_number,
+             |       printf('0x%040x', n*13 + k + 5) AS address,
+             |       CAST(n*1000000 + k*997 AS VARCHAR) AS amount,
+             |       n*16 + k AS "index",
+             |       (n*3 + k) % 1000 AS validator_index
+             |FROM generate_series(700, 750) AS t(n),
+             |     generate_series(0, 4) AS t2(k)
+             |WHERE k < n % 5""".stripMargin),
+      "nested Withdrawal entity through the RPC block fetch + explode (block.rs:323-339)"))
 }

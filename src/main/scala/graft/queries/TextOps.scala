@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis._
 import Tables._
@@ -27,6 +28,61 @@ object TextOps {
   /** 4-token shingles of list expr `T` — mirrors shingles(_, 4). */
   private def shinglesSql(T: String): String =
     s"list_transform(range(1, len($T) - 2), i -> $T[i] || ' ' || $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3])"
+
+  /** q28's LSH near-dup machinery, shared with cluster assignment
+    * (q101): fused one-pass signatures → 2 bands of 2 hashes → band
+    * equi-join candidates → signature-agreement score ≥ 0.5. */
+  private def bandPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      .localCheckpoint() // read by both band explodes + the scorer
+    // 2 bands of 2 hashes: candidates share band 0 (h0,h1) or band 1 (h2,h3)
+    val bands = sig.select(col("doc_id"), lit(0).as("band"),
+        col("h0").as("x"), col("h1").as("y"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        col("h2").as("x"), col("h3").as("y")))
+    val cand = bands.toDF("a_id", "band", "x", "y")
+      .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sa = sig.toDF("a_id", "a0", "a1", "a2", "a3")
+    val sb = sig.toDF("b_id", "b0", "b1", "b2", "b3")
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        ((when(col("a0") === col("b0"), 1).otherwise(0) +
+          when(col("a1") === col("b1"), 1).otherwise(0) +
+          when(col("a2") === col("b2"), 1).otherwise(0) +
+          when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+  }
+
+  /** The CTE chain producing q28's scored pairs as `p` (DuckDB side). */
+  private def bandPairsCtesSql: String = {
+    val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+    }.mkString(", ")
+    s"""t AS (SELECT doc_id, $toksSql AS T FROM documents),
+       |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+       |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM sig
+       |  UNION ALL SELECT doc_id, 1, h2, h3 FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       |              AND a.doc_id < b.doc_id),
+       |p AS (SELECT a_id, b_id,
+       |        (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+       |         CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+       |         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+       |         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 AS est_jaccard
+       |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
+  }
 
   def defs: Map[String, Q] = Map(
     // token counting + quality scoring
@@ -204,56 +260,9 @@ object TextOps {
     // band buckets — equi-join — and are scored by signature agreement;
     // no shingle-level pair fan-out at all)
     "q28_minhash_bands" -> Q(
-      (s, d) => {
-        val sig = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
-          .where(col("sig").isNotNull)
-          .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
-            element_at(col("sig"), j + 1).as(s"h$j")): _*)
-          .localCheckpoint() // read by both band explodes + the scorer
-        // 2 bands of 2 hashes: candidates share band 0 (h0,h1) or band 1 (h2,h3)
-        val bands = sig.select(col("doc_id"), lit(0).as("band"),
-            col("h0").as("x"), col("h1").as("y"))
-          .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-            col("h2").as("x"), col("h3").as("y")))
-        val cand = bands.toDF("a_id", "band", "x", "y")
-          .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
-          .where(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val sa = sig.toDF("a_id", "a0", "a1", "a2", "a3")
-        val sb = sig.toDF("b_id", "b0", "b1", "b2", "b3")
-        cand.join(sa, "a_id").join(sb, "b_id")
-          .select(col("a_id"), col("b_id"),
-            ((when(col("a0") === col("b0"), 1).otherwise(0) +
-              when(col("a1") === col("b1"), 1).otherwise(0) +
-              when(col("a2") === col("b2"), 1).otherwise(0) +
-              when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
-              .as("est_jaccard"))
-          .where(col("est_jaccard") >= 0.5)
-      },
-      Some {
-        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
-          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
-        }.mkString(", ")
-        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
-           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
-           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM sig
-           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-           |              AND a.doc_id < b.doc_id),
-           |p AS (SELECT a_id, b_id,
-           |        (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-           |         CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-           |         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-           |         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 AS est_jaccard
-           |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
-           |SELECT a_id, b_id, est_jaccard FROM p WHERE est_jaccard >= 0.5""".stripMargin
-      },
+      (s, d) => bandPairs(s, d),
+      Some(s"""WITH $bandPairsCtesSql
+              |SELECT a_id, b_id, est_jaccard FROM p WHERE est_jaccard >= 0.5""".stripMargin),
       "MinHash-LSH band join + signature agreement: the q24 scale path"),
 
     // the injected SQL function surface (GraftExtensions), exercised
@@ -517,5 +526,81 @@ object TextOps {
               |SELECT doc_id, n_3grams, d_3grams, dup3_frac, top2_frac,
               |       (dup3_frac > 0.2 OR top2_frac > 0.1) AS repetitive
               |FROM m""".stripMargin),
-      "within-doc repetition quality filter (dup-3gram + top-bigram mass)"))
+      "within-doc repetition quality filter (dup-3gram + top-bigram mass)"),
+
+    // Deterministic source-mixture resampling: each source gets a
+    // target retention rate (here a closed-form permille of the source
+    // number) and docs are kept by content-stable hash threshold — the
+    // training-mix downsampler. Pure map-side filter + one aggregate:
+    // the 100-TB shape is a single pass, no shuffle before the final
+    // per-source rollup, and re-runs/backfills keep the SAME docs
+    // (hash-stable, not rand()-based).
+    "q100_mixture" -> Q(
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 10).cast("long")
+        val w = lit(1000L) / (lit(1L) + pmod(srcNum, lit(4L)))
+        val keep = pmod(graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string")),
+          lit(1000L)) < w.cast("long")
+        documents(s, d)
+          .withColumn("target_permille", w.cast("long"))
+          .withColumn("kept", keep)
+          .groupBy(col("source"), col("target_permille"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT source,
+              |         1000 // (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS target_permille,
+              |         ${tokHashSql("CAST(doc_id AS VARCHAR)")} % 1000
+              |           < 1000 // (1 + CAST(substr(source, 4) AS BIGINT) % 4) AS kept,
+              |         n_chars
+              |  FROM documents)
+              |SELECT source, target_permille,
+              |       count(*) AS n_docs,
+              |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+              |FROM m GROUP BY 1, 2""".stripMargin),
+      "deterministic source-mixture resampling (hash-stable training-mix weights)"),
+
+    // Near-dup CLUSTER assignment: the q28 LSH pairs become an
+    // undirected graph, connected components give every doc its
+    // canonical representative (min doc_id in the cluster) — the full
+    // dedup pipeline's last mile: candidates → score → clusters →
+    // keep-one. Composition of two oracled pillars (q28 × q71); the
+    // oracle replays the closure with a recursive CTE.
+    "q101_dedup_clusters" -> Q(
+      (s, d) => {
+        val pairs = bandPairs(s, d)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(pairs)
+          .toDF("doc_id", "canonical")
+        val assigned = documents(s, d).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical"), col("doc_id")).as("canonical"))
+        val sizes = assigned.groupBy(col("canonical"))
+          .agg(count(lit(1)).as("cluster_size"))
+        assigned.join(sizes, Seq("canonical"))
+          .select(col("doc_id"), col("canonical"), col("cluster_size"),
+            (col("doc_id") === col("canonical")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE $bandPairsCtesSql,
+              |pairs AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |        UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+              |comp AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY 1),
+              |assigned AS (
+              |  SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |sz AS (SELECT canonical, count(*) AS cluster_size FROM assigned GROUP BY 1)
+              |SELECT a.doc_id, a.canonical, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+              |       a.doc_id = a.canonical AS keep
+              |FROM assigned a JOIN sz USING (canonical)""".stripMargin),
+      "near-dup cluster assignment: LSH pairs → connected components → canonical doc"))
 }

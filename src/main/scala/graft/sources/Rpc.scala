@@ -163,11 +163,16 @@ object Rpc {
     StructField("to", StringType), StructField("value", StringType),
     StructField("gas", StringType), StructField("input", StringType)))
 
+  private val wdSchema = StructType(Seq(
+    StructField("index", StringType), StructField("validatorIndex", StringType),
+    StructField("address", StringType), StructField("amount", StringType)))
+
   private val blockEnvelope = StructType(Seq(StructField("result", StructType(Seq(
     StructField("number", StringType), StructField("timestamp", StringType),
     StructField("gasUsed", StringType), StructField("gasLimit", StringType),
     StructField("baseFeePerGas", StringType), StructField("miner", StringType),
-    StructField("transactions", ArrayType(txSchema)))))))
+    StructField("transactions", ArrayType(txSchema)),
+    StructField("withdrawals", ArrayType(wdSchema)))))))
 
   private val traceEnvelope = StructType(Seq(StructField("result", ArrayType(
     StructType(Seq(
@@ -197,7 +202,16 @@ object Rpc {
         hexLong(col("r.gasLimit")).as("gas_limit"),
         hexLong(col("r.baseFeePerGas")).as("base_fee_wei"),
         col("r.miner").as("miner"),
-        col("r.transactions").as("transactions"))
+        col("r.transactions").as("transactions"),
+        // reference Withdrawal shape (Schemas.withdrawal): amounts
+        // become uint256-decimal STRINGS (block.rs:333), indexes longs
+        transform(col("r.withdrawals"), w => struct(
+          w.getField("address").as("address"),
+          conv(regexp_replace(w.getField("amount"), "^0x", ""), 16, 10)
+            .as("amount"),
+          hexLong(w.getField("index")).as("index"),
+          hexLong(w.getField("validatorIndex")).as("validator_index")))
+          .as("withdrawals"))
 
   /** S2: `trace_block(n)` over a block range → one row per trace with
     * the raw (UNPROPAGATED) error column — error propagation is

@@ -49,6 +49,13 @@ object RpcStub {
   def minerOf(n: Long): String = f"0x${(n * 2654435761L) % 1099511627776L}%040x"
   def txCountOf(n: Long): Int = (n % 13L).toInt
 
+  // ---- the withdrawal rule (block.rs:323-339's nested entity) ----
+  def wdCountOf(n: Long): Int = (n % 5L).toInt
+  def wdIndexOf(n: Long, k: Int): Long = n * 16L + k
+  def wdValidatorOf(n: Long, k: Int): Long = (n * 3L + k) % 1000L
+  def wdAddressOf(n: Long, k: Int): String = f"0x${n * 13L + k + 5}%040x"
+  def wdAmountOf(n: Long, k: Int): Long = n * 1000000L + k * 997L
+
   // ---- the transaction rule ----
   def txHashOf(n: Long, i: Int): String = f"0x${n * 100000L + i}%064x"
   def txFromOf(n: Long, i: Int): String = f"0x${n * 31L + i + 1}%040x"
@@ -73,11 +80,15 @@ object RpcStub {
       s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
         s""""value":"${hexQty(txValueOf(n, i))}","gas":"${hexQty(txGasOf(i))}","input":"0x"}"""
     }.mkString(",")
+    val wds = (0 until wdCountOf(n)).map { k =>
+      s"""{"index":"${hexQty(wdIndexOf(n, k))}","validatorIndex":"${hexQty(wdValidatorOf(n, k))}",""" +
+        s""""address":"${wdAddressOf(n, k)}","amount":"${hexQty(wdAmountOf(n, k))}"}"""
+    }.mkString(",")
     Some(
       s"""{"number":"${hexQty(n)}","timestamp":"${hexQty(timestampOf(n))}",""" +
         s""""gasUsed":"${hexQty(gasUsedOf(n))}","gasLimit":"${hexQty(GasLimit)}",""" +
         s""""baseFeePerGas":"${hexQty(baseFeeOf(n))}","miner":"${minerOf(n)}",""" +
-        s""""transactions":[$txs]}""")
+        s""""transactions":[$txs],"withdrawals":[$wds]}""")
   }
 
   /** The trace_block result array, or None past the head. Parity-style
