@@ -27,22 +27,9 @@ object PipelineOps {
   private def word(c: Column): Column = lpad(c.cast("string"), 64, "0")
   private def wordSql(e: String): String = s"lpad(CAST($e AS VARCHAR), 64, '0')"
 
-  /** Runtime prefix (PUSH1 80 PUSH1 40 MSTORE PUSH1 0a PUSH1 00 SSTORE)
-    * + the reference's golden bzzr0 trailer. Skeleton:
-    * 60006000526000600055. */
-  private val CodeBzzr0 =
-    "6080604052600a600055" +
-      "a165627a7a72305820202020202042756c6b20536d61736821212120202020203c33203020202020200029"
-  private val SkelHashBzzr0 = "0x0f38843e5e632009aa852bf3564a2fc5c8c709ebdaf1b35eab32a014cdfc8fe6"
-  private val StorageHashBzzr0 = "202020202042756c6b20536d61736821212120202020203c3320302020202020"
-
-  /** Runtime prefix (… PUSH2 beef …) + the golden ipfs/solc trailer.
-    * Skeleton: 6000600052610000600055. */
-  private val CodeIpfs =
-    "608060405261beef600155" +
-      "a2646970667358221220aece3e2aea3c94c577aba094d2c5548e8142bc0a311f4a00cda183b42780cc9264736f6c63430008070033"
-  private val SkelHashIpfs = "0x66d00d94ede9dfd0632895e74cca487171f6dbf2e0133c5e06c30e3ce8ee06e2"
-  private val StorageHashIpfs = "1220aece3e2aea3c94c577aba094d2c5548e8142bc0a311f4a00cda183b42780cc92"
+  // pinned bytecode fixtures, shared with the stub RPC node (q103)
+  import graft.domain.Golden.{CodeBzzr0, SkelHashBzzr0, StorageHashBzzr0,
+    CodeIpfs, SkelHashIpfs, StorageHashIpfs}
 
   /** Deterministic trace rows in the full [[graft.domain.Schemas.trace]]
     * shape: one trace per (order, linenumber) — linenumber 1 is the

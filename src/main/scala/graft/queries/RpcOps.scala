@@ -119,5 +119,85 @@ object RpcOps {
              |FROM generate_series(700, 750) AS t(n),
              |     generate_series(0, 4) AS t2(k)
              |WHERE k < n % 5""".stripMargin),
-      "nested Withdrawal entity through the RPC block fetch + explode (block.rs:323-339)"))
+      "nested Withdrawal entity through the RPC block fetch + explode (block.rs:323-339)"),
+
+    // The reference's full trace→deployment extract leg over FETCHED
+    // traces (extract.rs:84-289 ∘ traces.rs:36-50): create traces carry
+    // the pinned golden bytecode, so the real keccak-skeleton + CBOR
+    // metadata stack runs on RPC-delivered bytes and the oracle states
+    // the results verbatim (q87's contract, S2-fed).
+    "q103_rpc_deployments" -> Q(
+      (s, _) => {
+        val t = Rpc.traceEntities(Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L))
+        graft.etl.Enrich.flagFailedCreations(graft.etl.Decode.deployments(t), t)
+          .select(col("tx_hash"), col("contract"), col("creator"),
+            col("block_number"), col("failed"), col("skeleton_hash"),
+            col("solc_version"), col("storage_protocol"),
+            col("storage_address"), col("experimental"))
+      },
+      Some {
+        import graft.domain.Golden._
+        s"""WITH tx AS (
+           |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+           |       generate_series(0, 12) AS t2(i)
+           |  WHERE i < n % 13),
+           |cr AS (SELECT n, i FROM tx WHERE i % 4 = 1)
+           |SELECT printf('0x%064x', n*100000 + i) AS tx_hash,
+           |  printf('0x%040x', n*61 + i) AS contract,
+           |  printf('0x%040x', n*31 + i + 1) AS creator,
+           |  n AS block_number,
+           |  ((n+i) % 7 = 0
+           |    OR (i % 3 > 0 AND (n+i) % 11 = 0)
+           |    OR (i % 3 > 1 AND (n+i+1) % 11 = 0)) AS failed,
+           |  CASE WHEN (n+i) % 2 = 0 THEN '$SkelHashBzzr0' ELSE '$SkelHashIpfs' END AS skeleton_hash,
+           |  CASE WHEN (n+i) % 2 = 1 THEN '0.8.7' END AS solc_version,
+           |  CASE WHEN (n+i) % 2 = 0 THEN 'bzzr0' ELSE 'ipfs' END AS storage_protocol,
+           |  CASE WHEN (n+i) % 2 = 0 THEN '$StorageHashBzzr0' ELSE '$StorageHashIpfs' END AS storage_address,
+           |  false AS experimental
+           |FROM cr""".stripMargin
+      },
+      "extract leg over RPC-fetched create traces: skeleton + CBOR on delivered bytes (extract.rs:84-289 ∘ traces.rs:36-50)"),
+
+    // contract_destruction.rs:33-59 over fetched SELFDESTRUCT traces:
+    // balances arrive as hex quantities and leave as uint256-decimal
+    // strings through the production hexToDec.
+    "q104_rpc_destructions" -> Q(
+      (s, _) => graft.etl.Decode.destructions(
+        Rpc.traceEntities(Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L))),
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13)
+             |SELECT printf('0x%040x', n*67 + i) AS contract,
+             |  n AS block_number,
+             |  printf('0x%064x', n*100000 + i) AS tx_hash,
+             |  ((n+i) % 7 = 0) AS failed,
+             |  CAST(n*500 + i AS VARCHAR) AS balance_left,
+             |  printf('0x%040x', n*71 + i) AS refund_address
+             |FROM tx WHERE i % 4 = 3""".stripMargin),
+      "destruction leg over RPC-fetched suicide traces (contract_destruction.rs:33-59, P3)"),
+
+    // logs.rs:30-113: per-block eth_getLogs → the production P1 transfer
+    // decode. The stub mixes ERC-20 (3-topic, value word), ERC-721
+    // (4-topic, token_id) and non-Transfer logs; the decoder must keep
+    // the first two shapes and drop the third, renaming the same U256
+    // source column by token type (transfer.rs:184-191).
+    "q105_rpc_transfers" -> Q(
+      (s, _) => graft.etl.Decode.transfersFromLogs(
+        Rpc.fetchLogs(s, RpcStub.endpoint, 700L, 750L)),
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13 AND i % 2 = 0)
+             |SELECT printf('0x%040x', n*73 + i) AS contract,
+             |  printf('0x%040x', n*31 + i + 1) AS "from",
+             |  printf('0x%040x', n*37 + i + 2) AS "to",
+             |  CASE WHEN i % 4 = 0 THEN 'ERC721' ELSE 'ERC20' END AS token_type,
+             |  CASE WHEN i % 4 = 2 THEN CAST(n*10000 + i AS VARCHAR) END AS value,
+             |  CASE WHEN i % 4 = 0 THEN CAST(n*100 + i AS VARCHAR) END AS token_id,
+             |  n AS block_number,
+             |  printf('0x%064x', n*100000 + i) AS tx_hash,
+             |  i AS log_index
+             |FROM tx""".stripMargin),
+      "P1 transfer decode over per-block eth_getLogs fetch (logs.rs:30-113)"))
 }

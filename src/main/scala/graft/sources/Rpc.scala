@@ -136,9 +136,13 @@ object Rpc {
         val uri = URI.create(endpoint)
         nums.map { n =>
           val hexN = "0x" + java.lang.Long.toHexString(n)
-          val params =
-            if (method == "eth_getBlockByNumber") s"""["$hexN",true]"""
-            else s"""["$hexN"]"""
+          val params = method match {
+            case "eth_getBlockByNumber" => s"""["$hexN",true]"""
+            // per-block filter — the reference fetches logs one block at
+            // a time (logs.rs:30-60)
+            case "eth_getLogs" => s"""[{"fromBlock":"$hexN","toBlock":"$hexN"}]"""
+            case _ => s"""["$hexN"]"""
+          }
           val payload =
             s"""{"jsonrpc":"2.0","id":1,"method":"$method","params":$params}"""
           try {
@@ -177,7 +181,12 @@ object Rpc {
   private val traceEnvelope = StructType(Seq(StructField("result", ArrayType(
     StructType(Seq(
       StructField("action", StructType(Seq(
-        StructField("from", StringType), StructField("to", StringType)))),
+        StructField("from", StringType), StructField("to", StringType),
+        StructField("init", StringType), StructField("address", StringType),
+        StructField("refundAddress", StringType),
+        StructField("balance", StringType)))),
+      StructField("result", StructType(Seq(
+        StructField("address", StringType), StructField("code", StringType)))),
       StructField("error", StringType),
       StructField("traceAddress", ArrayType(IntegerType)),
       StructField("subtraces", IntegerType),
@@ -230,7 +239,65 @@ object Rpc {
         col("t.type").as("trace_type"),
         col("t.error").as("error"),
         col("t.action.from").as("from_address"),
-        col("t.action.to").as("to_address"))
+        col("t.action.to").as("to_address"),
+        col("t.action.init").as("init"),
+        col("t.result.address").as("created_address"),
+        col("t.result.code").as("created_code"),
+        col("t.action.address").as("destroyed_address"),
+        col("t.action.refundAddress").as("refund_address"),
+        col("t.action.balance").as("balance"))
+
+  private val logEnvelope = StructType(Seq(StructField("result", ArrayType(
+    StructType(Seq(
+      StructField("address", StringType),
+      StructField("topics", ArrayType(StringType)),
+      StructField("data", StringType),
+      StructField("blockNumber", StringType),
+      StructField("transactionHash", StringType),
+      StructField("transactionIndex", StringType),
+      StructField("logIndex", StringType),
+      StructField("removed", BooleanType)))))))
+
+  /** S4: per-block `eth_getLogs` over a block range → rows in the
+    * [[graft.domain.Schemas.log]] shape (topics array flattened into 4
+    * nullable columns, log.rs:157-175). */
+  def fetchLogs(spark: SparkSession, endpoint: String, from: Long, to: Long,
+      slots: Int = 8): DataFrame =
+    fetchBodies(spark, endpoint, from, to, "eth_getLogs", slots)
+      .select(col("number").as("block_number"),
+        explode(from_json(col("body"), logEnvelope).getField("result")).as("l"))
+      .select(
+        col("block_number"),
+        col("l.transactionHash").as("tx_hash"),
+        hexLong(col("l.transactionIndex")).as("tx_index"),
+        hexLong(col("l.logIndex")).as("log_index"),
+        col("l.address").as("address"),
+        // get() is null-safe past the end — topics carry 1..4 entries
+        // (element_at would throw under ANSI on short arrays)
+        get(col("l.topics"), lit(0)).as("topic_0"),
+        get(col("l.topics"), lit(1)).as("topic_1"),
+        get(col("l.topics"), lit(2)).as("topic_2"),
+        get(col("l.topics"), lit(3)).as("topic_3"),
+        col("l.data").as("data"),
+        col("l.removed").as("removed"))
+
+  /** Fetched traces → the [[graft.domain.Schemas.trace]] entity shape
+    * (0x prefixes stripped from bytecode — the decode stack consumes
+    * bare hex), ready for [[graft.etl.Decode.deployments]] and the
+    * rest of the extract leg. */
+  def traceEntities(fetched: DataFrame): DataFrame =
+    fetched.select(
+      col("block_number"),
+      col("tx_hash"),
+      col("trace_address"),
+      col("trace_type").as("type"),
+      col("error"),
+      col("from_address").as("from"),
+      regexp_replace(col("init"), "^0x", "").as("init"),
+      coalesce(col("created_address"), col("destroyed_address")).as("address"),
+      regexp_replace(col("created_code"), "^0x", "").as("code"),
+      regexp_replace(col("balance"), "^0x", "").as("balance"),
+      col("refund_address"))
 
   /** S7: the catch-up scan (stream.rs:275-336 `sync_to_live`): ask the
     * node for its head, then fetch `lastIndexed+1 .. head` in parallel

@@ -71,7 +71,52 @@ object RpcStub {
   def rootErrored(n: Long, i: Int): Boolean = (n + i) % 7L == 0L
   def childErrored(n: Long, i: Int, j: Int): Boolean = (n + i + j) % 11L == 0L
 
+  // ---- the creation rule: some roots are `create` traces carrying the
+  // pinned golden bytecode (graft.domain.Golden), so the downstream
+  // skeleton/CBOR pipeline runs on real bytes the oracle can pin ----
+  def isCreate(i: Int): Boolean = i % 4 == 1
+  def createdAddressOf(n: Long, i: Int): String = f"0x${n * 61L + i}%040x"
+  def createdCodeOf(n: Long, i: Int): String =
+    if ((n + i) % 2L == 0L) graft.domain.Golden.CodeBzzr0
+    else graft.domain.Golden.CodeIpfs
+
+  // ---- the destruction rule: SELFDESTRUCT roots
+  // (contract_destruction.rs:33-59) ----
+  def isSuicide(i: Int): Boolean = i % 4 == 3
+  def destroyedAddressOf(n: Long, i: Int): String = f"0x${n * 67L + i}%040x"
+  def refundAddressOf(n: Long, i: Int): String = f"0x${n * 71L + i}%040x"
+  def balanceOf(n: Long, i: Int): Long = n * 500L + i
+
   private def hexQty(v: Long): String = "0x" + java.lang.Long.toHexString(v)
+  private def word(v: Long): String = f"0x$v%064x"
+
+  // ---- the log rule (logs.rs:30-60 per-block eth_getLogs): tx i%4==2
+  // emits an ERC-20 Transfer (3 topics, value in the data word),
+  // i%4==0 an ERC-721 Transfer (4 topics, token_id in topic_3), the
+  // rest a non-Transfer topic the decoder must drop ----
+  def logContractOf(n: Long, i: Int): String = f"0x${n * 73L + i}%040x"
+  def transferValueOf(n: Long, i: Int): Long = n * 10000L + i
+  def tokenIdOf(n: Long, i: Int): Long = n * 100L + i
+  val OtherTopic: String = "0x" + "ee" * 32
+
+  /** The eth_getLogs result array for one block, or None past the head. */
+  def logsJson(n: Long): Option[String] = {
+    if (n > head) return None
+    val out = (0 until txCountOf(n)).map { i =>
+      val transferTopic = graft.functions.Sig.TransferTopic
+      val (topics, data) = (i % 4) match {
+        case 2 => (Seq(transferTopic, word(n * 31L + i + 1), word(n * 37L + i + 2)),
+          word(transferValueOf(n, i)))
+        case 0 => (Seq(transferTopic, word(n * 31L + i + 1), word(n * 37L + i + 2),
+          word(tokenIdOf(n, i))), "0x")
+        case _ => (Seq(OtherTopic), "0x")
+      }
+      s"""{"address":"${logContractOf(n, i)}","topics":[${topics.map(t => s""""$t"""").mkString(",")}],""" +
+        s""""data":"$data","blockNumber":"${hexQty(n)}","transactionHash":"${txHashOf(n, i)}",""" +
+        s""""transactionIndex":"${hexQty(i.toLong)}","logIndex":"${hexQty(i.toLong)}","removed":false}"""
+    }
+    Some("[" + out.mkString(",") + "]")
+  }
 
   /** The eth_getBlockByNumber result object, or None past the head. */
   def blockJson(n: Long): Option[String] = {
@@ -96,15 +141,32 @@ object RpcStub {
   def tracesJson(n: Long): Option[String] = {
     if (n > head) return None
     val out = Seq.newBuilder[String]
-    def trace(i: Int, path: Seq[Int], subtraces: Int, error: Option[String]): String = {
+    def trace(i: Int, path: Seq[Int], subtraces: Int, error: Option[String],
+        kind: String = "call"): String = {
       val err = error.map(e => s""""error":"$e",""").getOrElse("")
-      s"""{"action":{"from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}"},$err""" +
+      val action = kind match {
+        case "create" =>
+          s""""action":{"from":"${txFromOf(n, i)}","init":"0x${createdCodeOf(n, i)}"}"""
+        case "suicide" =>
+          s""""action":{"address":"${destroyedAddressOf(n, i)}","refundAddress":"${refundAddressOf(n, i)}","balance":"${hexQty(balanceOf(n, i))}"}"""
+        case _ =>
+          s""""action":{"from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}"}"""
+      }
+      val result =
+        if (kind == "create")
+          s""""result":{"address":"${createdAddressOf(n, i)}","code":"0x${createdCodeOf(n, i)}"},"""
+        else ""
+      s"""{$action,$err$result""" +
         s""""traceAddress":[${path.mkString(",")}],"subtraces":$subtraces,""" +
-        s""""transactionHash":"${txHashOf(n, i)}","transactionPosition":$i,"type":"call"}"""
+        s""""transactionHash":"${txHashOf(n, i)}","transactionPosition":$i,""" +
+        s""""type":"$kind"}"""
     }
     for (i <- 0 until txCountOf(n)) {
       val subs = subCountOf(i)
-      out += trace(i, Nil, subs, if (rootErrored(n, i)) Some("Reverted") else None)
+      val kind =
+        if (isCreate(i)) "create" else if (isSuicide(i)) "suicide" else "call"
+      out += trace(i, Nil, subs,
+        if (rootErrored(n, i)) Some("Reverted") else None, kind = kind)
       for (j <- 0 until subs) {
         val grands = grandCountOf(j)
         out += trace(i, Seq(j), grands,
@@ -134,6 +196,7 @@ object RpcStub {
   private val ToRe = """"to"\s*:\s*"([^"]+)"""".r
   private val MethodRe = """"method"\s*:\s*"([^"]+)"""".r
   private val ParamHexRe = """"params"\s*:\s*\[\s*"0x([0-9a-fA-F]+)"""".r
+  private val FromBlockRe = """"fromBlock"\s*:\s*"0x([0-9a-fA-F]+)"""".r
 
   private def ok(result: String) = s"""{"jsonrpc":"2.0","id":1,"result":$result}"""
   private def err(code: Int, msg: String) =
@@ -152,6 +215,11 @@ object RpcStub {
         ParamHexRe.findFirstMatchIn(body).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
           case Some(n) => tracesJson(n).map(ok).getOrElse(ok("null"))
           case None    => err(-32602, "invalid block number")
+        }
+      case Some("eth_getLogs") =>
+        FromBlockRe.findFirstMatchIn(body).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
+          case Some(n) => logsJson(n).map(ok).getOrElse(ok("null"))
+          case None    => err(-32602, "invalid filter")
         }
       case Some("eth_call") =>
         ToRe.findFirstMatchIn(body).map(_.group(1)) match {

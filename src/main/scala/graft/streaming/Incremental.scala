@@ -73,6 +73,12 @@ object Incremental {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("block_bucket")
         .parquet(path)
+      // the session-level FileStatusCache may hold this path's OLD leaf
+      // files (any concurrent reader — a progress poller, the previous
+      // batch's survivors scan — primes it); a later read planning from
+      // that stale listing hits FILE_NOT_EXIST on the parts the dynamic
+      // overwrite just deleted. Invalidate after every commit.
+      spark.catalog.refreshByPath(path)
     } finally {
       batchBlocks.unpersist()
       raw.unpersist()
@@ -141,17 +147,34 @@ object Incremental {
     * derived table (stream.rs:284-301). */
   def maxIndexedBlock(spark: SparkSession, outRoot: String, entity: String): Option[Long] = {
     val path = s"$outRoot/dynamic/$entity"
-    if (!pathExists(spark, path)) None
-    else try spark.read.parquet(path)
-      .agg(max(col("block_number"))).head().get(0) match {
-      case n: java.lang.Long => Some(n)
-      case _ => None
-    } catch {
-      // the directory exists but holds no committed footer yet (a
-      // first write is still staging, or a prior run aborted): that IS
-      // "nothing indexed" — concurrent pollers (followHead's resume
-      // check, specs watching progress) must not blow up on it
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
+    def attempt(retries: Int): Option[Long] =
+      try spark.read.parquet(path)
+        .agg(max(col("block_number"))).head().get(0) match {
+        case n: java.lang.Long => Some(n)
+        case _ => None
+      } catch {
+        // the directory exists but holds no committed footer yet (a
+        // first write is still staging, or a prior run aborted): that IS
+        // "nothing indexed" — concurrent pollers (followHead's resume
+        // check, specs watching progress) must not blow up on it
+        case _: org.apache.spark.sql.AnalysisException => None
+        // read-while-replace: a dynamic partition overwrite deleted the
+        // listed part files between this read's planning and execution
+        // (FAILED_READ_FILE / FileNotFoundException). Re-list and retry —
+        // the replacement is atomic per commit, so a fresh listing wins.
+        case e: Exception if retries > 0 && isVanishedFile(e) =>
+          spark.catalog.refreshByPath(path)
+          attempt(retries - 1)
+      }
+    if (!pathExists(spark, path)) None else attempt(retries = 3)
   }
+
+  private def isVanishedFile(e: Throwable): Boolean =
+    e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case s: org.apache.spark.SparkException
+        if s.getMessage != null && s.getMessage.contains("FAILED_READ_FILE") => true
+      case other => isVanishedFile(other.getCause)
+    }
 }
