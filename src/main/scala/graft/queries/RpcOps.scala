@@ -199,5 +199,77 @@ object RpcOps {
              |  printf('0x%064x', n*100000 + i) AS tx_hash,
              |  i AS log_index
              |FROM tx""".stripMargin),
-      "P1 transfer decode over per-block eth_getLogs fetch (logs.rs:30-113)"))
+      "P1 transfer decode over per-block eth_getLogs fetch (logs.rs:30-113)"),
+
+    // transaction.rs:338-409: the Transaction entity from the fetched
+    // blocks' tx arrays — bytes4 selector projection (P4), uint256
+    // values DELIBERATELY past 64 bits so the native hexToDec (not a
+    // wrapping conv) carries them as decimal strings.
+    "q106_rpc_transactions" -> Q(
+      (s, _) => {
+        val txs = Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+          .select(col("number").as("block_number"),
+            explode(col("transactions")).as("t"))
+          .select(col("block_number"), col("t.hash").as("hash"),
+            col("t.from").as("from"), col("t.to").as("to"),
+            col("t.input").as("input"), col("t.value").as("value_hex"),
+            col("t.gas").as("gas_hex"))
+        graft.etl.Decode.decorateTransactions(txs)
+          .select(col("block_number"), col("hash"), col("from"), col("to"),
+            col("bytes4"),
+            graft.functions.EvmExprs.hexToDec(col("value_hex")).as("value"),
+            conv(regexp_replace(col("gas_hex"), "^0x", ""), 16, 10)
+              .cast("long").as("gas"))
+      },
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13)
+             |SELECT n AS block_number,
+             |  printf('0x%064x', n*100000 + i) AS hash,
+             |  printf('0x%040x', n*31 + i + 1) AS "from",
+             |  printf('0x%040x', n*37 + i + 2) AS "to",
+             |  CASE WHEN i % 3 = 0 THEN 'a9059cbb' END AS bytes4,
+             |  CAST(CAST(n AS HUGEINT) * 1000000000000000000 + i AS VARCHAR) AS value,
+             |  21000 + i AS gas
+             |FROM tx""".stripMargin),
+      "Transaction entity from fetched blocks: bytes4 + >64-bit uint256 values (transaction.rs:338-409, P4)"),
+
+    // extract.rs's full Account dimension (§2.7/J4) over the RPC
+    // source: every leg — miners, tx endpoints, deployments,
+    // destructions, decoded transfers, raw log emitters — fetched,
+    // decoded by the production stack, and unioned by Enrich.accounts.
+    "q107_rpc_accounts" -> Q(
+      (s, _) => {
+        val blocks = Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+        val txs = blocks.select(explode(col("transactions")).as("t"))
+          .select(col("t.from").as("from"), col("t.to").as("to"))
+        val traces = Rpc.traceEntities(
+          Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L))
+        val logs = Rpc.fetchLogs(s, RpcStub.endpoint, 700L, 750L)
+        graft.etl.Enrich.accounts(
+          blocks, txs,
+          graft.etl.Decode.deployments(traces),
+          graft.etl.Decode.destructions(traces),
+          graft.etl.Decode.transfersFromLogs(logs), logs)
+      },
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13),
+             |a AS (
+             |  SELECT printf('0x%040x', (n*2654435761) % 1099511627776) AS address, false AS c
+             |  FROM generate_series(700, 750) AS t(n)
+             |  UNION ALL SELECT printf('0x%040x', n*31 + i + 1), false FROM tx
+             |  UNION ALL SELECT printf('0x%040x', n*37 + i + 2), false FROM tx
+             |  UNION ALL SELECT printf('0x%040x', n*61 + i), true  FROM tx WHERE i % 4 = 1
+             |  UNION ALL SELECT printf('0x%040x', n*31 + i + 1), false FROM tx WHERE i % 4 = 1
+             |  UNION ALL SELECT printf('0x%040x', n*67 + i), true  FROM tx WHERE i % 4 = 3
+             |  UNION ALL SELECT printf('0x%040x', n*71 + i), false FROM tx WHERE i % 4 = 3
+             |  UNION ALL SELECT printf('0x%040x', n*31 + i + 1), false FROM tx WHERE i % 2 = 0
+             |  UNION ALL SELECT printf('0x%040x', n*37 + i + 2), false FROM tx WHERE i % 2 = 0
+             |  UNION ALL SELECT printf('0x%040x', n*73 + i), true  FROM tx WHERE i % 2 = 0
+             |  UNION ALL SELECT printf('0x%040x', n*73 + i), true  FROM tx)
+             |SELECT address, bool_or(c) AS is_contract FROM a GROUP BY 1""".stripMargin),
+      "the full Account dimension over the RPC source: six fetched legs unioned (extract.rs, §2.7/J4)"))
 }

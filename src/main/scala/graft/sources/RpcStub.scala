@@ -60,8 +60,17 @@ object RpcStub {
   def txHashOf(n: Long, i: Int): String = f"0x${n * 100000L + i}%064x"
   def txFromOf(n: Long, i: Int): String = f"0x${n * 31L + i + 1}%040x"
   def txToOf(n: Long, i: Int): String = f"0x${n * 37L + i + 2}%040x"
-  def txValueOf(n: Long, i: Int): Long = n * 1000L + i
+  /** n·10¹⁸ + i wei — deliberately past 64 bits so the uint256 decode
+    * path is exercised (transaction.rs:382's decimal-string contract). */
+  def txValueOf(n: Long, i: Int): java.math.BigInteger =
+    java.math.BigInteger.valueOf(n)
+      .multiply(java.math.BigInteger.TEN.pow(18))
+      .add(java.math.BigInteger.valueOf(i.toLong))
   def txGasOf(i: Int): Long = 21000L + i
+  /** every third tx is an ERC-20 transfer(to, …) call — bytes4
+    * a9059cbb (transaction.rs:59-63's selector projection). */
+  def txInputOf(n: Long, i: Int): String =
+    if (i % 3 == 0) "0xa9059cbb" + f"${n * 37L + i + 2}%064x" else "0x"
 
   // ---- the trace rule (errors only where stated; NO pre-propagation) ----
   /** children of tx i's root trace */
@@ -123,7 +132,8 @@ object RpcStub {
     if (n > head) return None
     val txs = (0 until txCountOf(n)).map { i =>
       s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
-        s""""value":"${hexQty(txValueOf(n, i))}","gas":"${hexQty(txGasOf(i))}","input":"0x"}"""
+        s""""value":"0x${txValueOf(n, i).toString(16)}","gas":"${hexQty(txGasOf(i))}",""" +
+        s""""input":"${txInputOf(n, i)}"}"""
     }.mkString(",")
     val wds = (0 until wdCountOf(n)).map { k =>
       s"""{"index":"${hexQty(wdIndexOf(n, k))}","validatorIndex":"${hexQty(wdValidatorOf(n, k))}",""" +
