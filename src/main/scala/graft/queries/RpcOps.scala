@@ -241,12 +241,18 @@ object RpcOps {
     // decoded by the production stack, and unioned by Enrich.accounts.
     "q107_rpc_accounts" -> Q(
       (s, _) => {
+        // fetch each source ONCE (localCheckpoint) — two legs consume
+        // blocks (miners + txs), two consume traces (deployments +
+        // destructions), two consume logs (transfers + emitters);
+        // without materialization every consumer re-runs its HTTP round
         val blocks = Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+          .localCheckpoint()
         val txs = blocks.select(explode(col("transactions")).as("t"))
           .select(col("t.from").as("from"), col("t.to").as("to"))
         val traces = Rpc.traceEntities(
-          Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L))
+          Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L)).localCheckpoint()
         val logs = Rpc.fetchLogs(s, RpcStub.endpoint, 700L, 750L)
+          .localCheckpoint()
         graft.etl.Enrich.accounts(
           blocks, txs,
           graft.etl.Decode.deployments(traces),

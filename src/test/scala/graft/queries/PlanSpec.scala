@@ -48,6 +48,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontamination q98: benchmark shingles broadcast into a semi-join") {
+    val p = plan("q98_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mixture resampling q100: one exchange, no join at all") {
+    val p = plan("q100_mixture")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("range join q53: equi-join, never a nested loop") {
     val p = plan("q53_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
