@@ -602,5 +602,32 @@ object TextOps {
               |SELECT a.doc_id, a.canonical, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
               |       a.doc_id = a.canonical AS keep
               |FROM assigned a JOIN sz USING (canonical)""".stripMargin),
-      "near-dup cluster assignment: LSH pairs → connected components → canonical doc"))
+      "near-dup cluster assignment: LSH pairs → connected components → canonical doc"),
+
+    // Budget packing: fill each source's char budget best-first (longest
+    // docs, id tiebreak) via a running windowed sum — the "cap each
+    // source at N tokens" stage of mixture construction. One shuffle
+    // (the window partition); at 100 TB the partition key is the
+    // source/domain, so skew follows domain size — salt or pre-cap
+    // gigantic domains before the window if one dominates.
+    "q108_token_budget" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("cum_chars", sum(col("n_chars")).over(w))
+          .where(col("cum_chars") <= 4000L)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("cum_chars"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, n_chars,
+             |         sum(n_chars) OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id
+             |           ROWS UNBOUNDED PRECEDING) AS cum_chars
+             |  FROM documents)
+             |SELECT source, doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
+             |FROM r WHERE cum_chars <= 4000""".stripMargin),
+      "per-source char-budget packing: best-first windowed running sum"))
 }

@@ -243,18 +243,32 @@ object RpcStub {
     }
 
   /** Lazily-started singleton on an ephemeral loopback port; daemon
-    * executor, lives for the JVM (Temps-style lifecycle). */
+    * executor, lives for the JVM (Temps-style lifecycle). The `/flaky`
+    * context corrupts every 5th block's response (truncated JSON) and
+    * 500s every 7th — the degraded-node face for resilience specs. */
   lazy val endpoint: String = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(ex: HttpExchange, f: String => (Int, String)): Unit = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val (code, resp) = f(body)
+      val out = resp.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, out.length)
+      ex.getResponseBody.write(out)
+      ex.close()
+    }
     server.createContext("/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val out = respond(body).getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(200, out.length)
-        ex.getResponseBody.write(out)
-        ex.close()
-      }
+      override def handle(ex: HttpExchange): Unit =
+        serve(ex, b => (200, respond(b)))
+    })
+    server.createContext("/flaky", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = serve(ex, { b =>
+        ParamHexRe.findFirstMatchIn(b).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
+          case Some(n) if n % 7L == 0L => (500, "internal error")
+          case Some(n) if n % 5L == 0L => (200, respond(b).take(40)) // truncated JSON
+          case _ => (200, respond(b))
+        }
+      })
     })
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
       val t = new Thread(r, "graft-rpc-stub"); t.setDaemon(true); t
@@ -270,4 +284,7 @@ object RpcStub {
     started.await()
     s"http://127.0.0.1:${server.getAddress.getPort}/"
   }
+
+  /** The degraded-node face of the same server. */
+  lazy val flakyEndpoint: String = endpoint + "flaky"
 }

@@ -77,6 +77,18 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("degraded node: corrupted and 500ing blocks drop out, the task survives") {
+    // 700..720: n%7==0 → HTTP 500 (700,707,714), n%5==0 → truncated
+    // JSON (705,710,715,720; 700 already 500s); the remaining 15 blocks
+    // parse. No exception reaches the driver — the reference's
+    // log-and-continue face (stream.rs:81-131), here as drop-and-count.
+    val got = Rpc.fetchBlocks(spark, RpcStub.flakyEndpoint, 700L, 720L)
+      .select("number").collect().map(_.getLong(0)).toSet
+    val expected = (700L to 720L)
+      .filterNot(n => n % 7 == 0 || n % 5 == 0).toSet
+    assert(got === expected)
+  }
+
   test("fetchTraces: stub never pre-propagates; Enrich fails descendants only") {
     def failedSet(block: Long) = {
       val traced = Rpc.fetchTraces(spark, RpcStub.endpoint, block, block)
