@@ -277,5 +277,52 @@ object RpcOps {
              |  UNION ALL SELECT printf('0x%040x', n*73 + i), true  FROM tx WHERE i % 2 = 0
              |  UNION ALL SELECT printf('0x%040x', n*73 + i), true  FROM tx)
              |SELECT address, bool_or(c) AS is_contract FROM a GROUP BY 1""".stripMargin),
-      "the full Account dimension over the RPC source: six fetched legs unioned (extract.rs, §2.7/J4)"))
+      "the full Account dimension over the RPC source: six fetched legs unioned (extract.rs, §2.7/J4)"),
+
+    // block.rs:34-64 A1/A2 over the RPC source: per-block gas-price
+    // stats (min/max/avg/POPULATION stddev in Gwei) from the fetched tx
+    // arrays, through the production exact-power-sum aggregation — the
+    // q89 contract fed by S1 instead of synthesized tables.
+    "q109_rpc_blockstats" -> Q(
+      (s, _) => {
+        val fb = Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+          .localCheckpoint() // blocks leg + tx leg read it once
+        val blocks = fb.select(col("number"), col("base_fee_wei").as("base_fee_per_gas"))
+        val txs = fb.select(col("number").as("block_number"),
+            explode(col("transactions")).as("t"))
+          .select(col("block_number"),
+            Rpc.hexQtyToLong(col("t.gasPrice")).as("gas_price"))
+        graft.etl.Enrich.blockGasStats(blocks, txs)
+          .select(col("number"), col("tx_count"),
+            round(col("gas_price_min"), 6).as("gas_price_min"),
+            round(col("gas_price_max"), 6).as("gas_price_max"),
+            round(col("gas_price_avg"), 6).as("gas_price_avg"),
+            round(col("gas_price_std_dev"), 6).as("gas_price_std_dev"),
+            col("base_fee_per_gas"))
+      },
+      Some("""WITH t AS (
+             |  SELECT n, (n*131 + i*17) % 1000000000000 + 1 AS gas_price
+             |  FROM generate_series(700, 750) AS tt(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13),
+             |s AS (
+             |  SELECT n,
+             |         count(*) AS tx_count,
+             |         count(gas_price) AS cnt,
+             |         CAST(min(CAST(gas_price AS DECIMAL(38,0))) AS DOUBLE) AS mn,
+             |         CAST(max(CAST(gas_price AS DECIMAL(38,0))) AS DOUBLE) AS mx,
+             |         CAST(sum(CAST(gas_price AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             |         CAST(sum(CAST(gas_price AS DECIMAL(38,0)) * CAST(gas_price AS DECIMAL(38,0))) AS DOUBLE) AS s2
+             |  FROM t GROUP BY 1)
+             |SELECT b.n AS number, coalesce(s.tx_count, 0) AS tx_count,
+             |  round(mn / 1e9, 6) AS gas_price_min,
+             |  round(mx / 1e9, 6) AS gas_price_max,
+             |  round(s1 / cnt / 1e9, 6) AS gas_price_avg,
+             |  round(CASE WHEN cnt > 0
+             |    THEN sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0)) / 1e9
+             |  END, 6) AS gas_price_std_dev,
+             |  ((b.n*104729) % 1000000000000) / 1e9 AS base_fee_per_gas
+             |FROM generate_series(700, 750) AS b(n)
+             |LEFT JOIN s ON b.n = s.n""".stripMargin),
+      "A1/A2 gas stats over fetched tx arrays: exact power sums in Gwei (block.rs:34-64)"))
 }

@@ -165,7 +165,11 @@ object Rpc {
   private val txSchema = StructType(Seq(
     StructField("hash", StringType), StructField("from", StringType),
     StructField("to", StringType), StructField("value", StringType),
-    StructField("gas", StringType), StructField("input", StringType)))
+    StructField("gas", StringType), StructField("gasPrice", StringType),
+    StructField("input", StringType)))
+
+  /** Hex quantity column → long, for consumers of the raw tx array. */
+  def hexQtyToLong(c: Column): Column = hexLong(c)
 
   private val wdSchema = StructType(Seq(
     StructField("index", StringType), StructField("validatorIndex", StringType),

@@ -67,6 +67,8 @@ object RpcStub {
       .multiply(java.math.BigInteger.TEN.pow(18))
       .add(java.math.BigInteger.valueOf(i.toLong))
   def txGasOf(i: Int): Long = 21000L + i
+  /** wei; +1 keeps it nonzero so min/avg stay meaningful */
+  def txGasPriceOf(n: Long, i: Int): Long = (n * 131L + i * 17L) % 1000000000000L + 1L
   /** every third tx is an ERC-20 transfer(to, …) call — bytes4
     * a9059cbb (transaction.rs:59-63's selector projection). */
   def txInputOf(n: Long, i: Int): String =
@@ -133,7 +135,7 @@ object RpcStub {
     val txs = (0 until txCountOf(n)).map { i =>
       s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
         s""""value":"0x${txValueOf(n, i).toString(16)}","gas":"${hexQty(txGasOf(i))}",""" +
-        s""""input":"${txInputOf(n, i)}"}"""
+        s""""gasPrice":"${hexQty(txGasPriceOf(n, i))}","input":"${txInputOf(n, i)}"}"""
     }.mkString(",")
     val wds = (0 until wdCountOf(n)).map { k =>
       s"""{"index":"${hexQty(wdIndexOf(n, k))}","validatorIndex":"${hexQty(wdValidatorOf(n, k))}",""" +
