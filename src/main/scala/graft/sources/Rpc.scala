@@ -122,11 +122,17 @@ object Rpc {
   /** Fetch one JSON body per block number over `[from, to]`. `slots`
     * bounds concurrent connections exactly like the reference's
     * `Semaphore::new(num_jobs)` (stream.rs:303): one partition = one
-    * in-flight request stream with a keep-alive client. A failed call
-    * yields a null body (the caller's drop-null is the reference's
-    * network-retry-or-skip face). */
+    * in-flight request stream with a keep-alive client.
+    *
+    * Server-side failures (HTTP ≥ 500, 429) and transport errors are
+    * retried with doubling backoff — the reference's bounded retry
+    * policy (extract.rs:406-413: rate-limit/timeout retries, 500 ms
+    * initial backoff; defaults here are scaled down for the local
+    * stub). A call still failing after `retries` yields a null body:
+    * the caller's drop-null is the reference's log-and-skip face. */
   def fetchBodies(spark: SparkSession, endpoint: String, from: Long, to: Long,
-      method: String, slots: Int = 8, timeoutMs: Long = 10000L): DataFrame = {
+      method: String, slots: Int = 8, timeoutMs: Long = 10000L,
+      retries: Int = 3, backoffMs: Long = 50L): DataFrame = {
     import spark.implicits._
     require(to >= from, s"empty block range [$from, $to]")
     spark.range(from, to + 1, 1, math.min(slots.toLong, to - from + 1).toInt)
@@ -145,14 +151,28 @@ object Rpc {
           }
           val payload =
             s"""{"jsonrpc":"2.0","id":1,"method":"$method","params":$params}"""
-          try {
-            val req = HttpRequest.newBuilder(uri)
-              .header("Content-Type", "application/json")
-              .timeout(java.time.Duration.ofMillis(timeoutMs))
-              .POST(HttpRequest.BodyPublishers.ofString(payload))
-              .build()
-            (n, client.send(req, HttpResponse.BodyHandlers.ofString()).body())
-          } catch { case _: Exception => (n, null: String) }
+          val req = HttpRequest.newBuilder(uri)
+            .header("Content-Type", "application/json")
+            .timeout(java.time.Duration.ofMillis(timeoutMs))
+            .POST(HttpRequest.BodyPublishers.ofString(payload))
+            .build()
+          var attempt = 0
+          var body: String = null
+          var done = false
+          while (!done && attempt <= retries) {
+            try {
+              val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() < 500 && resp.statusCode() != 429) {
+                body = resp.body(); done = true
+              }
+            } catch { case _: Exception => () }
+            if (!done) {
+              attempt += 1
+              if (attempt <= retries)
+                Thread.sleep(backoffMs << math.min(attempt - 1, 6))
+            }
+          }
+          (n, body)
         }
       }
       .toDF("number", "body")

@@ -272,6 +272,23 @@ object RpcStub {
         }
       })
     })
+    // every 3rd block 503s on its first two attempts, then recovers —
+    // the transient rate-limit face the retry policy must absorb
+    // (extract.rs:406-413)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    server.createContext("/transient", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = serve(ex, { b =>
+        ParamHexRe.findFirstMatchIn(b).map(m => java.lang.Long.parseLong(m.group(1), 16)) match {
+          case Some(n) if n % 3L == 0L =>
+            val k = MethodRe.findFirstMatchIn(b).map(_.group(1)).getOrElse("?") + ":" + n
+            val seen = attempts
+              .computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+              .incrementAndGet()
+            if (seen <= 2) (503, "rate limited") else (200, respond(b))
+          case _ => (200, respond(b))
+        }
+      })
+    })
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
       val t = new Thread(r, "graft-rpc-stub"); t.setDaemon(true); t
     })
@@ -289,4 +306,7 @@ object RpcStub {
 
   /** The degraded-node face of the same server. */
   lazy val flakyEndpoint: String = endpoint + "flaky"
+
+  /** The transiently-rate-limited face (recovers after two attempts). */
+  lazy val transientEndpoint: String = endpoint + "transient"
 }

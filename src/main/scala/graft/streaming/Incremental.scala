@@ -13,10 +13,14 @@ import graft.sinks.Layout
   *
   * This preserves the reference's idempotency contract — reprocessing a
   * block REPLACES its derived rows (delete-then-reinsert,
-  * block.rs:172-284) — but upgrades partial-failure semantics from
-  * row-at-a-time "log and continue" (stream.rs:81-131) to all-or-nothing
-  * per micro-batch (SURVEY §7.5-7): a failed batch leaves every
-  * partition at its previous state and is retried by the engine.
+  * block.rs:172-284) — and upgrades partial-failure semantics from
+  * row-at-a-time "log and continue" (stream.rs:81-131) to
+  * retry-until-converged per micro-batch (SURVEY §7.5-7): each entity's
+  * overwrite is atomic, a failure mid-batch can leave LATER entities of
+  * that batch unwritten, and the engine's retry re-derives every entity
+  * from the same source offsets — per-block replacement makes the
+  * replay idempotent, so the sink converges to exactly the batch's
+  * state (at-least-once delivery × idempotent writes).
   */
 object Incremental {
 

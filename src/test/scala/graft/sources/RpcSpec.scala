@@ -77,6 +77,20 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("transient rate limits: the backoff retry absorbs 503s that recover") {
+    // without retries, first attempts at n%3==0 blocks fail → null bodies
+    val raw = Rpc.fetchBodies(spark, RpcStub.transientEndpoint, 720L, 730L,
+        "eth_getBlockByNumber", retries = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert((720L to 730L).filter(_ % 3 == 0).forall(raw(_) == null), raw)
+    assert((720L to 730L).filterNot(_ % 3 == 0).forall(raw(_) != null), raw)
+    // with the default retry policy every block lands (fresh range so
+    // the stub's per-block attempt counters start cold)
+    val nums = Rpc.fetchBlocks(spark, RpcStub.transientEndpoint, 700L, 710L)
+      .select("number").collect().map(_.getLong(0)).toSet
+    assert(nums === (700L to 710L).toSet)
+  }
+
   test("degraded node: corrupted and 500ing blocks drop out, the task survives") {
     // 700..720: n%7==0 → HTTP 500 (700,707,714), n%5==0 → truncated
     // JSON (705,710,715,720; 700 already 500s); the remaining 15 blocks
