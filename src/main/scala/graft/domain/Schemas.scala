@@ -135,4 +135,42 @@ object Schemas {
   val account: StructType = StructType(Seq(
     StructField("address", StringType, nullable = false),
     StructField("is_contract", BooleanType)))
+
+  /** The entity catalog by bulk-load name (writer.rs's shard-file
+    * prefixes). */
+  val entities: Seq[(String, StructType)] = Seq(
+    "accounts" -> account, "blocks" -> block, "transactions" -> transaction,
+    "deployments" -> contractDeployment, "destructions" -> contractDestruction,
+    "skeletons" -> skeleton, "transfers" -> tokenTransfer, "logs" -> log,
+    "traces" -> trace, "withdrawals" -> withdrawal, "abi" -> abiEntry)
+
+  /** A Dgraph-style schema GENERATED from the StructTypes above (the
+    * reference ships a hand-written dgraph/contracts.schema; deriving
+    * ours mechanically keeps the artifact in sync with the code —
+    * predicate lines `entity.field: type .`, non-nullable fields
+    * carrying the upsert `@index` the reference's natural-key upserts
+    * rely on, nested structs as `[uid]` edges). */
+  def dgraphSchema: String = {
+    def dgraphType(dt: DataType): String = dt match {
+      case LongType | IntegerType => "int"
+      case DoubleType | FloatType => "float"
+      case BooleanType => "bool"
+      case TimestampType => "dateTime"
+      case ArrayType(_: StructType, _) => "[uid]"
+      case ArrayType(e, _) => s"[${dgraphType(e)}]"
+      case _ => "string"
+    }
+    val lines = for {
+      (entity, st) <- entities
+      f <- st.fields
+    } yield {
+      val t = dgraphType(f.dataType)
+      val idx =
+        if (!f.nullable && (t == "int" || t == "string"))
+          s" @index(${if (t == "int") "int" else "hash"}) @upsert"
+        else ""
+      s"$entity.${f.name}: $t$idx ."
+    }
+    lines.mkString("\n") + "\n"
+  }
 }

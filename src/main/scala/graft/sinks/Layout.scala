@@ -50,6 +50,19 @@ object Layout {
   def writeJsonGz(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(path)
 
+  /** The bulk-load package's schema artifact (the reference feeds
+    * dgraph/contracts.schema to the bulk importer,
+    * bulk-import.bash:54-62); generated from [[graft.domain.Schemas]]
+    * so it can never drift from the entity StructTypes. */
+  def writeDgraphSchema(spark: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/contracts.schema")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(graft.domain.Schemas.dgraphSchema
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** K3: signature-dedup gate before the sink (writer.rs:56-58). */
   def dedupBeforeWrite(df: DataFrame, keys: String*): DataFrame =
     df.dropDuplicates(keys)

@@ -70,6 +70,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count() === 100)
   }
 
+  test("generated Dgraph schema covers every entity field with mapped types") {
+    val schema = graft.domain.Schemas.dgraphSchema
+    val lines = schema.trim.split("\n").toSet
+    // one predicate line per (entity, field)
+    val expected = graft.domain.Schemas.entities
+      .map { case (e, st) => (e, st.fields.length) }.toMap
+    graft.domain.Schemas.entities.foreach { case (e, st) =>
+      assert(lines.count(_.startsWith(s"$e.")) === st.fields.length, e)
+    }
+    // spot-check the type mapping + upsert indexes on natural keys
+    assert(lines.contains("blocks.number: int @index(int) @upsert ."), lines)
+    assert(lines.contains("accounts.address: string @index(hash) @upsert ."))
+    assert(lines.contains("blocks.withdrawals: [uid] ."))
+    assert(lines.contains("transactions.value: string .")) // uint256 decimal string
+    assert(lines.contains("blocks.gas_price_avg: float ."))
+    assert(lines.contains("blocks.datetime: dateTime ."))
+    // the artifact lands next to the shards
+    val out = graft.Temps.dir("schema-artifact")
+    Layout.writeDgraphSchema(spark, out)
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/contracts.schema")))
+    assert(onDisk === schema)
+  }
+
   test("bucket arithmetic: 10k blocks per partition") {
     import spark.implicits._
     val b = Layout.withBlockBucket(Seq(0L, 9999L, 10000L, 123456789L).toDF("block_number"))
