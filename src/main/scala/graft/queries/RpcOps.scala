@@ -168,7 +168,7 @@ object RpcOps {
              |  SELECT n, i FROM generate_series(700, 750) AS t(n),
              |       generate_series(0, 12) AS t2(i)
              |  WHERE i < n % 13)
-             |SELECT printf('0x%040x', n*67 + i) AS contract,
+             |SELECT printf('0x%040x', (n - (i%5 + 1))*61 + i - 2) AS contract,
              |  n AS block_number,
              |  printf('0x%064x', n*100000 + i) AS tx_hash,
              |  ((n+i) % 7 = 0) AS failed,
@@ -270,7 +270,7 @@ object RpcOps {
              |  UNION ALL SELECT printf('0x%040x', n*37 + i + 2), false FROM tx
              |  UNION ALL SELECT printf('0x%040x', n*61 + i), true  FROM tx WHERE i % 4 = 1
              |  UNION ALL SELECT printf('0x%040x', n*31 + i + 1), false FROM tx WHERE i % 4 = 1
-             |  UNION ALL SELECT printf('0x%040x', n*67 + i), true  FROM tx WHERE i % 4 = 3
+             |  UNION ALL SELECT printf('0x%040x', (n - (i%5 + 1))*61 + i - 2), true  FROM tx WHERE i % 4 = 3
              |  UNION ALL SELECT printf('0x%040x', n*71 + i), false FROM tx WHERE i % 4 = 3
              |  UNION ALL SELECT printf('0x%040x', n*31 + i + 1), false FROM tx WHERE i % 2 = 0
              |  UNION ALL SELECT printf('0x%040x', n*37 + i + 2), false FROM tx WHERE i % 2 = 0
@@ -324,5 +324,41 @@ object RpcOps {
              |  ((b.n*104729) % 1000000000000) / 1e9 AS base_fee_per_gas
              |FROM generate_series(700, 750) AS b(n)
              |LEFT JOIN s ON b.n = s.n""".stripMargin),
-      "A1/A2 gas stats over fetched tx arrays: exact power sums in Gwei (block.rs:34-64)"))
+      "A1/A2 gas stats over fetched tx arrays: exact power sums in Gwei (block.rs:34-64)"),
+
+    // lifetimes.rs:30-45 J5 over the RPC source: per-contract
+    // ContractLife rows from fetched deploy and destroy legs — paired
+    // when the destroyed contract was created in-range, unpaired
+    // otherwise (full outer join keeps both shapes).
+    "q110_rpc_lifetimes" -> Q(
+      (s, _) => {
+        val traces = Rpc.traceEntities(
+          Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L)).localCheckpoint()
+        val withTs = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("block_datetime",
+            timestamp_seconds(lit(1438269973L) + lit(12L) * col("block_number")))
+        val lives = graft.analytics.Lifetimes.contractLives(
+          withTs(graft.etl.Decode.deployments(traces)),
+          withTs(graft.etl.Decode.destructions(traces)))
+        lives.select(col("contract"), col("n_deploys"), col("n_destructions"),
+          col("first_deploy_block"), col("last_destr_block"))
+      },
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13),
+             |dep AS (SELECT printf('0x%040x', n*61 + i) AS contract, n
+             |        FROM tx WHERE i % 4 = 1),
+             |des AS (SELECT printf('0x%040x', (n - (i%5 + 1))*61 + i - 2) AS contract, n
+             |        FROM tx WHERE i % 4 = 3),
+             |d1 AS (SELECT contract, CAST(count(*) AS BIGINT) AS n_deploys,
+             |              min(n) AS first_deploy_block FROM dep GROUP BY 1),
+             |d2 AS (SELECT contract, CAST(count(*) AS BIGINT) AS n_destructions,
+             |              max(n) AS last_destr_block FROM des GROUP BY 1)
+             |SELECT contract,
+             |  coalesce(n_deploys, 0) AS n_deploys,
+             |  coalesce(n_destructions, 0) AS n_destructions,
+             |  first_deploy_block, last_destr_block
+             |FROM d1 FULL JOIN d2 USING (contract)""".stripMargin),
+      "J5 ContractLife rows over the RPC source: paired + unpaired lifetimes (lifetimes.rs:30-45)"))
 }

@@ -92,9 +92,13 @@ object RpcStub {
     else graft.domain.Golden.CodeIpfs
 
   // ---- the destruction rule: SELFDESTRUCT roots
-  // (contract_destruction.rs:33-59) ----
+  // (contract_destruction.rs:33-59). The destroyed contract is the one
+  // CREATED (i%5+1) blocks earlier by tx i-2 — when that block had such
+  // a tx the deploy×destroy pair exists with lifetime i%5+1 blocks;
+  // when not, it's an unpaired destruction (both shapes are real) ----
   def isSuicide(i: Int): Boolean = i % 4 == 3
-  def destroyedAddressOf(n: Long, i: Int): String = f"0x${n * 67L + i}%040x"
+  def destroyedAddressOf(n: Long, i: Int): String =
+    f"0x${(n - (i % 5 + 1)) * 61L + (i - 2)}%040x"
   def refundAddressOf(n: Long, i: Int): String = f"0x${n * 71L + i}%040x"
   def balanceOf(n: Long, i: Int): Long = n * 500L + i
 
