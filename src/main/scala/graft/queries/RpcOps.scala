@@ -15,6 +15,20 @@ import graft.sources.{Rpc, RpcStub}
   */
 object RpcOps {
 
+  /** J5 ContractLife rows over the RPC source (q110/q111): fetched
+    * deploy + destroy legs with block datetimes from the stub's
+    * timestamp rule, through the production full-outer pairing. */
+  private def rpcLives(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val traces = Rpc.traceEntities(
+      Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L)).localCheckpoint()
+    val withTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("block_datetime",
+        timestamp_seconds(lit(1438269973L) + lit(12L) * col("block_number")))
+    graft.analytics.Lifetimes.contractLives(
+      withTs(graft.etl.Decode.deployments(traces)),
+      withTs(graft.etl.Decode.destructions(traces)))
+  }
+
   def defs: Map[String, Q] = Map(
     // stream.rs:275-336 sync_to_live + blocks.rs:6-18 get_block_with_txs:
     // head from eth_blockNumber, then the catch-up page lastIndexed+1..head
@@ -331,18 +345,9 @@ object RpcOps {
     // when the destroyed contract was created in-range, unpaired
     // otherwise (full outer join keeps both shapes).
     "q110_rpc_lifetimes" -> Q(
-      (s, _) => {
-        val traces = Rpc.traceEntities(
-          Rpc.fetchTraces(s, RpcStub.endpoint, 700L, 750L)).localCheckpoint()
-        val withTs = (df: org.apache.spark.sql.DataFrame) =>
-          df.withColumn("block_datetime",
-            timestamp_seconds(lit(1438269973L) + lit(12L) * col("block_number")))
-        val lives = graft.analytics.Lifetimes.contractLives(
-          withTs(graft.etl.Decode.deployments(traces)),
-          withTs(graft.etl.Decode.destructions(traces)))
-        lives.select(col("contract"), col("n_deploys"), col("n_destructions"),
-          col("first_deploy_block"), col("last_destr_block"))
-      },
+      (s, _) => rpcLives(s)
+        .select(col("contract"), col("n_deploys"), col("n_destructions"),
+          col("first_deploy_block"), col("last_destr_block")),
       Some("""WITH tx AS (
              |  SELECT n, i FROM generate_series(700, 750) AS t(n),
              |       generate_series(0, 12) AS t2(i)
@@ -360,5 +365,36 @@ object RpcOps {
              |  coalesce(n_destructions, 0) AS n_destructions,
              |  first_deploy_block, last_destr_block
              |FROM d1 FULL JOIN d2 USING (contract)""".stripMargin),
-      "J5 ContractLife rows over the RPC source: paired + unpaired lifetimes (lifetimes.rs:30-45)"))
+      "J5 ContractLife rows over the RPC source: paired + unpaired lifetimes (lifetimes.rs:30-45)"),
+
+    // lifetimes.rs:227-287 A13 (RQ4) over the RPC source: lifetime
+    // stats through the production rq4LifetimeStats — lifetimes here
+    // are i%5+1 blocks (12 s each on the stub clock), a nontrivial
+    // distribution; rounded to 6dp on both sides.
+    "q111_rpc_rq4" -> Q(
+      (s, _) => graft.analytics.Lifetimes.rq4LifetimeStats(rpcLives(s))
+        .select(col("n_contracts"),
+          round(col("avg_life_blocks"), 6).as("avg_life_blocks"),
+          round(col("stddev_life_blocks"), 6).as("stddev_life_blocks"),
+          round(col("avg_life_seconds"), 6).as("avg_life_seconds")),
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13),
+             |dep AS (SELECT printf('0x%040x', n*61 + i) AS contract, n
+             |        FROM tx WHERE i % 4 = 1),
+             |des AS (SELECT printf('0x%040x', (n - (i%5 + 1))*61 + i - 2) AS contract, n
+             |        FROM tx WHERE i % 4 = 3),
+             |d1 AS (SELECT contract, min(n) AS dep_n FROM dep GROUP BY 1),
+             |d2 AS (SELECT contract, max(n) AS des_n FROM des GROUP BY 1),
+             |lives AS (
+             |  SELECT des_n - dep_n AS life_blocks
+             |  FROM d1 JOIN d2 USING (contract)
+             |  WHERE des_n - dep_n >= 0)
+             |SELECT count(*) AS n_contracts,
+             |       round(avg(life_blocks), 6) AS avg_life_blocks,
+             |       round(stddev_pop(life_blocks), 6) AS stddev_life_blocks,
+             |       round(avg(life_blocks) * 12, 6) AS avg_life_seconds
+             |FROM lives""".stripMargin),
+      "A13/RQ4 lifetime stats over the RPC source (lifetimes.rs:227-287)"))
 }
