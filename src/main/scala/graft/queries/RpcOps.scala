@@ -100,9 +100,13 @@ object RpcOps {
           s, RpcStub.endpoint, outRoot, ckpt, startBlock = 740L, derive, "blocks")
         try {
           val deadline = System.nanoTime() + 120L * 1000000000L
-          while (graft.streaming.Incremental.maxIndexedBlock(s, outRoot, "blocks")
-                   != Some(RpcStub.head) && System.nanoTime() < deadline)
+          while (q.exception.isEmpty &&
+              graft.streaming.Incremental.maxIndexedBlock(s, outRoot, "blocks")
+                != Some(RpcStub.head) && System.nanoTime() < deadline)
             Thread.sleep(100)
+          // a failed stream must surface as the failure, not as a
+          // partial read-back that merely hash-mismatches downstream
+          q.exception.foreach(throw _)
         } finally q.stop()
         s.read.parquet(s"$outRoot/dynamic/blocks")
           .select("block_number", "ts", "gas_used", "gas_limit",

@@ -77,6 +77,35 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("parsed fetch output equals the stub rules across a sampled block range") {
+    // one fetch over a stride of blocks; every decoded field must equal
+    // the closed-form rule the oracles replay
+    val rows = Rpc.fetchBlocks(spark, RpcStub.endpoint, 703L, 743L)
+      .collect().map(r => r.getAs[Long]("number") -> r).toMap
+    (703L to 743L).foreach { n =>
+      val r = rows(n)
+      assert(r.getAs[Long]("ts") === RpcStub.timestampOf(n), s"ts@$n")
+      assert(r.getAs[Long]("gas_used") === RpcStub.gasUsedOf(n), s"gas@$n")
+      assert(r.getAs[Long]("base_fee_wei") === RpcStub.baseFeeOf(n), s"fee@$n")
+      assert(r.getAs[String]("miner") === RpcStub.minerOf(n), s"miner@$n")
+      val txs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("transactions")
+      assert(txs.length === RpcStub.txCountOf(n), s"txs@$n")
+      txs.zipWithIndex.foreach { case (t, i) =>
+        assert(t.getAs[String]("hash") === RpcStub.txHashOf(n, i))
+        assert(t.getAs[String]("value") === "0x" + RpcStub.txValueOf(n, i).toString(16))
+        assert(t.getAs[String]("input") === RpcStub.txInputOf(n, i))
+      }
+      val wds = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("withdrawals")
+      assert(wds.length === RpcStub.wdCountOf(n), s"wds@$n")
+      wds.zipWithIndex.foreach { case (w, k) =>
+        assert(w.getAs[String]("address") === RpcStub.wdAddressOf(n, k))
+        assert(w.getAs[String]("amount") === RpcStub.wdAmountOf(n, k).toString)
+        assert(w.getAs[Long]("index") === RpcStub.wdIndexOf(n, k))
+        assert(w.getAs[Long]("validator_index") === RpcStub.wdValidatorOf(n, k))
+      }
+    }
+  }
+
   test("transient rate limits: the backoff retry absorbs 503s that recover") {
     // without retries, first attempts at n%3==0 blocks fail → null bodies
     val raw = Rpc.fetchBodies(spark, RpcStub.transientEndpoint, 720L, 730L,
