@@ -629,5 +629,55 @@ object TextOps {
              |  FROM documents)
              |SELECT source, doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
              |FROM r WHERE cum_chars <= 4000""".stripMargin),
-      "per-source char-budget packing: best-first windowed running sum"))
+      "per-source char-budget packing: best-first windowed running sum"),
+
+    // SimHash near-dup PAIRING: by the pigeonhole principle any pair
+    // within hamming distance 1 of a 16-bit fingerprint agrees on at
+    // least one 8-bit half, so the (half, value) equi-join finds ALL
+    // such pairs — an exact algorithm, not an LSH approximation — and
+    // exact bit_count re-ranks the bucket collisions away. The q26
+    // fingerprint's missing second act; same scale law as every
+    // near-dup path here: linear candidate generation on a derived
+    // key, bounded fan-out per bucket (more/narrower halves trade
+    // bucket width against the guaranteed radius at larger scale).
+    "q112_simhash_pairs" -> Q(
+      (s, d) => {
+        val sh = documents(s, d)
+          .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+          .select(col("doc_id"), simHash(col("TH"), 16).as("sh"))
+          .localCheckpoint() // both band sides + the re-rank read it
+        val bands = sh.select(col("doc_id"), lit(0).as("half"),
+            (col("sh") / 256L).cast("long").as("key"))
+          .unionByName(sh.select(col("doc_id"), lit(1).as("half"),
+            (col("sh") % 256L).as("key")))
+        val cand = bands.toDF("a_id", "half", "key")
+          .join(bands.toDF("b_id", "half", "key"), Seq("half", "key"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
+          .where(col("hamming") <= 1)
+      },
+      Some {
+        val bitTerms = (0 until 16).map { j =>
+          s"(CASE WHEN list_sum(list_transform(TH, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
+           |sh AS (SELECT doc_id, $bitTerms AS sh FROM th),
+           |bands AS (
+           |  SELECT doc_id, 0 AS half, sh // 256 AS key FROM sh
+           |  UNION ALL SELECT doc_id, 1, sh % 256 FROM sh),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.half = b.half AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id,
+           |       CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+           |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+           |WHERE bit_count(xor(sa.sh, sb.sh)) <= 1""".stripMargin
+      },
+      "SimHash near-dup pairs: half-fingerprint bucket join + exact hamming re-rank"))
 }
