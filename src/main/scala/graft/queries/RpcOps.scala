@@ -36,6 +36,10 @@ object RpcOps {
     // arrays and every scalar is decoded from JSON hex quantities.
     "q95_rpc_blocks" -> Q(
       (s, _) => {
+        // oracle hardcodes 700..750 — fail loudly on leftover setHead
+        // state rather than hash-mismatching downstream
+        require(RpcStub.head == RpcStub.Head,
+          s"stub head ${RpcStub.head} != ${RpcStub.Head}: leftover setHead state")
         Rpc.syncToLive(s, RpcStub.endpoint, lastIndexed = 699L)
           .select(col("number"), col("ts"), col("gas_used"), col("gas_limit"),
             col("base_fee_wei"), col("miner"),
@@ -90,6 +94,13 @@ object RpcOps {
     "q97_follow_head" -> Q(
       (s, _) => {
         import org.apache.spark.sql.DataFrame
+        // snapshot the head ONCE: the oracle hardcodes 740..750, and
+        // RpcStub.head is globally mutable (FollowHeadSpec advances it)
+        // — leftover setHead state must fail loudly here, not surface
+        // as a downstream hash mismatch
+        val head0 = RpcStub.head
+        require(head0 == RpcStub.Head,
+          s"stub head $head0 != ${RpcStub.Head}: leftover setHead state")
         val outRoot = graft.Temps.dirFor("follow-out")
         val ckpt = graft.Temps.dirFor("follow-ckpt")
         val derive = Map("blocks" -> ((raw: DataFrame) => raw.select(
@@ -100,13 +111,17 @@ object RpcOps {
           s, RpcStub.endpoint, outRoot, ckpt, startBlock = 740L, derive, "blocks")
         try {
           val deadline = System.nanoTime() + 120L * 1000000000L
-          while (q.exception.isEmpty &&
-              graft.streaming.Incremental.maxIndexedBlock(s, outRoot, "blocks")
-                != Some(RpcStub.head) && System.nanoTime() < deadline)
+          def atHead() = graft.streaming.Incremental
+            .maxIndexedBlock(s, outRoot, "blocks") == Some(head0)
+          while (q.exception.isEmpty && !atHead() && System.nanoTime() < deadline)
             Thread.sleep(100)
           // a failed stream must surface as the failure, not as a
           // partial read-back that merely hash-mismatches downstream
           q.exception.foreach(throw _)
+          // likewise a deadline expiry: a partial sink is an ERROR, not
+          // a smaller result
+          if (!atHead()) throw new IllegalStateException(
+            s"followHead did not reach head $head0 within the deadline")
         } finally q.stop()
         s.read.parquet(s"$outRoot/dynamic/blocks")
           .select("block_number", "ts", "gas_used", "gas_limit",

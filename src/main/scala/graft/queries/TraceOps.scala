@@ -257,11 +257,13 @@ object TraceOps {
       "similarity pairs to bidirectional edge list: SURVEY §2.2 K6"),
 
     // K6, the literal artifact: the reference's exact N-Quad text
-    // lines (similarities.rs:292: `<uid> <Skeleton.similar_code> <uid>
-    // (similarity=x.xxxx) .`, both directions) over an equi-join
-    // jaccard pair source. Small unions (≤6) keep every similarity
-    // non-dyadic-or-short, so Java's %.4f and DuckDB's printf agree
-    // digit for digit.
+    // lines (`<uid> <predicate> <uid> (similarity=x.xxxx) .`, both
+    // directions) over an equi-join jaccard pair source. These are
+    // INTERFACE-jaccard pairs, so the predicate is
+    // <Skeleton.similar_interface> (similarities.rs:273; similar_code
+    // is reserved for n-gram code similarity, :292). Small unions (≤6)
+    // keep every similarity non-dyadic-or-short, so Java's %.4f and
+    // DuckDB's printf agree digit for digit.
     "q92_nquad_lines" -> Q(
       (s, d) => {
         val ifc = supplier(s, d).where(col("s_suppkey") < 40)
@@ -272,7 +274,8 @@ object TraceOps {
               concat(lit("c"), col("s_suppkey") % 7)).as("interface"))
         val pairs = graft.analytics.Similarity.jaccardPairsBlocked(ifc, 0.3)
         graft.sinks.Layout.nquadLines(
-          pairs.select(col("a_id"), col("b_id"), col("jaccard")))
+          pairs.select(col("a_id"), col("b_id"), col("jaccard")),
+          predicate = "Skeleton.similar_interface")
       },
       Some("""WITH s AS (
              |  SELECT CAST(s_suppkey AS VARCHAR) AS id, s_suppkey AS k
@@ -289,7 +292,7 @@ object TraceOps {
              |edges AS (
              |  SELECT a_id AS src, b_id AS dst, jac FROM pairs
              |  UNION ALL SELECT b_id, a_id, jac FROM pairs)
-             |SELECT '<' || src || '> <Skeleton.similar_code> <' || dst ||
+             |SELECT '<' || src || '> <Skeleton.similar_interface> <' || dst ||
              |       '> (similarity=' || printf('%.4f', jac) || ') .' AS nquad
              |FROM edges""".stripMargin),
       "literal N-Quad similarity lines, both directions (similarities.rs:270-303, K6)"),

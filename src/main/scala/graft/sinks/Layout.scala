@@ -85,14 +85,20 @@ object Layout {
     * (similarities.rs:270-303, 383-417):
     * `<uid> <Skeleton.similar_code> <uid> (similarity=x.xxxx) .`
     * — each pair in BOTH directions, similarity to 4 decimals. Pure
-    * codegen'd format_string over the edge relation. */
-  def nquadLines(pairs: DataFrame): DataFrame =
+    * codegen'd format_string over the edge relation. The predicate
+    * depends on the similarity KIND: `Skeleton.similar_code` for
+    * n-gram code similarity (similarities.rs:292) and
+    * `Skeleton.similar_interface` for interface-Jaccard edges
+    * (similarities.rs:273). */
+  def nquadLines(pairs: DataFrame,
+      predicate: String = "Skeleton.similar_code"): DataFrame =
     similarityEdges(pairs).select(
-      format_string("<%s> <Skeleton.similar_code> <%s> (similarity=%.4f) .",
+      format_string(s"<%s> <$predicate> <%s> (similarity=%.4f) .",
         col("src"), col("dst"), col("similarity")).as("nquad"))
 
-  def writeNQuads(pairs: DataFrame, path: String): Unit =
-    nquadLines(pairs).write.mode("overwrite").text(path)
+  def writeNQuads(pairs: DataFrame, path: String,
+      predicate: String = "Skeleton.similar_code"): Unit =
+    nquadLines(pairs, predicate).write.mode("overwrite").text(path)
 
   /** K2 with the reference writer's file naming (writer.rs:26-48):
     * bulk-load shards named `<entity>_<n>.json.gz`. Spark writes

@@ -124,17 +124,23 @@ object Rpc {
     * `Semaphore::new(num_jobs)` (stream.rs:303): one partition = one
     * in-flight request stream with a keep-alive client.
     *
-    * Server-side failures (HTTP ≥ 500, 429) and transport errors are
-    * retried with doubling backoff — the reference's bounded retry
-    * policy (extract.rs:406-413: rate-limit/timeout retries, 500 ms
-    * initial backoff; defaults here are scaled down for the local
-    * stub). A call still failing after `retries` yields a null body:
-    * the caller's drop-null is the reference's log-and-skip face. */
+    * Non-2xx responses and transport errors are retried with doubling
+    * backoff — the reference's bounded retry policy (extract.rs:406-413:
+    * rate-limit/timeout retries, 500 ms initial backoff; defaults here
+    * are scaled down for the local stub). Only 2xx counts as success: a
+    * 404/400 from a misconfigured endpoint must NOT parse as a body
+    * (its non-JSON payload would from_json to null and silently mimic
+    * the past-the-head marker). A call still failing after `retries`
+    * yields a null body — the caller's drop-null is the reference's
+    * log-and-skip face — and bumps the `graft.rpc.failed(<method>)`
+    * accumulator, so callers can distinguish head-termination (zero
+    * failures) from persistent client errors (nonzero). */
   def fetchBodies(spark: SparkSession, endpoint: String, from: Long, to: Long,
       method: String, slots: Int = 8, timeoutMs: Long = 10000L,
       retries: Int = 3, backoffMs: Long = 50L): DataFrame = {
     import spark.implicits._
     require(to >= from, s"empty block range [$from, $to]")
+    val failed = spark.sparkContext.longAccumulator(s"graft.rpc.failed($method)")
     spark.range(from, to + 1, 1, math.min(slots.toLong, to - from + 1).toInt)
       .as[Long]
       .mapPartitions { nums =>
@@ -162,7 +168,7 @@ object Rpc {
           while (!done && attempt <= retries) {
             try {
               val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-              if (resp.statusCode() < 500 && resp.statusCode() != 429) {
+              if (resp.statusCode() / 100 == 2) {
                 body = resp.body(); done = true
               }
             } catch { case _: Exception => () }
@@ -172,6 +178,7 @@ object Rpc {
                 Thread.sleep(backoffMs << math.min(attempt - 1, 6))
             }
           }
+          if (!done) failed.add(1L)
           (n, body)
         }
       }
