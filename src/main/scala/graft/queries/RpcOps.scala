@@ -386,6 +386,80 @@ object RpcOps {
              |FROM d1 FULL JOIN d2 USING (contract)""".stripMargin),
       "J5 ContractLife rows over the RPC source: paired + unpaired lifetimes (lifetimes.rs:30-45)"),
 
+    // transaction.rs:394-409: FULL Transaction entity column parity —
+    // nonce/v decode from hex quantities, r/s ride as 32-byte words,
+    // and the EIP-1559 fee caps exist only on type-2 txs (legacy txs
+    // OMIT the JSON members → from_json nulls → nullable longs), plus
+    // the q106 bytes4/value/gas legs. This is every column of
+    // domain.Schemas.transaction from the wire.
+    "q113_rpc_tx_parity" -> Q(
+      (s, _) => {
+        val txs = Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+          .select(col("number").as("block_number"),
+            explode(col("transactions")).as("t"))
+          .select(col("block_number"), col("t.hash").as("hash"),
+            col("t.from").as("from"), col("t.to").as("to"),
+            col("t.input").as("input"),
+            graft.functions.EvmExprs.hexToDec(col("t.value")).as("value"),
+            Rpc.hexQtyToLong(col("t.gas")).as("gas"),
+            Rpc.hexQtyToLong(col("t.gasPrice")).as("gas_price"),
+            Rpc.hexQtyToLong(col("t.nonce")).as("nonce"),
+            col("t.r").as("r"), col("t.s").as("s"),
+            graft.functions.EvmExprs.hexToDec(col("t.v")).as("v"),
+            Rpc.hexQtyToLong(col("t.maxFeePerGas")).as("max_fee_per_gas"),
+            Rpc.hexQtyToLong(col("t.maxPriorityFeePerGas"))
+              .as("max_priority_fee_per_gas"))
+        graft.etl.Decode.decorateTransactions(txs)
+      },
+      Some("""WITH tx AS (
+             |  SELECT n, i FROM generate_series(700, 750) AS t(n),
+             |       generate_series(0, 12) AS t2(i)
+             |  WHERE i < n % 13)
+             |SELECT n AS block_number,
+             |  printf('0x%064x', n*100000 + i) AS hash,
+             |  printf('0x%040x', n*31 + i + 1) AS "from",
+             |  printf('0x%040x', n*37 + i + 2) AS "to",
+             |  CASE WHEN i % 3 = 0
+             |       THEN '0xa9059cbb' || printf('%064x', n*37 + i + 2)
+             |       ELSE '0x' END AS input,
+             |  CAST(CAST(n AS HUGEINT) * 1000000000000000000 + i AS VARCHAR) AS value,
+             |  21000 + i AS gas,
+             |  (n*131 + i*17) % 1000000000000 + 1 AS gas_price,
+             |  n*3 + i AS nonce,
+             |  printf('0x%064x', n*100003 + i) AS r,
+             |  printf('0x%064x', n*99991 + i) AS s,
+             |  CAST(27 + (n+i) % 2 AS VARCHAR) AS v,
+             |  CASE WHEN i % 2 = 1 THEN (n*151 + i*19) % 1000000000000 + 2 END AS max_fee_per_gas,
+             |  CASE WHEN i % 2 = 1 THEN (n*7 + i*3) % 1000000000 + 1 END AS max_priority_fee_per_gas,
+             |  CASE WHEN i % 3 = 0 THEN 'a9059cbb' END AS bytes4
+             |FROM tx""".stripMargin),
+      "full Transaction column parity from the wire: nonce/r/s/v + EIP-1559 fee caps nullable on legacy txs (transaction.rs:394-409)"),
+
+    // block.rs:26-30 (RFC3339 datetime), :294 (U256 difficulty as a
+    // decimal string), :320-322 (size): the Block entity's remaining
+    // columns decoded by the fetch face — difficulty is past 64 bits by
+    // rule, so a wrapping conv would corrupt it.
+    "q114_rpc_block_parity" -> Q(
+      (s, _) => Rpc.fetchBlocks(s, RpcStub.endpoint, 700L, 750L)
+        .select(col("number"),
+          graft.functions.Formats.rfc3339(timestamp_seconds(col("ts")))
+            .as("datetime"),
+          col("miner"), col("difficulty"), col("size"),
+          size(col("transactions")).cast("long").as("tx_count"),
+          col("gas_used"), col("gas_limit"), col("base_fee_wei")),
+      Some("""SELECT n AS number,
+             |  strftime(make_timestamp((1438269973 + 12*n) * 1000000),
+             |           '%Y-%m-%dT%H:%M:%S') || 'Z' AS datetime,
+             |  printf('0x%040x', (n*2654435761) % 1099511627776) AS miner,
+             |  CAST(CAST(n AS HUGEINT) * CAST('10000000000000000000' AS HUGEINT) + 7 AS VARCHAR) AS difficulty,
+             |  (n*331) % 100000 + 500 AS size,
+             |  n % 13 AS tx_count,
+             |  (n*7919) % 30000000 AS gas_used,
+             |  CAST(30000000 AS BIGINT) AS gas_limit,
+             |  (n*104729) % 1000000000000 AS base_fee_wei
+             |FROM generate_series(700, 750) AS t(n)""".stripMargin),
+      "Block column parity: RFC3339 datetime + uint256 difficulty + size (block.rs:26-30, 294, 320-322)"),
+
     // lifetimes.rs:227-287 A13 (RQ4) over the RPC source: lifetime
     // stats through the production rq4LifetimeStats — lifetimes here
     // are i%5+1 blocks (12 s each on the stub clock), a nontrivial

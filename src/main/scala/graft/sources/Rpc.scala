@@ -193,7 +193,13 @@ object Rpc {
     StructField("hash", StringType), StructField("from", StringType),
     StructField("to", StringType), StructField("value", StringType),
     StructField("gas", StringType), StructField("gasPrice", StringType),
-    StructField("input", StringType)))
+    StructField("input", StringType),
+    // signature + EIP-1559 members (transaction.rs:394-409); legacy txs
+    // omit the fee caps, so from_json decodes them to null
+    StructField("nonce", StringType), StructField("r", StringType),
+    StructField("s", StringType), StructField("v", StringType),
+    StructField("maxFeePerGas", StringType),
+    StructField("maxPriorityFeePerGas", StringType)))
 
   /** Hex quantity column → long, for consumers of the raw tx array. */
   def hexQtyToLong(c: Column): Column = hexLong(c)
@@ -206,6 +212,7 @@ object Rpc {
     StructField("number", StringType), StructField("timestamp", StringType),
     StructField("gasUsed", StringType), StructField("gasLimit", StringType),
     StructField("baseFeePerGas", StringType), StructField("miner", StringType),
+    StructField("difficulty", StringType), StructField("size", StringType),
     StructField("transactions", ArrayType(txSchema)),
     StructField("withdrawals", ArrayType(wdSchema)))))))
 
@@ -242,6 +249,10 @@ object Rpc {
         hexLong(col("r.gasLimit")).as("gas_limit"),
         hexLong(col("r.baseFeePerGas")).as("base_fee_wei"),
         col("r.miner").as("miner"),
+        // difficulty is a uint256 — it rides as a decimal STRING
+        // (block.rs:294); size fits a long (block.rs:320-322)
+        graft.functions.EvmExprs.hexToDec(col("r.difficulty")).as("difficulty"),
+        hexLong(col("r.size")).as("size"),
         col("r.transactions").as("transactions"),
         // reference Withdrawal shape (Schemas.withdrawal): amounts
         // become uint256-decimal STRINGS (block.rs:333), indexes longs

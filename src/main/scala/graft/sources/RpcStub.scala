@@ -74,6 +74,28 @@ object RpcStub {
   def txInputOf(n: Long, i: Int): String =
     if (i % 3 == 0) "0xa9059cbb" + f"${n * 37L + i + 2}%064x" else "0x"
 
+  // ---- signature + EIP-1559 parity rules (transaction.rs:394-409):
+  // nonce/v as hex quantities, r/s as 32-byte words; only every second
+  // tx is type-2 — legacy txs OMIT the fee-cap fields, so the fetch
+  // face must decode absent JSON members to null ----
+  def txNonceOf(n: Long, i: Int): Long = n * 3L + i
+  def txROf(n: Long, i: Int): String = f"0x${n * 100003L + i}%064x"
+  def txSOf(n: Long, i: Int): String = f"0x${n * 99991L + i}%064x"
+  /** legacy recovery id 27/28 by parity */
+  def txVOf(n: Long, i: Int): Long = 27L + ((n + i) % 2L)
+  def txIs1559(i: Int): Boolean = i % 2 == 1
+  def txMaxFeeOf(n: Long, i: Int): Long = (n * 151L + i * 19L) % 1000000000000L + 2L
+  def txMaxPriorityOf(n: Long, i: Int): Long = (n * 7L + i * 3L) % 1000000000L + 1L
+
+  // ---- block difficulty/size rules (block.rs:294 difficulty as a U256
+  // decimal string, block.rs:320-322 size): difficulty deliberately
+  // past 64 bits so the uint256 decode path carries it ----
+  def difficultyOf(n: Long): java.math.BigInteger =
+    java.math.BigInteger.valueOf(n)
+      .multiply(java.math.BigInteger.TEN.pow(19))
+      .add(java.math.BigInteger.valueOf(7L))
+  def sizeOf(n: Long): Long = (n * 331L) % 100000L + 500L
+
   // ---- the trace rule (errors only where stated; NO pre-propagation) ----
   /** children of tx i's root trace */
   def subCountOf(i: Int): Int = i % 3
@@ -137,9 +159,16 @@ object RpcStub {
   def blockJson(n: Long): Option[String] = {
     if (n > head) return None
     val txs = (0 until txCountOf(n)).map { i =>
+      val feeCaps =
+        if (txIs1559(i))
+          s""""maxFeePerGas":"${hexQty(txMaxFeeOf(n, i))}","maxPriorityFeePerGas":"${hexQty(txMaxPriorityOf(n, i))}","""
+        else ""
       s"""{"hash":"${txHashOf(n, i)}","from":"${txFromOf(n, i)}","to":"${txToOf(n, i)}",""" +
         s""""value":"0x${txValueOf(n, i).toString(16)}","gas":"${hexQty(txGasOf(i))}",""" +
-        s""""gasPrice":"${hexQty(txGasPriceOf(n, i))}","input":"${txInputOf(n, i)}"}"""
+        s""""gasPrice":"${hexQty(txGasPriceOf(n, i))}","input":"${txInputOf(n, i)}",""" +
+        s""""nonce":"${hexQty(txNonceOf(n, i))}","r":"${txROf(n, i)}","s":"${txSOf(n, i)}",""" +
+        feeCaps +
+        s""""v":"${hexQty(txVOf(n, i))}"}"""
     }.mkString(",")
     val wds = (0 until wdCountOf(n)).map { k =>
       s"""{"index":"${hexQty(wdIndexOf(n, k))}","validatorIndex":"${hexQty(wdValidatorOf(n, k))}",""" +
@@ -149,6 +178,7 @@ object RpcStub {
       s"""{"number":"${hexQty(n)}","timestamp":"${hexQty(timestampOf(n))}",""" +
         s""""gasUsed":"${hexQty(gasUsedOf(n))}","gasLimit":"${hexQty(GasLimit)}",""" +
         s""""baseFeePerGas":"${hexQty(baseFeeOf(n))}","miner":"${minerOf(n)}",""" +
+        s""""difficulty":"0x${difficultyOf(n).toString(16)}","size":"${hexQty(sizeOf(n))}",""" +
         s""""transactions":[$txs],"withdrawals":[$wds]}""")
   }
 
