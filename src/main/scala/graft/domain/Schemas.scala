@@ -109,6 +109,32 @@ object Schemas {
     StructField("erc20_compliancy", IntegerType), // 0..6
     StructField("erc721_compliancy", IntegerType))) // 0..9
 
+  /** The global Function entity (function.rs:49-82's Dgraph shape,
+    * deduped by signature across all skeletons — writer.rs:56-58):
+    * `signature` is the keccak of the canonical `name(types)` string,
+    * `bytes4` its first 4 bytes (or the selector embedded in an
+    * `Unresolved_xxxxxxxx` name), inputs/outputs comma-joined type
+    * lists. */
+  val functionEntity: StructType = StructType(Seq(
+    StructField("signature", StringType, nullable = false),
+    StructField("bytes4", StringType),
+    StructField("name", StringType),
+    StructField("inputs", StringType),
+    StructField("outputs", StringType)))
+
+  /** Event entity (event.rs:40-58; `Event_<64hex>` names embed their
+    * own topic hash). */
+  val eventEntity: StructType = StructType(Seq(
+    StructField("signature", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("inputs", StringType)))
+
+  /** Error entity (error.rs:40-58). */
+  val errorEntity: StructType = StructType(Seq(
+    StructField("signature", StringType, nullable = false),
+    StructField("name", StringType),
+    StructField("inputs", StringType)))
+
   val abiEntry: StructType = StructType(Seq(
     StructField("skeleton_hash", StringType),
     StructField("kind", StringType), // function | event | error
@@ -142,7 +168,9 @@ object Schemas {
     "accounts" -> account, "blocks" -> block, "transactions" -> transaction,
     "deployments" -> contractDeployment, "destructions" -> contractDestruction,
     "skeletons" -> skeleton, "transfers" -> tokenTransfer, "logs" -> log,
-    "traces" -> trace, "withdrawals" -> withdrawal, "abi" -> abiEntry)
+    "traces" -> trace, "withdrawals" -> withdrawal, "abi" -> abiEntry,
+    "functions" -> functionEntity, "events" -> eventEntity,
+    "errors" -> errorEntity)
 
   /** A Dgraph-style schema GENERATED from the StructTypes above (the
     * reference ships a hand-written dgraph/contracts.schema; deriving

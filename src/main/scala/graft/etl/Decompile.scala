@@ -83,4 +83,43 @@ object Decompile {
         coalesce(col("e.inputs"), array().cast("array<struct<name:string,internalType:string>>")).as("inputs"),
         coalesce(col("e.outputs"), array().cast("array<struct<name:string,internalType:string>>")).as("outputs"),
         col("e.stateMutability").as("state_mutability"))
+
+  /** F5/F6 + K3: the global Function/Event/Error entity tables from
+    * parsed ABI rows (function.rs:18-63, event.rs:15-58, error.rs:15-58):
+    * signature = keccak-256 of the canonical `name(types)` string, with
+    * the unresolved-name short-circuits — `Event_<64hex>`/`Error_<64hex>`
+    * names embed their own hash, `Unresolved_xxxxxxxx` functions carry
+    * their selector — then the signature-dedup gate (writer.rs:56-58).
+    * All codegen'd: the keccak is the native [[graft.functions.Keccak]]
+    * expression over the UTF-8 canonical string, so the signature build
+    * stays inside whole-stage codegen (no UDF in a per-ABI-row path). */
+  def signatureEntities(abi: DataFrame): Map[String, DataFrame] = {
+    val inTypes =
+      array_join(transform(col("inputs"), f => f.getField("internalType")), ",")
+    val outTypes =
+      array_join(transform(col("outputs"), f => f.getField("internalType")), ",")
+    val canonical = concat(col("name"), lit("("), inTypes, lit(")"))
+    val keccakSig = concat(lit("0x"),
+      lower(hex(graft.functions.Keccak.keccak256(canonical.cast("binary")))))
+    val embedded =
+      regexp_extract(col("name"), "^(?:Event|Error)_([0-9a-fA-F]{64})$", 1)
+    val signature =
+      when(embedded =!= "", concat(lit("0x"), lower(embedded)))
+        .otherwise(keccakSig)
+    val unresolved = regexp_extract(col("name"), "^Unresolved_([0-9a-fA-F]{8})$", 1)
+    val bytes4 =
+      when(unresolved =!= "", lower(unresolved))
+        .otherwise(substring(keccakSig, 3, 8))
+    def entity(kind: String, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+      abi.filter(col("kind") === kind).select(cols: _*)
+        .dropDuplicates("signature") // K3 gate
+    Map(
+      "functions" -> entity("function", Seq(keccakSig.as("signature"),
+        bytes4.as("bytes4"), col("name"), inTypes.as("inputs"),
+        outTypes.as("outputs"))),
+      "events" -> entity("event", Seq(signature.as("signature"), col("name"),
+        inTypes.as("inputs"))),
+      "errors" -> entity("error", Seq(signature.as("signature"), col("name"),
+        inTypes.as("inputs"))))
+  }
 }

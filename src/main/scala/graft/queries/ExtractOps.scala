@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Sig
+import graft.sources.RpcStub
+
+/** The composed `extract` program (extract.rs:84-313) under the oracle
+  * gate: ONE memoized end-to-end run against the stub node — fetch,
+  * decode, decompile (stand-in script), ABI signature entities,
+  * compliancy, name()/sanctuary enrichment flags, datetime stamping —
+  * then each query reads one landed entity table back and an oracle
+  * states its expected contents from the stub's closed-form rules.
+  *
+  * Signature-hash literals in the oracles are computed ONCE driver-side
+  * by [[graft.functions.Sig]] (DuckDB has no keccak); the keccak itself
+  * is pinned independently by KeccakSpec's golden vectors — including
+  * the reference's own `transfer(address,uint256)` →
+  * `0xa9059cbb…` test (function.rs:96-122) — so the oracle states
+  * digests the SQL engine never computes.
+  */
+object ExtractOps {
+
+  /** Extract range (matches the RpcOps family). */
+  private val From = 700L
+  private val To = 750L
+
+  /** Created contracts in range: v = n*61 + i for create txs (i%4==1). */
+  private def createdValues: Seq[Long] =
+    for {
+      n <- From to To
+      i <- 0 until RpcStub.txCountOf(n) if RpcStub.isCreate(i)
+    } yield n * 61L + i
+
+  /** Sanctuary tree for every third created contract:
+    * contracts/mainnet/<2hex>/<addr40>_V<v%97>.sol — the q45 layout,
+    * keyed on the create rule so the oracle can replay membership. */
+  private def buildSanctuaryTree(): String = {
+    val root = java.nio.file.Paths.get(graft.Temps.dirFor("extract-sanctuary"))
+    createdValues.filter(_ % 3 == 0).foreach { v =>
+      val addr = f"$v%040x"
+      val shard = root.resolve("contracts").resolve("mainnet").resolve(addr.take(2))
+      java.nio.file.Files.createDirectories(shard)
+      java.nio.file.Files.writeString(
+        shard.resolve(s"${addr}_V${v % 97}.sol"), s"pragma v $v;")
+    }
+    root.toString
+  }
+
+  /** One extract run per JVM; every query reads from its output. */
+  private val memo = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def extractRoot(s: SparkSession): String = memo.synchronized {
+    if (memo.get == null) {
+      val out = graft.Temps.dirFor("extract-q")
+      graft.etl.Extract.run(s, RpcStub.endpoint, From, To, out,
+        decompiler = graft.etl.Extract.standInDecompiler(),
+        nameEndpoint = Some(RpcStub.endpoint),
+        sanctuaryRoot = Some(buildSanctuaryTree()))
+      memo.set(out)
+    }
+    memo.get
+  }
+
+  // ---- the stand-in decompiler's expected entity rows (variant A =
+  // even skeleton byte count = the bzzr0 golden; variant B = odd = the
+  // ipfs golden), deduped by signature across both ----
+  private def fnRow(name: String, ins: Seq[String], outs: Seq[String]): String =
+    s"('function', '${Sig.signatureHash(name, ins)}', '${Sig.bytes4(name, ins)}', " +
+      s"'$name', '${ins.mkString(",")}', '${outs.mkString(",")}')"
+  private def evRow(name: String, ins: Seq[String]): String =
+    s"('event', '${Sig.signatureHash(name, ins)}', NULL, '$name', '${ins.mkString(",")}', NULL)"
+  private def errRow(name: String, ins: Seq[String]): String =
+    s"('error', '${Sig.signatureHash(name, ins)}', NULL, '$name', '${ins.mkString(",")}', NULL)"
+
+  private def entityRows: Seq[String] = Seq(
+    fnRow("totalSupply", Nil, Seq("uint256")),
+    fnRow("balanceOf", Seq("address"), Seq("uint256")),
+    fnRow("transfer", Seq("address", "uint256"), Seq("bool")),
+    fnRow("transferFrom", Seq("address", "address", "uint256"), Seq("bool")),
+    fnRow("approve", Seq("address", "uint256"), Seq("bool")),
+    fnRow("allowance", Seq("address", "address"), Seq("uint256")),
+    fnRow("Unresolved_deadbeef", Nil, Nil),
+    fnRow("ownerOf", Seq("uint256"), Seq("address")),
+    evRow("Transfer", Seq("address", "address", "uint256")),
+    evRow("Event_c0d559150c15862e872a031a8e11f466df4b16d14e736187f2e7fb162060f9d0", Nil),
+    errRow("InsufficientBalance", Seq("address", "uint256")),
+    errRow("Error_aabbccddaabbccddaabbccddaabbccddaabbccddaabbccddaabbccddaabbccdd", Nil))
+
+  def defs: Map[String, Q] = Map(
+    // extract.rs:200-253 ∘ function.rs/event.rs/error.rs: the landed
+    // static/{functions,events,errors} tables — decompile → F15 ABI
+    // parse → F5/F6 signature build with both unresolved-name
+    // short-circuits → K3 dedup — read back and compared against
+    // literally-stated rows.
+    "q115_extract_entities" -> Q(
+      (s, _) => {
+        val root = extractRoot(s)
+        val f = s.read.parquet(s"$root/static/functions")
+          .withColumn("kind", lit("function"))
+        val e = s.read.parquet(s"$root/static/events")
+          .withColumn("kind", lit("event"))
+          .withColumn("bytes4", lit(null).cast("string"))
+          .withColumn("outputs", lit(null).cast("string"))
+        val er = s.read.parquet(s"$root/static/errors")
+          .withColumn("kind", lit("error"))
+          .withColumn("bytes4", lit(null).cast("string"))
+          .withColumn("outputs", lit(null).cast("string"))
+        f.unionByName(e).unionByName(er)
+          .select(col("kind"), col("signature"), col("bytes4"), col("name"),
+            col("inputs"), col("outputs"))
+      },
+      Some(s"""SELECT * FROM (VALUES
+              |${entityRows.mkString(",\n")}
+              |) AS t(kind, signature, bytes4, name, inputs, outputs)""".stripMargin),
+      "Extract's static ABI entity tables: decompile → signature build → dedup gate (extract.rs:200-253, function/event/error.rs)"),
+
+    // skeleton.rs:38-157: the full Skeleton entity — normalized
+    // skeleton bytecode, failed_decompilation from the subprocess
+    // stage, ERC-20/721 compliancy membership counts from the
+    // decompiled ABI.
+    "q116_extract_skeletons" -> Q(
+      (s, _) => s.read.parquet(s"${extractRoot(s)}/static/skeletons"),
+      Some {
+        import graft.domain.Golden._
+        s"""SELECT * FROM (VALUES
+           |  ('$SkelHashBzzr0', '$SkelHexBzzr0', false, 6, 3),
+           |  ('$SkelHashIpfs', '$SkelHexIpfs', false, 2, 3)
+           |) AS t(skeleton_hash, bytecode, failed_decompilation,
+           |       erc20_compliancy, erc721_compliancy)""".stripMargin
+      },
+      "Extract's Skeleton entity: compliancy + failed_decompilation columns (skeleton.rs:38-157)"),
+
+    // block.rs:26-30, 294, 320-322 through the landed static/blocks
+    // table: datetime/difficulty/size at full Schemas.block parity.
+    "q117_extract_blocks" -> Q(
+      (s, _) => s.read.parquet(s"${extractRoot(s)}/static/blocks")
+        .select(col("number"),
+          graft.functions.Formats.rfc3339(col("datetime")).as("datetime"),
+          col("difficulty"), col("size"), col("tx_count")),
+      Some(s"""SELECT n AS number,
+              |  strftime(make_timestamp((1438269973 + 12*n) * 1000000),
+              |           '%Y-%m-%dT%H:%M:%S') || 'Z' AS datetime,
+              |  CAST(CAST(n AS HUGEINT) * CAST('10000000000000000000' AS HUGEINT) + 7 AS VARCHAR) AS difficulty,
+              |  (n*331) % 100000 + 500 AS size,
+              |  n % 13 AS tx_count
+              |FROM generate_series($From, $To) AS t(n)""".stripMargin),
+      "Extract's Block entity: datetime + uint256 difficulty + size landed (block.rs:26-30, 294, 320-322)"),
+
+    // The dynamic-entity datetime stamp: every landed transaction
+    // carries its block's datetime (the reference routes it through the
+    // Block edge; we land it at write time), plus the signature/fee
+    // columns through the full pipeline.
+    "q118_extract_tx_datetime" -> Q(
+      (s, _) => s.read.parquet(s"${extractRoot(s)}/dynamic/transactions")
+        .select(col("block_number"), col("hash"), col("nonce"), col("v"),
+          col("max_fee_per_gas"),
+          graft.functions.Formats.rfc3339(col("datetime")).as("datetime")),
+      Some(s"""WITH tx AS (
+              |  SELECT n, i FROM generate_series($From, $To) AS t(n),
+              |       generate_series(0, 12) AS t2(i)
+              |  WHERE i < n % 13)
+              |SELECT n AS block_number,
+              |  printf('0x%064x', n*100000 + i) AS hash,
+              |  n*3 + i AS nonce,
+              |  CAST(27 + (n+i) % 2 AS VARCHAR) AS v,
+              |  CASE WHEN i % 2 = 1 THEN (n*151 + i*19) % 1000000000000 + 2 END AS max_fee_per_gas,
+              |  strftime(make_timestamp((1438269973 + 12*n) * 1000000),
+              |           '%Y-%m-%dT%H:%M:%S') || 'Z' AS datetime
+              |FROM tx""".stripMargin),
+      "dynamic transactions carry their block datetime + full column set through Extract"),
+
+    // extract.rs:163-168 behind the CLI flags: name() eth_call
+    // resolution and sanctuary verified-source lookup, landed on the
+    // Deployment entity.
+    "q119_extract_enrich" -> Q(
+      (s, _) => s.read.parquet(s"${extractRoot(s)}/static/deployments")
+        .select(col("contract"), col("block_number"), col("name"),
+          col("verified_source")),
+      Some(s"""WITH tx AS (
+              |  SELECT n, i FROM generate_series($From, $To) AS t(n),
+              |       generate_series(0, 12) AS t2(i)
+              |  WHERE i < n % 13),
+              |cr AS (SELECT n, i, n*61 + i AS v FROM tx WHERE i % 4 = 1)
+              |SELECT printf('0x%040x', v) AS contract,
+              |  n AS block_number,
+              |  CASE WHEN v % 16 NOT IN (0, 3, 6, 9)
+              |       THEN 'C' || right(printf('%040x', v), 4) END AS name,
+              |  (v % 3 = 0) AS verified_source
+              |FROM cr""".stripMargin),
+      "Extract's name() + sanctuary enrichment flags on the Deployment entity (extract.rs:163-168)"))
+}

@@ -11,9 +11,25 @@ class ExtractSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  test("extract lands all nine entities + schema with rule-predicted counts") {
+  test("extract lands the full reference layout with rule-predicted counts") {
     val out = graft.Temps.dir("extract-spec")
-    val counts = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out)
+    val counts = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out,
+      decompiler = Extract.standInDecompiler())
+
+    // extract.rs:304-313's directory layout, directory for directory:
+    // the reference's seven static dirs + three dynamic dirs, plus the
+    // relational flattenings of its nested/uid edges (accounts,
+    // withdrawals, the skeleton→abi edge table)
+    val refStatic = Seq("skeletons", "events", "functions", "errors",
+      "blocks", "deployments", "destructions")
+    val relationalExtras = Seq("accounts", "withdrawals", "abi")
+    val refDynamic = Seq("transactions", "transfers", "logs")
+    for (d <- refStatic ++ relationalExtras)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$out/static/$d")), s"missing static/$d")
+    for (d <- refDynamic)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$out/dynamic/$d")), s"missing dynamic/$d")
 
     val blocks = (700L to 710L)
     val txs = blocks.flatMap(n => (0 until RpcStub.txCountOf(n)).map(n -> _))
@@ -25,9 +41,29 @@ class ExtractSpec extends AnyFunSuite {
     assert(counts("transfers") === txs.count { case (_, i) => i % 2 == 0 })
     assert(counts("logs") === txs.size) // one log per tx, all arities
     assert(counts("skeletons") === 2) // the two golden bytecodes
+    // the stand-in decompiler's two ABI variants, deduped by signature:
+    // 8 functions (approve/balanceOf shared), 2 events, 2 errors
+    assert(counts("functions") === 8)
+    assert(counts("events") === 2)
+    assert(counts("errors") === 2)
+    assert(counts("abi") === 9 + 5) // per-skeleton edge rows, un-deduped
     // accounts: at least every distinct miner + every created contract
     assert(counts("accounts") >
       blocks.map(RpcStub.minerOf).distinct.size.toLong)
+
+    // the Skeleton entity carries the full Schemas.skeleton column set
+    val skels = spark.read.parquet(s"$out/static/skeletons")
+    assert(skels.columns.toSet ===
+      graft.domain.Schemas.skeleton.fields.map(_.name).toSet)
+    assert(skels.where(org.apache.spark.sql.functions.col("failed_decompilation"))
+      .count() === 0)
+
+    // transactions land with the signature/fee parity columns and the
+    // block-datetime stamp
+    val txCols = spark.read.parquet(s"$out/dynamic/transactions").columns.toSet
+    for (c <- Seq("nonce", "r", "s", "v", "max_fee_per_gas",
+        "max_priority_fee_per_gas", "datetime"))
+      assert(txCols.contains(c), s"transactions missing $c")
 
     // contract addresses carry is_contract=true through the dimension
     val contracts = spark.read.parquet(s"$out/static/accounts")
@@ -43,7 +79,8 @@ class ExtractSpec extends AnyFunSuite {
 
     // replayed dynamic writes stay idempotent (K5): re-running the
     // same range must not duplicate block-keyed entities
-    val counts2 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out)
+    val counts2 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out,
+      decompiler = Extract.standInDecompiler())
     assert(counts2("transactions") === counts("transactions"))
     assert(counts2("logs") === counts("logs"))
   }
