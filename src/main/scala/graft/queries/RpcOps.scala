@@ -137,6 +137,65 @@ object RpcOps {
              |FROM generate_series(740, 750) AS t(n)""".stripMargin),
       "S6 live follow: rate-ticked head poll → gap fetch → per-block replacement sink (stream.rs:339-372)"),
 
+    // stream.rs:70-263: the MULTI-ENTITY live follow — one live loop
+    // derives blocks, transactions, transfers (from a per-gap log
+    // fetch) and deployments/destructions (from a per-gap trace fetch),
+    // replacing all five per-block entity tables at every tick; driven
+    // to the all-entities-at-head fixpoint and read back as per-entity
+    // row counts. Resume point = min over entities, so a tick that died
+    // mid-write re-replays idempotently.
+    "q120_follow_entities" -> Q(
+      (s, _) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.streaming.Incremental
+        val head0 = RpcStub.head
+        require(head0 == RpcStub.Head,
+          s"stub head $head0 != ${RpcStub.Head}: leftover setHead state")
+        val outRoot = graft.Temps.dirFor("followm-out")
+        val ckpt = graft.Temps.dirFor("followm-ckpt")
+        val derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+          "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"),
+            col("gas_used"), col("miner"))),
+          "transactions" -> (g => g.blocks
+            .select(col("block_number"), explode(col("transactions")).as("t"))
+            .select(col("block_number"), col("t.hash").as("hash"),
+              col("t.from").as("from"), col("t.to").as("to"))),
+          "transfers" -> (g => graft.etl.Decode.transfersFromLogs(g.logs)),
+          "deployments" -> (g => graft.etl.Decode.deployments(g.traces)),
+          "destructions" -> (g => graft.etl.Decode.destructions(g.traces)))
+        val q = Incremental.followHeadEntities(
+          s, RpcStub.endpoint, outRoot, ckpt, startBlock = 740L, derive)
+        val names = derive.map(_._1)
+        try {
+          val deadline = System.nanoTime() + 180L * 1000000000L
+          def atHead() = names.forall(e =>
+            Incremental.maxIndexedBlock(s, outRoot, e) == Some(head0))
+          while (q.exception.isEmpty && !atHead() && System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(throw _)
+          if (!atHead()) throw new IllegalStateException(
+            s"multi-entity follow did not reach head $head0 for all of $names")
+        } finally q.stop()
+        names.map { e =>
+          s.read.parquet(s"$outRoot/dynamic/$e")
+            .agg(count(lit(1)).cast("long").as("n_rows"),
+              max(col("block_number")).as("max_block"))
+            .select(lit(e).as("entity"), col("n_rows"), col("max_block"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH blk AS (SELECT n FROM generate_series(740, 750) AS t(n)),
+             |tx AS (SELECT n, i FROM blk, generate_series(0, 12) AS t2(i)
+             |       WHERE i < n % 13),
+             |e AS (
+             |  SELECT 'blocks' AS entity, CAST(count(*) AS BIGINT) AS n_rows,
+             |         max(n) AS max_block FROM blk
+             |  UNION ALL SELECT 'transactions', CAST(count(*) AS BIGINT), max(n) FROM tx
+             |  UNION ALL SELECT 'transfers', CAST(count(*) AS BIGINT), max(n) FROM tx WHERE i % 2 = 0
+             |  UNION ALL SELECT 'deployments', CAST(count(*) AS BIGINT), max(n) FROM tx WHERE i % 4 = 1
+             |  UNION ALL SELECT 'destructions', CAST(count(*) AS BIGINT), max(n) FROM tx WHERE i % 4 = 3)
+             |SELECT entity, n_rows, max_block FROM e""".stripMargin),
+      "multi-entity live follow: five per-block tables replaced in one live loop (stream.rs:70-263)"),
+
     // block.rs:323-339: the nested Withdrawal entity — fetched inside
     // the block objects (real JSON array-of-struct decode, amounts
     // re-encoded as uint256-decimal strings in flight) and flattened

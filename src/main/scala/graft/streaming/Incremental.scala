@@ -50,6 +50,20 @@ object Incremental {
     val spark = raw.sparkSession
     raw.persist()
     val batchBlocks = raw.select(col("block_number")).distinct().persist()
+    try replaceEntities(spark, batchBlocks, outRoot,
+      derive.toSeq.map { case (entity, f) => entity -> f(raw) })
+    finally {
+      batchBlocks.unpersist()
+      raw.unpersist()
+    }
+  }
+
+  /** The per-entity replacement core shared by the single-source batch
+    * path and the multi-source live follow: replace the derived rows of
+    * exactly `batchBlocks` in every entity table. `batchBlocks` must be
+    * persisted by the caller (it drives one anti-join per entity). */
+  private def replaceEntities(spark: SparkSession, batchBlocks: DataFrame,
+      outRoot: String, entities: Seq[(String, DataFrame)]): Unit = {
     // the BLOCK set stays a broadcast frame (a replay batch of
     // unbounded width never materializes its block list on the
     // driver); the BUCKET id list is collected — it is bounded by
@@ -60,9 +74,9 @@ object Incremental {
     val affectedBuckets = Layout.withBlockBucket(batchBlocks)
       .select(col("block_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    try derive.foreach { case (entity, f) =>
+    entities.foreach { case (entity, df) =>
       val path = s"$outRoot/dynamic/$entity"
-      val newRows = Layout.withBlockBucket(f(raw))
+      val newRows = Layout.withBlockBucket(df)
       val merged =
         if (!pathExists(spark, path)) newRows
         else {
@@ -83,9 +97,6 @@ object Incremental {
       // that stale listing hits FILE_NOT_EXIST on the parts the dynamic
       // overwrite just deleted. Invalidate after every commit.
       spark.catalog.refreshByPath(path)
-    } finally {
-      batchBlocks.unpersist()
-      raw.unpersist()
     }
   }
 
@@ -143,6 +154,58 @@ object Incremental {
             .fetchBlocks(spark, endpoint, last + 1, head, slots)
             .withColumnRenamed("number", "block_number")
           processBatch(raw, outRoot, derive)
+        }
+      }
+      .start()
+
+  /** One gap's fetched sources for the multi-entity live follow
+    * (stream.rs:70-263 derives transactions/logs/transfers/deployments/
+    * destructions per block). Blocks are always fetched; traces and
+    * logs fetch LAZILY on first access — a derive map that never touches
+    * them costs no extra RPC round — and each materializes exactly once
+    * (every consumer would otherwise re-run its HTTP hop). */
+  final class Gap(val blocks: DataFrame,
+      tracesF: () => DataFrame, logsF: () => DataFrame) {
+    lazy val traces: DataFrame = tracesF().localCheckpoint()
+    lazy val logs: DataFrame = logsF().localCheckpoint()
+  }
+
+  /** S6 at full entity width: the live follow with a derive map over
+    * ALL THREE fetch faces — each tick fetches the gap's blocks (and,
+    * lazily, traces/logs), derives every registered entity, and
+    * replaces their block ranges in one pass.
+    *
+    * Crash consistency: the resume point is the MINIMUM max-indexed
+    * block across all derived entities — a tick that died after writing
+    * some entities re-fetches from the laggard's position and re-replaces
+    * every entity idempotently (per-block replacement makes the replay a
+    * no-op for the entities that had committed). */
+  def followHeadEntities(spark: SparkSession, endpoint: String, outRoot: String,
+      checkpoint: String, startBlock: Long,
+      derive: Seq[(String, Gap => DataFrame)], slots: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val head = graft.sources.Rpc.blockNumber(endpoint)
+        val last = derive.map { case (entity, _) =>
+          maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
+        }.min
+        if (head > last) {
+          val blocks = graft.sources.Rpc
+            .fetchBlocks(spark, endpoint, last + 1, head, slots)
+            .withColumnRenamed("number", "block_number")
+            .localCheckpoint()
+          val gap = new Gap(blocks,
+            () => graft.sources.Rpc.traceEntities(
+              graft.sources.Rpc.fetchTraces(spark, endpoint, last + 1, head, slots)),
+            () => graft.sources.Rpc.fetchLogs(spark, endpoint, last + 1, head, slots))
+          val batchBlocks = blocks.select(col("block_number")).distinct().persist()
+          try replaceEntities(spark, batchBlocks, outRoot,
+            derive.map { case (entity, f) => entity -> f(gap) })
+          finally batchBlocks.unpersist()
         }
       }
       .start()
