@@ -63,6 +63,25 @@ object TextAnalysis {
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The 64-bit SimHash scale shape, as FOUR independent 16-bit
+    * quarters: quarter k is a 16-bit [[simHash]] over the token hashes
+    * remixed by the k-th [[MinHashCoeffs]] affine transform mod
+    * [[MinHashP]] (token hashes alone carry only ~30 bits of entropy —
+    * remixing makes each quarter's bits independent). The quarter
+    * VECTOR is the fingerprint; total hamming distance is the sum of
+    * per-quarter `bit_count(xor)`. By pigeonhole, any pair within
+    * hamming distance 3 agrees exactly on ≥1 quarter, so the
+    * (k, quarter) equi-join finds ALL radius-3 pairs over 65,536-value
+    * bucket keys — the cardinality law that keeps candidate volume
+    * ~n²/2¹⁶ per band instead of the 16-bit demo's n²/2⁸ (SCALE.md).
+    * Kept as separate columns (not one packed long): bit 63 would ride
+    * the sign bit in Spark and overflow DuckDB's checked BIGINT, and
+    * the band join wants the quarters individually anyway. */
+  def simHashQuarter(tokenHashes: Column, k: Int): Column = {
+    val (a, b) = MinHashCoeffs(k)
+    simHash(transform(tokenHashes, h => (h * a + lit(b)) % MinHashP), 16)
+  }
+
   /** Rolling document fingerprint: fold of (acc*131 + tokenHash) % HashMod
     * over tokens in order — order-sensitive, content-defined. */
   def fingerprint(text: Column): Column =

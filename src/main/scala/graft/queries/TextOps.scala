@@ -679,5 +679,63 @@ object TextOps {
            |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
            |WHERE bit_count(xor(sa.sh, sb.sh)) <= 1""".stripMargin
       },
-      "SimHash near-dup pairs: half-fingerprint bucket join + exact hamming re-rank"))
+      "SimHash near-dup pairs: half-fingerprint bucket join + exact hamming re-rank"),
+
+    // The q112 SCALE shape: a 64-bit fingerprint as four independent
+    // 16-bit quarters, banded 4×16 — by pigeonhole any pair within
+    // TOTAL hamming distance 3 agrees exactly on ≥1 quarter, so the
+    // (band, quarter) equi-join finds ALL radius-3 pairs over
+    // 65,536-value bucket keys. Candidate volume is Σ bucket² ≈ n²/2¹⁶
+    // per band (vs n²/2⁸ for the 16-bit demo) and the band width is a
+    // free parameter — the bucket-cardinality law SCALE.md documents.
+    // Exact per-quarter bit_count re-rank; same arithmetic replayed by
+    // the oracle.
+    "q121_simhash_wide_pairs" -> Q(
+      (s, d) => {
+        val sh = documents(s, d)
+          .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+          .select(col("doc_id") +: (0 until 4).map(k =>
+            simHashQuarter(col("TH"), k).as(s"q$k")): _*)
+          .localCheckpoint() // all four band sides + the re-rank read it
+        val bands = (0 until 4).map(k =>
+            sh.select(col("doc_id"), lit(k).as("band"), col(s"q$k").as("key")))
+          .reduce(_.unionByName(_))
+        val cand = bands.toDF("a_id", "band", "key")
+          .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val hamming = (0 until 4).map(k =>
+            bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
+          .reduce(_ + _).cast("long")
+        cand
+          .join(sh.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3"), "a_id")
+          .join(sh.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"), "b_id")
+          .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+          .where(col("hamming") <= 3)
+      },
+      Some {
+        def quarterSql(k: Int): String = {
+          val (a, b) = MinHashCoeffs(k)
+          val mixed = s"list_transform(TH, h -> (h * $a + $b) % $MinHashP)"
+          (0 until 16).map { j =>
+            s"(CASE WHEN list_sum(list_transform($mixed, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString(" + ")
+        }
+        val bandUnion = (0 until 4).map(k =>
+          s"SELECT doc_id, $k AS band, q$k AS key FROM sh").mkString("\n  UNION ALL ")
+        val hammingSql = (0 until 4).map(k =>
+          s"bit_count(xor(sa.q$k, sb.q$k))").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
+           |sh AS (SELECT doc_id, ${(0 until 4).map(k => s"${quarterSql(k)} AS q$k").mkString(", ")} FROM th),
+           |bands AS (
+           |  $bandUnion),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, CAST($hammingSql AS BIGINT) AS hamming
+           |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+           |WHERE $hammingSql <= 3""".stripMargin
+      },
+      "wide-fingerprint SimHash pairing: 4×16-bit bands, radius-3 pigeonhole, exact re-rank (the q112 scale shape)"))
 }
