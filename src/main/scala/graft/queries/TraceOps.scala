@@ -308,32 +308,40 @@ object TraceOps {
              |FROM events""".stripMargin),
       "reorg removed-flag only-if-true projection: SURVEY §2.3 P8"),
 
-    // F1/F4/A5: the real bytecode UDF stack — skeleton extraction,
-    // keccak-256 identity, opcode n-grams. Not SQL-expressible (keccak)
-    // → rows-only driver check; exact values are pinned by EvmSpec/
-    // KeccakSpec golden tests instead.
-    "q43_skeletons" -> Q(
-      (s, d) => {
-        val skeletonHex = udf((hex: String) =>
-          graft.functions.Hex.encode(Evm.extractSkeleton(graft.functions.Hex.decode(hex))))
-        val nNgrams = udf((hex: String) =>
-          Evm.ngrams(graft.functions.Hex.decode(hex), 5).size)
-        // synthetic bytecode: md5 of the text, twice (32 bytes — enough
-        // to contain PUSH opcodes with arguments to normalize)
-        val code = concat(md5(col("text").cast("binary")), md5(upper(col("text")).cast("binary")))
-        documents(s, d)
-          .select(col("doc_id"), code.as("code_hex"))
-          .select(
-            col("doc_id"),
-            skeletonHex(col("code_hex")).as("skeleton"),
-            lower(hex(Keccak.keccak256(unhex(col("code_hex"))))).as("code_keccak"),
-            nNgrams(col("code_hex")).as("n_distinct_ngrams"))
+    // F4 under the oracle gate: the native keccak-256 EXPRESSION run
+    // over the pinned public golden vectors (the Keccak reference
+    // vectors plus the reference repo's own signature-hash test cases,
+    // function.rs:96-122) — the oracle states the digests as SQL
+    // literals, so DuckDB never computes a keccak yet the hash compare
+    // pins the expression bit-for-bit. Successor of the old rows-only
+    // q43: together with q93 (skeleton + n-grams under a computed
+    // oracle) the whole former q43 surface is now hash-checked.
+    "q122_keccak_golden" -> Q(
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          1L -> "",
+          2L -> "abc",
+          3L -> "transfer(address,uint256)",
+          4L -> "Transfer(address,address,uint256)",
+          5L -> "Unresolved_f8b2cb4f()")
+          .toDF("vector_id", "input")
+          .select(col("vector_id"), col("input"),
+            lower(hex(Keccak.keccak256(col("input").cast("binary"))))
+              .as("digest"))
       },
-      None,
-      "skeleton + keccak + n-grams over synthetic bytecode: SURVEY §2.8 F1/F4, §2.5 A5"),
+      Some("""SELECT * FROM (VALUES
+             |  (1, '', 'c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470'),
+             |  (2, 'abc', '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45'),
+             |  (3, 'transfer(address,uint256)', 'a9059cbb2ab09eb219583f4a59a5d0623ade346d962bcd4e46b11da047c9049b'),
+             |  (4, 'Transfer(address,address,uint256)', 'ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'),
+             |  (5, 'Unresolved_f8b2cb4f()', 'c0d559150c15862e872a031a8e11f466df4b16d14e736187f2e7fb162060f9d0')
+             |) AS t(vector_id, input, digest)""".stripMargin),
+      "native keccak-256 expression vs the public golden vectors as SQL literals (F4; function.rs:96-122)"),
 
-    // F1/A5 under a COMPUTED oracle: the q43 surface minus keccak (the
-    // one genuinely SQL-inexpressible column, pinned by KeccakSpec).
+    // F1/A5 under a COMPUTED oracle: the old q43 surface minus keccak
+    // (the one genuinely SQL-inexpressible column, pinned by KeccakSpec
+    // and q122's literal-digest oracle).
     // The oracle replays the tokenizer walk as a recursive CTE, then
     // reconstructs the zeroed-PUSH-args skeleton positionally and
     // counts distinct 5-grams from the same walk.
