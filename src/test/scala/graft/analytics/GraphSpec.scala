@@ -53,6 +53,26 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(chain - 1.0) < 1e-9)
   }
 
+  test("pageRank matches GraphX staticPageRank on a dangling-free graph") {
+    // GraphX's staticPageRank initializes every rank to 1.0 and lets
+    // dangling mass vanish, where ours initializes to 1/N and
+    // redistributes it; on a graph with NO dangling nodes the two
+    // recurrences are identical up to the factor N (linearity), so
+    // ourRank * N must equal GraphX's rank at every iteration count.
+    val edges = df(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 2L)
+    val n = 4.0
+    val mine = GraphOps.pageRank(edges, iters = 12).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank") * n).toMap
+    val graphx = GraphOps.toGraphX(edges).staticPageRank(12, resetProb = 0.15)
+      .vertices.collect().toMap
+    assert(mine.keySet === graphx.keySet.map(k => k: Long))
+    for ((id, r) <- mine)
+      // integer fixed-point quantizes at 1e-12 per round; 1e-6 is ~10^5
+      // times looser while still catching any recurrence mismatch
+      assert(math.abs(r - graphx(id)) < 1e-6,
+        s"node $id: ours=$r graphx=${graphx(id)}")
+  }
+
   test("hopDistances: BFS levels on a chain + branch, unreachable stays null") {
     // 1-2-3-4 chain, 2-5 branch, isolated pair 8-9
     val g = df(1L -> 2L, 2L -> 3L, 3L -> 4L, 2L -> 5L, 8L -> 9L)
