@@ -67,15 +67,29 @@ object Extract {
     Seq("sh", script.toString)
   }
 
+  /** `includeTx`/`includeTransfers`/`includeLogs` mirror the reference
+    * CLI's opt-in dynamic entities (main.rs:76-84 `--include-tx`,
+    * `--include-transfers`, `--include-logs`): excluded entities are
+    * neither landed nor fed into the Account dimension, and the log
+    * fetch is skipped entirely when nothing consumes it. Block gas
+    * stats always aggregate the fetched tx arrays (the Block entity
+    * carries them regardless, block.rs:34-64). */
   def run(spark: SparkSession, endpoint: String, from: Long, to: Long,
       outRoot: String, slots: Int = 8,
       decompiler: Seq[String] = Nil, decompileTimeoutMs: Long = 5000L,
       nameEndpoint: Option[String] = None,
-      sanctuaryRoot: Option[String] = None): Map[String, Long] = {
+      sanctuaryRoot: Option[String] = None,
+      includeTx: Boolean = true, includeTransfers: Boolean = true,
+      includeLogs: Boolean = true): Map[String, Long] = {
     val blocks = Rpc.fetchBlocks(spark, endpoint, from, to, slots).localCheckpoint()
     val traces = Rpc.traceEntities(
       Rpc.fetchTraces(spark, endpoint, from, to, slots)).localCheckpoint()
-    val logs = Rpc.fetchLogs(spark, endpoint, from, to, slots).localCheckpoint()
+    val needLogs = includeTransfers || includeLogs
+    val logs =
+      if (needLogs)
+        Rpc.fetchLogs(spark, endpoint, from, to, slots).localCheckpoint()
+      else // empty frame in the log schema — filters fold it away
+        Rpc.fetchLogs(spark, endpoint, from, from, slots).where(lit(false))
 
     // block → datetime map for stamping dynamic entities (the reference
     // routes every dynamic entity's datetime through the Block edge;
@@ -167,9 +181,15 @@ object Extract {
 
     val sigEntities = Decompile.signatureEntities(abi)
 
+    // excluded entities contribute no account edges (the reference only
+    // serializes accounts reachable from included entities); the
+    // where(false) legs fold to empty relations at plan time
     val accounts = Enrich.accounts(
-      blocks, transactions.select(col("from"), col("to")),
-      deployments, destructions, transfers, logs)
+      blocks,
+      transactions.select(col("from"), col("to")).where(lit(includeTx)),
+      deployments, destructions,
+      transfers.where(lit(includeTransfers)),
+      logs.where(lit(includeLogs)))
 
     // Block entity at full Schemas.block parity: datetime, uint256
     // difficulty (decimal string), size, plus the A1/A2 gas stats
@@ -194,9 +214,10 @@ object Extract {
       "abi" -> abi, "accounts" -> accounts, "withdrawals" -> withdrawals)
     val stamp = (df: DataFrame) =>
       df.join(broadcast(blockTimes), Seq("block_number"), "left")
-    val dynamic = Map(
-      "transactions" -> stamp(transactions),
-      "transfers" -> stamp(transfers), "logs" -> stamp(logs))
+    val dynamic =
+      (if (includeTx) Map("transactions" -> stamp(transactions)) else Map.empty) ++
+        (if (includeTransfers) Map("transfers" -> stamp(transfers)) else Map.empty) ++
+        (if (includeLogs) Map("logs" -> stamp(logs)) else Map.empty)
 
     static.foreach { case (name, df) => Layout.writeStatic(df, outRoot, name) }
     dynamic.foreach { case (name, df) => Layout.writeDynamic(df, outRoot, name) }
@@ -210,19 +231,43 @@ object Extract {
     counts.toMap
   }
 
-  /** CLI face: `runMain graft.etl.Extract [endpoint] [from] [to] [out]`
-    * — defaults drive the local stub node over a small range with the
-    * stand-in decompiler and both enrichment flags on. */
+  /** CLI face mirroring the reference's `extract` subcommand flags
+    * (main.rs:58-99): `--endpoint`, `--output-path`, `--from-block`,
+    * `--to-block`, `--num-tasks` (0 = 5×cpus, extract.rs:292-296),
+    * `--include-tx`, `--include-transfers`, `--include-logs`,
+    * `--scs-path`, `--decompiler-timeout`, `--skip-decompilation`,
+    * plus `--names` for the name() enrichment leg. Defaults drive the
+    * local stub node over a small range with the stand-in decompiler
+    * and every entity on. */
   def main(args: Array[String]): Unit = {
-    val endpoint = args.lift(0).getOrElse(graft.sources.RpcStub.endpoint)
-    val from = args.lift(1).map(_.toLong).getOrElse(700L)
-    val to = args.lift(2).map(_.toLong).getOrElse(750L)
-    val outRoot = args.lift(3).getOrElse(graft.Temps.dir("extract-out"))
-    val spark = graft.Sessions.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    def flagVal(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    def flag(name: String): Boolean = args.contains(name)
+    val endpoint =
+      flagVal("--endpoint").getOrElse(graft.sources.RpcStub.endpoint)
+    val from = flagVal("--from-block").map(_.toLong).getOrElse(700L)
+    val to = flagVal("--to-block").map(_.toLong).getOrElse(750L)
+    val outRoot =
+      flagVal("--output-path").getOrElse(graft.Temps.dir("extract-out"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val slots = flagVal("--num-tasks").map(_.toInt).filter(_ > 0)
+      .getOrElse(5 * cpus)
+    // the reference requires the include flags explicitly; with NO
+    // include flag at all we keep everything on (the library default)
+    val anyInclude = Seq("--include-tx", "--include-transfers",
+      "--include-logs").exists(flag)
+    val spark = graft.Sessions.local(cpus)
     try {
-      val counts = run(spark, endpoint, from, to, outRoot,
-        decompiler = standInDecompiler(), nameEndpoint = Some(endpoint))
+      val counts = run(spark, endpoint, from, to, outRoot, slots = slots,
+        decompiler =
+          if (flag("--skip-decompilation")) Nil else standInDecompiler(),
+        decompileTimeoutMs =
+          flagVal("--decompiler-timeout").map(_.toLong).getOrElse(5000L),
+        nameEndpoint = if (flag("--names")) Some(endpoint) else None,
+        sanctuaryRoot = flagVal("--scs-path"),
+        includeTx = !anyInclude || flag("--include-tx"),
+        includeTransfers = !anyInclude || flag("--include-transfers"),
+        includeLogs = !anyInclude || flag("--include-logs"))
       println(s"EXTRACT $outRoot " +
         counts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     } finally spark.stop()

@@ -84,4 +84,28 @@ class ExtractSpec extends AnyFunSuite {
     assert(counts2("transactions") === counts("transactions"))
     assert(counts2("logs") === counts("logs"))
   }
+
+  test("include flags gate dynamic entities and their account legs (main.rs:76-84)") {
+    val out = graft.Temps.dir("extract-flags")
+    val counts = Extract.run(spark, RpcStub.endpoint, 700L, 705L, out,
+      includeTx = false, includeTransfers = false, includeLogs = false)
+    for (e <- Seq("transactions", "transfers", "logs")) {
+      assert(!counts.contains(e), s"$e counted despite exclusion")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/dynamic/$e")), s"dynamic/$e written")
+    }
+    // skip-decompilation face: skeletons land flagged, ABI tables empty
+    assert(counts("skeletons") === 2)
+    assert(counts("functions") === 0)
+    val skels = spark.read.parquet(s"$out/static/skeletons")
+    assert(skels.where(org.apache.spark.sql.functions.col("failed_decompilation"))
+      .count() === 2)
+    // miners/deployments still feed accounts; a plain tx endpoint (not a
+    // creator, i%4!=1) must NOT appear once the tx leg is excluded
+    val accounts = spark.read.parquet(s"$out/static/accounts")
+      .collect().map(_.getString(0)).toSet
+    assert(accounts.contains(RpcStub.minerOf(700L)))
+    assert(accounts.contains(RpcStub.txFromOf(700L, 1))) // creator of the i=1 create
+    assert(!accounts.contains(RpcStub.txFromOf(700L, 2)), "tx leg leaked into accounts")
+  }
 }
