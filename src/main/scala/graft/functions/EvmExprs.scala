@@ -218,6 +218,50 @@ object EvmExprs {
     new GenericArrayData(mins)
   }
 
+  /** Fused text → the four 16-bit SimHash quarters (the q121 wide
+    * fingerprint): tokenize + char-fold token hash + the 4-way affine
+    * remix + all 64 bit counters in ONE pass over the tokens. The
+    * declarative formulation (4 quarters × 16 bits = 64 interpreted
+    * `aggregate()` traversals of the token-hash array per row) was the
+    * q121 bench bottleneck — same story as the MinHash signature.
+    * Arithmetic is exactly [[graft.ops.TextAnalysis.simHashQuarter]]'s:
+    * quarter k bit j set when Σ ±1 over bit j of (h·a_k + b_k) mod P is
+    * positive, token MULTISET (dupes count). Empty token list → all
+    * counters 0 → quarters 0, matching the oracle's NULL list_sum →
+    * CASE false path. */
+  def simHashQuartersFromTextEval(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokenize(text.toString)
+    val counts = new Array[Int](64) // [k*16 + j]
+    var i = 0
+    while (i < toks.length) {
+      val h = foldToken(0L, toks(i))
+      var k = 0
+      while (k < 4) {
+        val m = (h * CoeffA(k) + CoeffB(k)) % MinHashP
+        var j = 0
+        while (j < 16) {
+          counts(k * 16 + j) += (((m >> j) & 1L).toInt * 2 - 1)
+          j += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    val qs = new Array[Long](4)
+    var k = 0
+    while (k < 4) {
+      var q = 0L
+      var j = 0
+      while (j < 16) {
+        if (counts(k * 16 + j) > 0) q |= (1L << j)
+        j += 1
+      }
+      qs(k) = q
+      k += 1
+    }
+    new GenericArrayData(qs)
+  }
+
   /** Column API. */
   def skeletonHash(c: Column): Column = Bridge.column(SkeletonHashExpr(Bridge.expression(c)))
   def hexToDec(c: Column): Column = Bridge.column(HexToDecExpr(Bridge.expression(c)))
@@ -228,6 +272,23 @@ object EvmExprs {
     Bridge.column(ShingleHashesFromTextExpr(Bridge.expression(c)))
   def minHashSigFromText(c: Column): Column =
     Bridge.column(MinHashSigFromTextExpr(Bridge.expression(c)))
+  def simHashQuartersFromText(c: Column): Column =
+    Bridge.column(SimHashQuartersFromTextExpr(Bridge.expression(c)))
+}
+
+/** STRING text → array<long>(4) of 16-bit SimHash quarters, fused. */
+case class SimHashQuartersFromTextExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash_quarters_text needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.simHashQuartersFromTextEval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.simHashQuartersFromTextEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashQuartersFromTextExpr =
+    copy(child = newChild)
 }
 
 /** STRING text → array<long> distinct shingle hashes, tokenize fused. */

@@ -692,10 +692,15 @@ object TextOps {
     // the oracle.
     "q121_simhash_wide_pairs" -> Q(
       (s, d) => {
+        // fused native expression: one pass over the tokens computes
+        // all 64 bit counters (the declarative simHashQuarter × 4 runs
+        // 64 interpreted aggregate() traversals per row — it was the
+        // bench's top cost; PropertySpec pins native == declarative)
         val sh = documents(s, d)
-          .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+          .withColumn("QS",
+            graft.functions.EvmExprs.simHashQuartersFromText(col("text")))
           .select(col("doc_id") +: (0 until 4).map(k =>
-            simHashQuarter(col("TH"), k).as(s"q$k")): _*)
+            element_at(col("QS"), k + 1).as(s"q$k")): _*)
           .localCheckpoint() // all four band sides + the re-rank read it
         val bands = (0 until 4).map(k =>
             sh.select(col("doc_id"), lit(k).as("band"), col(s"q$k").as("key")))

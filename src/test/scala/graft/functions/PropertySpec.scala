@@ -38,6 +38,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused SimHash quarters == the declarative simHashQuarter formulation") {
+    // the q121 hot path: the native one-pass expression must agree with
+    // the independent Catalyst formulation (transform + aggregate) on
+    // texts with dupes, multi-spaces, unicode, and the empty edge
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis.{tokens, tokenHash, simHashQuarter}
+    val texts = Seq("", " ", "a", "a a a", "the quick brown fox",
+      "é Ω 中 é Ω", "x  y   z") ++
+      (0 until 50).map(i => (0 to i % 17).map(j => s"w${(i * 31 + j) % 13}").mkString(" "))
+    val df = texts.toDF("text")
+      .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+      .withColumn("QS", graft.functions.EvmExprs.simHashQuartersFromText(col("text")))
+    val mismatches = (0 until 4).map { k =>
+      df.where(element_at(col("QS"), k + 1) =!= simHashQuarter(col("TH"), k))
+        .count()
+    }.sum
+    assert(mismatches === 0L)
+  }
+
   test("F1: extract_skeleton is idempotent and length-preserving") {
     forAll(bytesGen) { code =>
       val once = Evm.extractSkeleton(code)
