@@ -169,6 +169,90 @@ object ExtractOps {
               |FROM tx""".stripMargin),
       "dynamic transactions carry their block datetime + full column set through Extract"),
 
+    // analysys/similarities.rs:431-471 end to end over the extract
+    // layout: interface-Jaccard (name sets over the ABI edge table) AND
+    // opcode-n-gram cosine over the skeleton bytecodes, landed as the
+    // reference's N-Quad artifact with the per-kind predicate and both
+    // directions. The oracle states every line literally: the interface
+    // Jaccard is 2 shared names over 12 (the two stand-in ABI
+    // variants), and the cosine literal is computed once driver-side by
+    // the independent Evm.cosine scalar over the pinned golden
+    // skeletons (the relational dot/norm path must agree digit for
+    // digit at 4 decimals).
+    "q123_analyse_similarities" -> Q(
+      (s, _) => {
+        val outFile = graft.Temps.dirFor("analyse-nq")
+        // ngram length 3: the two 10/11-byte golden skeletons share a
+        // trigram (their 5-gram sets are disjoint), so BOTH similarity
+        // legs emit a pair and the artifact carries all four lines
+        graft.analytics.Analyse.similarities(s, extractRoot(s), outFile,
+          interfaceThreshold = 0.1, cosineSim = true, cosineThreshold = 0.1,
+          ngramLength = 3)
+        s.read.text(outFile).withColumnRenamed("value", "nquad")
+      },
+      Some {
+        import graft.domain.Golden._
+        import graft.functions.{Evm, Hex}
+        val ifcSim = f"${2.0 / 12}%.4f"
+        val cos = Evm.cosine(
+          Evm.ngrams(Hex.decode(SkelHexBzzr0), 3),
+          Evm.ngrams(Hex.decode(SkelHexIpfs), 3))
+        def edge(pred: String, sim: String) = Seq(
+          s"('<$SkelHashBzzr0> <Skeleton.$pred> <$SkelHashIpfs> (similarity=$sim) .')",
+          s"('<$SkelHashIpfs> <Skeleton.$pred> <$SkelHashBzzr0> (similarity=$sim) .')")
+        val rows = edge("similar_interface", ifcSim) ++
+          (if (cos >= 0.1) edge("similar_code", f"$cos%.4f") else Nil)
+        s"""SELECT * FROM (VALUES
+           |${rows.mkString(",\n")}
+           |) AS t(nquad)""".stripMargin
+      },
+      "analyse similarities end to end: interface + cosine N-Quads over the extract layout (similarities.rs:431-471)"),
+
+    // analysys/lifetimes.rs:296-300 end to end: ContractLife rows +
+    // the res.txt report landed from the extract layout; the read-back
+    // aggregates (RQ1 + RQ4) against the closed-form deploy/destroy
+    // rules.
+    "q124_analyse_lifetimes" -> Q(
+      (s, _) => {
+        val out = graft.Temps.dirFor("analyse-lt")
+        graft.analytics.Analyse.lifetimes(s, extractRoot(s), out)
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$out/res.txt")), "res.txt not written")
+        val lives = s.read.parquet(s"$out/lifetimes")
+        val rq1 = graft.analytics.Lifetimes.rq1Destroyed(lives)
+          .withColumn("k", lit(1))
+        val rq4 = graft.analytics.Lifetimes.rq4LifetimeStats(lives)
+          .select(round(col("avg_life_blocks"), 6).as("avg_life_blocks"),
+            round(col("stddev_life_blocks"), 6).as("stddev_life_blocks"),
+            round(col("avg_life_seconds"), 6).as("avg_life_seconds"),
+            col("n_contracts"))
+          .withColumn("k", lit(1))
+        rq1.join(rq4, "k").drop("k") // 1-row × 1-row equi-join on a literal key
+      },
+      Some(s"""WITH tx AS (
+              |  SELECT n, i FROM generate_series($From, $To) AS t(n),
+              |       generate_series(0, 12) AS t2(i)
+              |  WHERE i < n % 13),
+              |dep AS (SELECT printf('0x%040x', n*61 + i) AS contract, n FROM tx WHERE i % 4 = 1),
+              |des AS (SELECT printf('0x%040x', (n - (i%5 + 1))*61 + i - 2) AS contract, n FROM tx WHERE i % 4 = 3),
+              |d1 AS (SELECT contract, count(*) AS nd, min(n) AS dep_n FROM dep GROUP BY 1),
+              |d2 AS (SELECT contract, count(*) AS ns, max(n) AS des_n FROM des GROUP BY 1),
+              |lives AS (SELECT coalesce(nd, 0) AS n_deploys, coalesce(ns, 0) AS n_destructions,
+              |                 dep_n, des_n
+              |          FROM d1 FULL JOIN d2 USING (contract)),
+              |rq1 AS (SELECT CAST(sum(CASE WHEN n_destructions > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_destroyed,
+              |               CAST(count(*) AS BIGINT) AS n_total FROM lives),
+              |l AS (SELECT des_n - dep_n AS life FROM lives
+              |      WHERE n_deploys > 0 AND n_destructions > 0 AND des_n - dep_n >= 0),
+              |rq4 AS (SELECT round(avg(life), 6) AS avg_life_blocks,
+              |               round(stddev_pop(life), 6) AS stddev_life_blocks,
+              |               round(avg(life) * 12, 6) AS avg_life_seconds,
+              |               CAST(count(*) AS BIGINT) AS n_contracts FROM l)
+              |SELECT n_destroyed, n_total, avg_life_blocks, stddev_life_blocks,
+              |       avg_life_seconds, n_contracts
+              |FROM rq1, rq4""".stripMargin),
+      "analyse lifetimes end to end: ContractLife parquet + res.txt report over the extract layout (lifetimes.rs:296-300)"),
+
     // extract.rs:163-168 behind the CLI flags: name() eth_call
     // resolution and sanctuary verified-source lookup, landed on the
     // Deployment entity.
