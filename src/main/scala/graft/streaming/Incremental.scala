@@ -183,7 +183,8 @@ object Incremental {
   def followHeadEntities(spark: SparkSession, endpoint: String, outRoot: String,
       checkpoint: String, startBlock: Long,
       derive: Seq[(String, Gap => DataFrame)], slots: Int = 8,
-      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
+      onGap: Gap => Unit = _ => ()): StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", 5).load()
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -203,9 +204,16 @@ object Incremental {
               graft.sources.Rpc.fetchTraces(spark, endpoint, last + 1, head, slots)),
             () => graft.sources.Rpc.fetchLogs(spark, endpoint, last + 1, head, slots))
           val batchBlocks = blocks.select(col("block_number")).distinct().persist()
-          try replaceEntities(spark, batchBlocks, outRoot,
-            derive.map { case (entity, f) => entity -> f(gap) })
-          finally batchBlocks.unpersist()
+          try {
+            replaceEntities(spark, batchBlocks, outRoot,
+              derive.map { case (entity, f) => entity -> f(gap) })
+            // static-entity side effects (e.g. the live skeleton upsert,
+            // stream.rs:172-253) run AFTER the per-block replacement so a
+            // crash between the two replays idempotently: the replayed
+            // gap re-derives the same skeletons and the upsert's
+            // append-if-absent skips them
+            onGap(gap)
+          } finally batchBlocks.unpersist()
         }
       }
       .start()

@@ -50,6 +50,59 @@ object Stream {
     always ++ tx ++ tokens ++ logs
   }
 
+  /** stream.rs:172-253's live skeleton leg as a K4 natural-key upsert:
+    * skeletons in the gap's deployments that the static table doesn't
+    * know yet are decompiled (once per DISTINCT hash — the stream-mode
+    * face of the A4 discipline) and APPENDED with the full
+    * Schemas.skeleton column set; known hashes are skipped, so a
+    * replayed gap is a no-op. The anti-join's build side is the
+    * EXISTING hash set — at mainnet scale (~400k skeletons, 32 bytes
+    * each) that broadcasts; far past that, bucket the skeleton table by
+    * hash so the anti-join co-locates instead. Returns the number of
+    * NEW skeletons landed. */
+  def upsertSkeletons(outRoot: String, gapDeployments: DataFrame,
+      decompiler: Seq[String], timeoutMs: Long = 5000L): Long = {
+    val spark = gapDeployments.sparkSession
+    val fresh0 = gapDeployments
+      .select(col("skeleton_hash"),
+        graft.etl.Decode.skeletonHex(col("deployed_bytecode")).as("bytecode"))
+      .where(col("skeleton_hash").isNotNull)
+      .dropDuplicates("skeleton_hash")
+    val path = s"$outRoot/static/skeletons"
+    val exists = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    val fresh = (if (!exists) fresh0
+      else fresh0.join(
+        broadcast(spark.read.parquet(path).select(col("skeleton_hash"))),
+        Seq("skeleton_hash"), "left_anti")).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) {
+      val decompiled =
+        if (decompiler.nonEmpty)
+          graft.etl.Decompile.run(fresh, decompiler, timeoutMs)
+            .toDF().localCheckpoint()
+        else fresh.select(col("skeleton_hash"),
+          lit(null).cast("string").as("abi_json"),
+          lit(true).as("failed_decompilation"))
+      val abi = graft.etl.Decompile.parseAbi(decompiled)
+      fresh
+        .join(decompiled.select(col("skeleton_hash"), col("failed_decompilation")),
+          Seq("skeleton_hash"), "left")
+        .join(graft.analytics.Similarity.erc20Compliancy(abi),
+          Seq("skeleton_hash"), "left")
+        .join(graft.analytics.Similarity.erc721Compliancy(abi),
+          Seq("skeleton_hash"), "left")
+        .select(col("skeleton_hash"), col("bytecode"),
+          coalesce(col("failed_decompilation"), lit(true))
+            .as("failed_decompilation"),
+          coalesce(col("erc20_compliancy"), lit(0)).as("erc20_compliancy"),
+          coalesce(col("erc721_compliancy"), lit(0)).as("erc721_compliancy"))
+        .write.mode("append").parquet(path)
+    }
+    n
+  }
+
   /** CLI: `runMain graft.streaming.Stream [--endpoint url]
     * [--output-path dir] [--include-tx] [--include-tokens]
     * [--include-logs] [--no-sync] [--num-jobs n] [--from-block b]
@@ -75,8 +128,17 @@ object Stream {
         else flagVal("--from-block").map(_.toLong).getOrElse(head0 - 10)
       val derive = derivations(flag("--include-tx"),
         flag("--include-tokens"), flag("--include-logs"))
+      // live skeleton upsert (stream.rs:172-253): decompile newly seen
+      // skeletons with the configured (or stand-in) decompiler
+      val decompiler =
+        if (flag("--skip-decompilation")) Nil
+        else graft.etl.Extract.standInDecompiler()
+      val timeoutMs =
+        flagVal("--decompiler-timeout").map(_.toLong).getOrElse(5000L)
       val q = Incremental.followHeadEntities(spark, endpoint, outRoot,
-        graft.Temps.dir("stream-ckpt"), startBlock, derive, slots)
+        graft.Temps.dir("stream-ckpt"), startBlock, derive, slots,
+        onGap = g => upsertSkeletons(outRoot,
+          graft.etl.Decode.deployments(g.traces), decompiler, timeoutMs))
       if (flag("--until-head")) {
         val names = derive.map(_._1)
         val deadline = System.nanoTime() + 300L * 1000000000L
@@ -86,9 +148,20 @@ object Stream {
         while (q.exception.isEmpty && !caughtUp() && System.nanoTime() < deadline)
           Thread.sleep(200)
         q.exception.foreach(throw _)
+        // the skeleton upsert runs AFTER the tick's entity replacement —
+        // give the fixpoint tick's onGap a grace window to commit before
+        // stopping (a gap with no deployments never creates the path)
+        def skelCount: Option[Long] =
+          try Some(spark.read.parquet(s"$outRoot/static/skeletons").count())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val grace = System.nanoTime() + 10L * 1000000000L
+        while (decompiler.nonEmpty && skelCount.isEmpty &&
+            System.nanoTime() < grace)
+          Thread.sleep(200)
         q.stop()
         val counts = derive.map { case (e, _) =>
-          e -> spark.read.parquet(s"$outRoot/dynamic/$e").count() }
+          e -> spark.read.parquet(s"$outRoot/dynamic/$e").count() } :+
+          ("skeletons" -> skelCount.getOrElse(0L))
         println(s"STREAM $outRoot " +
           counts.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
       } else q.awaitTermination()
