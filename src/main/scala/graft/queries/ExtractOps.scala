@@ -208,6 +208,40 @@ object ExtractOps {
       },
       "analyse similarities end to end: interface + cosine N-Quads over the extract layout (similarities.rs:431-471)"),
 
+    // compare_single end to end (similarities.rs:314-429): `analyse
+    // similarities --address` resolves the address through the landed
+    // Deployment entity to its skeleton, then one-vs-all against every
+    // other skeleton with the target side broadcast. Block 701 tx 1 is
+    // a create with (701+1)%2=0 → the bzzr0 golden → the target is
+    // skeleton A and the single other skeleton B pairs with the same
+    // literal similarities as q123.
+    "q125_analyse_single" -> Q(
+      (s, _) => {
+        val outFile = graft.Temps.dirFor("analyse-single-nq")
+        graft.analytics.Analyse.similarities(s, extractRoot(s), outFile,
+          address = Some(RpcStub.createdAddressOf(701L, 1)),
+          interfaceThreshold = 0.1, cosineSim = true, cosineThreshold = 0.1,
+          ngramLength = 3)
+        s.read.text(outFile).withColumnRenamed("value", "nquad")
+      },
+      Some {
+        import graft.domain.Golden._
+        import graft.functions.{Evm, Hex}
+        val ifcSim = f"${2.0 / 12}%.4f"
+        val cos = Evm.cosine(
+          Evm.ngrams(Hex.decode(SkelHexBzzr0), 3),
+          Evm.ngrams(Hex.decode(SkelHexIpfs), 3))
+        def edge(pred: String, sim: String) = Seq(
+          s"('<$SkelHashBzzr0> <Skeleton.$pred> <$SkelHashIpfs> (similarity=$sim) .')",
+          s"('<$SkelHashIpfs> <Skeleton.$pred> <$SkelHashBzzr0> (similarity=$sim) .')")
+        val rows = edge("similar_interface", ifcSim) ++
+          (if (cos >= 0.1) edge("similar_code", f"$cos%.4f") else Nil)
+        s"""SELECT * FROM (VALUES
+           |${rows.mkString(",\n")}
+           |) AS t(nquad)""".stripMargin
+      },
+      "compare_single: address → deployment → skeleton one-vs-all over the extract layout (similarities.rs:314-429)"),
+
     // analysys/lifetimes.rs:296-300 end to end: ContractLife rows +
     // the res.txt report landed from the extract layout; the read-back
     // aggregates (RQ1 + RQ4) against the closed-form deploy/destroy
