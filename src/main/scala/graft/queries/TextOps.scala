@@ -742,5 +742,41 @@ object TextOps {
            |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
            |WHERE $hammingSql <= 3""".stripMargin
       },
-      "wide-fingerprint SimHash pairing: 4×16-bit bands, radius-3 pigeonhole, exact re-rank (the q112 scale shape)"))
+      "wide-fingerprint SimHash pairing: 4×16-bit bands, radius-3 pigeonhole, exact re-rank (the q112 scale shape)"),
+
+    // Rule-based PII scrub (the standard pre-training cleaning stage):
+    // emails → <EMAIL>, 7+-digit runs → <NUM>. The synthetic corpus
+    // carries no PII, so the query INJECTS a deterministic email +
+    // long number per doc (both engines replay the injection), then
+    // scrubs — the regexes stay in the Java∩RE2 common subset so Spark
+    // and DuckDB agree byte for byte. Per-row regexp_replace: linear,
+    // no shuffle, codegen'd.
+    "q126_pii_scrub" -> Q(
+      (s, d) => {
+        val dirty = concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com ref "),
+          ((col("doc_id") + 1L) * 1234567L).cast("string"), lit(" end"))
+        val scrubbed = regexp_replace(
+          regexp_replace(dirty,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>")
+        documents(s, d).select(col("doc_id"),
+          // docs are hundreds of chars, so the 40-char tail always
+          // exists (and spans the injected-and-scrubbed suffix)
+          substring(scrubbed, -40, 40).as("scrubbed_tail"),
+          (length(dirty) - length(scrubbed)).cast("long").as("chars_removed"))
+      },
+      Some("""SELECT doc_id,
+             |  right(regexp_replace(regexp_replace(
+             |    text || ' contact: user' || doc_id || '@example.com ref ' || (doc_id + 1) * 1234567 || ' end',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g'), 40) AS scrubbed_tail,
+             |  CAST(length(text || ' contact: user' || doc_id || '@example.com ref ' || (doc_id + 1) * 1234567 || ' end')
+             |     - length(regexp_replace(regexp_replace(
+             |    text || ' contact: user' || doc_id || '@example.com ref ' || (doc_id + 1) * 1234567 || ' end',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+             |FROM documents""".stripMargin),
+      "rule-based PII scrub: email + long-number redaction with engine-agreeing regexes"))
 }
