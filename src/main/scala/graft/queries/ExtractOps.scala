@@ -252,16 +252,23 @@ object ExtractOps {
         graft.analytics.Analyse.lifetimes(s, extractRoot(s), out)
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$out/res.txt")), "res.txt not written")
+        // RQ1 + RQ4 as ONE aggregation over the landed lives (the
+        // rq1Destroyed/rq4LifetimeStats operators themselves are
+        // oracle-covered by q09/q47/q111; here the subject is the
+        // artifact, and a single agg avoids a 1-row×1-row join that
+        // Spark plans as a nested loop)
         val lives = s.read.parquet(s"$out/lifetimes")
-        val rq1 = graft.analytics.Lifetimes.rq1Destroyed(lives)
-          .withColumn("k", lit(1))
-        val rq4 = graft.analytics.Lifetimes.rq4LifetimeStats(lives)
-          .select(round(col("avg_life_blocks"), 6).as("avg_life_blocks"),
-            round(col("stddev_life_blocks"), 6).as("stddev_life_blocks"),
-            round(col("avg_life_seconds"), 6).as("avg_life_seconds"),
-            col("n_contracts"))
-          .withColumn("k", lit(1))
-        rq1.join(rq4, "k").drop("k") // 1-row × 1-row equi-join on a literal key
+        val life = when(
+          col("n_deploys") > 0 && col("n_destructions") > 0 &&
+            (col("last_destr_block") - col("first_deploy_block")) >= 0,
+          col("last_destr_block") - col("first_deploy_block"))
+        lives.agg(
+          sum(when(col("n_destructions") > 0, 1L).otherwise(0L)).as("n_destroyed"),
+          count(lit(1)).as("n_total"),
+          round(avg(life), 6).as("avg_life_blocks"),
+          round(stddev_pop(life), 6).as("stddev_life_blocks"),
+          round(avg(life * 12), 6).as("avg_life_seconds"),
+          count(life).as("n_contracts"))
       },
       Some(s"""WITH tx AS (
               |  SELECT n, i FROM generate_series($From, $To) AS t(n),
