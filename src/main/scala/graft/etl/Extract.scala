@@ -81,6 +81,12 @@ object Extract {
       sanctuaryRoot: Option[String] = None,
       includeTx: Boolean = true, includeTransfers: Boolean = true,
       includeLogs: Boolean = true): Map[String, Long] = {
+    // snapshot the per-method failure counters so this run's
+    // fetch_failures count is scoped to its own fetches (the
+    // accumulators are session-cumulative)
+    val fetchMethods = Seq("eth_getBlockByNumber", "trace_block", "eth_getLogs")
+    val failedBefore =
+      fetchMethods.map(m => Rpc.failedCounter(spark, m).value.longValue).sum
     val blocks = Rpc.fetchBlocks(spark, endpoint, from, to, slots).localCheckpoint()
     val traces = Rpc.traceEntities(
       Rpc.fetchTraces(spark, endpoint, from, to, slots)).localCheckpoint()
@@ -90,6 +96,16 @@ object Extract {
         Rpc.fetchLogs(spark, endpoint, from, to, slots).localCheckpoint()
       else // empty frame in the log schema — filters fold it away
         Rpc.fetchLogs(spark, endpoint, from, from, slots).where(lit(false))
+    // all three fetches are materialized by the checkpoints above, so
+    // the counters are final: nonzero = calls that failed after retries
+    // and dropped out exactly like past-the-head nulls (the reference's
+    // log-and-skip, extract.rs:406-413) — surfaced so a misconfigured
+    // endpoint can't silently yield a partial extract
+    val fetchFailures =
+      fetchMethods.map(m => Rpc.failedCounter(spark, m).value.longValue).sum - failedBefore
+    if (fetchFailures > 0)
+      System.err.println(s"[extract] $fetchFailures RPC calls failed after " +
+        "retries; their blocks were skipped")
 
     // block → datetime map for stamping dynamic entities (the reference
     // routes every dynamic entity's datetime through the Block edge;
@@ -228,7 +244,7 @@ object Extract {
         n -> spark.read.parquet(s"$outRoot/static/$n").count() } ++
         dynamic.map { case (n, _) =>
           n -> spark.read.parquet(s"$outRoot/dynamic/$n").count() }
-    counts.toMap
+    counts.toMap + ("fetch_failures" -> fetchFailures)
   }
 
   /** CLI face mirroring the reference's `extract` subcommand flags

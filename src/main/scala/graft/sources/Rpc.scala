@@ -135,12 +135,23 @@ object Rpc {
     * log-and-skip face — and bumps the `graft.rpc.failed(<method>)`
     * accumulator, so callers can distinguish head-termination (zero
     * failures) from persistent client errors (nonzero). */
+  /** Per-(session, method) failure counter shared by every fetch of
+    * that method, so callers (Extract's fetch_failures report) can
+    * distinguish head-termination (zero) from persistent client errors
+    * (nonzero). Snapshot-and-subtract to scope to one fetch. */
+  private val failedCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+  def failedCounter(spark: SparkSession, method: String): org.apache.spark.util.LongAccumulator =
+    failedCounters.computeIfAbsent(
+      spark.sparkContext.applicationId + ":" + method,
+      _ => spark.sparkContext.longAccumulator(s"graft.rpc.failed($method)"))
+
   def fetchBodies(spark: SparkSession, endpoint: String, from: Long, to: Long,
       method: String, slots: Int = 8, timeoutMs: Long = 10000L,
       retries: Int = 3, backoffMs: Long = 50L): DataFrame = {
     import spark.implicits._
     require(to >= from, s"empty block range [$from, $to]")
-    val failed = spark.sparkContext.longAccumulator(s"graft.rpc.failed($method)")
+    val failed = failedCounter(spark, method)
     spark.range(from, to + 1, 1, math.min(slots.toLong, to - from + 1).toInt)
       .as[Long]
       .mapPartitions { nums =>

@@ -85,6 +85,25 @@ class ExtractSpec extends AnyFunSuite {
     assert(counts2("logs") === counts("logs"))
   }
 
+  test("degraded endpoint: failed fetches are counted, their blocks skipped") {
+    val out = graft.Temps.dir("extract-flaky")
+    // the flaky face 500s every 7th block persistently (700, 707 in
+    // range) and truncates every 5th block's JSON (a 200 whose body
+    // from_json-nulls — the legitimate silent-drop face); each of the
+    // three fetch methods loses the 500-blocks AFTER retries
+    val counts = Extract.run(spark, RpcStub.flakyEndpoint, 700L, 710L, out)
+    // 2 failed blocks × 2 methods: the flaky face keys on the first hex
+    // param, which eth_getLogs' filter-object params don't carry — so
+    // the log fetch passes through clean
+    assert(counts("fetch_failures") === 4)
+    // blocks 700, 707 (500s) and 705, 710 (truncated) dropped
+    assert(counts("blocks") === 7)
+    // a clean run reports zero failures
+    val clean = Extract.run(spark, RpcStub.endpoint, 700L, 702L,
+      graft.Temps.dir("extract-clean"))
+    assert(clean("fetch_failures") === 0)
+  }
+
   test("include flags gate dynamic entities and their account legs (main.rs:76-84)") {
     val out = graft.Temps.dir("extract-flags")
     val counts = Extract.run(spark, RpcStub.endpoint, 700L, 705L, out,
