@@ -778,5 +778,31 @@ object TextOps {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT) AS chars_removed
              |FROM documents""".stripMargin),
-      "rule-based PII scrub: email + long-number redaction with engine-agreeing regexes"))
+      "rule-based PII scrub: email + long-number redaction with engine-agreeing regexes"),
+
+    // Corpus vocabulary report per source: doc/token counts, distinct
+    // vocabulary, type-token ratio — the dataset-card statistics every
+    // training-mix decision reads. One explode + one groupBy; the
+    // countDistinct is the only expensive leg (two-phase distinct
+    // aggregate — at 100 TB swap in a HLL sketch if exactness can go).
+    "q128_vocab_stats" -> Q(
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"),
+          round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+            .as("type_token_ratio")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, unnest($toksSql) AS tok FROM documents)
+              |SELECT source,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+              |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS type_token_ratio
+              |FROM t GROUP BY 1""".stripMargin),
+      "per-source vocabulary stats: docs, tokens, distinct vocab, type-token ratio"))
 }

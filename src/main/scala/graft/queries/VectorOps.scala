@@ -114,6 +114,61 @@ object VectorOps {
               |SELECT q_id, rn, c_id, cos FROM ranked WHERE rn <= 3""".stripMargin),
       "IVF probe + exact re-rank: approximate top-k scale path"),
 
+    // Measured, not guessed: per-query recall@3 of the IVF probe path
+    // against the exact brute-force top-k — the approximation-quality
+    // artifact every ANN deployment needs before trusting the scale
+    // path. Both sides are the production operators; the oracle replays
+    // both and intersects.
+    "q127_ann_recall" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val exact = SimSearch.bruteForceTopK(
+            emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("c_id")).localCheckpoint()
+        val approx = SimSearch.ivfTopKSelf(
+            emb, col("id") < 8, "vec_id", "embedding", topK = 3)
+          .select(col("q_id"), col("c_id"))
+        val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 6)
+              .as("recall_at_3"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |xp AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |         ${cosSql("q.v", "c.v")} AS cos
+              |  FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+              |exact AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q_id, c_id,
+              |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+              |    FROM xp) WHERE rn <= 3),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |r AS (SELECT e.vec_id, e.v, cid, ${cosSql("e.v", "cv")} AS cc,
+              |        row_number() OVER (PARTITION BY e.vec_id
+              |          ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |      FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id AS c_id, v AS cv, cid AS cell FROM r WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM r
+              |           WHERE vec_id < 8 AND rn <= ${SimSearch.IvfProbe}),
+              |scored AS (SELECT q_id, c_id, ${cosSql("qv", "cv")} AS cos
+              |           FROM probes JOIN cells USING (cell) WHERE q_id <> c_id),
+              |approx AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT q_id, c_id,
+              |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+              |    FROM scored) WHERE rn <= 3),
+              |h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+              |      FROM exact SEMI JOIN approx USING (q_id, c_id) GROUP BY 1)
+              |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+              |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+              |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN h USING (q_id)""".stripMargin),
+      "ANN quality measurement: per-query recall@3 of IVF probe vs exact top-k"),
+
     // LSH candidate pairs re-ranked exactly — the full ANN pipeline
     "q33_lsh_pairs" -> Q(
       (s, d) => SimSearch.lshDupPairs(embeddings(s, d), "vec_id", "embedding", 0.2, SimSearch.LshPlanes),

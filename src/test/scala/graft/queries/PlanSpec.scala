@@ -76,6 +76,9 @@ class PlanSpec extends AnyFunSuite {
     * (bounded k-row build side). */
   private val intentionalNestedLoop = Set(
     "q30_knn", "q31_cos_pairs", "q34_ivf_cells", "q35_ivf_topk", "q65_sim_edges",
+    // recall measurement BY DESIGN runs the exact brute-force baseline
+    // (q30's plan) next to the IVF path to compare them
+    "q127_ann_recall",
     // upper-triangle pairs over the AGGREGATED brand dimension — the
     // cross is |brands|², a dimension cardinality, not a data size
     "q67_interface_jaccard",
