@@ -71,7 +71,12 @@ object Analyse {
                   .as("jaccard"))
               .where(col("jaccard") >= interfaceThreshold)
         }
-        Some(Layout.nquadLines(pairs, "Skeleton.similar_interface"))
+        // materialize once: the text write AND the pair count below both
+        // consume this leg — uncheckpointed, each .count() would re-run
+        // the full pair generation (at mainnet scale, the most expensive
+        // job in the program, three times over)
+        Some(Layout.nquadLines(pairs, "Skeleton.similar_interface")
+          .localCheckpoint())
       }
 
     val cosLines: Option[DataFrame] =
@@ -101,7 +106,8 @@ object Analyse {
                 (col("dot") / (col("t_norm") * col("norm"))).as("cosine"))
               .where(col("cosine") >= cosineThreshold)
         }
-        Some(Layout.nquadLines(pairs, "Skeleton.similar_code"))
+        Some(Layout.nquadLines(pairs, "Skeleton.similar_code")
+          .localCheckpoint()) // same once-only contract as the interface leg
       }
 
     val lines = (ifcLines.toSeq ++ cosLines.toSeq).reduce(_.unionByName(_))

@@ -101,8 +101,14 @@ object Decompile {
     val canonical = concat(col("name"), lit("("), inTypes, lit(")"))
     val keccakSig = concat(lit("0x"),
       lower(hex(graft.functions.Keccak.keccak256(canonical.cast("binary")))))
+    // the reference (event.rs get_signature_hash, error.rs alike) only
+    // checks the Event_/Error_ prefix and takes the LAST '_'-separated
+    // segment when it is 64 hex chars — so Event_Foo_<64hex> embeds its
+    // hash too, not just the bare Event_<64hex> form
+    val lastSeg = substring_index(col("name"), "_", -1)
     val embedded =
-      regexp_extract(col("name"), "^(?:Event|Error)_([0-9a-fA-F]{64})$", 1)
+      when(col("name").rlike("^(?:Event|Error)_") &&
+        lastSeg.rlike("^[0-9a-fA-F]{64}$"), lastSeg).otherwise(lit(""))
     val signature =
       when(embedded =!= "", concat(lit("0x"), lower(embedded)))
         .otherwise(keccakSig)

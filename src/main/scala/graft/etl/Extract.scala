@@ -100,7 +100,9 @@ object Extract {
     // the counters are final: nonzero = calls that failed after retries
     // and dropped out exactly like past-the-head nulls (the reference's
     // log-and-skip, extract.rs:406-413) — surfaced so a misconfigured
-    // endpoint can't silently yield a partial extract
+    // endpoint can't silently yield a partial extract. The count is
+    // BEST-EFFORT (task retries can double-count accumulator updates):
+    // it answers "did anything fail", not "exactly how many"
     val fetchFailures =
       fetchMethods.map(m => Rpc.failedCounter(spark, m).value.longValue).sum - failedBefore
     if (fetchFailures > 0)
@@ -235,8 +237,37 @@ object Extract {
         (if (includeTransfers) Map("transfers" -> stamp(transfers)) else Map.empty) ++
         (if (includeLogs) Map("logs" -> stamp(logs)) else Map.empty)
 
-    static.foreach { case (name, df) => Layout.writeStatic(df, outRoot, name) }
-    dynamic.foreach { case (name, df) => Layout.writeDynamic(df, outRoot, name) }
+    // static entities land through the NATURAL-KEY upsert (K4): a
+    // re-run/retry over the same outRoot is a no-op, a second range
+    // extends the tables — the Dgraph-upsert idempotency invariant the
+    // reference's serializers rely on. `abi` keys on skeleton_hash
+    // alone (its rows per skeleton are the deterministic decompiler
+    // output — all-or-nothing per skeleton); `accounts` is add-only by
+    // address (a later range never downgrades an existing row's flags).
+    val staticKeys = Map(
+      "blocks" -> Seq("number"),
+      "deployments" -> Seq("contract", "tx_hash"),
+      "destructions" -> Seq("contract", "tx_hash"),
+      "skeletons" -> Seq("skeleton_hash"),
+      "functions" -> Seq("signature"), "events" -> Seq("signature"),
+      "errors" -> Seq("signature"),
+      "abi" -> Seq("skeleton_hash"),
+      "accounts" -> Seq("address"),
+      "withdrawals" -> Seq("block_number", "index"))
+    static.foreach { case (name, df) =>
+      Layout.upsertStatic(df, outRoot, name, staticKeys(name)) }
+    // dynamic entities go through the SAME per-block replacement core as
+    // the live follow (not a bare dynamic-partition overwrite, which
+    // would clobber a bucket's rows from an EARLIER range sharing it):
+    // a re-run replaces its own blocks, a later range extends, and a
+    // batch backfill + live follower are interchangeable on one root
+    if (dynamic.nonEmpty) {
+      val batchBlocks =
+        blocks.select(col("number").as("block_number")).distinct().persist()
+      try graft.streaming.Incremental.replaceEntities(
+        spark, batchBlocks, outRoot, dynamic.toSeq)
+      finally batchBlocks.unpersist()
+    }
     Layout.writeDgraphSchema(spark, outRoot)
 
     val counts =

@@ -16,7 +16,10 @@ object Sig {
     name + "(" + inputTypes.mkString(",") + ")"
 
   private val Unresolved = "^Unresolved_([0-9a-fA-F]{8})$".r
-  private val EmbeddedHash = "^(?:Event|Error)_([0-9a-fA-F]{64})$".r
+  // the reference checks the Event_/Error_ PREFIX and takes the LAST
+  // '_'-separated segment when it is 64 hex chars (event.rs
+  // get_signature_hash) — Event_Foo_<64hex> embeds its hash too
+  private val EmbeddedHash = "^(?:Event|Error)_(?:.*_)?([0-9a-fA-F]{64})$".r
 
   /** Full 32-byte signature hash, honoring the unresolved-name
     * short-circuits. Returns 0x-prefixed lowercase hex. */

@@ -35,6 +35,37 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(s"$root/static/$entity")
 
+  /** K4 for the batch path: append only rows whose NATURAL KEY is not
+    * already in the table — the relational form of the reference's
+    * Dgraph upserts, which are idempotent by natural key
+    * (skeleton.rs:162-297 and friends upsert, never blind-insert). A
+    * re-run or retried extract over the same root therefore never
+    * duplicates static entities, and a second range extends them.
+    *
+    * Scale shape: the anti-join probes the EXISTING table's key
+    * projection — a column-pruned parquet scan; for the signature/
+    * skeleton dimensions AQE broadcasts it, for mainnet-scale
+    * deployments it is one shuffle on the key the table would be
+    * bucketed by anyway. The localCheckpoint materializes the fresh
+    * rows before the append (the write's plan must not still read the
+    * path it appends to). */
+  def upsertStatic(df: DataFrame, root: String, entity: String,
+      keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+    val path = s"$root/static/$entity"
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fresh =
+      if (!exists) df
+      else df.join(
+        spark.read.parquet(path).select(keys.map(col): _*).dropDuplicates(keys),
+        keys, "left_anti").localCheckpoint()
+    fresh.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** K5: idempotent write of a block-keyed dynamic entity — dynamic
     * partition overwrite replaces exactly the block buckets present in
     * `df`, the relational form of delete-by-block + reinsert. */

@@ -189,6 +189,12 @@ object Rpc {
                 Thread.sleep(backoffMs << math.min(attempt - 1, 6))
             }
           }
+          // BEST-EFFORT counter: accumulator updates inside mapPartitions
+          // are not exactly-once (a task retried or speculatively
+          // re-executed after incrementing double-counts), so consumers
+          // must treat a nonzero value as "at least this many" — exact
+          // failure accounting would count the null-body rows in the
+          // materialized frame instead
           if (!done) failed.add(1L)
           (n, body)
         }

@@ -59,10 +59,11 @@ object Incremental {
   }
 
   /** The per-entity replacement core shared by the single-source batch
-    * path and the multi-source live follow: replace the derived rows of
-    * exactly `batchBlocks` in every entity table. `batchBlocks` must be
-    * persisted by the caller (it drives one anti-join per entity). */
-  private def replaceEntities(spark: SparkSession, batchBlocks: DataFrame,
+    * path, the multi-source live follow, and Extract's dynamic sink:
+    * replace the derived rows of exactly `batchBlocks` in every entity
+    * table. `batchBlocks` must be persisted by the caller (it drives
+    * one anti-join per entity). */
+  private[graft] def replaceEntities(spark: SparkSession, batchBlocks: DataFrame,
       outRoot: String, entities: Seq[(String, DataFrame)]): Unit = {
     // the BLOCK set stays a broadcast frame (a replay batch of
     // unbounded width never materializes its block list on the
@@ -79,12 +80,17 @@ object Incremental {
       val newRows = Layout.withBlockBucket(df)
       val merged =
         if (!pathExists(spark, path)) newRows
-        else {
+        else try {
           val survivors = spark.read.parquet(path)
             .where(col("block_bucket").isin(affectedBuckets: _*))
             .join(broadcast(batchBlocks), Seq("block_number"), "left_anti")
             .localCheckpoint()
           newRows.unionByName(survivors)
+        } catch {
+          // the directory exists but holds no committed footer — a prior
+          // run died mid-write (crash between entity commits): nothing
+          // survives to carry over, the replay rebuilds it whole
+          case _: org.apache.spark.sql.AnalysisException => newRows
         }
       merged.write
         .mode("overwrite")
@@ -170,16 +176,61 @@ object Incremental {
     lazy val logs: DataFrame = logsF().localCheckpoint()
   }
 
+  /** The multi-entity follow's explicit resume point: a `_synced_head`
+    * marker at the sink root recording the last block through which
+    * EVERY entity (and the tick's static side effects) committed.
+    *
+    * The resume point must NOT be derived from per-entity row maxima:
+    * an entity with legitimately no rows near the head — selfdestructs
+    * are absent for long mainnet stretches — would pin it permanently
+    * behind, so every tick re-fetches the entire growing gap (blocks
+    * plus a full trace_block sweep) and the indexed==head fixpoint
+    * never arrives. The marker advances only after the whole tick
+    * committed; a crash mid-tick leaves the previous value and the
+    * replayed gap re-replaces idempotently. */
+  def syncedHead(spark: SparkSession, outRoot: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outRoot/_synced_head")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    } catch { case _: Exception => None } // torn marker = replay the gap
+  }
+
+  private[graft] def writeSyncedHead(spark: SparkSession, outRoot: String,
+      head: Long): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$outRoot/_synced_head")
+    val tmp = new org.apache.hadoop.fs.Path(s"$outRoot/._synced_head.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is atomic on HDFS/posix; object stores degrade to
+    // copy+delete, where a torn state reads back as "absent" via the
+    // catch above and the next tick simply replays — safe either way
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
   /** S6 at full entity width: the live follow with a derive map over
     * ALL THREE fetch faces — each tick fetches the gap's blocks (and,
     * lazily, traces/logs), derives every registered entity, and
     * replaces their block ranges in one pass.
     *
-    * Crash consistency: the resume point is the MINIMUM max-indexed
-    * block across all derived entities — a tick that died after writing
-    * some entities re-fetches from the laggard's position and re-replaces
-    * every entity idempotently (per-block replacement makes the replay a
-    * no-op for the entities that had committed). */
+    * Crash consistency: the resume point is the [[syncedHead]] marker,
+    * advanced only after every entity AND the tick's static side
+    * effects committed — a tick that died after writing some entities
+    * re-fetches the same gap and re-replaces every entity idempotently
+    * (per-block replacement makes the replay a no-op for the entities
+    * that had committed). A sink without a marker (fresh, or built by
+    * an older run) falls back once to the conservative min-over-entities
+    * scan; the first committed tick writes the marker and retires it. */
   def followHeadEntities(spark: SparkSession, endpoint: String, outRoot: String,
       checkpoint: String, startBlock: Long,
       derive: Seq[(String, Gap => DataFrame)], slots: Int = 8,
@@ -191,9 +242,11 @@ object Incremental {
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
         val head = graft.sources.Rpc.blockNumber(endpoint)
-        val last = derive.map { case (entity, _) =>
-          maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
-        }.min
+        val last = syncedHead(spark, outRoot).getOrElse {
+          derive.map { case (entity, _) =>
+            maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
+          }.min
+        }
         if (head > last) {
           val blocks = graft.sources.Rpc
             .fetchBlocks(spark, endpoint, last + 1, head, slots)
@@ -213,6 +266,8 @@ object Incremental {
             // gap re-derives the same skeletons and the upsert's
             // append-if-absent skips them
             onGap(gap)
+            // everything committed — advance the resume point
+            writeSyncedHead(spark, outRoot, head)
           } finally batchBlocks.unpersist()
         }
       }

@@ -140,24 +140,19 @@ object Stream {
         onGap = g => upsertSkeletons(outRoot,
           graft.etl.Decode.deployments(g.traces), decompiler, timeoutMs))
       if (flag("--until-head")) {
-        val names = derive.map(_._1)
         val deadline = System.nanoTime() + 300L * 1000000000L
-        def caughtUp() = names.forall(e =>
-          Incremental.maxIndexedBlock(spark, outRoot, e)
-            .exists(_ >= graft.sources.Rpc.blockNumber(endpoint)))
+        // the synced-head marker IS the fixpoint signal: it advances
+        // only after every entity AND the tick's skeleton upsert
+        // committed — unlike per-entity row maxima, it also arrives
+        // when an entity legitimately has no rows near the head
+        def caughtUp() = Incremental.syncedHead(spark, outRoot)
+          .exists(_ >= graft.sources.Rpc.blockNumber(endpoint))
         while (q.exception.isEmpty && !caughtUp() && System.nanoTime() < deadline)
           Thread.sleep(200)
         q.exception.foreach(throw _)
-        // the skeleton upsert runs AFTER the tick's entity replacement —
-        // give the fixpoint tick's onGap a grace window to commit before
-        // stopping (a gap with no deployments never creates the path)
         def skelCount: Option[Long] =
           try Some(spark.read.parquet(s"$outRoot/static/skeletons").count())
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val grace = System.nanoTime() + 10L * 1000000000L
-        while (decompiler.nonEmpty && skelCount.isEmpty &&
-            System.nanoTime() < grace)
-          Thread.sleep(200)
         q.stop()
         val counts = derive.map { case (e, _) =>
           e -> spark.read.parquet(s"$outRoot/dynamic/$e").count() } :+

@@ -35,4 +35,25 @@ class GoldenAbiSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(scores === Map("0xens" -> 9))
   }
+
+  test("embedded-hash rule matches the reference: LAST '_'-segment of an Event_/Error_ name (event.rs get_signature_hash)") {
+    val hex = "c0d559150c15862e872a031a8e11f466df4b16d14e736187f2e7fb162060f9d0"
+    val hex2 = "aabbccddaabbccddaabbccddaabbccddaabbccddaabbccddaabbccddaabbccdd"
+    // distinct hashes — same-signature rows would collapse in the K3 gate
+    val json =
+      s"""[{"type":"event","name":"Event_Foo_$hex","inputs":[]},
+         | {"type":"event","name":"Event_$hex2","inputs":[]},
+         | {"type":"event","name":"Event_NotAHash","inputs":[]}]""".stripMargin
+    val events = Decompile.signatureEntities(abiRows("0xskel", json))("events")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("signature")).toMap
+    // a 64-hex last segment embeds the hash whatever precedes it…
+    assert(events(s"Event_Foo_$hex") === s"0x$hex")
+    assert(events(s"Event_$hex2") === s"0x$hex2")
+    // …and a non-hex tail falls back to the keccak of the canonical form
+    // (Sig replays the same rule driver-side, so oracle and relational
+    // path can never diverge on it)
+    assert(events("Event_NotAHash") ===
+      graft.functions.Sig.signatureHash("Event_NotAHash", Nil))
+    assert(graft.functions.Sig.signatureHash(s"Event_Foo_$hex", Nil) === s"0x$hex")
+  }
 }

@@ -77,12 +77,31 @@ class ExtractSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/contracts.schema")))
     assert(schema.contains("accounts.address: string @index(hash) @upsert ."))
 
-    // replayed dynamic writes stay idempotent (K5): re-running the
-    // same range must not duplicate block-keyed entities
+    // replayed writes stay idempotent: dynamic through per-block
+    // replacement (K5), static through the natural-key upsert (K4, the
+    // Dgraph-upsert invariant) — re-running the same range must not
+    // duplicate ANY entity
     val counts2 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out,
       decompiler = Extract.standInDecompiler())
-    assert(counts2("transactions") === counts("transactions"))
-    assert(counts2("logs") === counts("logs"))
+    assert(counts2 === counts)
+
+    // and a LATER range extends the static tables without re-landing
+    // what the first range already upserted (same skeletons → same
+    // signature entities; only the new blocks/deployments arrive)
+    val counts3 = Extract.run(spark, RpcStub.endpoint, 711L, 715L, out,
+      decompiler = Extract.standInDecompiler())
+    assert(counts3("functions") === counts("functions"))
+    assert(counts3("abi") === counts("abi"))
+    assert(counts3("skeletons") === counts("skeletons"))
+    assert(counts3("blocks") === blocks.size + 5)
+    val extraTxs = (711L to 715L).map(n =>
+      (0 until RpcStub.txCountOf(n)).map(n -> _)).flatten
+    assert(counts3("deployments") ===
+      counts("deployments") + extraTxs.count { case (_, i) => i % 4 == 1 })
+    // dynamic entities EXTEND too — the later range must not clobber the
+    // first range's rows sharing its block bucket (per-block replacement,
+    // not bare partition overwrite)
+    assert(counts3("transactions") === counts("transactions") + extraTxs.size)
   }
 
   test("degraded endpoint: failed fetches are counted, their blocks skipped") {
@@ -94,8 +113,11 @@ class ExtractSpec extends AnyFunSuite {
     val counts = Extract.run(spark, RpcStub.flakyEndpoint, 700L, 710L, out)
     // 2 failed blocks × 2 methods: the flaky face keys on the first hex
     // param, which eth_getLogs' filter-object params don't carry — so
-    // the log fetch passes through clean
-    assert(counts("fetch_failures") === 4)
+    // the log fetch passes through clean. >= not ==: the accumulator is
+    // best-effort (a retried/speculative task that incremented before
+    // dying double-counts), so the contract is "at least the real
+    // failures surface", never an exact census
+    assert(counts("fetch_failures") >= 4)
     // blocks 700, 707 (500s) and 705, 710 (truncated) dropped
     assert(counts("blocks") === 7)
     // a clean run reports zero failures

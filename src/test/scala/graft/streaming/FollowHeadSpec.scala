@@ -41,6 +41,91 @@ class FollowHeadSpec extends AnyFunSuite {
     } finally RpcStub.setHead(RpcStub.Head)
   }
 
+  test("crash mid-tick: a failure AFTER the first entity committed replays idempotently on restart") {
+    import org.apache.spark.sql.functions.{lit, udf}
+    val out = graft.Temps.dir("follow-crash-out")
+    val bomb = java.nio.file.Paths.get(graft.Temps.dir("follow-crash-flag"), "armed")
+    java.nio.file.Files.createFile(bomb)
+    val bombPath = bomb.toString
+    // fails at EXECUTION time — i.e. after the preceding entity's
+    // overwrite already committed — whenever the flag file exists
+    val detonate = udf { (_: Long) =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(bombPath)))
+        throw new IllegalStateException("injected crash between entity commits")
+      true
+    }
+    def derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))),
+      "deployments" -> (g => graft.etl.Decode.deployments(g.traces)
+        .filter(detonate(col("block_number")))
+        .select(col("contract"), col("block_number"), col("tx_hash"))))
+    val deadline0 = System.nanoTime() + 60L * 1000000000L
+    val q1 = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-crash-ckpt1"),
+      startBlock = 745L, derive)
+    try {
+      while (q1.exception.isEmpty && System.nanoTime() < deadline0)
+        Thread.sleep(100)
+      assert(q1.exception.nonEmpty, "injected failure did not surface")
+    } finally q1.stop()
+    // the tick died between entity commits: blocks landed, the marker
+    // did NOT advance — the resume point still covers the whole gap
+    assert(Incremental.maxIndexedBlock(spark, out, "blocks") === Some(RpcStub.Head))
+    assert(Incremental.syncedHead(spark, out).isEmpty)
+
+    // restart WITHOUT the bomb (fresh checkpoint — the sink itself is
+    // the state): the replayed gap must converge every entity to head
+    // with no duplicate rows
+    java.nio.file.Files.delete(bomb)
+    val q2 = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-crash-ckpt2"),
+      startBlock = 745L, derive)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def synced = Incremental.syncedHead(spark, out)
+      while (q2.exception.isEmpty && synced != Some(RpcStub.Head) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q2.exception.foreach(throw _)
+      assert(synced === Some(RpcStub.Head))
+    } finally q2.stop()
+    val blockNums = spark.read.parquet(s"$out/dynamic/blocks")
+      .select("block_number").collect().map(_.getLong(0)).sorted
+    assert(blockNums.toSeq === (745L to RpcStub.Head),
+      "every block exactly once after the replay")
+    val deps = spark.read.parquet(s"$out/dynamic/deployments")
+    val expected = (745L to RpcStub.Head)
+      .map(n => (0 until RpcStub.txCountOf(n)).count(_ % 4 == 1)).sum
+    assert(deps.count() === expected.toLong)
+    assert(deps.distinct().count() === expected.toLong, "replay duplicated rows")
+  }
+
+  test("an entity with no rows near the head does not pin the resume point (synced-head marker)") {
+    import org.apache.spark.sql.functions.lit
+    val out = graft.Temps.dir("follow-empty-out")
+    // "destructions absent for long stretches": an always-empty entity —
+    // under row-maxima resume the fixpoint would NEVER arrive and every
+    // tick would re-fetch the whole gap; the marker must still converge
+    val derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))),
+      "empty" -> (g => g.blocks.where(lit(false))
+        .select(col("block_number"), col("ts"))))
+    val q = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-empty-ckpt"),
+      startBlock = 745L, derive)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def synced = Incremental.syncedHead(spark, out)
+      while (q.exception.isEmpty && synced != Some(RpcStub.Head) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.exception.foreach(throw _)
+      assert(synced === Some(RpcStub.Head), "fixpoint pinned by the empty entity")
+    } finally q.stop()
+    assert(Incremental.maxIndexedBlock(spark, out, "empty") === None)
+    assert(Incremental.maxIndexedBlock(spark, out, "blocks") === Some(RpcStub.Head))
+  }
+
   test("live skeleton upsert: new skeletons appended once, replays skipped (stream.rs:172-253)") {
     val out = graft.Temps.dir("stream-skel-out")
     val ckpt = graft.Temps.dir("stream-skel-ckpt")
