@@ -1,0 +1,257 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.SimSearch
+
+/** Empirical validation of the SCALE.md candidate-volume laws — the
+  * dedup/ANN family's scale claims, MEASURED instead of reasoned.
+  *
+  * The driver corpus tops out at 5k documents (sf0.1), far too small to
+  * see a quadratic term, so [[amplifyDocs]]/[[amplifyEmbeddings]]
+  * synthesize deterministic k× corpora of DISTINCT rows: copy 0 is the
+  * original; copy c > 0 mutates every third token (keyed on
+  * (doc_id, copy), so two copies of one document share almost no
+  * shingles and sit far apart in fingerprint space) or rotates the
+  * embedding dimensions (decorrelating the copy from its original while
+  * preserving the norm and the component distribution). Growth in
+  * candidate volume beyond linear-in-n therefore measures the RANDOM
+  * bucket-collision term `Σ_bucket |bucket|² ≈ n²/K` — the law under
+  * test — not replica-cluster structure an amplifier would fabricate.
+  *
+  * Each family method returns (candidates BEFORE re-rank, surviving
+  * pairs); `main` times them per scale and prints a JSON line + a
+  * markdown table row per (family, scale) for SCALE.md.
+  *
+  * Usage: `runMain graft.bench.ScaleLaws <sfDir> [factors csv, default
+  * 1,4,16]`.
+  */
+object ScaleLaws {
+
+  /** k× document corpus of DISTINCT rows (see class doc). */
+  def amplifyDocs(docs: DataFrame, factor: Int): DataFrame = {
+    val spark = docs.sparkSession
+    if (factor <= 1)
+      return docs.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    // EVERY token gets a (copy, doc_id)-keyed suffix, making each copy
+    // a fully DISTINCT document: a partial mutation leaves enough
+    // shared tokens that SimHash still fingerprints copies of the
+    // template-heavy originals as near-dups, and the amplifier would
+    // then fabricate quadratic duplicate-cluster growth that drowns the
+    // random-collision term the law is about. The suffix carries
+    // doc_id, not just copy, because byte-identical originals exist
+    // under different ids — a copy-only suffix would mutate them
+    // identically and re-fabricate those clusters too.
+    val mutated = concat_ws(" ", transform(toks, (t, _) =>
+      concat(t, lit("_"), col("copy"), lit("x"), pmod(col("doc_id"), lit(997)))))
+    docs.crossJoin(broadcast(spark.range(0, factor).toDF("copy")))
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text")).otherwise(mutated).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
+  /** k× embedding corpus: copy c rotates the dimensions by 5c — the
+    * copy decorrelates from its original (no fabricated near-dup
+    * clusters) while the norm and component distribution survive. */
+  def amplifyEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val spark = emb.sparkSession
+    if (factor <= 1)
+      return emb.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    val dim = SimSearch.LshDim
+    val rolled = transform(col("embedding"), (_, i) =>
+      element_at(col("embedding"),
+        (pmod(i + col("copy") * 5, lit(dim)) + 1).cast("int")))
+    emb.crossJoin(broadcast(spark.range(0, factor).toDF("copy")))
+      .select(
+        (col("vec_id") * factor + col("copy")).as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(rolled)
+          .as("embedding"),
+        col("label"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+  }
+
+  /** q112's DEMO shape uncapped: one 16-bit SimHash (the native wide
+    * expression's first quarter), 2×8-bit halves → K = 2⁸ bucket keys.
+    * Predicted candidates ≈ n²/2⁸ — the narrow-key law term. */
+  def simhashNarrow(docs: DataFrame): (Long, Long) = {
+    val sh = docs
+      .withColumn("QS", graft.functions.EvmExprs.simHashQuartersFromText(col("text")))
+      .select(col("doc_id"), element_at(col("QS"), 1).as("sh"))
+      .localCheckpoint()
+    val bands = sh.select(col("doc_id"), lit(0).as("half"),
+        (col("sh") / 256L).cast("long").as("key"))
+      .unionByName(sh.select(col("doc_id"), lit(1).as("half"),
+        (col("sh") % 256L).as("key")))
+    val cand = bands.toDF("a_id", "half", "key")
+      .join(bands.toDF("b_id", "half", "key"), Seq("half", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().localCheckpoint()
+    val pairs = cand
+      .join(sh.toDF("a_id", "a_sh"), "a_id")
+      .join(sh.toDF("b_id", "b_sh"), "b_id")
+      .where(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 1).count()
+    (cand.count(), pairs)
+  }
+
+  /** q121's scale shape: 4×16-bit quarters → K = 2¹⁶ bucket keys.
+    * Predicted candidates ≈ 4·(n²/2)/2¹⁶ = n²/2¹⁵ per the same law —
+    * 64× fewer than the narrow shape at every n. */
+  def simhashWide(docs: DataFrame): (Long, Long) = {
+    val sh = docs
+      .withColumn("QS", graft.functions.EvmExprs.simHashQuartersFromText(col("text")))
+      .select(col("doc_id") +: (0 until 4).map(k =>
+        element_at(col("QS"), k + 1).as(s"q$k")): _*)
+      .localCheckpoint()
+    val bands = (0 until 4).map(k =>
+        sh.select(col("doc_id"), lit(k).as("band"), col(s"q$k").as("key")))
+      .reduce(_.unionByName(_))
+    val cand = bands.toDF("a_id", "band", "key")
+      .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().localCheckpoint()
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k")))).reduce(_ + _)
+    val pairs = cand
+      .join(sh.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3"), "a_id")
+      .join(sh.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"), "b_id")
+      .where(hamming <= 3).count()
+    (cand.count(), pairs)
+  }
+
+  /** q28's MinHash banding: 2 bands of 2 hashes — K is the joint
+    * 2-hash key space, so random collisions are rare and candidates
+    * track the corpus's TRUE resemblance structure (near-linear). */
+  def minhashBands(docs: DataFrame): (Long, Long) = {
+    val sig = docs
+      .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until 4).map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      .localCheckpoint()
+    val bands = sig.select(col("doc_id"), lit(0).as("band"),
+        col("h0").as("x"), col("h1").as("y"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        col("h2").as("x"), col("h3").as("y")))
+    val cand = bands.toDF("a_id", "band", "x", "y")
+      .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct().localCheckpoint()
+    val pairs = cand
+      .join(sig.toDF("a_id", "a0", "a1", "a2", "a3"), "a_id")
+      .join(sig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
+      .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+        when(col("a1") === col("b1"), 1).otherwise(0) +
+        when(col("a2") === col("b2"), 1).otherwise(0) +
+        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+        >= 0.5).count()
+    (cand.count(), pairs)
+  }
+
+  /** q24's shingle-hash equi-join with the df cap: candidate volume is
+    * Σ_shingle df² over surviving shingles — the df cap is the lever
+    * that keeps it from going quadratic on hot shingles. */
+  def shingleJaccard(docs: DataFrame): (Long, Long) = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+      .localCheckpoint()
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > graft.queries.TextOps.MaxShingleDF).select("sh")
+    val joinable = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
+    val sizes = joinable.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = joinable.toDF("sh", "a_id")
+      .join(joinable.toDF("sh", "b_id"), Seq("sh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= 2).localCheckpoint()
+    val pairs = inter
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.5).count()
+    (inter.count(), pairs)
+  }
+
+  /** q32/q33's random-hyperplane LSH: K = 2^planes buckets; candidates
+    * = Σ_bucket C(|bucket|, 2). Counted from the bucket histogram (the
+    * exact join volume) so the measurement itself stays cheap. */
+  def lshCosine(emb: DataFrame): (Long, Long) = {
+    val bucketed = SimSearch.lshBuckets(emb, "vec_id", "embedding",
+      SimSearch.LshPlanes).localCheckpoint()
+    val cand = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    val pairs = {
+      val withN = bucketed.withColumn("n", SimSearch.l2norm(col("v")))
+      val a = withN.toDF("a_id", "av", "bucket", "an")
+      val b = withN.toDF("b_id", "bv", "bucket", "bn")
+      a.join(b, Seq("bucket")).where(col("a_id") < col("b_id"))
+        .where(SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")) >= 0.2)
+        .count()
+    }
+    (cand, pairs)
+  }
+
+  /** q34/q35's IVF: every vector probes its nProbe nearest of K cells;
+    * candidates = Σ probe-side × cell-side meeting on the cell id.
+    * nProbe/K tune candidates INDEPENDENTLY of n — the claim under
+    * test is that candidates grow ~n²·nProbe/K, i.e. the same law with
+    * a tunable constant. */
+  def ivfProbe(emb: DataFrame): (Long, Long) = {
+    val ranked = SimSearch.ivfRank(emb, "vec_id", "embedding",
+        SimSearch.ivfCentroids(emb, "vec_id", "embedding"))
+      .localCheckpoint()
+    val cells = ranked.where(col("rn") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("nc"))
+    val probes = ranked.where(col("rn") <= SimSearch.IvfProbe)
+      .groupBy(col("cid")).agg(count(lit(1)).as("np"))
+    val cand = cells.join(probes, Seq("cid"))
+      .agg(sum(col("nc") * col("np"))).head().getLong(0)
+    (cand, cells.count())
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,4,16").split(",").map(_.trim.toInt).toSeq
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    try {
+      val docs0 = graft.queries.Tables.documents(spark, sfDir)
+      val emb0 = graft.queries.Tables.embeddings(spark, sfDir)
+      val nDocs0 = docs0.count()
+      val nEmb0 = emb0.count()
+      val fams: Seq[(String, Boolean, DataFrame => (Long, Long))] = Seq(
+        ("simhash_narrow_q112", true, simhashNarrow),
+        ("simhash_wide_q121", true, simhashWide),
+        ("minhash_bands_q28", true, minhashBands),
+        ("shingle_jaccard_q24", true, shingleJaccard),
+        ("lsh_cosine_q32_33", false, lshCosine),
+        ("ivf_probe_q34_35", false, ivfProbe))
+      val rows = for (factor <- factors; (name, isDoc, f) <- fams) yield {
+        val base = if (isDoc) amplifyDocs(docs0, factor)
+          else amplifyEmbeddings(emb0, factor)
+        val data = base.localCheckpoint()
+        val n = (if (isDoc) nDocs0 else nEmb0) * factor
+        val ((cand, pairs), secs) = time(f(data))
+        println(s"""{"family":"$name","n":$n,"factor":$factor,""" +
+          s""""candidates":$cand,"pairs":$pairs,"secs":${math.round(secs * 100) / 100.0}}""")
+        (name, n, factor, cand, pairs, secs)
+      }
+      println("\n| family | n | candidates | pairs | secs |")
+      println("|---|---|---|---|---|")
+      rows.foreach { case (name, n, _, cand, pairs, secs) =>
+        println(f"| $name | $n%d | $cand%d | $pairs%d | $secs%.2f |")
+      }
+    } finally spark.stop()
+  }
+}

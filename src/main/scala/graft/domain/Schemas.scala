@@ -92,7 +92,11 @@ object Schemas {
     StructField("storage_address", StringType),
     StructField("experimental", BooleanType),
     StructField("name", StringType),
-    StructField("verified_source", BooleanType)))
+    StructField("verified_source", BooleanType),
+    // the verified source TEXT itself when the sanctuary has it
+    // (contract_deployment.rs:319-327 serializes the code, not just
+    // the flag); null for unverified contracts
+    StructField("verified_source_code", StringType)))
 
   val contractDestruction: StructType = StructType(Seq(
     StructField("contract", StringType),

@@ -148,9 +148,16 @@ object Extract {
     }
     val deployments = (sanctuaryRoot match {
       case Some(root) =>
-        Sanctuary.verify(withNames, Sanctuary.index(spark, root))
-          .drop("source_name") // Schemas.contractDeployment carries the flag only
-      case None => withNames.withColumn("verified_source", lit(false))
+        // the reference serializes the verified source TEXT itself when
+        // the sanctuary has it (contract_deployment.rs:319-327), so the
+        // content-index ride-along lands as verified_source_code
+        Sanctuary.verify(withNames, Sanctuary.index(spark, root),
+            withSource = true)
+          .withColumnRenamed("source_code", "verified_source_code")
+          .drop("source_name")
+      case None => withNames
+        .withColumn("verified_source", lit(false))
+        .withColumn("verified_source_code", lit(null).cast("string"))
     }).localCheckpoint()
 
     val destructions = Decode.destructions(traces)

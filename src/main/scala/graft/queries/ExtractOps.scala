@@ -312,5 +312,81 @@ object ExtractOps {
               |       THEN 'C' || right(printf('%040x', v), 4) END AS name,
               |  (v % 3 = 0) AS verified_source
               |FROM cr""".stripMargin),
-      "Extract's name() + sanctuary enrichment flags on the Deployment entity (extract.rs:163-168)"))
+      "Extract's name() + sanctuary enrichment flags on the Deployment entity (extract.rs:163-168)"),
+
+    // stream.rs:230 → skeleton.rs:162-297: the LIVE skeleton upsert
+    // carries the decompiled ABI into the store. A live follow over gap
+    // blocks with unseen skeletons must leave the same
+    // static/{functions,events,errors} signature tables an extract
+    // would — the q115 rows, landed by the stream path: decompile per
+    // NEW skeleton, signature build, natural-key upsert (the live face
+    // of K3's dedup gate).
+    "q129_stream_abi_entities" -> Q(
+      (s, _) => {
+        import graft.streaming.{Incremental, Stream}
+        val head0 = RpcStub.head
+        require(head0 == RpcStub.Head,
+          s"stub head $head0 != ${RpcStub.Head}: leftover setHead state")
+        val outRoot = graft.Temps.dirFor("streamabi-out")
+        val decompiler = graft.etl.Extract.standInDecompiler()
+        val derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+          "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))),
+          "deployments" -> (g => graft.etl.Decode.deployments(g.traces)))
+        val q = Incremental.followHeadEntities(
+          s, RpcStub.endpoint, outRoot, graft.Temps.dirFor("streamabi-ckpt"),
+          startBlock = 740L, derive,
+          onGap = g => Stream.upsertSkeletons(outRoot,
+            graft.etl.Decode.deployments(g.traces), decompiler))
+        try {
+          val deadline = System.nanoTime() + 180L * 1000000000L
+          // the synced-head marker advances only after the tick's
+          // skeleton+ABI upsert committed — marker at head IS the
+          // "stream store complete" signal
+          def synced = Incremental.syncedHead(s, outRoot)
+          while (q.exception.isEmpty && synced != Some(head0) &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
+          q.exception.foreach(throw _)
+          if (synced != Some(head0)) throw new IllegalStateException(
+            s"stream did not sync to head $head0")
+        } finally q.stop()
+        val f = s.read.parquet(s"$outRoot/static/functions")
+          .withColumn("kind", lit("function"))
+        val e = s.read.parquet(s"$outRoot/static/events")
+          .withColumn("kind", lit("event"))
+          .withColumn("bytes4", lit(null).cast("string"))
+          .withColumn("outputs", lit(null).cast("string"))
+        val er = s.read.parquet(s"$outRoot/static/errors")
+          .withColumn("kind", lit("error"))
+          .withColumn("bytes4", lit(null).cast("string"))
+          .withColumn("outputs", lit(null).cast("string"))
+        f.unionByName(e).unionByName(er)
+          .select(col("kind"), col("signature"), col("bytes4"), col("name"),
+            col("inputs"), col("outputs"))
+      },
+      Some(s"""SELECT * FROM (VALUES
+              |${entityRows.mkString(",\n")}
+              |) AS t(kind, signature, bytes4, name, inputs, outputs)""".stripMargin),
+      "live-stream ABI entities: the skeleton upsert lands functions/events/errors for newly seen skeletons (stream.rs:230, skeleton.rs:162-297)"),
+
+    // contract_deployment.rs:319-327: the verified source TEXT itself
+    // rides the Deployment entity when the sanctuary has it — the
+    // oracle states the file contents the tree builder wrote for the
+    // v%3==0 contracts and null everywhere else.
+    "q130_extract_source_code" -> Q(
+      (s, _) => s.read.parquet(s"${extractRoot(s)}/static/deployments")
+        .select(col("contract"), col("block_number"),
+          col("verified_source"), col("verified_source_code")),
+      Some(s"""WITH tx AS (
+              |  SELECT n, i FROM generate_series($From, $To) AS t(n),
+              |       generate_series(0, 12) AS t2(i)
+              |  WHERE i < n % 13),
+              |cr AS (SELECT n, i, n*61 + i AS v FROM tx WHERE i % 4 = 1)
+              |SELECT printf('0x%040x', v) AS contract,
+              |  n AS block_number,
+              |  (v % 3 = 0) AS verified_source,
+              |  CASE WHEN v % 3 = 0 THEN 'pragma v ' || v || ';' END
+              |    AS verified_source_code
+              |FROM cr""".stripMargin),
+      "the verified source text lands on the Deployment entity (contract_deployment.rs:319-327)"))
 }

@@ -636,13 +636,17 @@ object TextOps {
     // least one 8-bit half, so the (half, value) equi-join finds ALL
     // such pairs — an exact algorithm, not an LSH approximation — and
     // exact bit_count re-ranks the bucket collisions away. The q26
-    // fingerprint's missing second act; same scale law as every
-    // near-dup path here: linear candidate generation on a derived
-    // key, bounded fan-out per bucket (more/narrower halves trade
-    // bucket width against the guaranteed radius at larger scale).
+    // fingerprint's missing second act. DEMO SHAPE, deliberately
+    // narrow: 2⁸-value bucket keys give ~n²/256 candidates, the
+    // fixed-cardinality law that makes narrow fingerprints collapse at
+    // scale — so the input is CAPPED to a deterministic quarter of the
+    // corpus (both engines replay the cap) to keep the demonstration
+    // out of the headline cost; q121 is the production shape (4×16-bit
+    // bands, 2¹⁶ keys) and runs UNCAPPED.
     "q112_simhash_pairs" -> Q(
       (s, d) => {
         val sh = documents(s, d)
+          .where(col("doc_id") % 4 === 0) // deterministic demo cap
           .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
           .select(col("doc_id"), simHash(col("TH"), 16).as("sh"))
           .localCheckpoint() // both band sides + the re-rank read it
@@ -665,7 +669,8 @@ object TextOps {
         val bitTerms = (0 until 16).map { j =>
           s"(CASE WHEN list_sum(list_transform(TH, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         }.mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents
+           |           WHERE doc_id % 4 = 0),
            |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
            |sh AS (SELECT doc_id, $bitTerms AS sh FROM th),
            |bands AS (
@@ -679,7 +684,7 @@ object TextOps {
            |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
            |WHERE bit_count(xor(sa.sh, sb.sh)) <= 1""".stripMargin
       },
-      "SimHash near-dup pairs: half-fingerprint bucket join + exact hamming re-rank"),
+      "SimHash near-dup pairs (capped demo of the narrow-key law): half-fingerprint bucket join + exact hamming re-rank"),
 
     // The q112 SCALE shape: a 64-bit fingerprint as four independent
     // 16-bit quarters, banded 4×16 — by pigeonhole any pair within
@@ -804,5 +809,65 @@ object TextOps {
               |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
               |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS type_token_ratio
               |FROM t GROUP BY 1""".stripMargin),
-      "per-source vocabulary stats: docs, tokens, distinct vocab, type-token ratio"))
+      "per-source vocabulary stats: docs, tokens, distinct vocab, type-token ratio"),
+
+    // q108's TOKEN-aware twin: the char budget is only a proxy — a
+    // training-mix cap is stated in tokenizer tokens, so pack greedily
+    // first-fit (most tokens first, id tiebreak) against a per-source
+    // TOKEN budget with the same windowed-running-sum shape. One
+    // shuffle (the window partition = source); skew follows domain
+    // size exactly as in q108 — a web-scale source that dwarfs the
+    // rest makes its window partition the straggler, so salt it into
+    // budget shards (each pre-capped at budget/shards) or pre-cap
+    // gigantic domains before the window.
+    "q131_token_packing" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_toks").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+          .withColumn("cum_toks", sum(col("n_toks")).over(w))
+          .where(col("cum_toks") <= 800L)
+          .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks,
+              |         sum(CAST(len($toksSql) AS BIGINT)) OVER (
+              |           PARTITION BY source
+              |           ORDER BY CAST(len($toksSql) AS BIGINT) DESC, doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS cum_toks
+              |  FROM documents)
+              |SELECT source, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+              |FROM r WHERE cum_toks <= 800""".stripMargin),
+      "per-source TOKEN-budget packing: best-first windowed running sum over tokenizer counts"),
+
+    // q128's documented 100-TB swap, MEASURED: the exact countDistinct
+    // is a two-phase distinct aggregate (shuffles every distinct token
+    // once); approx_count_distinct is HLL++ at rsd=0.05 — one pass,
+    // fixed sketch memory, mergeable across partitions. The gate
+    // outputs the exact count plus a boolean asserting the sketch
+    // landed within a 10% relative error band (2× the configured rsd),
+    // so the approximation QUALITY is what the oracle pins — the
+    // engine-specific estimate itself never crosses engines.
+    "q132_vocab_approx" -> Q(
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        toks.groupBy(col("source"))
+          .agg(
+            countDistinct(col("tok")).as("n_distinct_exact"),
+            approx_count_distinct(col("tok"), 0.05).as("approx"))
+          .select(col("source"), col("n_distinct_exact"),
+            (abs(col("approx") - col("n_distinct_exact")) <=
+              col("n_distinct_exact") * 0.1).as("within_bound"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, unnest($toksSql) AS tok FROM documents)
+              |SELECT source,
+              |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact,
+              |  true AS within_bound
+              |FROM t GROUP BY 1""".stripMargin),
+      "approx-distinct vocabulary (HLL++, rsd 0.05) measured against the exact count — q128's scale swap"))
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.sinks.Layout
 
 /** The reference's `stream` subcommand (main.rs:28-56,
   * stream.rs:339-372 `run_stream_extraction`) as a CLI over
@@ -59,7 +60,18 @@ object Stream {
     * EXISTING hash set — at mainnet scale (~400k skeletons, 32 bytes
     * each) that broadcasts; far past that, bucket the skeleton table by
     * hash so the anti-join co-locates instead. Returns the number of
-    * NEW skeletons landed. */
+    * NEW skeletons landed.
+    *
+    * The decompiled ABI rides along (stream.rs:230 `skeleton.set_abi`
+    * → skeleton.rs:162-297's upsert writes the functions/events/errors
+    * edges): new skeletons also land their `static/{abi,functions,
+    * events,errors}` rows through the natural-key upsert — the live
+    * face of K3's signature-dedup gate — so a stream-built store is as
+    * rich as an extract-built one. Write order is ABI/signatures FIRST,
+    * skeleton row LAST: the skeleton row's presence is what the
+    * freshness anti-join keys on, so a crash in between leaves the
+    * skeleton "fresh" and the replay re-lands it (the signature upserts
+    * dedup the already-committed half). */
   def upsertSkeletons(outRoot: String, gapDeployments: DataFrame,
       decompiler: Seq[String], timeoutMs: Long = 5000L): Long = {
     val spark = gapDeployments.sparkSession
@@ -85,7 +97,11 @@ object Stream {
         else fresh.select(col("skeleton_hash"),
           lit(null).cast("string").as("abi_json"),
           lit(true).as("failed_decompilation"))
-      val abi = graft.etl.Decompile.parseAbi(decompiled)
+      val abi = graft.etl.Decompile.parseAbi(decompiled).localCheckpoint()
+      Layout.upsertStatic(abi, outRoot, "abi", Seq("skeleton_hash"))
+      graft.etl.Decompile.signatureEntities(abi).foreach { case (entity, df) =>
+        Layout.upsertStatic(df, outRoot, entity, Seq("signature"))
+      }
       fresh
         .join(decompiled.select(col("skeleton_hash"), col("failed_decompilation")),
           Seq("skeleton_hash"), "left")
