@@ -94,6 +94,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(onDisk === schema)
   }
 
+  test("upsertStatic: natural-key append-if-absent (the Dgraph-upsert invariant)") {
+    import spark.implicits._
+    val out = graft.Temps.dir("upsert-static")
+    val first = Seq(("0xaa", 1L), ("0xbb", 2L)).toDF("signature", "v")
+    Layout.upsertStatic(first, out, "sigs", Seq("signature"))
+    // replay: identical rows, nothing lands twice
+    Layout.upsertStatic(first, out, "sigs", Seq("signature"))
+    val afterReplay = spark.read.parquet(s"$out/static/sigs")
+    assert(afterReplay.count() === 2)
+    // a later batch: known keys skipped EVEN WITH different payloads
+    // (first write wins — add-only by key, like the reference's upsert
+    // identity), new keys appended
+    val second = Seq(("0xbb", 99L), ("0xcc", 3L)).toDF("signature", "v")
+    Layout.upsertStatic(second, out, "sigs", Seq("signature"))
+    val rows = spark.read.parquet(s"$out/static/sigs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("0xaa" -> 1L, "0xbb" -> 2L, "0xcc" -> 3L))
+    // composite keys: both columns participate in the identity
+    val out2 = graft.Temps.dir("upsert-static2")
+    val w1 = Seq((700L, 0L, "a"), (700L, 1L, "b")).toDF("block_number", "index", "p")
+    Layout.upsertStatic(w1, out2, "wd", Seq("block_number", "index"))
+    val w2 = Seq((700L, 1L, "dup"), (701L, 0L, "c")).toDF("block_number", "index", "p")
+    Layout.upsertStatic(w2, out2, "wd", Seq("block_number", "index"))
+    assert(spark.read.parquet(s"$out2/static/wd").count() === 3)
+  }
+
   test("bucket arithmetic: 10k blocks per partition") {
     import spark.implicits._
     val b = Layout.withBlockBucket(Seq(0L, 9999L, 10000L, 123456789L).toDF("block_number"))

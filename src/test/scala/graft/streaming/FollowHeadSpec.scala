@@ -126,6 +126,31 @@ class FollowHeadSpec extends AnyFunSuite {
     assert(Incremental.maxIndexedBlock(spark, out, "blocks") === Some(RpcStub.Head))
   }
 
+  test("skeleton upsert crash ordering: ABI committed but skeleton row lost replays without signature duplicates") {
+    val out = graft.Temps.dir("skel-crash-order")
+    val traces = graft.sources.Rpc.traceEntities(
+      graft.sources.Rpc.fetchTraces(spark, RpcStub.endpoint, 740L, 750L))
+    val deps = graft.etl.Decode.deployments(traces).localCheckpoint()
+    val decompiler = graft.etl.Extract.standInDecompiler()
+    val n1 = Stream.upsertSkeletons(out, deps, decompiler)
+    assert(n1 === 2) // both golden skeletons in the gap
+    def count(e: String) = spark.read.parquet(s"$out/static/$e").count()
+    val (fns, evs, errs, abis) =
+      (count("functions"), count("events"), count("errors"), count("abi"))
+    assert(fns > 0 && abis > 0)
+    // the crash window the ABI-first write order defends: signatures
+    // committed, the skeleton row (written LAST) did not — the replayed
+    // gap sees the skeletons as fresh and must re-land them while the
+    // natural-key upserts dedup the already-committed signature half
+    graft.Temps.deleteTree(java.nio.file.Paths.get(s"$out/static/skeletons"))
+    spark.catalog.refreshByPath(s"$out/static/skeletons")
+    val n2 = Stream.upsertSkeletons(out, deps, decompiler)
+    assert(n2 === 2, "lost skeletons were not re-landed on replay")
+    assert(count("skeletons") === 2)
+    assert((count("functions"), count("events"), count("errors"), count("abi"))
+      === ((fns, evs, errs, abis)), "replay duplicated signature entities")
+  }
+
   test("live skeleton upsert: new skeletons appended once, replays skipped (stream.rs:172-253)") {
     val out = graft.Temps.dir("stream-skel-out")
     val ckpt = graft.Temps.dir("stream-skel-ckpt")
