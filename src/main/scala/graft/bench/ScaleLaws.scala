@@ -10,14 +10,14 @@ import graft.ops.SimSearch
   * The driver corpus tops out at 5k documents (sf0.1), far too small to
   * see a quadratic term, so [[amplifyDocs]]/[[amplifyEmbeddings]]
   * synthesize deterministic k× corpora of DISTINCT rows: copy 0 is the
-  * original; copy c > 0 mutates every third token (keyed on
-  * (doc_id, copy), so two copies of one document share almost no
-  * shingles and sit far apart in fingerprint space) or rotates the
-  * embedding dimensions (decorrelating the copy from its original while
-  * preserving the norm and the component distribution). Growth in
-  * candidate volume beyond linear-in-n therefore measures the RANDOM
-  * bucket-collision term `Σ_bucket |bucket|² ≈ n²/K` — the law under
-  * test — not replica-cluster structure an amplifier would fabricate.
+  * original; copy c > 0 suffixes EVERY token with a (copy, doc_id) key
+  * (so copies share no tokens, no shingles, and sit far apart in
+  * fingerprint space) or rotates the embedding dimensions
+  * (decorrelating the copy from its original while preserving the norm
+  * and the component distribution). Growth in candidate volume beyond
+  * linear-in-n therefore measures the RANDOM bucket-collision term
+  * `Σ_bucket |bucket|² ≈ n²/K` — the law under test — not
+  * replica-cluster structure an amplifier would fabricate.
   *
   * Each family method returns (candidates BEFORE re-rank, surviving
   * pairs); `main` times them per scale and prints a JSON line + a
@@ -200,7 +200,9 @@ object ScaleLaws {
     * candidates = Σ probe-side × cell-side meeting on the cell id.
     * nProbe/K tune candidates INDEPENDENTLY of n — the claim under
     * test is that candidates grow ~n²·nProbe/K, i.e. the same law with
-    * a tunable constant. */
+    * a tunable constant. This family has no threshold re-rank, so the
+    * "surviving pairs" slot is 0 by definition — candidates are the
+    * measurement. */
   def ivfProbe(emb: DataFrame): (Long, Long) = {
     val ranked = SimSearch.ivfRank(emb, "vec_id", "embedding",
         SimSearch.ivfCentroids(emb, "vec_id", "embedding"))
@@ -211,7 +213,7 @@ object ScaleLaws {
       .groupBy(col("cid")).agg(count(lit(1)).as("np"))
     val cand = cells.join(probes, Seq("cid"))
       .agg(sum(col("nc") * col("np"))).head().getLong(0)
-    (cand, cells.count())
+    (cand, 0L)
   }
 
   private def time[A](f: => A): (A, Double) = {

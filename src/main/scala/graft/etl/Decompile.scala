@@ -76,6 +76,10 @@ object Decompile {
       .select(col("skeleton_hash"),
         explode(from_json(col("abi_json"), abiJsonSchema)).as("e"))
       .filter(col("e.type").isin("function", "event", "error"))
+      // a malformed ABI entry without a name cannot produce a signature
+      // (keccak(null) = null key) — drop it here, not downstream where a
+      // null natural key would degrade the sink's idempotency contract
+      .filter(col("e.name").isNotNull)
       .select(
         col("skeleton_hash"),
         col("e.type").as("kind"),

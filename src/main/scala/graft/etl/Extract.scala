@@ -166,13 +166,26 @@ object Extract {
 
     // A4 discipline: skeletons dedup BEFORE anything expensive — the
     // decompile subprocess runs once per DISTINCT skeleton (the batch
-    // collapse of the reference's DashMap cache, extract.rs:200-253)
-    val skeletonsRaw = deployments
+    // collapse of the reference's DashMap cache, extract.rs:200-253).
+    // Skeletons ALREADY DECOMPILED SUCCESSFULLY in this root are
+    // excluded too (at mainnet scale that's the whole ~400k-subprocess
+    // bill on an extension run); known-but-FAILED ones stay in, so a
+    // later run with a working decompiler retries them and the merge
+    // below upgrades their rows.
+    val skeletonsRaw0 = deployments
       .select(col("skeleton_hash"),
         Decode.skeletonHex(col("deployed_bytecode")).as("bytecode"))
       .where(col("skeleton_hash").isNotNull)
       .dropDuplicates("skeleton_hash")
-      .localCheckpoint() // consumed by decompile + the skeleton sink
+    val skelPath = new org.apache.hadoop.fs.Path(s"$outRoot/static/skeletons")
+    val skeletonsRaw = (
+      if (!skelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(skelPath)) skeletonsRaw0
+      else skeletonsRaw0.join(
+        spark.read.parquet(skelPath.toString)
+          .where(!col("failed_decompilation")).select("skeleton_hash"),
+        Seq("skeleton_hash"), "left_anti")
+    ).localCheckpoint() // consumed by decompile + the skeleton sink
 
     // decompile → ABI parse → signature entities (U1 ∘ F15 ∘ F5/F6/K3);
     // both stages materialize ONCE — each runs a subprocess per row
@@ -249,20 +262,35 @@ object Extract {
     // extends the tables — the Dgraph-upsert idempotency invariant the
     // reference's serializers rely on. `abi` keys on skeleton_hash
     // alone (its rows per skeleton are the deterministic decompiler
-    // output — all-or-nothing per skeleton); `accounts` is add-only by
-    // address (a later range never downgrades an existing row's flags).
+    // output — all-or-nothing per skeleton). Two dimensions MERGE
+    // instead of add-only, because their rows can IMPROVE across runs:
+    // `accounts` ORs is_contract per address (an address funded before
+    // its deployment must upgrade when a later range sees the create),
+    // and `skeletons` prefers a successful decompilation over a failed
+    // one (the retry path above).
     val staticKeys = Map(
       "blocks" -> Seq("number"),
       "deployments" -> Seq("contract", "tx_hash"),
       "destructions" -> Seq("contract", "tx_hash"),
-      "skeletons" -> Seq("skeleton_hash"),
       "functions" -> Seq("signature"), "events" -> Seq("signature"),
       "errors" -> Seq("signature"),
       "abi" -> Seq("skeleton_hash"),
-      "accounts" -> Seq("address"),
       "withdrawals" -> Seq("block_number", "index"))
-    static.foreach { case (name, df) =>
-      Layout.upsertStatic(df, outRoot, name, staticKeys(name)) }
+    static.foreach {
+      case ("accounts", df) => Layout.mergeStatic(df, outRoot, "accounts",
+        all => all.groupBy(col("address"))
+          .agg(max(col("is_contract")).as("is_contract")))
+      case ("skeletons", df) => Layout.mergeStatic(df, outRoot, "skeletons",
+        all => {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("skeleton_hash"))
+            .orderBy(col("failed_decompilation").asc,
+              col("erc20_compliancy").desc, col("erc721_compliancy").desc)
+          all.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        })
+      case (name, df) => Layout.upsertStatic(df, outRoot, name, staticKeys(name))
+    }
     // dynamic entities go through the SAME per-block replacement core as
     // the live follow (not a bare dynamic-partition overwrite, which
     // would clobber a bucket's rows from an EARLIER range sharing it):

@@ -57,10 +57,42 @@ object Layout {
     val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     val fresh =
       if (!exists) df
-      else df.join(
-        spark.read.parquet(path).select(keys.map(col): _*).dropDuplicates(keys),
-        keys, "left_anti").localCheckpoint()
+      else {
+        // NULL-SAFE key equality (<=>): a row with a null key must still
+        // match its twin in the table, or every re-run re-appends it and
+        // the idempotency contract silently breaks on degenerate keys
+        val probe = spark.read.parquet(path)
+          .select(keys.map(k => col(k).as(s"__k_$k")): _*)
+          .dropDuplicates(keys.map(k => s"__k_$k"))
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        df.join(probe, cond, "left_anti").localCheckpoint()
+      }
     fresh.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Natural-key upsert with MERGE semantics: union the incoming rows
+    * with the existing table, reduce to one row per key via `merge`,
+    * and atomically overwrite. For entities whose rows can IMPROVE
+    * across runs — an account that becomes a contract, a skeleton whose
+    * decompilation succeeds on retry — where [[upsertStatic]]'s add-only
+    * identity would freeze the first-seen state forever. The merged
+    * frame is localCheckpointed before the overwrite (the write's plan
+    * must not still read the path it replaces); the rewrite cost is the
+    * dimension's size, which is why the big block-keyed streams use the
+    * per-block replacement sink instead. */
+  def mergeStatic(df: DataFrame, root: String, entity: String,
+      merge: DataFrame => DataFrame,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val path = s"$root/static/$entity"
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val all = if (!exists) df else df.unionByName(spark.read.parquet(path))
+    val merged = merge(all).localCheckpoint()
+    merged.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
     spark.catalog.refreshByPath(path)

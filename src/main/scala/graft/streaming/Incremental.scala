@@ -87,10 +87,16 @@ object Incremental {
             .localCheckpoint()
           newRows.unionByName(survivors)
         } catch {
-          // the directory exists but holds no committed footer — a prior
-          // run died mid-write (crash between entity commits): nothing
-          // survives to carry over, the replay rebuilds it whole
-          case _: org.apache.spark.sql.AnalysisException => newRows
+          // ONLY the no-committed-footer case (a prior run died before
+          // its first commit) means "nothing survives". Any other
+          // analysis failure — e.g. a schema mismatch against a table a
+          // DIFFERENT derive map built — must fail loudly: swallowing it
+          // would overwrite the affected buckets with just this batch's
+          // rows, silently discarding every other block's data there.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass != null &&
+                e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") =>
+            newRows
         }
       merged.write
         .mode("overwrite")
@@ -188,27 +194,41 @@ object Incremental {
     * never arrives. The marker advances only after the whole tick
     * committed; a crash mid-tick leaves the previous value and the
     * replayed gap re-replaces idempotently. */
-  def syncedHead(spark: SparkSession, outRoot: String): Option[Long] = {
+  def syncedHead(spark: SparkSession, outRoot: String): Option[Long] =
+    syncedHeadMeta(spark, outRoot).map(_._1)
+
+  /** The marker with its entity set: (head, names of the entities that
+    * were synced through it). The names matter on resume — a derive map
+    * that GAINS an entity must not trust a marker written without it,
+    * or the new entity would never be backfilled below the marker. */
+  private[graft] def syncedHeadMeta(spark: SparkSession,
+      outRoot: String): Option[(Long, Set[String])] = {
     val p = new org.apache.hadoop.fs.Path(s"$outRoot/_synced_head")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
+        val text =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val lines = text.trim.split("\n")
+        val names = lines.drop(1).headOption
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+        Some((lines.head.trim.toLong, names))
       }
     } catch { case _: Exception => None } // torn marker = replay the gap
   }
 
   private[graft] def writeSyncedHead(spark: SparkSession, outRoot: String,
-      head: Long): Unit = {
+      head: Long, entities: Seq[String]): Unit = {
     val dst = new org.apache.hadoop.fs.Path(s"$outRoot/_synced_head")
     val tmp = new org.apache.hadoop.fs.Path(s"$outRoot/._synced_head.tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
-    try out.write(head.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((head.toString + "\n" + entities.sorted.mkString(","))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // rename is atomic on HDFS/posix; object stores degrade to
     // copy+delete, where a torn state reads back as "absent" via the
@@ -242,8 +262,15 @@ object Incremental {
       .trigger(trigger)
       .foreachBatch { (_: DataFrame, _: Long) =>
         val head = graft.sources.Rpc.blockNumber(endpoint)
-        val last = syncedHead(spark, outRoot).getOrElse {
-          derive.map { case (entity, _) =>
+        val names = derive.map(_._1)
+        val last = syncedHeadMeta(spark, outRoot) match {
+          // the marker is only trusted for the entities it was written
+          // with: a derive map that gained an entity falls back to the
+          // conservative scan (the new entity's absent table → start),
+          // so its whole range backfills; the next committed tick
+          // rewrites the marker with the full name set
+          case Some((h, synced)) if names.toSet.subsetOf(synced) => h
+          case _ => derive.map { case (entity, _) =>
             maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
           }.min
         }
@@ -267,7 +294,7 @@ object Incremental {
             // append-if-absent skips them
             onGap(gap)
             // everything committed — advance the resume point
-            writeSyncedHead(spark, outRoot, head)
+            writeSyncedHead(spark, outRoot, head, names)
           } finally batchBlocks.unpersist()
         }
       }

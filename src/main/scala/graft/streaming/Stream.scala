@@ -160,9 +160,17 @@ object Stream {
         // the synced-head marker IS the fixpoint signal: it advances
         // only after every entity AND the tick's skeleton upsert
         // committed — unlike per-entity row maxima, it also arrives
-        // when an entity legitimately has no rows near the head
-        def caughtUp() = Incremental.syncedHead(spark, outRoot)
-          .exists(_ >= graft.sources.Rpc.blockNumber(endpoint))
+        // when an entity legitimately has no rows near the head. The
+        // row-maxima check stays as a fallback for a marker-less store
+        // (built by an older run or a batch extract) that is ALREADY at
+        // head — no gap means no tick, so the marker would never appear
+        // and the loop would spin out the whole deadline.
+        def caughtUp() = {
+          val head = graft.sources.Rpc.blockNumber(endpoint)
+          Incremental.syncedHead(spark, outRoot).exists(_ >= head) ||
+            derive.forall { case (e, _) =>
+              Incremental.maxIndexedBlock(spark, outRoot, e).exists(_ >= head) }
+        }
         while (q.exception.isEmpty && !caughtUp() && System.nanoTime() < deadline)
           Thread.sleep(200)
         q.exception.foreach(throw _)

@@ -104,6 +104,31 @@ class ExtractSpec extends AnyFunSuite {
     assert(counts3("transactions") === counts("transactions") + extraTxs.size)
   }
 
+  test("decompile retry across runs: failed skeletons upgrade, successes are not re-decompiled") {
+    val out = graft.Temps.dir("extract-retry")
+    // run 1 without a decompiler: skeletons land failed, no ABI tables
+    val c1 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out)
+    assert(c1("skeletons") === 2 && c1("functions") === 0 && c1("abi") === 0)
+    // run 2 with the decompiler: the known-but-failed skeletons are
+    // retried, their rows UPGRADE (merge prefers success) and the ABI +
+    // signature entities land — the store is indistinguishable from a
+    // single decompiler-enabled run, never the half state of failed
+    // skeleton rows next to landed ABI rows
+    val c2 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out,
+      decompiler = Extract.standInDecompiler())
+    assert(c2("skeletons") === 2)
+    assert(c2("functions") === 8 && c2("events") === 2 && c2("errors") === 2)
+    assert(c2("abi") === 14)
+    val skels = spark.read.parquet(s"$out/static/skeletons")
+    assert(skels.where(org.apache.spark.sql.functions.col("failed_decompilation"))
+      .count() === 0, "failed rows were not upgraded by the retry")
+    // run 3: everything known-successful — nothing changes (and nothing
+    // is re-decompiled: the A4 gate now excludes known successes)
+    val c3 = Extract.run(spark, RpcStub.endpoint, 700L, 710L, out,
+      decompiler = Extract.standInDecompiler())
+    assert(c3 === c2)
+  }
+
   test("degraded endpoint: failed fetches are counted, their blocks skipped") {
     val out = graft.Temps.dir("extract-flaky")
     // the flaky face 500s every 7th block persistently (700, 707 in

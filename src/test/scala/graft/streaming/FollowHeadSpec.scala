@@ -126,6 +126,47 @@ class FollowHeadSpec extends AnyFunSuite {
     assert(Incremental.maxIndexedBlock(spark, out, "blocks") === Some(RpcStub.Head))
   }
 
+  test("a derive map that gains an entity backfills it despite an at-head marker") {
+    val out = graft.Temps.dir("follow-grow-out")
+    val blocksOnly: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))))
+    def runToHead(derive: Seq[(String, Incremental.Gap => DataFrame)],
+        ckpt: String): Unit = {
+      val q = Incremental.followHeadEntities(
+        spark, RpcStub.endpoint, out, graft.Temps.dir(ckpt), 745L, derive)
+      // wait on the marker's ENTITY SET, not just its head: run 1's
+      // marker already says head, so a head-only wait would win the
+      // race against run 2's first (backfilling) tick
+      def synced = Incremental.syncedHeadMeta(spark, out).exists {
+        case (h, names) =>
+          h == RpcStub.Head && derive.map(_._1).toSet.subsetOf(names)
+      }
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (q.exception.isEmpty && !synced && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        q.exception.foreach(throw _)
+        assert(synced, s"did not sync ${derive.map(_._1)} to head")
+      } finally q.stop()
+    }
+    runToHead(blocksOnly, "follow-grow-ckpt1")
+    // restart with transactions ADDED: the marker says head, but it was
+    // written for {blocks} only — trusting it would leave the new
+    // entity's whole range un-backfilled forever
+    val withTx = blocksOnly :+ ("transactions" ->
+      ((g: Incremental.Gap) => g.blocks
+        .select(col("block_number"),
+          org.apache.spark.sql.functions.explode(col("transactions")).as("t"))
+        .select(col("block_number"), col("t.hash").as("hash"))))
+    runToHead(withTx, "follow-grow-ckpt2")
+    val txs = spark.read.parquet(s"$out/dynamic/transactions")
+    val expected = (745L to RpcStub.Head).map(n => RpcStub.txCountOf(n)).sum
+    assert(txs.count() === expected.toLong,
+      "the added entity was not backfilled below the marker")
+    assert(txs.select("block_number").distinct().count() ===
+      (745L to RpcStub.Head).count(n => RpcStub.txCountOf(n) > 0).toLong)
+  }
+
   test("skeleton upsert crash ordering: ABI committed but skeleton row lost replays without signature duplicates") {
     val out = graft.Temps.dir("skel-crash-order")
     val traces = graft.sources.Rpc.traceEntities(
