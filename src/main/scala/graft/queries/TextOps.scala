@@ -869,5 +869,75 @@ object TextOps {
               |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact,
               |  true AS within_bound
               |FROM t GROUP BY 1""".stripMargin),
-      "approx-distinct vocabulary (HLL++, rsd 0.05) measured against the exact count — q128's scale swap"))
+      "approx-distinct vocabulary (HLL++, rsd 0.05) measured against the exact count — q128's scale swap"),
+
+    // INCREMENTAL dedup — the online-ingest face of q28: a new batch is
+    // deduplicated AGAINST the existing corpus (not within itself),
+    // which is how a continuously-fed training pipeline actually runs
+    // MinHash dedup. Candidates meet where the batch's band keys hit
+    // the corpus's band index; 4-hash signature agreement >= 0.5 marks
+    // the batch doc as already-represented. At 100 TB the corpus band
+    // index is precomputed once and bucketed by (band, x, y), so each
+    // ingest pays one equi-join linear in the BATCH (broadcast when the
+    // batch is small) — never a corpus×corpus or batch×batch pass.
+    "q133_incremental_dedup" -> Q(
+      (s, d) => {
+        val sig = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+          .where(col("sig").isNotNull)
+          .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+            element_at(col("sig"), j + 1).as(s"h$j")): _*)
+          .localCheckpoint() // batch + corpus sides + the scorer read it
+        val batch = sig.where(col("doc_id") % 5 === 0)
+        val corpus = sig.where(col("doc_id") % 5 =!= 0)
+        def bands(df: DataFrame) =
+          df.select(col("doc_id"), lit(0).as("band"),
+              col("h0").as("x"), col("h1").as("y"))
+            .unionByName(df.select(col("doc_id"), lit(1).as("band"),
+              col("h2").as("x"), col("h3").as("y")))
+        val cand = bands(batch).toDF("b_id", "band", "x", "y")
+          .join(bands(corpus).toDF("c_id", "band", "x", "y"), Seq("band", "x", "y"))
+          .select("b_id", "c_id").distinct()
+        val dup = cand
+          .join(batch.select(col("doc_id").as("b_id"), col("h0").as("b0"),
+            col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3")), "b_id")
+          .join(corpus.select(col("doc_id").as("c_id"), col("h0").as("c0"),
+            col("h1").as("c1"), col("h2").as("c2"), col("h3").as("c3")), "c_id")
+          .where(((when(col("b0") === col("c0"), 1).otherwise(0) +
+            when(col("b1") === col("c1"), 1).otherwise(0) +
+            when(col("b2") === col("c2"), 1).otherwise(0) +
+            when(col("b3") === col("c3"), 1).otherwise(0)).cast("double") / 4)
+            >= 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        batch.select(col("doc_id"))
+          .join(dup.withColumn("dup_in_corpus", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup_in_corpus"), lit(false)).as("dup_in_corpus"))
+      },
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM sig
+           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM sig),
+           |cand AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+           |         FROM bands b JOIN bands c
+           |           ON b.band = c.band AND b.x = c.x AND b.y = c.y
+           |         WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+           |dup AS (SELECT DISTINCT b_id AS doc_id
+           |        FROM cand JOIN sig sb ON sb.doc_id = b_id
+           |                  JOIN sig sc ON sc.doc_id = c_id
+           |        WHERE (CASE WHEN sb.h0 = sc.h0 THEN 1 ELSE 0 END +
+           |               CASE WHEN sb.h1 = sc.h1 THEN 1 ELSE 0 END +
+           |               CASE WHEN sb.h2 = sc.h2 THEN 1 ELSE 0 END +
+           |               CASE WHEN sb.h3 = sc.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5)
+           |SELECT s.doc_id, s.doc_id IN (SELECT doc_id FROM dup) AS dup_in_corpus
+           |FROM sig s WHERE s.doc_id % 5 = 0""".stripMargin
+      },
+      "incremental dedup: a new batch anti-checked against the corpus's MinHash band index (the online-ingest shape)"))
 }
