@@ -179,10 +179,13 @@ object ScaleLaws {
 
   /** q32/q33's random-hyperplane LSH: K = 2^planes buckets; candidates
     * = Σ_bucket C(|bucket|, 2). Counted from the bucket histogram (the
-    * exact join volume) so the measurement itself stays cheap. */
-  def lshCosine(emb: DataFrame): (Long, Long) = {
+    * exact join volume) so the measurement itself stays cheap.
+    * `nPlanes` is the K lever — the scaled-K family grows it with n to
+    * measure the documented remedy, not just the fixed-K disease. */
+  def lshCosine(emb: DataFrame,
+      nPlanes: Int = SimSearch.LshPlanes): (Long, Long) = {
     val bucketed = SimSearch.lshBuckets(emb, "vec_id", "embedding",
-      SimSearch.LshPlanes).localCheckpoint()
+      nPlanes).localCheckpoint()
     val cand = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
     val pairs = {
@@ -203,9 +206,9 @@ object ScaleLaws {
     * a tunable constant. This family has no threshold re-rank, so the
     * "surviving pairs" slot is 0 by definition — candidates are the
     * measurement. */
-  def ivfProbe(emb: DataFrame): (Long, Long) = {
+  def ivfProbe(emb: DataFrame, k: Int = SimSearch.IvfK): (Long, Long) = {
     val ranked = SimSearch.ivfRank(emb, "vec_id", "embedding",
-        SimSearch.ivfCentroids(emb, "vec_id", "embedding"))
+        SimSearch.ivfCentroids(emb, "vec_id", "embedding", k))
       .localCheckpoint()
     val cells = ranked.where(col("rn") === 1)
       .groupBy(col("cid")).agg(count(lit(1)).as("nc"))
@@ -232,19 +235,29 @@ object ScaleLaws {
       val emb0 = graft.queries.Tables.embeddings(spark, sfDir)
       val nDocs0 = docs0.count()
       val nEmb0 = emb0.count()
-      val fams: Seq[(String, Boolean, DataFrame => (Long, Long))] = Seq(
-        ("simhash_narrow_q112", true, simhashNarrow),
-        ("simhash_wide_q121", true, simhashWide),
-        ("minhash_bands_q28", true, minhashBands),
-        ("shingle_jaccard_q24", true, shingleJaccard),
-        ("lsh_cosine_q32_33", false, lshCosine),
-        ("ivf_probe_q34_35", false, ivfProbe))
+      // log4(factor): the K levers grow one notch per 4× n, so a
+      // correctly-tuned index holds candidate growth LINEAR in n
+      def log4(f: Int): Int = (31 - Integer.numberOfLeadingZeros(f)) / 2
+      val fams: Seq[(String, Boolean, (DataFrame, Int) => (Long, Long))] = Seq(
+        ("simhash_narrow_q112", true, (df, _) => simhashNarrow(df)),
+        ("simhash_wide_q121", true, (df, _) => simhashWide(df)),
+        ("minhash_bands_q28", true, (df, _) => minhashBands(df)),
+        ("shingle_jaccard_q24", true, (df, _) => shingleJaccard(df)),
+        ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
+        ("ivf_probe_q34_35", false, (df, _) => ivfProbe(df)),
+        // the documented remedies, MEASURED: +2 planes (=4× buckets)
+        // per 4× n, and 4× IVF cells per 4× n — candidate volume should
+        // grow ~linearly instead of quadratically
+        ("lsh_cosine_scaledK", false, (df, f) =>
+          lshCosine(df, SimSearch.LshPlanes + 2 * log4(f))),
+        ("ivf_probe_scaledK", false, (df, f) =>
+          ivfProbe(df, SimSearch.IvfK * f)))
       val rows = for (factor <- factors; (name, isDoc, f) <- fams) yield {
         val base = if (isDoc) amplifyDocs(docs0, factor)
           else amplifyEmbeddings(emb0, factor)
         val data = base.localCheckpoint()
         val n = (if (isDoc) nDocs0 else nEmb0) * factor
-        val ((cand, pairs), secs) = time(f(data))
+        val ((cand, pairs), secs) = time(f(data, factor))
         println(s"""{"family":"$name","n":$n,"factor":$factor,""" +
           s""""candidates":$cand,"pairs":$pairs,"secs":${math.round(secs * 100) / 100.0}}""")
         (name, n, factor, cand, pairs, secs)
