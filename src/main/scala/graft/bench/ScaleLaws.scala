@@ -39,12 +39,13 @@ object ScaleLaws {
     // shared tokens that SimHash still fingerprints copies of the
     // template-heavy originals as near-dups, and the amplifier would
     // then fabricate quadratic duplicate-cluster growth that drowns the
-    // random-collision term the law is about. The suffix carries
-    // doc_id, not just copy, because byte-identical originals exist
-    // under different ids — a copy-only suffix would mutate them
-    // identically and re-fabricate those clusters too.
+    // random-collision term the law is about. The suffix carries the
+    // FULL doc_id, not just copy, because byte-identical originals
+    // exist under different ids — a copy-only suffix (or a truncated
+    // id, which collides ids 997 apart) would mutate them identically
+    // and re-fabricate those clusters too.
     val mutated = concat_ws(" ", transform(toks, (t, _) =>
-      concat(t, lit("_"), col("copy"), lit("x"), pmod(col("doc_id"), lit(997)))))
+      concat(t, lit("_"), col("copy"), lit("x"), col("doc_id"))))
     docs.crossJoin(broadcast(spark.range(0, factor).toDF("copy")))
       .select(
         (col("doc_id") * factor + col("copy")).as("doc_id"),
@@ -94,7 +95,9 @@ object ScaleLaws {
       .join(sh.toDF("a_id", "a_sh"), "a_id")
       .join(sh.toDF("b_id", "b_sh"), "b_id")
       .where(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= 1).count()
-    (cand.count(), pairs)
+    val nCand = cand.count()
+    sh.unpersist(true); cand.unpersist(true)
+    (nCand, pairs)
   }
 
   /** q121's scale shape: 4×16-bit quarters → K = 2¹⁶ bucket keys.
@@ -119,7 +122,9 @@ object ScaleLaws {
       .join(sh.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3"), "a_id")
       .join(sh.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"), "b_id")
       .where(hamming <= 3).count()
-    (cand.count(), pairs)
+    val nCand = cand.count()
+    sh.unpersist(true); cand.unpersist(true)
+    (nCand, pairs)
   }
 
   /** q28's MinHash banding: 2 bands of 2 hashes — K is the joint
@@ -148,7 +153,9 @@ object ScaleLaws {
         when(col("a2") === col("b2"), 1).otherwise(0) +
         when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
         >= 0.5).count()
-    (cand.count(), pairs)
+    val nCand = cand.count()
+    sig.unpersist(true); cand.unpersist(true)
+    (nCand, pairs)
   }
 
   /** q24's shingle-hash equi-join with the df cap: candidate volume is
@@ -174,7 +181,9 @@ object ScaleLaws {
       .join(sizes.toDF("b_id", "nb"), "b_id")
       .where(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")) >= 0.5).count()
-    (inter.count(), pairs)
+    val nCand = inter.count()
+    sh.unpersist(true); joinable.unpersist(true); inter.unpersist(true)
+    (nCand, pairs)
   }
 
   /** q32/q33's random-hyperplane LSH: K = 2^planes buckets; candidates
@@ -196,6 +205,7 @@ object ScaleLaws {
         .where(SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")) >= 0.2)
         .count()
     }
+    bucketed.unpersist(true)
     (cand, pairs)
   }
 
@@ -252,15 +262,24 @@ object ScaleLaws {
           lshCosine(df, SimSearch.LshPlanes + 2 * log4(f))),
         ("ivf_probe_scaledK", false, (df, f) =>
           ivfProbe(df, SimSearch.IvfK * f)))
-      val rows = for (factor <- factors; (name, isDoc, f) <- fams) yield {
-        val base = if (isDoc) amplifyDocs(docs0, factor)
-          else amplifyEmbeddings(emb0, factor)
-        val data = base.localCheckpoint()
-        val n = (if (isDoc) nDocs0 else nEmb0) * factor
-        val ((cand, pairs), secs) = time(f(data, factor))
-        println(s"""{"family":"$name","n":$n,"factor":$factor,""" +
-          s""""candidates":$cand,"pairs":$pairs,"secs":${math.round(secs * 100) / 100.0}}""")
-        (name, n, factor, cand, pairs, secs)
+      // one amplified corpus per (factor, kind), shared by every family
+      // and unpersisted before the next factor — rebuilding it per
+      // family (and stacking 24 localCheckpoints) both wastes wall-clock
+      // and pressures executor storage toward eviction at high factors
+      val rows = factors.flatMap { factor =>
+        val docsData = amplifyDocs(docs0, factor).localCheckpoint()
+        val embData = amplifyEmbeddings(emb0, factor).localCheckpoint()
+        val rs = fams.map { case (name, isDoc, f) =>
+          val data = if (isDoc) docsData else embData
+          val n = (if (isDoc) nDocs0 else nEmb0) * factor
+          val ((cand, pairs), secs) = time(f(data, factor))
+          println(s"""{"family":"$name","n":$n,"factor":$factor,""" +
+            s""""candidates":$cand,"pairs":$pairs,"secs":${math.round(secs * 100) / 100.0}}""")
+          (name, n, factor, cand, pairs, secs)
+        }
+        docsData.unpersist(true)
+        embData.unpersist(true)
+        rs
       }
       println("\n| family | n | candidates | pairs | secs |")
       println("|---|---|---|---|---|")

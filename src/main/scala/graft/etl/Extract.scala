@@ -177,15 +177,15 @@ object Extract {
         Decode.skeletonHex(col("deployed_bytecode")).as("bytecode"))
       .where(col("skeleton_hash").isNotNull)
       .dropDuplicates("skeleton_hash")
-    val skelPath = new org.apache.hadoop.fs.Path(s"$outRoot/static/skeletons")
-    val skeletonsRaw = (
-      if (!skelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(skelPath)) skeletonsRaw0
-      else skeletonsRaw0.join(
-        spark.read.parquet(skelPath.toString)
-          .where(!col("failed_decompilation")).select("skeleton_hash"),
+    // the guarded read treats a crashed prior write (footer-less dir)
+    // as absent, so the advertised idempotent re-run resumes instead of
+    // dying on UNABLE_TO_INFER_SCHEMA
+    val skeletonsRaw = (Layout.readStatic(spark, outRoot, "skeletons") match {
+      case None => skeletonsRaw0
+      case Some(existing) => skeletonsRaw0.join(
+        existing.where(!col("failed_decompilation")).select("skeleton_hash"),
         Seq("skeleton_hash"), "left_anti")
-    ).localCheckpoint() // consumed by decompile + the skeleton sink
+    }).localCheckpoint() // consumed by decompile + the skeleton sink
 
     // decompile → ABI parse → signature entities (U1 ∘ F15 ∘ F5/F6/K3);
     // both stages materialize ONCE — each runs a subprocess per row
@@ -262,21 +262,30 @@ object Extract {
     // extends the tables — the Dgraph-upsert idempotency invariant the
     // reference's serializers rely on. `abi` keys on skeleton_hash
     // alone (its rows per skeleton are the deterministic decompiler
-    // output — all-or-nothing per skeleton). Two dimensions MERGE
-    // instead of add-only, because their rows can IMPROVE across runs:
-    // `accounts` ORs is_contract per address (an address funded before
-    // its deployment must upgrade when a later range sees the create),
-    // and `skeletons` prefers a successful decompilation over a failed
-    // one (the retry path above).
+    // output — all-or-nothing per skeleton, so it lands via the
+    // REPLACE-by-key upsert: a torn append from a crashed run is
+    // dropped and re-landed when the skeleton replays). Two dimensions
+    // MERGE instead of add-only, because their rows can IMPROVE across
+    // runs: `accounts` ORs is_contract per address (an address funded
+    // before its deployment must upgrade when a later range sees the
+    // create), and `skeletons` prefers a successful decompilation over
+    // a failed one (the retry path above).
     val staticKeys = Map(
       "blocks" -> Seq("number"),
       "deployments" -> Seq("contract", "tx_hash"),
       "destructions" -> Seq("contract", "tx_hash"),
       "functions" -> Seq("signature"), "events" -> Seq("signature"),
       "errors" -> Seq("signature"),
-      "abi" -> Seq("skeleton_hash"),
       "withdrawals" -> Seq("block_number", "index"))
-    static.foreach {
+    // skeletons commit LAST: the skeletons row is the per-skeleton
+    // COMMIT MARKER — the retry exclusion above (and the stream path's
+    // freshness anti-join) keys on it, so every decompile-derived table
+    // (abi/functions/events/errors) must be durable before the marker
+    // appears; a crash in between re-decompiles the skeleton on replay
+    // and the upserts dedup/replace the already-committed half
+    static.toSeq.sortBy { case (name, _) => name == "skeletons" }.foreach {
+      case ("abi", df) =>
+        Layout.upsertStaticReplace(df, outRoot, "abi", Seq("skeleton_hash"))
       case ("accounts", df) => Layout.mergeStatic(df, outRoot, "accounts",
         all => all.groupBy(col("address"))
           .agg(max(col("is_contract")).as("is_contract")))

@@ -939,5 +939,68 @@ object TextOps {
            |SELECT s.doc_id, s.doc_id IN (SELECT doc_id FROM dup) AS dup_in_corpus
            |FROM sig s WHERE s.doc_id % 5 = 0""".stripMargin
       },
-      "incremental dedup: a new batch anti-checked against the corpus's MinHash band index (the online-ingest shape)"))
+      "incremental dedup: a new batch anti-checked against the corpus's MinHash band index (the online-ingest shape)"),
+
+    // EXACT-SUBSTRING span dedup — the fixed-window rolling-hash
+    // approximation of suffix-array substring dedup (the "Deduplicating
+    // Training Data Makes Language Models Better" family): any 8-token
+    // span shared VERBATIM between two documents collides on its window
+    // hash, so "how much of this doc appears verbatim elsewhere" falls
+    // out of one explode + one groupBy on the span key — no document
+    // pairing at all. Catches partial-overlap dups (shared boilerplate,
+    // quoted passages) that doc-level fingerprints miss. Scale shape:
+    // explode is linear in corpus token count; the span groupBy is one
+    // shuffle on span_hash; the doc re-aggregation one shuffle on
+    // doc_id. At 100 TB the dup-span set is written once and reused by
+    // every downstream consumer (the span analog of the MinHash band
+    // index), and hot spans (license headers) are df-capped exactly
+    // like q24's shingles.
+    "q134_span_dedup" -> Q(
+      (s, d) => {
+        val w = 8
+        // rolling fold per window — the same (acc*131 + h) % HashMod
+        // arithmetic as the document fingerprint, over w-token windows
+        val spans = when(size(col("TH")) >= w,
+          transform(sequence(lit(0), size(col("TH")) - w), i =>
+            aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
+              (a, b) => (a * 131L + b) % HashMod)))
+          .otherwise(array().cast("array<bigint>"))
+        val spanSets = documents(s, d)
+          .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+          .select(col("doc_id"), explode(spans).as("sp"))
+          .distinct() // per-doc span SET (repeats inside a doc count once)
+          .localCheckpoint() // dup-span detection + doc agg both read it
+        val dup = spanSets.groupBy(col("sp"))
+          .agg(count(lit(1)).as("nd")).where(col("nd") >= 2).select("sp")
+        val agg = spanSets
+          .join(dup.withColumn("isdup", lit(1)), Seq("sp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup_spans"))
+        documents(s, d).select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            round(when(coalesce(col("n_spans"), lit(0L)) === 0, 0.0)
+              .otherwise(col("n_dup_spans").cast("double") / col("n_spans")), 6)
+              .as("dup_frac"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |th AS (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
+              |spd AS (SELECT DISTINCT doc_id,
+              |          unnest(list_transform(range(1, len(TH) - 6), i ->
+              |            list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+              |              (a, b) -> (a * 131 + b) % $HashMod))) AS sp
+              |        FROM th),
+              |dup AS (SELECT sp FROM spd GROUP BY sp HAVING count(*) >= 2),
+              |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |          CAST(sum(CASE WHEN sp IN (SELECT sp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+              |        FROM spd GROUP BY 1)
+              |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+              |       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+              |       round(CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
+              |             ELSE CAST(a.n_dup_spans AS DOUBLE) / a.n_spans END, 6) AS dup_frac
+              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "span-level exact-substring dedup: 8-token rolling-hash windows shared verbatim across docs"))
 }

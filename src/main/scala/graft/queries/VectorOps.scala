@@ -178,5 +178,47 @@ object VectorOps {
               |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id, ${cosSql("a.v", "b2.v")} AS cos
               |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
               |SELECT DISTINCT a_id, b_id, cos FROM p WHERE cos >= 0.2""".stripMargin),
-      "LSH bucket-join + exact re-rank: SURVEY §7.5-2 scale plan"))
+      "LSH bucket-join + exact re-rank: SURVEY §7.5-2 scale plan"),
+
+    // SemDeDup-style SEMANTIC dedup: cluster first (the IVF cells bound
+    // the pair search), then dedup within each cluster by embedding
+    // cosine — a vector is a duplicate when a SMALLER-id cell-mate sits
+    // above the threshold, and its representative is the smallest such
+    // id. The keep-first greedy is the one-pass industrial shortcut to
+    // transitive closure (full components are q101's pointer-jumping
+    // job); it is deterministic, so re-runs and the oracle agree.
+    // Scale shape: pair volume is Σ cell² — never corpus×corpus — and
+    // the cell count K grows with n exactly as q34/q35's scaled-K
+    // measurements prescribe; the codebook stays a broadcast k-row
+    // frame.
+    "q135_semantic_dedup" -> Q(
+      (s, d) => {
+        val cells = SimSearch.ivfCells(embeddings(s, d), "vec_id", "embedding")
+          .localCheckpoint() // both pair sides + the base read it
+        val a = cells.toDF("vec_id", "cell", "av", "an")
+        val b = cells.toDF("b_id", "cell", "bv", "bn")
+        val reps = a.join(b, Seq("cell"))
+          .where(col("b_id") < col("vec_id"))
+          .where(SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")) >= 0.3)
+          .groupBy(col("vec_id")).agg(min(col("b_id")).as("rep_id"))
+        cells.select(col("id").as("vec_id"), col("cell"))
+          .join(reps, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            col("rep_id").isNotNull.as("is_dup"), col("rep_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |r AS (SELECT e.vec_id, e.v, cid, ${cosSql("e.v", "cv")} AS cc,
+              |        row_number() OVER (PARTITION BY e.vec_id
+              |          ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |      FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM r WHERE rn = 1),
+              |reps AS (SELECT a.vec_id, min(b.vec_id) AS rep_id
+              |         FROM cells a JOIN cells b
+              |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+              |          AND ${cosSql("a.v", "b.v")} >= 0.3
+              |         GROUP BY 1)
+              |SELECT c.vec_id, c.cell, r.rep_id IS NOT NULL AS is_dup, r.rep_id
+              |FROM cells c LEFT JOIN reps r USING (vec_id)""".stripMargin),
+      "SemDeDup-style semantic dedup: IVF-cell-bounded cosine pairs, keep-first representative"))
 }

@@ -35,12 +35,88 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(s"$root/static/$entity")
 
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Swap directory for atomic static overwrites — dot-prefixed so no
+    * parquet reader or directory glob ever picks it up. */
+  private def swapDir(root: String, entity: String) =
+    s"$root/static/.${entity}__swap"
+
+  /** Crash recovery for the atomic-swap overwrite: a COMPLETE swap
+    * (job-committed, `_SUCCESS` present) next to a MISSING table is
+    * promoted — the crash hit between the delete and the rename of
+    * [[overwriteStaticAtomic]] and the swap holds the full merged
+    * table; any other leftover swap is stale debris from a crashed
+    * write and is deleted (the destination is still intact, so the
+    * re-run simply redoes the merge). Called by every static-table
+    * entry point. */
+  def recoverStatic(spark: org.apache.spark.sql.SparkSession, root: String,
+      entity: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val swp = new org.apache.hadoop.fs.Path(swapDir(root, entity))
+    if (fs.exists(swp)) {
+      val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
+      val complete = fs.exists(new org.apache.hadoop.fs.Path(swp, "_SUCCESS"))
+      if (complete && !fs.exists(dst)) {
+        if (!fs.rename(swp, dst))
+          throw new java.io.IOException(s"swap recovery $swp -> $dst failed")
+      } else fs.delete(swp, true)
+    }
+  }
+
+  /** Read `static/<entity>`, treating "absent" and "exists but holds no
+    * committed parquet footer" (a run killed during its FIRST write
+    * leaves `_temporary` debris) identically as None — so the
+    * advertised idempotent re-run resumes instead of dying on
+    * UNABLE_TO_INFER_SCHEMA until someone hand-deletes the directory.
+    * Runs [[recoverStatic]] swap recovery first. */
+  def readStatic(spark: org.apache.spark.sql.SparkSession, root: String,
+      entity: String): Option[DataFrame] = {
+    recoverStatic(spark, root, entity)
+    val path = s"$root/static/$entity"
+    if (!hadoopFs(spark, root).exists(new org.apache.hadoop.fs.Path(path))) None
+    else try Some(spark.read.parquet(path)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") => None
+    }
+  }
+
+  /** Atomic-by-rename overwrite of a static table: write the new
+    * contents to a hidden swap directory (the write's plan may still
+    * READ the destination — it is untouched until the job commits),
+    * then delete + rename. A plain `mode("overwrite")` deletes the
+    * target BEFORE the job runs, so a crash mid-write would
+    * permanently destroy rows accumulated from all earlier ranges; with
+    * the swap, every crash window leaves either the old table intact
+    * (swap debris cleaned on the next run) or a complete swap that
+    * [[recoverStatic]] promotes. */
+  private def overwriteStaticAtomic(df: DataFrame, root: String,
+      entity: String, maxRecordsPerFile: Long): Unit = {
+    val spark = df.sparkSession
+    val swp = swapDir(root, entity)
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(swp)
+    val fs = hadoopFs(spark, root)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(swp), dst))
+      throw new java.io.IOException(s"rename $swp -> $dst failed")
+    spark.catalog.refreshByPath(dst.toString)
+  }
+
   /** K4 for the batch path: append only rows whose NATURAL KEY is not
     * already in the table — the relational form of the reference's
     * Dgraph upserts, which are idempotent by natural key
     * (skeleton.rs:162-297 and friends upsert, never blind-insert). A
     * re-run or retried extract over the same root therefore never
     * duplicates static entities, and a second range extends them.
+    * For entities with ONE row per key: a crash can only leave whole
+    * keys missing, which the replayed append completes. Multi-row-per-
+    * key entities need [[upsertStaticReplace]].
     *
     * Scale shape: the anti-join probes the EXISTING table's key
     * projection — a column-pruned parquet scan; for the signature/
@@ -53,49 +129,72 @@ object Layout {
       keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
     val path = s"$root/static/$entity"
     val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    val fresh =
-      if (!exists) df
-      else {
+    val fresh = readStatic(spark, root, entity) match {
+      case None => df
+      case Some(existing) =>
         // NULL-SAFE key equality (<=>): a row with a null key must still
         // match its twin in the table, or every re-run re-appends it and
         // the idempotency contract silently breaks on degenerate keys
-        val probe = spark.read.parquet(path)
+        val probe = existing
           .select(keys.map(k => col(k).as(s"__k_$k")): _*)
           .dropDuplicates(keys.map(k => s"__k_$k"))
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
         df.join(probe, cond, "left_anti").localCheckpoint()
-      }
+    }
     fresh.write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
     spark.catalog.refreshByPath(path)
   }
 
+  /** K4 for MULTI-row-per-key entities (the `abi` table: one skeleton →
+    * many rows, all-or-nothing per skeleton): incoming rows REPLACE any
+    * existing rows sharing their keys, via the atomic swap. The add-only
+    * [[upsertStatic]] would freeze a torn append forever — a crash
+    * during job commit can land a strict SUBSET of a key's rows, and
+    * the bare existence anti-join then treats the key as fully present.
+    * Replace-by-key repairs it on replay instead: the caller re-derives
+    * the full row set for every key whose COMMIT MARKER is missing (the
+    * skeletons row, written last by both Extract and the stream upsert)
+    * and this drops the partial half before re-landing. Rewrite cost is
+    * the dimension's size — the same class as [[mergeStatic]], which is
+    * why block-keyed streams use the per-block replacement sink
+    * instead. */
+  def upsertStaticReplace(df: DataFrame, root: String, entity: String,
+      keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+    val spark = df.sparkSession
+    val incoming = df.localCheckpoint() // probe + union both read it
+    val all = readStatic(spark, root, entity) match {
+      case None => incoming
+      case Some(existing) =>
+        val probe = incoming
+          .select(keys.map(k => col(k).as(s"__k_$k")): _*)
+          .dropDuplicates(keys.map(k => s"__k_$k"))
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        incoming.unionByName(existing.join(probe, cond, "left_anti"))
+    }
+    overwriteStaticAtomic(all, root, entity, maxRecordsPerFile)
+  }
+
   /** Natural-key upsert with MERGE semantics: union the incoming rows
     * with the existing table, reduce to one row per key via `merge`,
-    * and atomically overwrite. For entities whose rows can IMPROVE
-    * across runs — an account that becomes a contract, a skeleton whose
-    * decompilation succeeds on retry — where [[upsertStatic]]'s add-only
-    * identity would freeze the first-seen state forever. The merged
-    * frame is localCheckpointed before the overwrite (the write's plan
-    * must not still read the path it replaces); the rewrite cost is the
+    * and atomically overwrite (swap-by-rename — see
+    * [[overwriteStaticAtomic]]; a crash never loses the previous
+    * table). For entities whose rows can IMPROVE across runs — an
+    * account that becomes a contract, a skeleton whose decompilation
+    * succeeds on retry — where [[upsertStatic]]'s add-only identity
+    * would freeze the first-seen state forever. The rewrite cost is the
     * dimension's size, which is why the big block-keyed streams use the
     * per-block replacement sink instead. */
   def mergeStatic(df: DataFrame, root: String, entity: String,
       merge: DataFrame => DataFrame,
       maxRecordsPerFile: Long = 1000000L): Unit = {
-    val path = s"$root/static/$entity"
     val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    val all = if (!exists) df else df.unionByName(spark.read.parquet(path))
-    val merged = merge(all).localCheckpoint()
-    merged.write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(path)
-    spark.catalog.refreshByPath(path)
+    val all = readStatic(spark, root, entity) match {
+      case None => df
+      case Some(existing) => df.unionByName(existing)
+    }
+    overwriteStaticAtomic(merge(all), root, entity, maxRecordsPerFile)
   }
 
   /** K5: idempotent write of a block-keyed dynamic entity — dynamic

@@ -255,7 +255,8 @@ object Incremental {
       checkpoint: String, startBlock: Long,
       derive: Seq[(String, Gap => DataFrame)], slots: Int = 8,
       trigger: Trigger = Trigger.ProcessingTime("200 milliseconds"),
-      onGap: Gap => Unit = _ => ()): StreamingQuery =
+      onGap: Gap => Unit = _ => (),
+      onTickStart: () => Unit = () => ()): StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", 5).load()
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -275,6 +276,12 @@ object Incremental {
           }.min
         }
         if (head > last) {
+          // observable BEFORE any write: a waiter that saw a tick start
+          // must not trust per-entity row maxima for its stop decision
+          // (they go stale-complete between replaceEntities and
+          // onGap/marker commit) — only the synced-head marker says the
+          // whole tick, static side effects included, committed
+          onTickStart()
           val blocks = graft.sources.Rpc
             .fetchBlocks(spark, endpoint, last + 1, head, slots)
             .withColumnRenamed("number", "block_number")

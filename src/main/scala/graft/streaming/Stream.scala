@@ -81,13 +81,15 @@ object Stream {
       .where(col("skeleton_hash").isNotNull)
       .dropDuplicates("skeleton_hash")
     val path = s"$outRoot/static/skeletons"
-    val exists = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
-    val fresh = (if (!exists) fresh0
-      else fresh0.join(
-        broadcast(spark.read.parquet(path).select(col("skeleton_hash"))),
-        Seq("skeleton_hash"), "left_anti")).localCheckpoint()
+    // guarded read: a crashed prior write (footer-less dir) reads as
+    // absent, so the replay re-lands instead of dying on
+    // UNABLE_TO_INFER_SCHEMA
+    val fresh = (Layout.readStatic(spark, outRoot, "skeletons") match {
+      case None => fresh0
+      case Some(existing) => fresh0.join(
+        broadcast(existing.select(col("skeleton_hash"))),
+        Seq("skeleton_hash"), "left_anti")
+    }).localCheckpoint()
     val n = fresh.count()
     if (n > 0) {
       val decompiled =
@@ -98,7 +100,9 @@ object Stream {
           lit(null).cast("string").as("abi_json"),
           lit(true).as("failed_decompilation"))
       val abi = graft.etl.Decompile.parseAbi(decompiled).localCheckpoint()
-      Layout.upsertStatic(abi, outRoot, "abi", Seq("skeleton_hash"))
+      // abi is multi-row-per-skeleton: replace-by-key, so a torn append
+      // from a crashed tick is dropped and re-landed on replay
+      Layout.upsertStaticReplace(abi, outRoot, "abi", Seq("skeleton_hash"))
       graft.etl.Decompile.signatureEntities(abi).foreach { case (entity, df) =>
         Layout.upsertStatic(df, outRoot, entity, Seq("signature"))
       }
@@ -151,25 +155,33 @@ object Stream {
         else graft.etl.Extract.standInDecompiler()
       val timeoutMs =
         flagVal("--decompiler-timeout").map(_.toLong).getOrElse(5000L)
+      val tickStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q = Incremental.followHeadEntities(spark, endpoint, outRoot,
         graft.Temps.dir("stream-ckpt"), startBlock, derive, slots,
         onGap = g => upsertSkeletons(outRoot,
-          graft.etl.Decode.deployments(g.traces), decompiler, timeoutMs))
+          graft.etl.Decode.deployments(g.traces), decompiler, timeoutMs),
+        onTickStart = () => tickStarted.set(true))
       if (flag("--until-head")) {
         val deadline = System.nanoTime() + 300L * 1000000000L
         // the synced-head marker IS the fixpoint signal: it advances
         // only after every entity AND the tick's skeleton upsert
         // committed — unlike per-entity row maxima, it also arrives
         // when an entity legitimately has no rows near the head. The
-        // row-maxima check stays as a fallback for a marker-less store
-        // (built by an older run or a batch extract) that is ALREADY at
-        // head — no gap means no tick, so the marker would never appear
-        // and the loop would spin out the whole deadline.
+        // row-maxima check stays as a fallback ONLY while no tick has
+        // started: a marker-less store (built by an older run or a
+        // batch extract) that is ALREADY at head sees no gap, so no
+        // tick ever fires and the marker would never appear. Once a
+        // tick starts, row maxima are off the table — they read
+        // "complete" in the window between the tick's entity
+        // replacement and its skeleton upsert + marker write, and
+        // stopping there would permanently lose the gap's
+        // skeleton/ABI tables (resume sees maxima at head → no gap →
+        // onGap never replays).
         def caughtUp() = {
           val head = graft.sources.Rpc.blockNumber(endpoint)
           Incremental.syncedHead(spark, outRoot).exists(_ >= head) ||
-            derive.forall { case (e, _) =>
-              Incremental.maxIndexedBlock(spark, outRoot, e).exists(_ >= head) }
+            (!tickStarted.get && derive.forall { case (e, _) =>
+              Incremental.maxIndexedBlock(spark, outRoot, e).exists(_ >= head) })
         }
         while (q.exception.isEmpty && !caughtUp() && System.nanoTime() < deadline)
           Thread.sleep(200)

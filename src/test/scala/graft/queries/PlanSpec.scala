@@ -76,6 +76,9 @@ class PlanSpec extends AnyFunSuite {
     * (bounded k-row build side). */
   private val intentionalNestedLoop = Set(
     "q30_knn", "q31_cos_pairs", "q34_ivf_cells", "q35_ivf_topk", "q65_sim_edges",
+    // IVF cell assignment inside semantic dedup: same broadcast
+    // codebook cross as q34 (bounded k-row build side)
+    "q135_semantic_dedup",
     // recall measurement BY DESIGN runs the exact brute-force baseline
     // (q30's plan) next to the IVF path to compare them
     "q127_ann_recall",

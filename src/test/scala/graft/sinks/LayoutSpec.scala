@@ -120,6 +120,64 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out2/static/wd").count() === 3)
   }
 
+  test("upsertStaticReplace: incoming keys replace torn partial rows") {
+    import spark.implicits._
+    val out = graft.Temps.dir("upsert-replace")
+    // a crashed append landed only 1 of k1's 3 rows (torn job commit)
+    val torn = Seq(("k1", "f_a")).toDF("skeleton_hash", "name")
+    torn.write.parquet(s"$out/static/abi")
+    // replay re-derives k1's FULL row set (plus a new skeleton k2):
+    // replace-by-key must drop the partial half, not dedup against it
+    val full = Seq(("k1", "f_a"), ("k1", "f_b"), ("k1", "f_c"), ("k2", "g_a"))
+      .toDF("skeleton_hash", "name")
+    Layout.upsertStaticReplace(full, out, "abi", Seq("skeleton_hash"))
+    val rows = spark.read.parquet(s"$out/static/abi")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("k1", "f_a"), ("k1", "f_b"), ("k1", "f_c"), ("k2", "g_a")))
+    // untouched keys survive the rewrite
+    val more = Seq(("k3", "h_a")).toDF("skeleton_hash", "name")
+    Layout.upsertStaticReplace(more, out, "abi", Seq("skeleton_hash"))
+    assert(spark.read.parquet(s"$out/static/abi").count() === 5)
+  }
+
+  test("swap recovery: a complete swap next to a missing table is promoted") {
+    import spark.implicits._
+    val out = graft.Temps.dir("swap-recover")
+    Layout.mergeStatic(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), out, "dim",
+      all => all.groupBy(col("k")).agg(max(col("v")).as("v")))
+    // simulate the crash window between overwriteStaticAtomic's delete
+    // and rename: the committed table sits under the swap name, the
+    // destination is gone
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/static/dim"),
+      new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
+    // any entry point recovers it — nothing was lost
+    val back = Layout.readStatic(spark, out, "dim")
+    assert(back.isDefined && back.get.count() === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
+    // ...and a stale swap next to an INTACT table is debris: deleted,
+    // table untouched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap/junk"))
+    assert(Layout.readStatic(spark, out, "dim").get.count() === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
+  }
+
+  test("readStatic: a footer-less directory (crashed first write) reads as absent") {
+    import spark.implicits._
+    val out = graft.Temps.dir("footerless")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a run killed during its first write leaves only _temporary debris
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/static/sigs/_temporary/0"))
+    assert(Layout.readStatic(spark, out, "sigs").isEmpty)
+    // the advertised idempotent re-run must RESUME over it, not die on
+    // UNABLE_TO_INFER_SCHEMA
+    val rows = Seq(("0xaa", 1L)).toDF("signature", "v")
+    Layout.upsertStatic(rows, out, "sigs", Seq("signature"))
+    assert(spark.read.parquet(s"$out/static/sigs").count() === 1)
+  }
+
   test("bucket arithmetic: 10k blocks per partition") {
     import spark.implicits._
     val b = Layout.withBlockBucket(Seq(0L, 9999L, 10000L, 123456789L).toDF("block_number"))
