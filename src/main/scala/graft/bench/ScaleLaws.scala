@@ -24,7 +24,7 @@ import graft.ops.SimSearch
   * markdown table row per (family, scale) for SCALE.md.
   *
   * Usage: `runMain graft.bench.ScaleLaws <sfDir> [factors csv, default
-  * 1,4,16]`.
+  * 1,4,16] [family-substring filter csv]`.
   */
 object ScaleLaws {
 
@@ -186,6 +186,42 @@ object ScaleLaws {
     (nCand, pairs)
   }
 
+  /** q134's span-level exact-substring dedup. Documents are never
+    * paired — spans meet in a groupBy on the window hash — so the laws
+    * under test are LINEARITY and KEY WIDTH: candidates = the
+    * (doc, span) explode volume (the only shuffle), which must grow
+    * exactly ~n; pairs = docs with at least one span shared verbatim,
+    * which must stay CONSTANT under amplification (copies share no
+    * tokens, so they can add no true dups). The first measurement of
+    * this family, with a single 30-bit rolling hash, caught the pair
+    * count CLIMBING 526 → 13 058 from 5k to 80k docs — pure birthday
+    * collision of the narrow key — which is why q134 and this family
+    * use the 60-bit composite (bases 131/137). */
+  def spanDedup(docs: DataFrame): (Long, Long) = {
+    val w = 8
+    val mod = graft.ops.TextAnalysis.HashMod
+    val th = transform(graft.ops.TextAnalysis.tokens(col("text")),
+      t => graft.ops.TextAnalysis.tokenHash(t))
+    def fold(base: Long) = (i: org.apache.spark.sql.Column) =>
+      aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
+        (a, b) => (a * base + b) % mod)
+    val spans = when(size(col("TH")) >= w,
+      transform(sequence(lit(0), size(col("TH")) - w), i =>
+        fold(131L)(i) * mod + fold(137L)(i)))
+      .otherwise(array().cast("array<bigint>"))
+    val spanSets = docs
+      .withColumn("TH", th)
+      .select(col("doc_id"), explode(spans).as("sp"))
+      .distinct().localCheckpoint()
+    val dup = spanSets.groupBy(col("sp")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("sp")
+    val dupDocs = spanSets.join(dup, Seq("sp"), "left_semi")
+      .select("doc_id").distinct().count()
+    val nCand = spanSets.count()
+    spanSets.unpersist(true)
+    (nCand, dupDocs)
+  }
+
   /** q32/q33's random-hyperplane LSH: K = 2^planes buckets; candidates
     * = Σ_bucket C(|bucket|, 2). Counted from the bucket histogram (the
     * exact join volume) so the measurement itself stays cheap.
@@ -253,6 +289,7 @@ object ScaleLaws {
         ("simhash_wide_q121", true, (df, _) => simhashWide(df)),
         ("minhash_bands_q28", true, (df, _) => minhashBands(df)),
         ("shingle_jaccard_q24", true, (df, _) => shingleJaccard(df)),
+        ("span_dedup_q134", true, (df, _) => spanDedup(df)),
         ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
         ("ivf_probe_q34_35", false, (df, _) => ivfProbe(df)),
         // the documented remedies, MEASURED: +2 planes (=4× buckets)
@@ -266,10 +303,18 @@ object ScaleLaws {
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock
       // and pressures executor storage toward eviction at high factors
+      // optional family filter (re-measure one family without paying
+      // for the whole matrix)
+      val famFilter: String => Boolean = args.lift(2) match {
+        case Some(subs) =>
+          val ps = subs.split(",").map(_.trim).filter(_.nonEmpty)
+          name => ps.exists(name.contains)
+        case None => _ => true
+      }
       val rows = factors.flatMap { factor =>
         val docsData = amplifyDocs(docs0, factor).localCheckpoint()
         val embData = amplifyEmbeddings(emb0, factor).localCheckpoint()
-        val rs = fams.map { case (name, isDoc, f) =>
+        val rs = fams.filter(t => famFilter(t._1)).map { case (name, isDoc, f) =>
           val data = if (isDoc) docsData else embData
           val n = (if (isDoc) nDocs0 else nEmb0) * factor
           val ((cand, pairs), secs) = time(f(data, factor))

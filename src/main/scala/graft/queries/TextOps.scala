@@ -955,15 +955,24 @@ object TextOps {
     // every downstream consumer (the span analog of the MinHash band
     // index), and hot spans (license headers) are df-capped exactly
     // like q24's shingles.
+    //
+    // The span key is a 60-BIT COMPOSITE of two independent rolling
+    // hashes (bases 131/137). A single 30-bit hash measurably accretes
+    // birthday false-dups as the corpus grows — ScaleLaws measured the
+    // false-dup doc count climbing 526 → 13 058 from 5k to 80k docs on
+    // an amplified corpus with NO true cross-copy dups — while the
+    // composite's expected collisions stay ~n²/2⁶⁰ (zero at any
+    // realistic span count); both folds stay under int64 so DuckDB
+    // replays the exact arithmetic.
     "q134_span_dedup" -> Q(
       (s, d) => {
         val w = 8
-        // rolling fold per window — the same (acc*131 + h) % HashMod
-        // arithmetic as the document fingerprint, over w-token windows
+        def fold(base: Long) = (i: org.apache.spark.sql.Column) =>
+          aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
+            (a, b) => (a * base + b) % HashMod)
         val spans = when(size(col("TH")) >= w,
           transform(sequence(lit(0), size(col("TH")) - w), i =>
-            aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
-              (a, b) => (a * 131L + b) % HashMod)))
+            fold(131L)(i) * HashMod + fold(137L)(i)))
           .otherwise(array().cast("array<bigint>"))
         val spanSets = documents(s, d)
           .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
@@ -991,7 +1000,9 @@ object TextOps {
               |spd AS (SELECT DISTINCT doc_id,
               |          unnest(list_transform(range(1, len(TH) - 6), i ->
               |            list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
-              |              (a, b) -> (a * 131 + b) % $HashMod))) AS sp
+              |              (a, b) -> (a * 131 + b) % $HashMod) * $HashMod +
+              |            list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+              |              (a, b) -> (a * 137 + b) % $HashMod))) AS sp
               |        FROM th),
               |dup AS (SELECT sp FROM spd GROUP BY sp HAVING count(*) >= 2),
               |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,

@@ -42,4 +42,22 @@ class ScaleLawSpec extends AnyFunSuite {
     assert(c16w < c16n / 8,
       s"wide shape ($c16w) is not materially cheaper than narrow ($c16n)")
   }
+
+  test("span dedup: shuffle volume exactly linear, no false dups from the 60-bit key") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val d1 = ScaleLaws.amplifyDocs(docs, 1).localCheckpoint()
+    val d4 = ScaleLaws.amplifyDocs(docs, 4).localCheckpoint()
+    val (c1, p1) = ScaleLaws.spanDedup(d1)
+    val (c4, p4) = ScaleLaws.spanDedup(d4)
+    // every copy contributes the original's exact distinct-span count
+    // (the per-doc suffix preserves within-doc span identity), so the
+    // (doc, span) explode volume — the operator's only shuffle — must
+    // be EXACTLY linear in the factor
+    assert(c4 === c1 * 4, s"span shuffle volume not linear: $c1 -> $c4 at 4x n")
+    // copies share no tokens, so they can add no true shared spans:
+    // any dup-doc growth is birthday collision of the span key. The
+    // 30-bit single hash measurably failed this (526 -> 13k false dup
+    // docs); the 60-bit composite must hold it exactly flat.
+    assert(p4 === p1, s"false dups from span-key collisions: $p1 -> $p4 at 4x n")
+  }
 }
