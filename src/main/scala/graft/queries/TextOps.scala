@@ -1013,5 +1013,80 @@ object TextOps {
               |       round(CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
               |             ELSE CAST(a.n_dup_spans AS DOUBLE) / a.n_spans END, 6) AS dup_frac
               |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
-      "span-level exact-substring dedup: 8-token rolling-hash windows shared verbatim across docs"))
+      "span-level exact-substring dedup: 8-token rolling-hash windows shared verbatim across docs"),
+
+    // MODEL-BASED quality scoring — the batch-inference shape every
+    // training pipeline runs over its corpus: the model's weights live
+    // in the plan as literals, scoring is per-row codegen'd arithmetic,
+    // ZERO shuffle — at 100 TB the quality pass is embarrassingly
+    // parallel and reads each document once. A learned GBDT/NN swaps in
+    // behind the same (features → score → keep) column contract via
+    // mapInPandas; the linear scorer here keeps the oracle exact. The
+    // squashing is x → 0.5 + x/(2(1+|x|)) (the "fast sigmoid") rather
+    // than 1/(1+e^-x) DELIBERATELY: +,−,×,÷,abs are IEEE-exact and
+    // bit-identical across engines, exp() is not — a logistic head
+    // would hash-flake on boundary documents.
+    "q136_quality_model" -> Q(
+      (s, d) => {
+        val nw = size(col("T")).cast("double")
+        val sr = size(filter(col("T"),
+          w => w.isin("the", "a", "of", "and", "to"))).cast("double") / nw
+        val nchars = length(col("text")).cast("double")
+        val digr = length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / nchars
+        val avgw = nchars / nw
+        val z = lit(0.015) * nw + lit(2.0) * sr - lit(3.0) * digr +
+          lit(0.1) * avgw - lit(1.2)
+        val score = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+        documents(s, d)
+          .withColumn("T", tokens(col("text")))
+          .select(col("doc_id"),
+            round(score, 6).as("quality_score"),
+            (score >= 0.5).as("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS T FROM documents),
+              |f AS (SELECT doc_id,
+              |        CAST(len(T) AS DOUBLE) AS nw,
+              |        CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / CAST(len(T) AS DOUBLE) AS sr,
+              |        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digr,
+              |        CAST(length(text) AS DOUBLE) / CAST(len(T) AS DOUBLE) AS avgw
+              |      FROM t),
+              |z AS (SELECT doc_id,
+              |        0.015 * nw + 2.0 * sr - 3.0 * digr + 0.1 * avgw - 1.2 AS z
+              |      FROM f)
+              |SELECT doc_id,
+              |       round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS quality_score,
+              |       (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5 AS keep
+              |FROM z""".stripMargin),
+      "model-based quality scoring: linear scorer + exact-arithmetic sigmoid, the zero-shuffle batch-inference shape"),
+
+    // BPE VOCABULARY TRAINING, the counting step: global counts of
+    // adjacent character pairs inside tokens — the argmax pair IS the
+    // next merge rule, and a full trainer iterates exactly this job
+    // with the chosen merge applied to the token stream. Scale shape:
+    // explode is linear in corpus characters; the pair groupBy keys on
+    // ≤|alphabet|² values (map-side partial aggregation collapses it
+    // before the shuffle); top-k is TakeOrdered on the tiny aggregate.
+    // Tie-break by pair string so the top-20 SET is deterministic.
+    "q137_bpe_merges" -> Q(
+      (s, d) => {
+        val pairs = when(length(col("tok")) >= 2,
+          transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .select(explode(pairs).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT $toksSql AS T FROM documents),
+              |tok AS (SELECT unnest(T) AS tok FROM t),
+              |p AS (SELECT unnest(list_transform(range(1, length(tok)), i ->
+              |        substring(tok, i, 2))) AS pair
+              |      FROM tok WHERE length(tok) >= 2)
+              |SELECT pair, CAST(count(*) AS BIGINT) AS n
+              |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      "BPE merge-rule counting: global adjacent char-pair counts, the vocab-training iteration step"))
 }
