@@ -240,4 +240,47 @@ class FollowHeadSpec extends AnyFunSuite {
       } finally q.stop()
     } finally RpcStub.setHead(RpcStub.Head)
   }
+
+  test("onTickStart gates the row-maxima stop fallback until the tick's marker lands") {
+    // the --until-head waiter's stop rule (Stream.main): syncedHead, or
+    // row maxima ONLY while no tick has started. Block onGap on a latch
+    // to hold the follower in the exact window the old rule got wrong —
+    // entities committed (maxima at head), skeleton upsert + marker not
+    // yet — and assert the rule refuses to stop there.
+    val out = graft.Temps.dir("follow-gate-out")
+    val tickStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))))
+    def caughtUp() = {
+      val head = graft.sources.Rpc.blockNumber(RpcStub.endpoint)
+      Incremental.syncedHead(spark, out).exists(_ >= head) ||
+        (!tickStarted.get && derive.forall { case (e, _) =>
+          Incremental.maxIndexedBlock(spark, out, e).exists(_ >= head) })
+    }
+    val q = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-gate-ckpt"),
+      startBlock = 745L, derive,
+      onGap = _ => release.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      onTickStart = () => tickStarted.set(true))
+    try {
+      // wait for the entity replacement to commit (the stale-complete
+      // signal) while onGap is still latched
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!Incremental.maxIndexedBlock(spark, out, "blocks")
+          .exists(_ >= RpcStub.Head) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(Incremental.maxIndexedBlock(spark, out, "blocks")
+        .exists(_ >= RpcStub.Head), "entity never reached head")
+      assert(tickStarted.get, "onTickStart did not fire before entity commit")
+      // THE window: maxima at head, marker absent — must NOT stop
+      assert(!caughtUp(),
+        "stop rule fired between entity commit and the marker write")
+      release.countDown()
+      val deadline2 = System.nanoTime() + 60L * 1000000000L
+      while (!caughtUp() && System.nanoTime() < deadline2) Thread.sleep(100)
+      assert(caughtUp(), "marker never landed after onGap completed")
+      assert(Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head))
+    } finally { release.countDown(); q.stop() }
+  }
 }
