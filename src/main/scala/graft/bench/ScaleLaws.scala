@@ -198,17 +198,9 @@ object ScaleLaws {
     * collision of the narrow key — which is why q134 and this family
     * use the 60-bit composite (bases 131/137). */
   def spanDedup(docs: DataFrame): (Long, Long) = {
-    val w = 8
-    val mod = graft.ops.TextAnalysis.HashMod
     val th = transform(graft.ops.TextAnalysis.tokens(col("text")),
       t => graft.ops.TextAnalysis.tokenHash(t))
-    def fold(base: Long) = (i: org.apache.spark.sql.Column) =>
-      aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
-        (a, b) => (a * base + b) % mod)
-    val spans = when(size(col("TH")) >= w,
-      transform(sequence(lit(0), size(col("TH")) - w), i =>
-        fold(131L)(i) * mod + fold(137L)(i)))
-      .otherwise(array().cast("array<bigint>"))
+    val spans = graft.ops.TextAnalysis.spanHashes(col("TH"), 8)
     val spanSets = docs
       .withColumn("TH", th)
       .select(col("doc_id"), explode(spans).as("sp"))
@@ -311,19 +303,26 @@ object ScaleLaws {
           name => ps.exists(name.contains)
         case None => _ => true
       }
+      val selected = fams.filter(t => famFilter(t._1))
       val rows = factors.flatMap { factor =>
-        val docsData = amplifyDocs(docs0, factor).localCheckpoint()
-        val embData = amplifyEmbeddings(emb0, factor).localCheckpoint()
-        val rs = fams.filter(t => famFilter(t._1)).map { case (name, isDoc, f) =>
-          val data = if (isDoc) docsData else embData
+        // amplify only the corpus KINDS the selected families read — a
+        // doc-only (or embeddings-only) filtered run must not pay for
+        // the other corpus's amplification, which dominates wall-clock
+        // at high factors
+        val docsData = if (selected.exists(_._2))
+          Some(amplifyDocs(docs0, factor).localCheckpoint()) else None
+        val embData = if (selected.exists(!_._2))
+          Some(amplifyEmbeddings(emb0, factor).localCheckpoint()) else None
+        val rs = selected.map { case (name, isDoc, f) =>
+          val data = if (isDoc) docsData.get else embData.get
           val n = (if (isDoc) nDocs0 else nEmb0) * factor
           val ((cand, pairs), secs) = time(f(data, factor))
           println(s"""{"family":"$name","n":$n,"factor":$factor,""" +
             s""""candidates":$cand,"pairs":$pairs,"secs":${math.round(secs * 100) / 100.0}}""")
           (name, n, factor, cand, pairs, secs)
         }
-        docsData.unpersist(true)
-        embData.unpersist(true)
+        docsData.foreach(_.unpersist(true))
+        embData.foreach(_.unpersist(true))
         rs
       }
       println("\n| family | n | candidates | pairs | secs |")

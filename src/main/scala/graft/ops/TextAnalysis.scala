@@ -28,6 +28,25 @@ object TextAnalysis {
     * element (HOFs have no codegen) and dominated signature stages. */
   def tokenHash(t: Column): Column = graft.functions.EvmExprs.tokenHash(t)
 
+  /** 60-bit composite rolling-window hashes over a token-hash array:
+    * per w-token window, two independent (acc*base + h) % HashMod folds
+    * (bases 131/137) combined as h₁₃₁·HashMod + h₁₃₇ — both folds and
+    * the combination stay under int64, so DuckDB replays the exact
+    * arithmetic. The width is NOT optional: ScaleLaws measured a single
+    * 30-bit fold accreting birthday false-dups with corpus growth
+    * (SCALE.md MEASURED). Shared by q134 and the ScaleLaws span family
+    * so the bench measures exactly the operator that ships. Returns an
+    * empty array for docs shorter than w tokens. */
+  def spanHashes(th: Column, w: Int): Column = {
+    def fold(base: Long) = (i: Column) =>
+      aggregate(slice(th, i + 1, lit(w)), lit(0L),
+        (a, b) => (a * base + b) % HashMod)
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w), i =>
+        fold(131L)(i) * HashMod + fold(137L)(i)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
     * token array column, empty array when too short.
     *

@@ -966,14 +966,7 @@ object TextOps {
     // replays the exact arithmetic.
     "q134_span_dedup" -> Q(
       (s, d) => {
-        val w = 8
-        def fold(base: Long) = (i: org.apache.spark.sql.Column) =>
-          aggregate(slice(col("TH"), i + 1, lit(w)), lit(0L),
-            (a, b) => (a * base + b) % HashMod)
-        val spans = when(size(col("TH")) >= w,
-          transform(sequence(lit(0), size(col("TH")) - w), i =>
-            fold(131L)(i) * HashMod + fold(137L)(i)))
-          .otherwise(array().cast("array<bigint>"))
+        val spans = graft.ops.TextAnalysis.spanHashes(col("TH"), 8)
         val spanSets = documents(s, d)
           .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
           .select(col("doc_id"), explode(spans).as("sp"))
@@ -1029,12 +1022,15 @@ object TextOps {
     "q136_quality_model" -> Q(
       (s, d) => {
         val nw = size(col("T")).cast("double")
-        val sr = size(filter(col("T"),
-          w => w.isin("the", "a", "of", "and", "to"))).cast("double") / nw
         val nchars = length(col("text")).cast("double")
-        val digr = length(regexp_replace(col("text"), "[^0-9]", ""))
-          .cast("double") / nchars
-        val avgw = nchars / nw
+        // zero-denominator guards: an empty/whitespace-only doc must
+        // score deterministically (ratios 0), not NULL out in Spark
+        // while DuckDB produces inf/NaN — the engines disagree on x/0
+        val sr = when(nw === 0.0, 0.0).otherwise(size(filter(col("T"),
+          w => w.isin("the", "a", "of", "and", "to"))).cast("double") / nw)
+        val digr = when(nchars === 0.0, 0.0).otherwise(
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / nchars)
+        val avgw = when(nw === 0.0, 0.0).otherwise(nchars / nw)
         val z = lit(0.015) * nw + lit(2.0) * sr - lit(3.0) * digr +
           lit(0.1) * avgw - lit(1.2)
         val score = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
@@ -1047,9 +1043,9 @@ object TextOps {
       Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS T FROM documents),
               |f AS (SELECT doc_id,
               |        CAST(len(T) AS DOUBLE) AS nw,
-              |        CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / CAST(len(T) AS DOUBLE) AS sr,
-              |        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS digr,
-              |        CAST(length(text) AS DOUBLE) / CAST(len(T) AS DOUBLE) AS avgw
+              |        CASE WHEN len(T) = 0 THEN 0.0 ELSE CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE) / CAST(len(T) AS DOUBLE) END AS sr,
+              |        CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS digr,
+              |        CASE WHEN len(T) = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / CAST(len(T) AS DOUBLE) END AS avgw
               |      FROM t),
               |z AS (SELECT doc_id,
               |        0.015 * nw + 2.0 * sr - 3.0 * digr + 0.1 * avgw - 1.2 AS z

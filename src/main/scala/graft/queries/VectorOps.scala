@@ -199,7 +199,11 @@ object VectorOps {
         val b = cells.toDF("b_id", "cell", "bv", "bn")
         val reps = a.join(b, Seq("cell"))
           .where(col("b_id") < col("vec_id"))
-          .where(SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")) >= 0.3)
+          // round BEFORE thresholding, matching cosSql and the whole
+          // vector family (cosineDupPairs): raw-vs-rounded comparison
+          // would flip is_dup on boundary pairs across engines
+          .where(round(SimSearch.cosine(
+            col("av"), col("bv"), col("an"), col("bn")), 6) >= 0.3)
           .groupBy(col("vec_id")).agg(min(col("b_id")).as("rep_id"))
         cells.select(col("id").as("vec_id"), col("cell"))
           .join(reps, Seq("vec_id"), "left")

@@ -39,30 +39,51 @@ object Layout {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Swap directory for atomic static overwrites — dot-prefixed so no
-    * parquet reader or directory glob ever picks it up. */
+  /** Swap / parked-old directories for atomic static overwrites —
+    * dot-prefixed so no parquet reader or directory glob ever picks
+    * them up. */
   private def swapDir(root: String, entity: String) =
     s"$root/static/.${entity}__swap"
+  private def oldDir(root: String, entity: String) =
+    s"$root/static/.${entity}__old"
 
-  /** Crash recovery for the atomic-swap overwrite: a COMPLETE swap
-    * (job-committed, `_SUCCESS` present) next to a MISSING table is
-    * promoted — the crash hit between the delete and the rename of
-    * [[overwriteStaticAtomic]] and the swap holds the full merged
-    * table; any other leftover swap is stale debris from a crashed
-    * write and is deleted (the destination is still intact, so the
-    * re-run simply redoes the merge). Called by every static-table
-    * entry point. */
+  /** Crash recovery for the atomic-swap overwrite. The writer NEVER
+    * deletes the live table before the replacement is in place — it
+    * renames it aside (atomic directory rename) — so at every crash
+    * point at least one complete copy exists and recovery only has to
+    * pick it:
+    *  - destination missing + parked old copy present: the crash hit
+    *    between the two renames. Promote the swap if it is
+    *    job-committed (`_SUCCESS`), else roll the old table back.
+    *    (With success markers disabled the rollback path still
+    *    restores the pre-merge table — no loss, the re-run redoes the
+    *    merge.)
+    *  - destination present: any leftover swap/old dirs are stale
+    *    debris from a completed or abandoned write — delete them.
+    * Called by every static-table entry point. */
   def recoverStatic(spark: org.apache.spark.sql.SparkSession, root: String,
       entity: String): Unit = {
     val fs = hadoopFs(spark, root)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
     val swp = new org.apache.hadoop.fs.Path(swapDir(root, entity))
-    if (fs.exists(swp)) {
-      val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
-      val complete = fs.exists(new org.apache.hadoop.fs.Path(swp, "_SUCCESS"))
-      if (complete && !fs.exists(dst)) {
-        if (!fs.rename(swp, dst))
-          throw new java.io.IOException(s"swap recovery $swp -> $dst failed")
-      } else fs.delete(swp, true)
+    val old = new org.apache.hadoop.fs.Path(oldDir(root, entity))
+    if (!fs.exists(dst)) {
+      val swapCommitted = fs.exists(swp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(swp, "_SUCCESS"))
+      // a committed swap is the newest complete copy (covers both the
+      // between-renames window and a first-ever write that died before
+      // promotion); otherwise fall back to the parked old table
+      val winner = if (swapCommitted) Some(swp)
+        else if (fs.exists(old)) Some(old) else None
+      winner.foreach { w =>
+        if (!fs.rename(w, dst))
+          throw new java.io.IOException(s"swap recovery $w -> $dst failed")
+      }
+    }
+    // dst exists now (recovered or never lost): everything else is debris
+    if (fs.exists(dst)) {
+      if (fs.exists(swp)) fs.delete(swp, true)
+      if (fs.exists(old)) fs.delete(old, true)
     }
   }
 
@@ -87,24 +108,35 @@ object Layout {
   /** Atomic-by-rename overwrite of a static table: write the new
     * contents to a hidden swap directory (the write's plan may still
     * READ the destination — it is untouched until the job commits),
-    * then delete + rename. A plain `mode("overwrite")` deletes the
-    * target BEFORE the job runs, so a crash mid-write would
-    * permanently destroy rows accumulated from all earlier ranges; with
-    * the swap, every crash window leaves either the old table intact
-    * (swap debris cleaned on the next run) or a complete swap that
-    * [[recoverStatic]] promotes. */
+    * rename the live table ASIDE (atomic directory rename — never a
+    * recursive delete, which a kill can interrupt halfway, leaving a
+    * torn-but-readable table that recovery would then trust), promote
+    * the swap, and only then drop the parked copy. A plain
+    * `mode("overwrite")` deletes the target BEFORE the job runs, so a
+    * crash mid-write would permanently destroy rows accumulated from
+    * all earlier ranges; here every crash point leaves a complete copy
+    * for [[recoverStatic]]: the live table (swap incomplete), the
+    * parked old table (between the renames, if the swap's `_SUCCESS`
+    * is absent), or the committed swap. */
   private def overwriteStaticAtomic(df: DataFrame, root: String,
       entity: String, maxRecordsPerFile: Long): Unit = {
     val spark = df.sparkSession
     val swp = swapDir(root, entity)
+    val fs = hadoopFs(spark, root)
+    // stale debris from an abandoned run would make the renames below
+    // land inside existing dirs — clear it while dst is still live
+    recoverStatic(spark, root, entity)
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(swp)
-    val fs = hadoopFs(spark, root)
     val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(oldDir(root, entity))
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"rename $dst -> $old failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(swp), dst))
       throw new java.io.IOException(s"rename $swp -> $dst failed")
+    if (!fs.delete(old, true) && fs.exists(old))
+      throw new java.io.IOException(s"cleanup of $old failed")
     spark.catalog.refreshByPath(dst.toString)
   }
 

@@ -221,6 +221,50 @@ object Incremental {
     } catch { case _: Exception => None } // torn marker = replay the gap
   }
 
+  /** Durable tick-intent marker: written BEFORE a tick's first write,
+    * cleared only after the tick's synced-head marker committed. Its
+    * payload is the tick's PRE-GAP resume point. Presence at startup
+    * means a prior process died mid-tick — in that window the
+    * per-entity row maxima can read "complete" (the entity replacement
+    * committed) while the tick's static side effects (the skeleton/ABI
+    * upsert) and the synced-head marker are lost, so both the resume
+    * point and any caught-up test must ignore row maxima and replay
+    * the recorded gap (idempotent: per-block replacement + natural-key
+    * upserts). An in-process flag cannot represent this — it dies with
+    * the process. Cost: two driver-side metadata ops per tick. */
+  def tickIntent(spark: SparkSession, outRoot: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outRoot/_tick_intent")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Some(text.trim.toLong)
+      }
+    } catch { case _: Exception => None } // tmp+rename write: no torn reads
+  }
+
+  private[graft] def writeTickIntent(spark: SparkSession, outRoot: String,
+      last: Long): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$outRoot/_tick_intent")
+    val tmp = new org.apache.hadoop.fs.Path(s"$outRoot/._tick_intent.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(last.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  private[graft] def clearTickIntent(spark: SparkSession, outRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outRoot/_tick_intent")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
   private[graft] def writeSyncedHead(spark: SparkSession, outRoot: String,
       head: Long, entities: Seq[String]): Unit = {
     val dst = new org.apache.hadoop.fs.Path(s"$outRoot/_synced_head")
@@ -264,16 +308,23 @@ object Incremental {
       .foreachBatch { (_: DataFrame, _: Long) =>
         val head = graft.sources.Rpc.blockNumber(endpoint)
         val names = derive.map(_._1)
-        val last = syncedHeadMeta(spark, outRoot) match {
-          // the marker is only trusted for the entities it was written
-          // with: a derive map that gained an entity falls back to the
-          // conservative scan (the new entity's absent table → start),
-          // so its whole range backfills; the next committed tick
-          // rewrites the marker with the full name set
-          case Some((h, synced)) if names.toSet.subsetOf(synced) => h
-          case _ => derive.map { case (entity, _) =>
-            maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
-          }.min
+        val last = tickIntent(spark, outRoot) match {
+          // a prior PROCESS died mid-tick: replay its whole gap from
+          // the recorded pre-gap point — row maxima (and even the
+          // synced-head marker, which predates the dead tick) would
+          // under-replay the lost static side effects
+          case Some(l) => l
+          case None => syncedHeadMeta(spark, outRoot) match {
+            // the marker is only trusted for the entities it was written
+            // with: a derive map that gained an entity falls back to the
+            // conservative scan (the new entity's absent table → start),
+            // so its whole range backfills; the next committed tick
+            // rewrites the marker with the full name set
+            case Some((h, synced)) if names.toSet.subsetOf(synced) => h
+            case _ => derive.map { case (entity, _) =>
+              maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
+            }.min
+          }
         }
         if (head > last) {
           // observable BEFORE any write: a waiter that saw a tick start
@@ -282,6 +333,8 @@ object Incremental {
           // onGap/marker commit) — only the synced-head marker says the
           // whole tick, static side effects included, committed
           onTickStart()
+          // durable twin of onTickStart, for the CROSS-PROCESS window
+          writeTickIntent(spark, outRoot, last)
           val blocks = graft.sources.Rpc
             .fetchBlocks(spark, endpoint, last + 1, head, slots)
             .withColumnRenamed("number", "block_number")
@@ -300,8 +353,11 @@ object Incremental {
             // gap re-derives the same skeletons and the upsert's
             // append-if-absent skips them
             onGap(gap)
-            // everything committed — advance the resume point
+            // everything committed — advance the resume point, then
+            // retire the intent (a crash in between replays the gap
+            // once more; every leg is idempotent)
             writeSyncedHead(spark, outRoot, head, names)
+            clearTickIntent(spark, outRoot)
           } finally batchBlocks.unpersist()
         }
       }

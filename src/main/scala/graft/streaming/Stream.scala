@@ -177,11 +177,16 @@ object Stream {
         // stopping there would permanently lose the gap's
         // skeleton/ABI tables (resume sees maxima at head → no gap →
         // onGap never replays).
+        // ...and BOTH legs require no live tick-intent marker: intent
+        // present means a tick (this process's or a DEAD one's) has
+        // writes in flight or lost side effects pending replay — the
+        // follower will replay that gap, so wait for it
         def caughtUp() = {
           val head = graft.sources.Rpc.blockNumber(endpoint)
-          Incremental.syncedHead(spark, outRoot).exists(_ >= head) ||
-            (!tickStarted.get && derive.forall { case (e, _) =>
-              Incremental.maxIndexedBlock(spark, outRoot, e).exists(_ >= head) })
+          Incremental.tickIntent(spark, outRoot).isEmpty &&
+            (Incremental.syncedHead(spark, outRoot).exists(_ >= head) ||
+              (!tickStarted.get && derive.forall { case (e, _) =>
+                Incremental.maxIndexedBlock(spark, outRoot, e).exists(_ >= head) }))
         }
         while (q.exception.isEmpty && !caughtUp() && System.nanoTime() < deadline)
           Thread.sleep(200)

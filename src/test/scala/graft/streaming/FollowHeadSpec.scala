@@ -281,6 +281,57 @@ class FollowHeadSpec extends AnyFunSuite {
       while (!caughtUp() && System.nanoTime() < deadline2) Thread.sleep(100)
       assert(caughtUp(), "marker never landed after onGap completed")
       assert(Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head))
+      assert(Incremental.tickIntent(spark, out).isEmpty,
+        "intent not retired after the tick committed")
     } finally { release.countDown(); q.stop() }
+  }
+
+  test("tick intent survives a crash: a restarted follower replays the lost gap's side effects") {
+    // the CROSS-PROCESS face of the stale-complete window: kill the
+    // follower after its entities committed but before onGap/marker —
+    // an in-process flag dies with it, so the durable intent marker is
+    // what forces the new process to replay the gap (and keeps a fresh
+    // waiter from declaring success off row maxima)
+    val out = graft.Temps.dir("follow-intent-out")
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val derive: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))))
+    val q1 = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-intent-ckpt1"),
+      startBlock = 745L, derive,
+      onGap = _ => latch.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    try {
+      while (!Incremental.maxIndexedBlock(spark, out, "blocks")
+          .exists(_ >= RpcStub.Head) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally q1.stop() // "kill -9" mid-tick: onGap never ran, no marker
+    latch.countDown()
+    assert(Incremental.tickIntent(spark, out).nonEmpty,
+      "no durable evidence of the interrupted tick")
+    // a FRESH process's waiter (tickStarted=false) must not declare
+    // success off the at-head row maxima while the intent is live
+    assert(Incremental.syncedHead(spark, out).isEmpty)
+    assert(Incremental.maxIndexedBlock(spark, out, "blocks")
+      .exists(_ >= RpcStub.Head), "precondition: maxima look complete")
+    // restart: the intent forces the gap replay, onGap runs this time
+    val replayed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q2 = Incremental.followHeadEntities(
+      spark, RpcStub.endpoint, out, graft.Temps.dir("follow-intent-ckpt2"),
+      startBlock = 745L, derive, onGap = _ => replayed.set(true))
+    try {
+      val deadline2 = System.nanoTime() + 60L * 1000000000L
+      while ((Incremental.tickIntent(spark, out).nonEmpty ||
+          !Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head)) &&
+          System.nanoTime() < deadline2)
+        Thread.sleep(100)
+      assert(replayed.get, "restart did not replay the interrupted gap's onGap")
+      assert(Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head))
+      assert(Incremental.tickIntent(spark, out).isEmpty)
+      // and the replay stayed idempotent: every block exactly once
+      val nums = spark.read.parquet(s"$out/dynamic/blocks")
+        .select("block_number").collect().map(_.getLong(0)).sorted
+      assert(nums.distinct.length === nums.length, "replay duplicated rows")
+    } finally q2.stop()
   }
 }
