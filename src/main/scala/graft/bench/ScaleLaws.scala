@@ -237,6 +237,31 @@ object ScaleLaws {
     (cand, pairs)
   }
 
+  /** q135's SemDeDup shape: within-IVF-cell cosine pairs with the
+    * keep-first representative rule. The dimension-rotation amplifier
+    * PRESERVES within-copy inner products (identically-permuted
+    * vectors keep their cosines), so every copy reproduces the
+    * original's true-dup structure exactly: dups must grow LINEARLY
+    * (factor × base), while candidates (Σ cell-pair volume) grow
+    * ~n²/K at fixed K — the same two-sided story as the IVF probe,
+    * here measured on the dedup operator itself. `k` is the lever the
+    * scaled variant grows with n. */
+  def semanticDedup(emb: DataFrame, k: Int = SimSearch.IvfK): (Long, Long) = {
+    val cells = SimSearch.ivfCells(emb, "vec_id", "embedding", k)
+      .localCheckpoint()
+    val cand = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    val a = cells.toDF("vec_id", "cell", "av", "an")
+    val b = cells.toDF("b_id", "cell", "bv", "bn")
+    val dups = a.join(b, Seq("cell"))
+      .where(col("b_id") < col("vec_id"))
+      .where(round(SimSearch.cosine(
+        col("av"), col("bv"), col("an"), col("bn")), 6) >= 0.3)
+      .select("vec_id").distinct().count()
+    cells.unpersist(true)
+    (cand, dups)
+  }
+
   /** q34/q35's IVF: every vector probes its nProbe nearest of K cells;
     * candidates = Σ probe-side × cell-side meeting on the cell id.
     * nProbe/K tune candidates INDEPENDENTLY of n — the claim under
@@ -284,6 +309,9 @@ object ScaleLaws {
         ("span_dedup_q134", true, (df, _) => spanDedup(df)),
         ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
         ("ivf_probe_q34_35", false, (df, _) => ivfProbe(df)),
+        ("semantic_dedup_q135", false, (df, _) => semanticDedup(df)),
+        ("semantic_dedup_scaledK", false, (df, f) =>
+          semanticDedup(df, SimSearch.IvfK * f)),
         // the documented remedies, MEASURED: +2 planes (=4× buckets)
         // per 4× n, and 4× IVF cells per 4× n — candidate volume should
         // grow ~linearly instead of quadratically
