@@ -163,6 +163,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
   }
 
+  test("swap recovery: an uncommitted swap rolls the parked old table back") {
+    import spark.implicits._
+    // the between-renames crash with _SUCCESS markers DISABLED (common
+    // object-store tuning): dst renamed aside, swap complete but
+    // unmarked — recovery must restore the parked copy, never delete
+    // both
+    val out = graft.Temps.dir("swap-rollback")
+    Layout.mergeStatic(Seq(("a", 1L)).toDF("k", "v"), out, "dim",
+      all => all.groupBy(col("k")).agg(max(col("v")).as("v")))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(p(s"$out/static/dim"), p(s"$out/static/.dim__old")))
+    fs.mkdirs(p(s"$out/static/.dim__swap"))
+    fs.create(p(s"$out/static/.dim__swap/part-x.parquet"), true).close()
+    // no _SUCCESS in the swap -> the parked old table wins
+    val back = Layout.readStatic(spark, out, "dim")
+    assert(back.isDefined && back.get.count() === 1, "old table not restored")
+    assert(!fs.exists(p(s"$out/static/.dim__swap")))
+    assert(!fs.exists(p(s"$out/static/.dim__old")))
+  }
+
   test("readStatic: a footer-less directory (crashed first write) reads as absent") {
     import spark.implicits._
     val out = graft.Temps.dir("footerless")
