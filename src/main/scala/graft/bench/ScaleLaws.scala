@@ -55,9 +55,14 @@ object ScaleLaws {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  /** k× embedding corpus: copy c rotates the dimensions by 5c — the
-    * copy decorrelates from its original (no fabricated near-dup
-    * clusters) while the norm and component distribution survive. */
+  /** k× embedding corpus: copy c rotates the dimensions by 5c — each
+    * copy decorrelates from its OWN original (no exact-duplicate
+    * clusters) while the norm and component distribution survive.
+    * Caveat measured by the semantic-dedup family: rotations of
+    * DIFFERENT originals can still clear low cosine thresholds
+    * (rotation preserves relative geometry within a copy), so
+    * pair-count columns at permissive thresholds carry an amplifier
+    * term; candidate-volume columns do not. */
   def amplifyEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
     val spark = emb.sparkSession
     if (factor <= 1)
@@ -214,6 +219,13 @@ object ScaleLaws {
     (nCand, dupDocs)
   }
 
+  /** Σ_key C(|group|, 2) — the exact equi-join pair volume of a keyed
+    * frame, computed from the bucket histogram so the measurement
+    * itself stays cheap. */
+  private def pairVolume(df: DataFrame, keyCol: String): Long =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+
   /** q32/q33's random-hyperplane LSH: K = 2^planes buckets; candidates
     * = Σ_bucket C(|bucket|, 2). Counted from the bucket histogram (the
     * exact join volume) so the measurement itself stays cheap.
@@ -223,8 +235,7 @@ object ScaleLaws {
       nPlanes: Int = SimSearch.LshPlanes): (Long, Long) = {
     val bucketed = SimSearch.lshBuckets(emb, "vec_id", "embedding",
       nPlanes).localCheckpoint()
-    val cand = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    val cand = pairVolume(bucketed, "bucket")
     val pairs = {
       val withN = bucketed.withColumn("n", SimSearch.l2norm(col("v")))
       val a = withN.toDF("a_id", "av", "bucket", "an")
@@ -238,19 +249,21 @@ object ScaleLaws {
   }
 
   /** q135's SemDeDup shape: within-IVF-cell cosine pairs with the
-    * keep-first representative rule. The dimension-rotation amplifier
-    * PRESERVES within-copy inner products (identically-permuted
-    * vectors keep their cosines), so every copy reproduces the
-    * original's true-dup structure exactly: dups must grow LINEARLY
-    * (factor × base), while candidates (Σ cell-pair volume) grow
-    * ~n²/K at fixed K — the same two-sided story as the IVF probe,
-    * here measured on the dedup operator itself. `k` is the lever the
-    * scaled variant grows with n. */
+    * keep-first representative rule. The LAW under test is the
+    * candidate column (Σ cell-pair volume): ~n²/K at fixed K, linear
+    * when `k` grows with n — the same two-sided story as the IVF
+    * probe, measured on the dedup operator itself. The pairs column is
+    * reported but is NOT a clean corpus property: the rotation
+    * amplifier preserves within-copy inner products (so every copy
+    * carries the base corpus's dup structure, a ×factor term), but
+    * cos(rot₅ᶜu, rot₅ᶜ′w) = cos(u, rot₅₍ᶜ′₋ᶜ₎w) lets pairs of
+    * DIFFERENT originals' rotations clear a low threshold too —
+    * measured at +39%/+52% over ×factor at 0.3 — so treat pairs as
+    * within-copy structure plus a known amplifier artifact. */
   def semanticDedup(emb: DataFrame, k: Int = SimSearch.IvfK): (Long, Long) = {
     val cells = SimSearch.ivfCells(emb, "vec_id", "embedding", k)
       .localCheckpoint()
-    val cand = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long")).head().getLong(0)
+    val cand = pairVolume(cells, "cell")
     val a = cells.toDF("vec_id", "cell", "av", "an")
     val b = cells.toDF("b_id", "cell", "bv", "bn")
     val dups = a.join(b, Seq("cell"))

@@ -180,7 +180,7 @@ object Extract {
     // the guarded read treats a crashed prior write (footer-less dir)
     // as absent, so the advertised idempotent re-run resumes instead of
     // dying on UNABLE_TO_INFER_SCHEMA
-    val skeletonsRaw = (Layout.readStatic(spark, outRoot, "skeletons") match {
+    val skeletonsRaw = (Layout.readStatic(spark, outRoot, "skeletons", recover = true) match {
       case None => skeletonsRaw0
       case Some(existing) => skeletonsRaw0.join(
         existing.where(!col("failed_decompilation")).select("skeleton_hash"),

@@ -60,7 +60,8 @@ object Layout {
     *    merge.)
     *  - destination present: any leftover swap/old dirs are stale
     *    debris from a completed or abandoned write — delete them.
-    * Called by every static-table entry point. */
+    * Called by WRITER entry points only — see [[readStatic]]'s race
+    * note. */
   def recoverStatic(spark: org.apache.spark.sql.SparkSession, root: String,
       entity: String): Unit = {
     val fs = hadoopFs(spark, root)
@@ -92,10 +93,22 @@ object Layout {
     * leaves `_temporary` debris) identically as None — so the
     * advertised idempotent re-run resumes instead of dying on
     * UNABLE_TO_INFER_SCHEMA until someone hand-deletes the directory.
-    * Runs [[recoverStatic]] swap recovery first. */
+    *
+    * `recover = true` additionally runs [[recoverStatic]] swap
+    * recovery first — WRITER entry points only (upsert/merge set it).
+    * A plain reader must never recover: recovery racing an in-flight
+    * writer sitting between [[overwriteStaticAtomic]]'s two renames
+    * would roll the table back and destroy the writer's committed
+    * swap — and Hadoop's rename-into-existing-dir semantics would then
+    * absorb the swap INTO the restored table, reporting success while
+    * the merge silently vanished. Writers are one-per-root by contract
+    * (one extract/stream process owns a sink root), so writer-side
+    * recovery has nobody to race; a reader that finds a crashed store
+    * sees the table absent until the owning writer's next run recovers
+    * it. */
   def readStatic(spark: org.apache.spark.sql.SparkSession, root: String,
-      entity: String): Option[DataFrame] = {
-    recoverStatic(spark, root, entity)
+      entity: String, recover: Boolean = false): Option[DataFrame] = {
+    if (recover) recoverStatic(spark, root, entity)
     val path = s"$root/static/$entity"
     if (!hadoopFs(spark, root).exists(new org.apache.hadoop.fs.Path(path))) None
     else try Some(spark.read.parquet(path)) catch {
@@ -161,7 +174,7 @@ object Layout {
       keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
     val path = s"$root/static/$entity"
     val spark = df.sparkSession
-    val fresh = readStatic(spark, root, entity) match {
+    val fresh = readStatic(spark, root, entity, recover = true) match {
       case None => df
       case Some(existing) =>
         // NULL-SAFE key equality (<=>): a row with a null key must still
@@ -196,7 +209,7 @@ object Layout {
       keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
     val spark = df.sparkSession
     val incoming = df.localCheckpoint() // probe + union both read it
-    val all = readStatic(spark, root, entity) match {
+    val all = readStatic(spark, root, entity, recover = true) match {
       case None => incoming
       case Some(existing) =>
         val probe = incoming
@@ -222,7 +235,7 @@ object Layout {
       merge: DataFrame => DataFrame,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     val spark = df.sparkSession
-    val all = readStatic(spark, root, entity) match {
+    val all = readStatic(spark, root, entity, recover = true) match {
       case None => df
       case Some(existing) => df.unionByName(existing)
     }

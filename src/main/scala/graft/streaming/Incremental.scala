@@ -231,32 +231,57 @@ object Incremental {
     * point and any caught-up test must ignore row maxima and replay
     * the recorded gap (idempotent: per-block replacement + natural-key
     * upserts). An in-process flag cannot represent this — it dies with
-    * the process. Cost: two driver-side metadata ops per tick. */
-  def tickIntent(spark: SparkSession, outRoot: String): Option[Long] = {
+    * the process. Cost: two driver-side metadata ops per tick.
+    *
+    * Absence of the intent is ANTI-conservative (it is what licenses
+    * the row-maxima shortcut), so this file is never deleted on the
+    * write path: [[writeTickIntent]] is create-if-absent (a replay
+    * tick inherits the dead tick's intent — its recorded point is ≤
+    * ours and replaying more is idempotent), and only the post-marker
+    * [[clearTickIntent]] removes it. Read errors other than
+    * not-found therefore propagate instead of reading as "no intent". */
+  def tickIntent(spark: SparkSession, outRoot: String): Option[Long] =
+    tickIntentMeta(spark, outRoot).map(_._1)
+
+  /** The intent with the entity names it was recorded for — a derive
+    * map that GAINS an entity must not let the intent's replay point
+    * mask the new entity's missing backfill below it. */
+  private[graft] def tickIntentMeta(spark: SparkSession,
+      outRoot: String): Option[(Long, Set[String])] = {
     val p = new org.apache.hadoop.fs.Path(s"$outRoot/_tick_intent")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val text =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Some(text.trim.toLong)
-      }
-    } catch { case _: Exception => None } // tmp+rename write: no torn reads
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.trim.split("\n")
+      val names = lines.drop(1).headOption
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      Some((lines.head.trim.toLong, names))
+    } catch {
+      case _: java.io.FileNotFoundException => None // raced with clear
+    } // anything else (torn read, corrupt payload) propagates: treating
+      // it as "no intent" would silently skip a dead tick's replay
   }
 
   private[graft] def writeTickIntent(spark: SparkSession, outRoot: String,
-      last: Long): Unit = {
+      last: Long, entities: Seq[String]): Unit = {
     val dst = new org.apache.hadoop.fs.Path(s"$outRoot/_tick_intent")
-    val tmp = new org.apache.hadoop.fs.Path(s"$outRoot/._tick_intent.tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // create-if-absent: never delete-then-recreate (a crash in between
+    // would erase the only durable record of the dead tick and fail
+    // OPEN). An existing intent — ours from a replay, or a dead
+    // process's — already records a point ≤ `last`, so it stands.
+    if (fs.exists(dst)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$outRoot/._tick_intent.tmp")
     val out = fs.create(tmp, true)
-    try out.write(last.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((last.toString + "\n" + entities.sorted.mkString(","))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(tmp, dst) && !fs.exists(dst))
       throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
@@ -308,22 +333,27 @@ object Incremental {
       .foreachBatch { (_: DataFrame, _: Long) =>
         val head = graft.sources.Rpc.blockNumber(endpoint)
         val names = derive.map(_._1)
-        val last = tickIntent(spark, outRoot) match {
+        def conservativeScan = derive.map { case (entity, _) =>
+          maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
+        }.min
+        val last = tickIntentMeta(spark, outRoot) match {
           // a prior PROCESS died mid-tick: replay its whole gap from
           // the recorded pre-gap point — row maxima (and even the
           // synced-head marker, which predates the dead tick) would
-          // under-replay the lost static side effects
-          case Some(l) => l
+          // under-replay the lost static side effects. The intent's
+          // entity-name guard mirrors the marker's: a derive map that
+          // GAINED an entity must also backfill it below the intent
+          // point, so the resume is the MIN of the replay point and the
+          // conservative scan (the new entity's absent table → start)
+          case Some((l, recorded)) if names.toSet.subsetOf(recorded) => l
+          case Some((l, _)) => math.min(l, conservativeScan)
           case None => syncedHeadMeta(spark, outRoot) match {
             // the marker is only trusted for the entities it was written
             // with: a derive map that gained an entity falls back to the
-            // conservative scan (the new entity's absent table → start),
-            // so its whole range backfills; the next committed tick
-            // rewrites the marker with the full name set
+            // conservative scan, so its whole range backfills; the next
+            // committed tick rewrites the marker with the full name set
             case Some((h, synced)) if names.toSet.subsetOf(synced) => h
-            case _ => derive.map { case (entity, _) =>
-              maxIndexedBlock(spark, outRoot, entity).getOrElse(startBlock - 1)
-            }.min
+            case _ => conservativeScan
           }
         }
         if (head > last) {
@@ -334,7 +364,7 @@ object Incremental {
           // whole tick, static side effects included, committed
           onTickStart()
           // durable twin of onTickStart, for the CROSS-PROCESS window
-          writeTickIntent(spark, outRoot, last)
+          writeTickIntent(spark, outRoot, last, names)
           val blocks = graft.sources.Rpc
             .fetchBlocks(spark, endpoint, last + 1, head, slots)
             .withColumnRenamed("number", "block_number")

@@ -84,7 +84,7 @@ object Stream {
     // guarded read: a crashed prior write (footer-less dir) reads as
     // absent, so the replay re-lands instead of dying on
     // UNABLE_TO_INFER_SCHEMA
-    val fresh = (Layout.readStatic(spark, outRoot, "skeletons") match {
+    val fresh = (Layout.readStatic(spark, outRoot, "skeletons", recover = true) match {
       case None => fresh0
       case Some(existing) => fresh0.join(
         broadcast(existing.select(col("skeleton_hash"))),

@@ -152,14 +152,14 @@ class LayoutSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/static/dim"),
       new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
-    // any entry point recovers it — nothing was lost
-    val back = Layout.readStatic(spark, out, "dim")
+    // the WRITER-side guarded read recovers it — nothing was lost
+    val back = Layout.readStatic(spark, out, "dim", recover = true)
     assert(back.isDefined && back.get.count() === 2)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
     // ...and a stale swap next to an INTACT table is debris: deleted,
     // table untouched
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap/junk"))
-    assert(Layout.readStatic(spark, out, "dim").get.count() === 2)
+    assert(Layout.readStatic(spark, out, "dim", recover = true).get.count() === 2)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/static/.dim__swap")))
   }
 
@@ -179,7 +179,7 @@ class LayoutSpec extends AnyFunSuite {
     fs.mkdirs(p(s"$out/static/.dim__swap"))
     fs.create(p(s"$out/static/.dim__swap/part-x.parquet"), true).close()
     // no _SUCCESS in the swap -> the parked old table wins
-    val back = Layout.readStatic(spark, out, "dim")
+    val back = Layout.readStatic(spark, out, "dim", recover = true)
     assert(back.isDefined && back.get.count() === 1, "old table not restored")
     assert(!fs.exists(p(s"$out/static/.dim__swap")))
     assert(!fs.exists(p(s"$out/static/.dim__old")))
