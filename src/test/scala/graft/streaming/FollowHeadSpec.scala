@@ -334,4 +334,69 @@ class FollowHeadSpec extends AnyFunSuite {
       assert(nums.distinct.length === nums.length, "replay duplicated rows")
     } finally q2.stop()
   }
+
+  test("a derive map that gains an entity while an intent is pending still backfills it") {
+    // an intent whose replay point sits PAST a committed prefix must
+    // not mask a newly-added entity's missing backfill below it: run
+    // blocks-only to the head (marker committed), advance the head,
+    // crash mid-second-tick (intent.last = old head), then restart
+    // with deployments ADDED — resume must be min(replay point,
+    // conservative scan), i.e. the new table's whole range, not just
+    // the intent's two-block gap
+    val out = graft.Temps.dir("follow-gain-out")
+    val blocksOnly: Seq[(String, Incremental.Gap => DataFrame)] = Seq(
+      "blocks" -> (g => g.blocks.select(col("block_number"), col("ts"))))
+    try {
+      val q1 = Incremental.followHeadEntities(
+        spark, RpcStub.endpoint, out, graft.Temps.dir("follow-gain-ckpt1"),
+        startBlock = 745L, blocksOnly)
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(Incremental.syncedHead(spark, out).exists(_ >= RpcStub.Head))
+      } finally q1.stop()
+      // two "new blocks" arrive; the next tick dies mid-flight with
+      // intent.last = the old head
+      val head2 = RpcStub.Head + 2
+      RpcStub.setHead(head2)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val q2 = Incremental.followHeadEntities(
+        spark, RpcStub.endpoint, out, graft.Temps.dir("follow-gain-ckpt2"),
+        startBlock = 745L, blocksOnly,
+        onGap = _ => latch.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (Incremental.tickIntent(spark, out).isEmpty &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q2.stop()
+      latch.countDown()
+      assert(Incremental.tickIntent(spark, out).exists(_ >= RpcStub.Head),
+        "intent should record the committed-prefix resume point")
+      // restart with deployments ADDED to the derive map
+      val gained = blocksOnly :+ ("deployments" ->
+        ((g: Incremental.Gap) => graft.etl.Decode.deployments(g.traces)
+          .select(col("contract"), col("block_number"), col("tx_hash"))))
+      val q3 = Incremental.followHeadEntities(
+        spark, RpcStub.endpoint, out, graft.Temps.dir("follow-gain-ckpt3"),
+        startBlock = 745L, gained)
+      try {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        def done() = Incremental.tickIntent(spark, out).isEmpty &&
+          Incremental.syncedHead(spark, out).exists(_ >= head2)
+        while (!done() && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(done(), "restart never converged")
+        // the gained entity was backfilled over its WHOLE range — a
+        // resume that trusted the intent point alone would only have
+        // replayed the two-block gap and missed every deployment below
+        val deps = spark.read.parquet(s"$out/dynamic/deployments")
+        val expected = (745L to head2)
+          .map(n => (0 until RpcStub.txCountOf(n)).count(_ % 4 == 1)).sum
+        assert(deps.count() === expected.toLong,
+          s"gained entity not fully backfilled (${deps.count()} vs $expected)")
+      } finally q3.stop()
+    } finally RpcStub.setHead(RpcStub.Head)
+  }
 }
