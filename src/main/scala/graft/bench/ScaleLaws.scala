@@ -219,6 +219,23 @@ object ScaleLaws {
     (nCand, dupDocs)
   }
 
+  /** q138's exact-confirm layer PROVEN against the deliberately
+    * narrowed 30-bit span key — the width this harness measured
+    * accreting birthday false-dups (526 → 13,058 key-level dup docs
+    * from 5k to 80k). candidates := docs with ≥1 KEY-level dup span
+    * (inflates with collisions); pairs := docs with ≥1 verbatim-
+    * CONFIRMED dup span, which must stay at the copy-0 base under
+    * amplification (copies share no tokens, so the confirm join — not
+    * the key width — carries correctness). */
+  def spanConfirmNarrow(docs: DataFrame): (Long, Long) = {
+    val counts = graft.queries.TextOps.spanConfirmCounts(docs,
+      th => graft.ops.TextAnalysis.spanHashesNarrow(th, 8)).localCheckpoint()
+    val keyDup = counts.where(col("n_dup_spans") > 0).count()
+    val conf = counts.where(col("n_dup_spans_confirmed") > 0).count()
+    counts.unpersist(true)
+    (keyDup, conf)
+  }
+
   /** Σ_key C(|group|, 2) — the exact equi-join pair volume of a keyed
     * frame, computed from the bucket histogram so the measurement
     * itself stays cheap. */
@@ -283,15 +300,19 @@ object ScaleLaws {
     * "surviving pairs" slot is 0 by definition — candidates are the
     * measurement. */
   def ivfProbe(emb: DataFrame, k: Int = SimSearch.IvfK): (Long, Long) = {
-    val ranked = SimSearch.ivfRank(emb, "vec_id", "embedding",
-        SimSearch.ivfCentroids(emb, "vec_id", "embedding", k))
+    val cb = SimSearch.collectCodebook(
+      SimSearch.ivfCentroids(emb, "vec_id", "embedding", k))
+    val assigned = SimSearch.ivfAssign(emb, "vec_id", "embedding", cb,
+        SimSearch.IvfProbe)
+      .select(col("id"), col("probes").getField("cid").as("pcids"))
       .localCheckpoint()
-    val cells = ranked.where(col("rn") === 1)
+    val cells = assigned.select(element_at(col("pcids"), 1).as("cid"))
       .groupBy(col("cid")).agg(count(lit(1)).as("nc"))
-    val probes = ranked.where(col("rn") <= SimSearch.IvfProbe)
+    val probes = assigned.select(explode(col("pcids")).as("cid"))
       .groupBy(col("cid")).agg(count(lit(1)).as("np"))
     val cand = cells.join(probes, Seq("cid"))
       .agg(sum(col("nc") * col("np"))).head().getLong(0)
+    assigned.unpersist(true)
     (cand, 0L)
   }
 

@@ -101,11 +101,44 @@ object SimSearch {
       .orderBy(col("cid")).limit(k)
       .withColumn("cn", l2norm(col("cv")))
 
+  /** The codebook as plan-time data: a bounded k-row collect (k = the
+    * IVF cell count, 16…√n — the same bounded-collect sanction as the
+    * static-partition-pruning id list in Incremental). Collecting the
+    * `cv`/`cn` values the Spark expressions produced means the per-row
+    * kernel reuses them bit-for-bit. Sorted by cid for a canonical
+    * plan; the kernel's (cc desc, cid asc) order is insertion-order
+    * independent. */
+  def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    centroids.select(col("cid").cast("long"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Single-pass nearest-cells assignment: (id, v, n, probes) where
+    * `probes` is the top-`p` `struct<cc, cid>` list from the per-row
+    * [[graft.functions.VectorExprs.nearestCells]] fold — n rows of
+    * O(K·d) codegen'd arithmetic, ZERO shuffle. Replaces the
+    * [[ivfRank]] crossJoin + window for assignment/probing: at the
+    * K≈√n remedy scale the window pushed n×K rows through a sort
+    * exchange (measured 0.9 s → 150 s as K went 64 → 256 at 32k
+    * vectors); this stays linear in n. Bit-identical to ivfRank's
+    * ranking (spec-pinned in SimSearchSpec). */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Seq[Double], Double)], p: Int): DataFrame =
+    vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+      .withColumn("probes",
+        graft.functions.VectorExprs.nearestCells(col("v"), codebook, p))
+
   /** Rank each vector's cosine against every codebook centroid (k rows
     * per vector via broadcast cross join — never a shuffle of the
     * corpus against itself). rn=1 is the inverted-file cell
     * assignment; rn<=nprobe gives a query's probe list. Rounded to 6dp
     * with centroid-id tie-break so the ranking is deterministic.
+    *
+    * Kept as the reference formulation the single-pass [[ivfAssign]]
+    * is spec-pinned against; production callers (ivfCells/ivfTopK)
+    * use the fold kernel, not this window.
     * @param centroids output of [[ivfCentroids]] over the CORPUS —
     *   queries and corpus must rank against the same codebook. */
   def ivfRank(vectors: DataFrame, idCol: String, vecCol: String,
@@ -120,12 +153,17 @@ object SimSearch {
       .withColumn("rn", row_number().over(w))
   }
 
-  /** Cell assignment: (id, cell, v, n), one row per vector. */
+  /** Cell assignment: (id, cell, v, n), one row per vector — the
+    * single-pass argmin (p=1 probe list), no shuffle. */
   def ivfCells(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int = IvfK): DataFrame =
-    ivfRank(vectors, idCol, vecCol, ivfCentroids(vectors, idCol, vecCol, k))
-      .where(col("rn") === 1)
-      .select(col("id"), col("cid").as("cell"), col("v"), col("n"))
+      k: Int = IvfK): DataFrame = {
+    val idT = vectors.schema(idCol).dataType
+    val cb = collectCodebook(ivfCentroids(vectors, idCol, vecCol, k))
+    ivfAssign(vectors, idCol, vecCol, cb, p = 1)
+      .select(col("id"),
+        element_at(col("probes"), 1).getField("cid").cast(idT).as("cell"),
+        col("v"), col("n"))
+  }
 
   /** IVF approximate top-k: queries probe their nProbe nearest cells
     * and score exactly only against vectors assigned there — candidate
@@ -138,13 +176,14 @@ object SimSearch {
     * claims; production deployments train the codebook (k-means). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
-    val codebook = ivfCentroids(corpus, idCol, vecCol, k)
-    val cells = ivfRank(corpus, idCol, vecCol, codebook).where(col("rn") === 1)
-      .select(col("id").as("c_id"), col("cid").as("cell"),
+    val cb = collectCodebook(ivfCentroids(corpus, idCol, vecCol, k))
+    val cells = ivfAssign(corpus, idCol, vecCol, cb, p = 1)
+      .select(col("id").as("c_id"),
+        element_at(col("probes"), 1).getField("cid").as("cell"),
         col("v").as("cv"), col("n").as("cn"))
-    val probes = ivfRank(queries, idCol, vecCol, codebook).where(col("rn") <= nProbe)
-      .select(col("id").as("q_id"), col("cid").as("cell"),
-        col("v").as("qv"), col("n").as("qn"))
+    val probes = ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -159,14 +198,16 @@ object SimSearch {
     * assignment work of the general form. */
   def ivfTopKSelf(corpus: DataFrame, queryPred: Column, idCol: String,
       vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
-    val ranked = ivfRank(corpus, idCol, vecCol, ivfCentroids(corpus, idCol, vecCol, k))
+    val cb = collectCodebook(ivfCentroids(corpus, idCol, vecCol, k))
+    val assigned = ivfAssign(corpus, idCol, vecCol, cb, p = nProbe)
       .localCheckpoint() // read twice: cells + probes
-    val cells = ranked.where(col("rn") === 1)
-      .select(col("id").as("c_id"), col("cid").as("cell"),
+    val cells = assigned
+      .select(col("id").as("c_id"),
+        element_at(col("probes"), 1).getField("cid").as("cell"),
         col("v").as("cv"), col("n").as("cn"))
-    val probes = ranked.where(queryPred && col("rn") <= nProbe)
-      .select(col("id").as("q_id"), col("cid").as("cell"),
-        col("v").as("qv"), col("n").as("qn"))
+    val probes = assigned.where(queryPred)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),

@@ -47,6 +47,20 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Single-fold rolling span hash (base 131 only, ~30 bits) — the
+    * DELIBERATELY narrow key the q138 confirm layer is proven
+    * against: ScaleLaws measured this width accreting birthday
+    * false-dups with corpus growth (526 → 13,058 key-level dup docs
+    * from 5k to 80k docs), which the verbatim-confirm join must — and
+    * does — erase. Production uses [[spanHashes]]' 60-bit composite;
+    * this exists so the proof doesn't depend on the key being wide. */
+  def spanHashesNarrow(th: Column, w: Int): Column =
+    when(size(th) >= w,
+      transform(sequence(lit(0), size(th) - w), i =>
+        aggregate(slice(th, i + 1, lit(w)), lit(0L),
+          (a, b) => (a * 131L + b) % HashMod)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED
     * token array column, empty array when too short.
     *

@@ -84,6 +84,57 @@ object TextOps {
        |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
   }
 
+  /** DISTINCT (doc_id, sp, w) span rows: `keyFn` maps the token-hash
+    * array to the span-key array (production: the 60-bit
+    * [[graft.ops.TextAnalysis.spanHashes]]; proofs: the narrowed
+    * variants), `w` is the VERBATIM 8-token window text behind the
+    * key — the confirm layer's evidence column. Shared by q138 and
+    * the ScaleLaws narrow-key proof family. */
+  def spanRows(docs: DataFrame, keyFn: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withColumn("TOKS", tokens(col("text")))
+      .withColumn("TH", transform(col("TOKS"), t => tokenHash(t)))
+      .select(col("doc_id"), col("TOKS"),
+        posexplode(keyFn(col("TH"))).as(Seq("pos", "sp")))
+      .select(col("doc_id"), col("sp"),
+        concat_ws(" ", slice(col("TOKS"), col("pos") + 1, lit(8))).as("w"))
+      .distinct()
+
+  /** Per-doc span-dedup counts with the EXACT-CONFIRM layer (SCALE.md's
+    * prescribed re-rank): `n_dup_spans` counts spans whose KEY is held
+    * by ≥2 docs (q134's advisory signal — key-width-dependent), while
+    * `n_dup_spans_confirmed` counts spans whose verbatim window text is
+    * shared with another doc — the deletion-grade signal, immune to
+    * hash collisions by construction (and therefore IDENTICAL under any
+    * key width, which the spec pins). Scale shape: the confirm
+    * self-join runs ONLY behind colliding keys — at 10¹² spans with the
+    * 60-bit key that set is the true dups plus ~10³ random collisions —
+    * one extra equi-join on (sp, w), linear in the colliding subset. */
+  def spanConfirmCounts(docs: DataFrame, keyFn: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): DataFrame = {
+    val rows = spanRows(docs, keyFn)
+      .localCheckpoint() // dup keys + collide set + per-doc agg read it
+    val dupKeys = rows.groupBy(col("sp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select("sp")
+    val colliding = rows.join(dupKeys, Seq("sp"), "left_semi")
+      .select(col("doc_id"), col("sp"), col("w"))
+    val confirmed = colliding
+      .join(colliding.select(col("doc_id").as("b_id"), col("sp"), col("w")),
+        Seq("sp", "w"))
+      .where(col("doc_id") =!= col("b_id"))
+      .select(col("doc_id"), col("sp")).distinct()
+    rows
+      .join(dupKeys.withColumn("isdup", lit(1)), Seq("sp"), "left")
+      .join(confirmed.withColumn("isconf", lit(1)), Seq("doc_id", "sp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sp")).as("n_spans"),
+        countDistinct(when(col("isdup") === 1, col("sp"))).as("n_dup_spans"),
+        countDistinct(when(col("isconf") === 1, col("sp")))
+          .as("n_dup_spans_confirmed"))
+  }
+
   def defs: Map[String, Q] = Map(
     // token counting + quality scoring
     "q20_text_stats" -> Q(
@@ -1007,6 +1058,62 @@ object TextOps {
               |             ELSE CAST(a.n_dup_spans AS DOUBLE) / a.n_spans END, 6) AS dup_frac
               |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
       "span-level exact-substring dedup: 8-token rolling-hash windows shared verbatim across docs"),
+
+    // q134's EXACT-CONFIRM successor (SCALE.md's prescribed re-rank,
+    // round-5 advice #2): key-level dup counts are advisory — at 10¹²
+    // spans even the 60-bit key expects ~10³ birthday collisions — so
+    // when the signal gates DELETION, the windows behind colliding
+    // keys are joined back and compared VERBATIM. The confirmed count
+    // is key-width-independent by construction (same text → same key
+    // under any deterministic hash; different text → filtered by the
+    // w-equality join), proven in ScaleLawSpec by narrowing the key to
+    // 30 and 16 bits and getting the identical confirmed vector while
+    // the key-level counts inflate. One extra equi-join on (sp, w),
+    // bounded to the colliding subset.
+    "q138_span_dedup_confirmed" -> Q(
+      (s, d) => {
+        val agg = spanConfirmCounts(documents(s, d),
+          th => graft.ops.TextAnalysis.spanHashes(th, 8))
+        documents(s, d).select(col("doc_id"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("n_dup_spans_confirmed"), lit(0L))
+              .as("n_dup_spans_confirmed"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |th AS (SELECT doc_id, T, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
+              |spd AS (SELECT DISTINCT doc_id, sp, w FROM (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(TH) - 6), i ->
+              |      list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+              |        (a, b) -> (a * 131 + b) % $HashMod) * $HashMod +
+              |      list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+              |        (a, b) -> (a * 137 + b) % $HashMod))) AS sp,
+              |    unnest(list_transform(range(1, len(T) - 6), i ->
+              |      array_to_string(T[i:i+7], ' '))) AS w
+              |  FROM th)),
+              |dup AS (SELECT sp FROM (SELECT sp, count(DISTINCT doc_id) AS nd
+              |                        FROM spd GROUP BY 1) WHERE nd >= 2),
+              |coll AS (SELECT * FROM spd WHERE sp IN (SELECT sp FROM dup)),
+              |conf AS (SELECT DISTINCT a.doc_id, a.sp
+              |         FROM coll a JOIN coll b
+              |           ON a.sp = b.sp AND a.w = b.w AND a.doc_id <> b.doc_id),
+              |agg AS (SELECT s.doc_id,
+              |          CAST(count(DISTINCT s.sp) AS BIGINT) AS n_spans,
+              |          CAST(count(DISTINCT CASE WHEN s.sp IN (SELECT sp FROM dup)
+              |            THEN s.sp END) AS BIGINT) AS n_dup_spans,
+              |          CAST(count(DISTINCT CASE WHEN c.sp IS NOT NULL
+              |            THEN s.sp END) AS BIGINT) AS n_dup_spans_confirmed
+              |        FROM spd s LEFT JOIN conf c
+              |          ON s.doc_id = c.doc_id AND s.sp = c.sp
+              |        GROUP BY 1)
+              |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+              |       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+              |       coalesce(a.n_dup_spans_confirmed, 0) AS n_dup_spans_confirmed
+              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      "span dedup with verbatim exact-confirm behind colliding keys: the deletion-grade signal"),
 
     // MODEL-BASED quality scoring — the batch-inference shape every
     // training pipeline runs over its corpus: the model's weights live

@@ -58,6 +58,41 @@ class SimSearchSpec extends AnyFunSuite {
     assert(ivfTop === bfTop)
   }
 
+  test("single-pass ivfAssign is bit-identical to the ivfRank window on the corpus") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val k = 16
+    val p = 3
+    val cents = SimSearch.ivfCentroids(emb, "vec_id", "embedding", k)
+    // reference formulation: crossJoin + row_number window
+    val window = SimSearch.ivfRank(emb, "vec_id", "embedding", cents)
+      .where(col("rn") <= p)
+      .select(col("id"), col("rn"), col("cid").cast("long").as("cid"), col("cc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // single-pass kernel: per-row fold over the collected codebook
+    val cb = SimSearch.collectCodebook(cents)
+    val fold = SimSearch.ivfAssign(emb, "vec_id", "embedding", cb, p)
+      .select(col("id"), posexplode(col("probes")).as(Seq("pos", "pr")))
+      .select(col("id"), (col("pos") + 1).as("rn"),
+        col("pr").getField("cid").as("cid"), col("pr").getField("cc").as("cc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(fold.length === window.length)
+    fold.zip(window).foreach { case (f, w) => assert(f === w) }
+  }
+
+  test("nearestCells breaks exact cosine ties on the smaller centroid id") {
+    import spark.implicits._
+    // v is equidistant from both centroids (identical rounded cosine)
+    val df = Seq((10L, Array(1.0, 1.0))).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (7L, Seq(0.0, 2.0), 2.0), // cos = round6(1/sqrt(2)) both
+      (3L, Seq(2.0, 0.0), 2.0))
+    val probes = SimSearch.ivfAssign(df, "vec_id", "embedding", cb, p = 2)
+      .select(col("probes").getField("cid")).head.getSeq[Long](0)
+    assert(probes === Seq(3L, 7L))
+  }
+
   test("ivfTopK never scores outside probed cells (candidate pruning)") {
     val emb = vecs
     val q = emb.where(col("vec_id") === 7) // lone axis-w vector
