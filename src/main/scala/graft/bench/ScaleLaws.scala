@@ -341,6 +341,7 @@ object ScaleLaws {
         ("minhash_bands_q28", true, (df, _) => minhashBands(df)),
         ("shingle_jaccard_q24", true, (df, _) => shingleJaccard(df)),
         ("span_dedup_q134", true, (df, _) => spanDedup(df)),
+        ("span_confirm30_q138", true, (df, _) => spanConfirmNarrow(df)),
         ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
         ("ivf_probe_q34_35", false, (df, _) => ivfProbe(df)),
         ("semantic_dedup_q135", false, (df, _) => semanticDedup(df)),

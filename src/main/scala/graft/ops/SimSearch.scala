@@ -90,10 +90,10 @@ object SimSearch {
   val IvfK = 16
   val IvfProbe = 2
 
-  /** Deterministic coarse centroids: the k lowest-id vectors. A
-    * production IVF trains the codebook with k-means; id-ordered
-    * sampling is the standard seeding step and keeps the quantizer
-    * reproducible in plain SQL for the DuckDB oracle. Centroids are
+  /** Deterministic coarse centroids: the k lowest-id vectors — the
+    * SEEDING step. [[trainCodebook]] runs fixed-round Lloyd's k-means
+    * from this seed (still oracle-replayable); q139 measures the
+    * trained codebook's recall against this raw seed. Centroids are
     * tiny (k rows) and broadcast everywhere they're used. */
   def ivfCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int = IvfK): DataFrame =
@@ -170,10 +170,10 @@ object SimSearch {
     * generation is an equi-join on cell id (shuffle on cell), never a
     * query×corpus cross join. Recall is tunable via nProbe; this is
     * the 100-TB *plan shape* next to [[bruteForceTopK]]. Recall caveat:
-    * with the deterministic id-seeded codebook ([[ivfCentroids]]) recall
-    * depends on how representative the lowest-id vectors are — treat the
-    * registered queries as plan/reproducibility claims, not ANN-quality
-    * claims; production deployments train the codebook (k-means). */
+    * with the raw id-seeded codebook ([[ivfCentroids]]) recall depends
+    * on how representative the lowest-id vectors are; [[trainCodebook]]
+    * is the deterministic Lloyd's trainer that fixes this, and
+    * q139 measures trained-vs-seeded recall on the same corpus. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
     val cb = collectCodebook(ivfCentroids(corpus, idCol, vecCol, k))
@@ -197,8 +197,15 @@ object SimSearch {
     * serves both the cell assignment and the probe lists — half the
     * assignment work of the general form. */
   def ivfTopKSelf(corpus: DataFrame, queryPred: Column, idCol: String,
-      vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame = {
-    val cb = collectCodebook(ivfCentroids(corpus, idCol, vecCol, k))
+      vecCol: String, topK: Int, k: Int = IvfK, nProbe: Int = IvfProbe): DataFrame =
+    ivfTopKSelfWith(corpus, queryPred, idCol, vecCol, topK, nProbe,
+      collectCodebook(ivfCentroids(corpus, idCol, vecCol, k)))
+
+  /** [[ivfTopKSelf]] against a caller-supplied codebook (id-seeded or
+    * [[trainCodebook]]-trained — the probe/scoring plan is identical). */
+  def ivfTopKSelfWith(corpus: DataFrame, queryPred: Column, idCol: String,
+      vecCol: String, topK: Int, nProbe: Int,
+      cb: Seq[(Long, Seq[Double], Double)]): DataFrame = {
     val assigned = ivfAssign(corpus, idCol, vecCol, cb, p = nProbe)
       .localCheckpoint() // read twice: cells + probes
     val cells = assigned
@@ -214,6 +221,49 @@ object SimSearch {
         round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topK)
+  }
+
+  /** Deterministic fixed-round Lloyd's k-means over the corpus — the
+    * trained codebook that replaces [[ivfCentroids]]' id-seeded one
+    * for real ANN quality, kept ORACLE-REPLAYABLE: id-seeded init, a
+    * fixed round count, spherical assignment via the same single-pass
+    * [[ivfAssign]] kernel, and means made order-independent by exact
+    * DECIMAL(30,15) sums with a 6-dp rounded result (plain
+    * sum(double) would hash-differ across partition orders and
+    * engines). Per round: one zero-shuffle assignment pass + one
+    * (cell, dim)-keyed aggregation whose map-side partial collapses
+    * the shuffle to ≤ partitions×K×d rows — linear in n, cheap in K.
+    * Empty cells keep their previous centroid. Cell labels stay the
+    * seed ids. The k×d means land on the driver (bounded: the
+    * codebook already lives there between rounds). */
+  def trainCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = IvfK, rounds: Int = 3): Seq[(Long, Seq[Double], Double)] = {
+    def foldNorm(a: Seq[Double]): Double = {
+      var acc = 0.0
+      a.foreach(x => acc += x * x) // same sequential fold as l2norm
+      math.sqrt(acc)
+    }
+    var cb = collectCodebook(ivfCentroids(vectors, idCol, vecCol, k))
+    for (_ <- 1 to rounds) {
+      val means = ivfAssign(vectors, idCol, vecCol, cb, p = 1)
+        .select(element_at(col("probes"), 1).getField("cid").as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(30,15)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cb = cb.map { case (cid, cv, cn) =>
+        means.get(cid) match {
+          case Some(m) => (cid, m, foldNorm(m))
+          case None => (cid, cv, cn)
+        }
+      }
+    }
+    cb
   }
 
   /** LSH-accelerated near-dup pairs: bucket join then exact re-rank. */

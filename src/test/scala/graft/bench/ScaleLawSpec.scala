@@ -60,4 +60,34 @@ class ScaleLawSpec extends AnyFunSuite {
     // docs); the 60-bit composite must hold it exactly flat.
     assert(p4 === p1, s"false dups from span-key collisions: $p1 -> $p4 at 4x n")
   }
+
+  test("span confirm layer is key-width-independent; narrow keys only inflate the advisory count") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    def counts(keyFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.queries.TextOps.spanConfirmCounts(docs, keyFn)
+        .orderBy("doc_id")
+        .select("doc_id", "n_dup_spans", "n_dup_spans_confirmed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wide = counts(th => TextAnalysis.spanHashes(th, 8))
+    val narrow30 = counts(th => TextAnalysis.spanHashesNarrow(th, 8))
+    // 16-bit key: guaranteed birthday collisions at this span count
+    val narrow16 = counts(th =>
+      transform(TextAnalysis.spanHashesNarrow(th, 8), h => pmod(h, lit(65536L))))
+    // same text => same key under ANY deterministic hash, and different
+    // text is erased by the verbatim (sp, w) join — so the CONFIRMED
+    // per-doc vector must be identical across key widths
+    assert(wide.map(t => (t._1, t._3)).toSeq === narrow30.map(t => (t._1, t._3)).toSeq)
+    assert(wide.map(t => (t._1, t._3)).toSeq === narrow16.map(t => (t._1, t._3)).toSeq)
+    // while the ADVISORY key-level count visibly inflates on the 16-bit
+    // key (collisions exist) and never undercounts the confirmed signal
+    val wideDup = wide.map(_._2).sum
+    val n16Dup = narrow16.map(_._2).sum
+    assert(n16Dup > wideDup,
+      s"16-bit key shows no collision inflation ($wideDup vs $n16Dup) — proof vacuous")
+    wide.foreach { case (id, dup, conf) =>
+      assert(dup >= conf, s"doc $id: key-level $dup < confirmed $conf")
+    }
+  }
 }
