@@ -6,9 +6,24 @@ package graft
   * lands in the warmup, not in whichever query happens to run first —
   * per-query numbers stay comparable across rounds). */
 object Bench {
+
+  /** 1-minute system load average (from /proc/loadavg; -1 if
+    * unreadable). Sibling processes on this VM swing bench totals
+    * 2–3×, so the artifact records the load it ran under — a reader
+    * comparing rounds can reject loaded runs instead of guessing. */
+  def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt // driver contract: local[32]
+    val loadBefore = loadAvg()
+    if (loadBefore > cpus / 4.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadBefore%.1f before the run " +
+        s"(threshold ${cpus / 4.0}) — sibling load inflates wall-clock; " +
+        "numbers from this run are not comparable to idle-machine runs")
     val spark = Sessions.local(cpus)
     // warmup: a scan + shuffle + broadcast join through the same tables
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -29,7 +44,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // load_before/load_after make the artifact self-adjudicating: a
+    // committed idle run has both ≪ cpus; a driver run under sibling
+    // sbt/test load shows it in-band instead of looking like a 2–3×
+    // regression (see the round-5 BENCH divergence)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","load_before":$loadBefore,"load_after":${loadAvg()}}"""
     println(line)
     // ALSO write the full line to a file: the driver tail-captures
     // stdout and has twice truncated the per-query map — the file is

@@ -12,9 +12,10 @@ import graft.ops.SimSearch
   * synthesize deterministic k× corpora of DISTINCT rows: copy 0 is the
   * original; copy c > 0 suffixes EVERY token with a (copy, doc_id) key
   * (so copies share no tokens, no shingles, and sit far apart in
-  * fingerprint space) or rotates the embedding dimensions
-  * (decorrelating the copy from its original while preserving the norm
-  * and the component distribution). Growth in candidate volume beyond
+  * fingerprint space) or applies a per-copy orthonormal sign-flip
+  * transform to the embeddings (within-copy geometry BIT-exactly
+  * preserved, cross-copy cosines reduced to random-sign noise).
+  * Growth in candidate volume beyond
   * linear-in-n therefore measures the RANDOM bucket-collision term
   * `Σ_bucket |bucket|² ≈ n²/K` — the law under test — not
   * replica-cluster structure an amplifier would fabricate.
@@ -55,27 +56,36 @@ object ScaleLaws {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  /** k× embedding corpus: copy c rotates the dimensions by 5c — each
-    * copy decorrelates from its OWN original (no exact-duplicate
-    * clusters) while the norm and component distribution survive.
-    * Caveat measured by the semantic-dedup family: rotations of
-    * DIFFERENT originals can still clear low cosine thresholds
-    * (rotation preserves relative geometry within a copy), so
-    * pair-count columns at permissive thresholds carry an amplifier
-    * term; candidate-volume columns do not. */
+  /** k× embedding corpus: copy c flips each dimension's sign by a
+    * deterministic Murmur3-mixed per-(copy, dim) pattern — a diagonal
+    * ±1 ORTHONORMAL transform. ±x·±y = x·y is EXACT in IEEE and the
+    * summation order is untouched (deliberately NO dimension roll — a
+    * permutation would perturb the sequential-fold dot products by
+    * ulps), so every WITHIN-copy cosine is BIT-identical to the base
+    * corpus: each copy carries the full base dup geometry exactly,
+    * which [[semanticDedupSharded]] pins as an equality law.
+    * CROSS-copy cosines see the composed random-sign pattern
+    * s_c·s_c′: mean 0, std ~1/√d. That floor is IRREDUCIBLE — at
+    * d=64 the sphere gives P(cos ≥ 0.3) ≈ 5% per pair under ANY
+    * orthonormal decorrelation (measured: the r5 roll-only amplifier
+    * and this one produce global-quantizer dup counts within 0.3% of
+    * each other), so permissive-threshold pair columns of
+    * GLOBAL-quantizer families carry that quantified noise term, not
+    * an amplifier bug. (A raw LCG high bit is near-periodic in i and
+    * does not decorrelate — measured; no oracle reads the amplifier,
+    * so hash() needs no SQL replay.) */
   def amplifyEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
     val spark = emb.sparkSession
     if (factor <= 1)
       return emb.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-    val dim = SimSearch.LshDim
-    val rolled = transform(col("embedding"), (_, i) =>
-      element_at(col("embedding"),
-        (pmod(i + col("copy") * 5, lit(dim)) + 1).cast("int")))
+    val mutated = transform(col("embedding"), (x, i) =>
+      x * when(pmod(hash(col("copy"), i), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0)))
     emb.crossJoin(broadcast(spark.range(0, factor).toDF("copy")))
       .select(
         (col("vec_id") * factor + col("copy")).as("vec_id"),
-        when(col("copy") === 0, col("embedding")).otherwise(rolled)
-          .as("embedding"),
+        when(col("copy") === 0, col("embedding").cast("array<double>"))
+          .otherwise(mutated).as("embedding"),
         col("label"))
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
   }
@@ -269,14 +279,18 @@ object ScaleLaws {
     * keep-first representative rule. The LAW under test is the
     * candidate column (Σ cell-pair volume): ~n²/K at fixed K, linear
     * when `k` grows with n — the same two-sided story as the IVF
-    * probe, measured on the dedup operator itself. The pairs column is
-    * reported but is NOT a clean corpus property: the rotation
-    * amplifier preserves within-copy inner products (so every copy
-    * carries the base corpus's dup structure, a ×factor term), but
-    * cos(rot₅ᶜu, rot₅ᶜ′w) = cos(u, rot₅₍ᶜ′₋ᶜ₎w) lets pairs of
-    * DIFFERENT originals' rotations clear a low threshold too —
-    * measured at +39%/+52% over ×factor at 0.3 — so treat pairs as
-    * within-copy structure plus a known amplifier artifact. */
+    * probe, measured on the dedup operator itself.
+    *
+    * The dup-count column of THIS (global-quantizer) family is NOT a
+    * clean ×factor law, and measurably cannot be: swapping the r5
+    * roll-only amplifier for the orthonormal roll+sign-flip one moved
+    * the counts by <0.3% (6595→6593 at f4, 30751→30838 at f16) —
+    * the excess over ×factor is the IRREDUCIBLE random-direction tail
+    * at d=64, P(cos ≥ 0.3) ≈ (1−0.09)^31 ≈ 5% per cross-copy
+    * within-cell pair (no orthonormal transform can beat the sphere's
+    * concentration), amplified by the global codebook assigning 74%
+    * of vectors to another copy's centroid. The PINNABLE form is
+    * [[semanticDedupSharded]]. */
   def semanticDedup(emb: DataFrame, k: Int = SimSearch.IvfK): (Long, Long) = {
     val cells = SimSearch.ivfCells(emb, "vec_id", "embedding", k)
       .localCheckpoint()
@@ -291,6 +305,22 @@ object ScaleLaws {
     cells.unpersist(true)
     (cand, dups)
   }
+
+  /** q135's dedup run per SHARD (copy) with each shard's own
+    * 16-cell codebook — the partitioned deployment shape (dedup
+    * within a date/source partition before a global pass). Because
+    * the amplifier's per-copy transform is orthonormal (cosines
+    * preserved to the ulp) and id-monotone (seed order preserved),
+    * every shard replays the base corpus's dedup EXACTLY, so both
+    * candidates and dups must be EXACTLY ×factor — the pinnable
+    * amplifier-correctness law the global-quantizer column can't give
+    * (ScaleLawSpec asserts equality, catching any amplifier change
+    * that fabricates or destroys dup structure). */
+  def semanticDedupSharded(emb: DataFrame, factor: Int): (Long, Long) =
+    (0 until math.max(factor, 1)).map { c =>
+      semanticDedup(emb.where(pmod(col("vec_id"), lit(factor.max(1))) === c),
+        SimSearch.IvfK)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
 
   /** q34/q35's IVF: every vector probes its nProbe nearest of K cells;
     * candidates = Σ probe-side × cell-side meeting on the cell id.
@@ -343,10 +373,20 @@ object ScaleLaws {
         ("span_dedup_q134", true, (df, _) => spanDedup(df)),
         ("span_confirm30_q138", true, (df, _) => spanConfirmNarrow(df)),
         ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
+        // plane sweep AT EACH n (factors give the n axis): candidates
+        // at (4n, p+Δ) vs (n, p) across these rows measure how many
+        // plane notches a 4× corpus actually needs to hold candidate
+        // volume linear — the uniform-hash arithmetic says Δ=2, the
+        // r5 measurement hinted more; this pins the real rule
+        ("lsh_cosine_p10", false, (df, _) => lshCosine(df, 10)),
+        ("lsh_cosine_p12", false, (df, _) => lshCosine(df, 12)),
+        ("lsh_cosine_p14", false, (df, _) => lshCosine(df, 14)),
         ("ivf_probe_q34_35", false, (df, _) => ivfProbe(df)),
         ("semantic_dedup_q135", false, (df, _) => semanticDedup(df)),
         ("semantic_dedup_scaledK", false, (df, f) =>
           semanticDedup(df, SimSearch.IvfK * f)),
+        ("semantic_dedup_sharded", false, (df, f) =>
+          semanticDedupSharded(df, f)),
         // the documented remedies, MEASURED: +2 planes (=4× buckets)
         // per 4× n, and 4× IVF cells per 4× n — candidate volume should
         // grow ~linearly instead of quadratically

@@ -105,17 +105,22 @@ object Decompile {
     val canonical = concat(col("name"), lit("("), inTypes, lit(")"))
     val keccakSig = concat(lit("0x"),
       lower(hex(graft.functions.Keccak.keccak256(canonical.cast("binary")))))
-    // the reference (event.rs get_signature_hash, error.rs alike) only
-    // checks the Event_/Error_ prefix and takes the LAST '_'-separated
-    // segment when it is 64 hex chars — so Event_Foo_<64hex> embeds its
-    // hash too, not just the bare Event_<64hex> form
+    // the reference's embedded-hash rule is PER KIND: event.rs
+    // (get_signature_hash) accepts only the Event_ prefix, error.rs
+    // only Error_ — an error named Event_<64hex> keccaks like any
+    // other name there, so it must here too. The last '_'-separated
+    // segment carries the hash when it is 64 chars (Event_Foo_<64hex>
+    // embeds too, not just the bare form); requiring those 64 chars to
+    // be HEX is a deliberate tightening of the reference's
+    // panic-on-non-hex path.
     val lastSeg = substring_index(col("name"), "_", -1)
-    val embedded =
-      when(col("name").rlike("^(?:Event|Error)_") &&
-        lastSeg.rlike("^[0-9a-fA-F]{64}$"), lastSeg).otherwise(lit(""))
-    val signature =
+    def signatureFor(prefix: String) = {
+      val embedded =
+        when(col("name").rlike(s"^${prefix}_") &&
+          lastSeg.rlike("^[0-9a-fA-F]{64}$"), lastSeg).otherwise(lit(""))
       when(embedded =!= "", concat(lit("0x"), lower(embedded)))
         .otherwise(keccakSig)
+    }
     val unresolved = regexp_extract(col("name"), "^Unresolved_([0-9a-fA-F]{8})$", 1)
     val bytes4 =
       when(unresolved =!= "", lower(unresolved))
@@ -127,9 +132,9 @@ object Decompile {
       "functions" -> entity("function", Seq(keccakSig.as("signature"),
         bytes4.as("bytes4"), col("name"), inTypes.as("inputs"),
         outTypes.as("outputs"))),
-      "events" -> entity("event", Seq(signature.as("signature"), col("name"),
-        inTypes.as("inputs"))),
-      "errors" -> entity("error", Seq(signature.as("signature"), col("name"),
-        inTypes.as("inputs"))))
+      "events" -> entity("event", Seq(signatureFor("Event").as("signature"),
+        col("name"), inTypes.as("inputs"))),
+      "errors" -> entity("error", Seq(signatureFor("Error").as("signature"),
+        col("name"), inTypes.as("inputs"))))
   }
 }

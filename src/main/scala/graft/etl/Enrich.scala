@@ -111,8 +111,12 @@ object Enrich {
   /** A3/K3: global first-seen-wins dedup of ABI signatures
     * (writer.rs:56-58, 163-191): one row per (kind, signature hash). */
   def dedupSignatures(abi: DataFrame): DataFrame = {
-    val sigHash = udf { (name: String, types: Seq[String]) =>
-      Sig.signatureHash(name, if (types == null) Seq.empty else types)
+    // kind rides into the hash: the embedded-hash short-circuit is
+    // per-kind (Event_ names embed only on events, Error_ only on
+    // errors — see Sig), so the same name can legitimately hash
+    // differently across kinds
+    val sigHash = udf { (name: String, types: Seq[String], kind: String) =>
+      Sig.signatureHash(name, if (types == null) Seq.empty else types, kind)
     }
     val bytes4 = udf { (name: String, types: Seq[String]) =>
       Sig.bytes4(name, if (types == null) Seq.empty else types)
@@ -120,7 +124,7 @@ object Enrich {
     val inputTypes = transform(col("inputs"), f => f.getField("internalType"))
     abi
       .withColumn("input_types", inputTypes)
-      .withColumn("signature", sigHash(col("name"), col("input_types")))
+      .withColumn("signature", sigHash(col("name"), col("input_types"), col("kind")))
       .withColumn("bytes4", bytes4(col("name"), col("input_types")))
       .withColumn("inputs_str", array_join(col("input_types"), ","))
       .withColumn("outputs_str",

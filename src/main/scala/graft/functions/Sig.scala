@@ -16,23 +16,38 @@ object Sig {
     name + "(" + inputTypes.mkString(",") + ")"
 
   private val Unresolved = "^Unresolved_([0-9a-fA-F]{8})$".r
-  // the reference checks the Event_/Error_ PREFIX and takes the LAST
-  // '_'-separated segment when it is 64 hex chars (event.rs
-  // get_signature_hash) — Event_Foo_<64hex> embeds its hash too
-  private val EmbeddedHash = "^(?:Event|Error)_(?:.*_)?([0-9a-fA-F]{64})$".r
+  // the embedded-hash rule is PER KIND: event.rs (get_signature_hash)
+  // accepts only the Event_ prefix, error.rs only Error_, and
+  // function.rs has no embed rule at all — an error named
+  // Event_<64hex> keccaks like any other name. The LAST '_'-separated
+  // segment carries the hash (Event_Foo_<64hex> embeds too); requiring
+  // 64 HEX chars is a deliberate tightening of the reference's
+  // panic-on-non-hex path. Mirrors Decompile.signatureEntities — the
+  // relational twin of this driver-side rule.
+  private val EmbeddedEvent = "^Event_(?:.*_)?([0-9a-fA-F]{64})$".r
+  private val EmbeddedError = "^Error_(?:.*_)?([0-9a-fA-F]{64})$".r
 
-  /** Full 32-byte signature hash, honoring the unresolved-name
-    * short-circuits. Returns 0x-prefixed lowercase hex. */
-  def signatureHash(name: String, inputTypes: Seq[String]): String = name match {
-    case EmbeddedHash(h) => "0x" + h.toLowerCase
-    case _               => Keccak.sigHash(canonical(name, inputTypes))
+  /** Full 32-byte signature hash of an ABI entry of `kind`
+    * ("function" | "event" | "error"), honoring that kind's
+    * embedded-hash short-circuit. Returns 0x-prefixed lowercase hex. */
+  def signatureHash(name: String, inputTypes: Seq[String],
+      kind: String = "function"): String = {
+    val embedded = kind match {
+      case "event" => EmbeddedEvent.findFirstMatchIn(name).map(_.group(1))
+      case "error" => EmbeddedError.findFirstMatchIn(name).map(_.group(1))
+      case _       => None
+    }
+    embedded.map("0x" + _.toLowerCase)
+      .getOrElse(Keccak.sigHash(canonical(name, inputTypes)))
   }
 
   /** 4-byte selector (8 hex chars, no 0x): from an `Unresolved_xxxxxxxx`
-    * name directly, else first 4 bytes of the signature hash. */
+    * name directly, else first 4 bytes of the keccak signature hash
+    * (selectors are a FUNCTION concept — no embed rule applies, same as
+    * Decompile's bytes4 projection). */
   def bytes4(name: String, inputTypes: Seq[String]): String = name match {
     case Unresolved(sel) => sel.toLowerCase
-    case _               => signatureHash(name, inputTypes).substring(2, 10)
+    case _               => Keccak.sigHash(canonical(name, inputTypes)).substring(2, 10)
   }
 
   /** Transaction-input selector: hex chars [2,10) of the input when the

@@ -68,9 +68,9 @@ object ExtractOps {
     s"('function', '${Sig.signatureHash(name, ins)}', '${Sig.bytes4(name, ins)}', " +
       s"'$name', '${ins.mkString(",")}', '${outs.mkString(",")}')"
   private def evRow(name: String, ins: Seq[String]): String =
-    s"('event', '${Sig.signatureHash(name, ins)}', NULL, '$name', '${ins.mkString(",")}', NULL)"
+    s"('event', '${Sig.signatureHash(name, ins, "event")}', NULL, '$name', '${ins.mkString(",")}', NULL)"
   private def errRow(name: String, ins: Seq[String]): String =
-    s"('error', '${Sig.signatureHash(name, ins)}', NULL, '$name', '${ins.mkString(",")}', NULL)"
+    s"('error', '${Sig.signatureHash(name, ins, "error")}', NULL, '$name', '${ins.mkString(",")}', NULL)"
 
   private def entityRows: Seq[String] = Seq(
     fnRow("totalSupply", Nil, Seq("uint256")),

@@ -39,13 +39,16 @@ object Layout {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Swap / parked-old directories for atomic static overwrites —
-    * dot-prefixed so no parquet reader or directory glob ever picks
-    * them up. */
-  private def swapDir(root: String, entity: String) =
+  /** Swap / parked-old / quarantine directories for atomic static
+    * overwrites — dot-prefixed so no parquet reader or directory glob
+    * ever picks them up. Package-visible for the crash-kill matrix in
+    * LayoutSpec. */
+  private[sinks] def swapDir(root: String, entity: String) =
     s"$root/static/.${entity}__swap"
-  private def oldDir(root: String, entity: String) =
+  private[sinks] def oldDir(root: String, entity: String) =
     s"$root/static/.${entity}__old"
+  private[sinks] def quarantineDir(root: String, entity: String) =
+    s"$root/static/.${entity}__quarantine"
 
   /** Crash recovery for the atomic-swap overwrite. The writer NEVER
     * deletes the live table before the replacement is in place — it
@@ -54,10 +57,10 @@ object Layout {
     * pick it:
     *  - destination missing + parked old copy present: the crash hit
     *    between the two renames. Promote the swap if it is
-    *    job-committed (`_SUCCESS`), else roll the old table back.
-    *    (With success markers disabled the rollback path still
-    *    restores the pre-merge table — no loss, the re-run redoes the
-    *    merge.)
+    *    job-committed (`_SUCCESS`), else roll the old table back,
+    *    QUARANTINING the unmarked swap (it may be a complete merge
+    *    whose marker is disabled — see the inline note) rather than
+    *    deleting the only copy of the merged result.
     *  - destination present: any leftover swap/old dirs are stale
     *    debris from a completed or abandoned write — delete them.
     * Called by WRITER entry points only — see [[readStatic]]'s race
@@ -76,12 +79,30 @@ object Layout {
       // promotion); otherwise fall back to the parked old table
       val winner = if (swapCommitted) Some(swp)
         else if (fs.exists(old)) Some(old) else None
+      // rolling OLD back while an unmarked swap sits next to it: with
+      // `_SUCCESS` markers disabled (common object-store tuning) that
+      // swap may be the COMPLETE merged result — the only copy of the
+      // merge. Quarantine it (rename aside, newest one kept) instead
+      // of deleting: the next [[mergeStatic]] folds the quarantine
+      // back into its union automatically, so the crashed batch's
+      // static contribution survives even a resumed run over a
+      // DIFFERENT range.
+      if (winner.contains(old) && fs.exists(swp)) {
+        val q = new org.apache.hadoop.fs.Path(quarantineDir(root, entity))
+        if (fs.exists(q)) fs.delete(q, true)
+        if (!fs.rename(swp, q))
+          throw new java.io.IOException(s"quarantine $swp -> $q failed")
+      }
       winner.foreach { w =>
         if (!fs.rename(w, dst))
           throw new java.io.IOException(s"swap recovery $w -> $dst failed")
       }
     }
-    // dst exists now (recovered or never lost): everything else is debris
+    // dst exists now (recovered or never lost): swap/old leftovers are
+    // debris from a completed or abandoned write. (A swap deleted here
+    // while dst was never lost is pre-rename: dst still holds the
+    // pre-merge table and the re-run redoes the merge.) Quarantines
+    // are NOT debris — only a newer quarantine replaces one.
     if (fs.exists(dst)) {
       if (fs.exists(swp)) fs.delete(swp, true)
       if (fs.exists(old)) fs.delete(old, true)
@@ -109,13 +130,24 @@ object Layout {
   def readStatic(spark: org.apache.spark.sql.SparkSession, root: String,
       entity: String, recover: Boolean = false): Option[DataFrame] = {
     if (recover) recoverStatic(spark, root, entity)
-    val path = s"$root/static/$entity"
-    if (!hadoopFs(spark, root).exists(new org.apache.hadoop.fs.Path(path))) None
-    else try Some(spark.read.parquet(path)) catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass != null &&
-            e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") => None
-    }
+    val fs = hadoopFs(spark, root)
+    def tryRead(path: String): Option[DataFrame] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+      else try Some(spark.read.parquet(path)) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass != null &&
+              e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
+    // A plain reader that finds the destination missing may be looking
+    // at a HEALTHY writer's between-renames window (the table is parked
+    // under .__old for microseconds) — fall back to the parked copy,
+    // READ-ONLY, never mutating recovery state. The fallback frame is
+    // a transient snapshot: if the writer promotes and cleans up while
+    // the frame is still lazy, its files vanish mid-read — the same
+    // hazard any non-transactional overwrite-while-read has; callers
+    // needing stability localCheckpoint the result.
+    tryRead(s"$root/static/$entity")
+      .orElse(tryRead(oldDir(root, entity)))
   }
 
   /** Atomic-by-rename overwrite of a static table: write the new
@@ -174,8 +206,11 @@ object Layout {
       keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
     val path = s"$root/static/$entity"
     val spark = df.sparkSession
-    val fresh = readStatic(spark, root, entity, recover = true) match {
-      case None => df
+    readStatic(spark, root, entity, recover = true) match {
+      case None =>
+        df.write.mode("append")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(path)
       case Some(existing) =>
         // NULL-SAFE key equality (<=>): a row with a null key must still
         // match its twin in the table, or every re-run re-appends it and
@@ -184,11 +219,26 @@ object Layout {
           .select(keys.map(k => col(k).as(s"__k_$k")): _*)
           .dropDuplicates(keys.map(k => s"__k_$k"))
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        df.join(probe, cond, "left_anti").localCheckpoint()
+        val fresh = df.join(probe, cond, "left_anti")
+        if (existing.columns.toSet == df.columns.toSet) {
+          fresh.localCheckpoint().write.mode("append")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .parquet(path)
+        } else {
+          // SCHEMA EVOLUTION: a blind append of a different column set
+          // would create a mixed-footer directory where a plain
+          // spark.read.parquet (no mergeSchema) silently drops the new
+          // column depending on which footer wins schema inference.
+          // Pay one atomic rewrite instead: widen BOTH sides
+          // (unionByName, missing columns null) so the store stays
+          // single-schema — the one-time cost of extending a store
+          // written by a previous build (e.g. deployments gaining
+          // verified_source_code).
+          overwriteStaticAtomic(
+            existing.unionByName(fresh, allowMissingColumns = true),
+            root, entity, maxRecordsPerFile)
+        }
     }
-    fresh.write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(path)
     spark.catalog.refreshByPath(path)
   }
 
@@ -230,16 +280,44 @@ object Layout {
     * succeeds on retry — where [[upsertStatic]]'s add-only identity
     * would freeze the first-seen state forever. The rewrite cost is the
     * dimension's size, which is why the big block-keyed streams use the
-    * per-block replacement sink instead. */
+    * per-block replacement sink instead.
+    *
+    * A QUARANTINED merge (recovery parked an unmarked swap — possibly
+    * the complete result of a crashed merge whose `_SUCCESS` marker was
+    * disabled) is folded back into this merge's union and deleted once
+    * the overwrite commits: even when the resumed run covers a
+    * DIFFERENT range, the crashed batch's static contribution rides
+    * back in instead of being lost. Safe because `merge` is by contract
+    * an idempotent per-key reducer over unions (it already absorbs
+    * re-runs of the same range), so absorbing a previous merge RESULT —
+    * even a partial one, if the swap write itself died mid-job — can
+    * only restore or repeat rows, never corrupt them. */
   def mergeStatic(df: DataFrame, root: String, entity: String,
       merge: DataFrame => DataFrame,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     val spark = df.sparkSession
+    // recovery runs first (inside the guarded read): it is what may
+    // CREATE the quarantine this merge then re-ingests
     val all = readStatic(spark, root, entity, recover = true) match {
       case None => df
       case Some(existing) => df.unionByName(existing)
     }
-    overwriteStaticAtomic(merge(all), root, entity, maxRecordsPerFile)
+    val fs = hadoopFs(spark, root)
+    val q = new org.apache.hadoop.fs.Path(quarantineDir(root, entity))
+    val quarantined =
+      if (!fs.exists(q)) None
+      else try Some(spark.read.parquet(q.toString)) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass != null &&
+              e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
+    // allowMissingColumns: a quarantine written by an older build may
+    // lack columns a newer schema added — widen with nulls, same as the
+    // upsert evolution path
+    val withQ = quarantined
+      .map(all.unionByName(_, allowMissingColumns = true)).getOrElse(all)
+    overwriteStaticAtomic(merge(withQ), root, entity, maxRecordsPerFile)
+    if (fs.exists(q)) fs.delete(q, true) // consumed (or footer-less debris)
   }
 
   /** K5: idempotent write of a block-keyed dynamic entity — dynamic

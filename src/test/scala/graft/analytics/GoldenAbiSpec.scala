@@ -53,7 +53,39 @@ class GoldenAbiSpec extends AnyFunSuite {
     // (Sig replays the same rule driver-side, so oracle and relational
     // path can never diverge on it)
     assert(events("Event_NotAHash") ===
-      graft.functions.Sig.signatureHash("Event_NotAHash", Nil))
-    assert(graft.functions.Sig.signatureHash(s"Event_Foo_$hex", Nil) === s"0x$hex")
+      graft.functions.Sig.signatureHash("Event_NotAHash", Nil, "event"))
+    assert(graft.functions.Sig.signatureHash(s"Event_Foo_$hex", Nil, "event") === s"0x$hex")
+  }
+
+  test("embedded-hash rule is gated per KIND: an error named Event_<64hex> keccaks (event.rs vs error.rs)") {
+    val hex = "c0d559150c15862e872a031a8e11f466df4b16d14e736187f2e7fb162060f9d0"
+    // cross-kind names: the event carries an Error_ prefix and the
+    // error an Event_ prefix — the reference checks the prefix per kind
+    // (Event_ only in event.rs, Error_ only in error.rs), so BOTH must
+    // get keccak signatures, not embedded hashes
+    val json =
+      s"""[{"type":"event","name":"Error_$hex","inputs":[]},
+         | {"type":"error","name":"Event_$hex","inputs":[]},
+         | {"type":"error","name":"Error_$hex","inputs":[]}]""".stripMargin
+    val ents = Decompile.signatureEntities(abiRows("0xskel", json))
+    val events = ents("events")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("signature")).toMap
+    val errors = ents("errors")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("signature")).toMap
+    assert(events(s"Error_$hex") ===
+      graft.functions.Keccak.sigHash(s"Error_$hex()"))
+    assert(errors(s"Event_$hex") ===
+      graft.functions.Keccak.sigHash(s"Event_$hex()"))
+    // the matching kind still embeds
+    assert(errors(s"Error_$hex") === s"0x$hex")
+    // the driver-side replay (Enrich.dedupSignatures) agrees row-for-row
+    import spark.implicits._
+    val abi = abiRows("0xskel", json)
+    val deduped = graft.etl.Enrich.dedupSignatures(abi)
+      .collect().map(r => (r.getAs[String]("kind"), r.getAs[String]("name")) ->
+        r.getAs[String]("signature")).toMap
+    assert(deduped(("event", s"Error_$hex")) === events(s"Error_$hex"))
+    assert(deduped(("error", s"Event_$hex")) === errors(s"Event_$hex"))
+    assert(deduped(("error", s"Error_$hex")) === s"0x$hex")
   }
 }

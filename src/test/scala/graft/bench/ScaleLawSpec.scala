@@ -61,6 +61,20 @@ class ScaleLawSpec extends AnyFunSuite {
     assert(p4 === p1, s"false dups from span-key collisions: $p1 -> $p4 at 4x n")
   }
 
+  test("sharded semantic dedup: amplified copies carry EXACTLY ×factor dup structure") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (c1, d1) = ScaleLaws.semanticDedup(ScaleLaws.amplifyEmbeddings(emb, 1), 16)
+    val e4 = ScaleLaws.amplifyEmbeddings(emb, 4).localCheckpoint()
+    val (c4, d4) = ScaleLaws.semanticDedupSharded(e4, 4)
+    // the sign-flip amplifier preserves within-copy cosines to the BIT
+    // (±x·±y is IEEE-exact, fold order untouched) and seed order is
+    // id-monotone, so per-shard dedup must replay the base corpus
+    // exactly — equality, not tolerance: any amplifier change that
+    // fabricates or destroys dup structure fails this
+    assert(c4 === 4 * c1, s"sharded candidates not exactly x4: $c1 -> $c4")
+    assert(d4 === 4 * d1, s"sharded dups not exactly x4: $d1 -> $d4")
+  }
+
   test("span confirm layer is key-width-independent; narrow keys only inflate the advisory count") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextAnalysis

@@ -43,7 +43,16 @@ class KeccakSpec extends AnyFunSuite {
 
   test("Event_<64hex> hash passthrough (event.rs:15-30)") {
     val h = "c0d559150c15862e872a031a8e11f466df4b16d14e736187f2e7fb162060f9d0"
-    assert(Sig.signatureHash(s"Event_$h", Seq.empty) === s"0x$h")
+    assert(Sig.signatureHash(s"Event_$h", Seq.empty, "event") === s"0x$h")
+    // the rule is PER KIND (event.rs accepts only Event_, error.rs only
+    // Error_, function.rs never embeds): cross-kind names keccak
+    assert(Sig.signatureHash(s"Event_$h", Seq.empty, "error") ===
+      graft.functions.Keccak.sigHash(s"Event_$h()"))
+    assert(Sig.signatureHash(s"Error_$h", Seq.empty, "event") ===
+      graft.functions.Keccak.sigHash(s"Error_$h()"))
+    assert(Sig.signatureHash(s"Event_$h", Seq.empty) ===
+      graft.functions.Keccak.sigHash(s"Event_$h()"))
+    assert(Sig.signatureHash(s"Error_$h", Seq.empty, "error") === s"0x$h")
   }
 
   test("canonical signature build (function.rs:20-27)") {

@@ -185,6 +185,117 @@ class LayoutSpec extends AnyFunSuite {
     assert(!fs.exists(p(s"$out/static/.dim__old")))
   }
 
+  test("crash-kill matrix: every overwriteStaticAtomic kill point recovers to a full table") {
+    import spark.implicits._
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def fsOf(out: String) = p(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def t1(out: String): Unit = Layout.mergeStatic(
+      Seq(("a", 1L)).toDF("k", "v"), out, "dim",
+      all => all.groupBy(col("k")).agg(max(col("v")).as("v")))
+    def tableV(out: String): Long = spark.read.parquet(s"$out/static/dim")
+      .collect().map(_.getLong(1)).max
+    // T2 = the merged result {a -> 5}, written as a swap artifact
+    def writeSwap(out: String, committed: Boolean): Unit = {
+      Seq(("a", 5L)).toDF("k", "v").write.parquet(Layout.swapDir(out, "dim"))
+      val fs = fsOf(out)
+      assert(fs.exists(p(Layout.swapDir(out, "dim") + "/_SUCCESS")))
+      if (!committed) fs.delete(p(Layout.swapDir(out, "dim") + "/_SUCCESS"), false)
+    }
+    def recover(out: String): Unit =
+      Layout.readStatic(spark, out, "dim", recover = true)
+
+    // A: killed after the swap write, before any rename — dst live,
+    // committed swap is debris (pre-merge table + replayed merge redo it)
+    locally {
+      val out = graft.Temps.dir("kill-a"); t1(out); writeSwap(out, committed = true)
+      recover(out)
+      assert(tableV(out) === 1L)
+      assert(!fsOf(out).exists(p(Layout.swapDir(out, "dim"))))
+      // the replayed merge completes to T2
+      Layout.mergeStatic(Seq(("a", 5L)).toDF("k", "v"), out, "dim",
+        all => all.groupBy(col("k")).agg(max(col("v")).as("v")))
+      assert(tableV(out) === 5L)
+    }
+    // B: killed between the renames, swap committed — swap promotes
+    locally {
+      val out = graft.Temps.dir("kill-b"); t1(out); writeSwap(out, committed = true)
+      val fs = fsOf(out)
+      assert(fs.rename(p(s"$out/static/dim"), p(Layout.oldDir(out, "dim"))))
+      recover(out)
+      assert(tableV(out) === 5L)
+      assert(!fs.exists(p(Layout.oldDir(out, "dim"))))
+      assert(!fs.exists(p(Layout.quarantineDir(out, "dim"))))
+    }
+    // C: killed between the renames, marker DISABLED — old rolls back
+    // and the unmarked swap (possibly the only copy of the merge) is
+    // QUARANTINED with its rows intact, never deleted
+    locally {
+      val out = graft.Temps.dir("kill-c"); t1(out); writeSwap(out, committed = false)
+      val fs = fsOf(out)
+      assert(fs.rename(p(s"$out/static/dim"), p(Layout.oldDir(out, "dim"))))
+      recover(out)
+      assert(tableV(out) === 1L, "parked old table not restored")
+      assert(!fs.exists(p(Layout.swapDir(out, "dim"))))
+      val q = spark.read.parquet(Layout.quarantineDir(out, "dim"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(q.toSeq === Seq(("a", 5L)), "quarantined merge not readable")
+      // …and a resumed merge over a DIFFERENT range re-ingests the
+      // quarantine: the crashed batch's contribution (a -> 5) rides
+      // back in alongside the new batch, then the quarantine is gone
+      Layout.mergeStatic(Seq(("b", 7L)).toDF("k", "v"), out, "dim",
+        all => all.groupBy(col("k")).agg(max(col("v")).as("v")))
+      val merged = spark.read.parquet(s"$out/static/dim")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(merged === Map("a" -> 5L, "b" -> 7L),
+        "quarantined contribution lost on different-range resume")
+      assert(!fs.exists(p(Layout.quarantineDir(out, "dim"))),
+        "consumed quarantine not cleaned up")
+    }
+    // D: killed after promotion, before cleanup — old is debris
+    locally {
+      val out = graft.Temps.dir("kill-d"); t1(out)
+      val fs = fsOf(out)
+      assert(fs.rename(p(s"$out/static/dim"), p(Layout.oldDir(out, "dim"))))
+      Seq(("a", 5L)).toDF("k", "v").write.parquet(s"$out/static/dim")
+      recover(out)
+      assert(tableV(out) === 5L)
+      assert(!fs.exists(p(Layout.oldDir(out, "dim"))))
+    }
+    // E: a PLAIN reader inside a healthy writer's between-renames
+    // window reads the parked copy and mutates nothing
+    locally {
+      val out = graft.Temps.dir("kill-e"); t1(out); writeSwap(out, committed = true)
+      val fs = fsOf(out)
+      assert(fs.rename(p(s"$out/static/dim"), p(Layout.oldDir(out, "dim"))))
+      val seen = Layout.readStatic(spark, out, "dim") // recover = false
+      assert(seen.isDefined && seen.get.collect().map(_.getLong(1)).toSeq === Seq(1L),
+        "reader did not fall back to the parked copy")
+      assert(fs.exists(p(Layout.oldDir(out, "dim"))), "reader mutated writer state")
+      assert(fs.exists(p(Layout.swapDir(out, "dim"))), "reader mutated writer state")
+    }
+  }
+
+  test("upsertStatic: schema evolution rewrites to a single-schema store") {
+    import spark.implicits._
+    val out = graft.Temps.dir("upsert-evolve")
+    Layout.upsertStatic(Seq(("0xaa", 1L)).toDF("signature", "v"),
+      out, "sigs", Seq("signature"))
+    // a newer build adds a column: a blind append would leave a
+    // mixed-footer directory where plain reads can silently drop the
+    // column — the upsert must pay one rewrite instead
+    val widened = Seq(("0xbb", 2L, "src")).toDF("signature", "v", "extra")
+    Layout.upsertStatic(widened, out, "sigs", Seq("signature"))
+    val rows = spark.read.parquet(s"$out/static/sigs")
+    assert(rows.columns.toSet === Set("signature", "v", "extra"))
+    val byKey = rows.collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(byKey === Map("0xaa" -> None, "0xbb" -> Some("src")))
+    // known keys still skipped after evolution; columns stay unified
+    Layout.upsertStatic(Seq(("0xbb", 99L, "x")).toDF("signature", "v", "extra"),
+      out, "sigs", Seq("signature"))
+    assert(spark.read.parquet(s"$out/static/sigs").count() === 2)
+  }
+
   test("readStatic: a footer-less directory (crashed first write) reads as absent") {
     import spark.implicits._
     val out = graft.Temps.dir("footerless")
