@@ -387,11 +387,14 @@ object ScaleLaws {
           semanticDedup(df, SimSearch.IvfK * f)),
         ("semantic_dedup_sharded", false, (df, f) =>
           semanticDedupSharded(df, f)),
-        // the documented remedies, MEASURED: +2 planes (=4× buckets)
-        // per 4× n, and 4× IVF cells per 4× n — candidate volume should
-        // grow ~linearly instead of quadratically
+        // the documented remedies, MEASURED: +4 planes per 4× n (the
+        // sweep above measured each plane dividing collisions by only
+        // ~1.36 on real sign-buckets, so the uniform-hash +2 leaves
+        // 8.6× growth per step — the notch rule is the measured one),
+        // and 4× IVF cells per 4× n — candidate volume should grow
+        // ~linearly instead of quadratically
         ("lsh_cosine_scaledK", false, (df, f) =>
-          lshCosine(df, SimSearch.LshPlanes + 2 * log4(f))),
+          lshCosine(df, SimSearch.LshPlanes + 4 * log4(f))),
         ("ivf_probe_scaledK", false, (df, f) =>
           ivfProbe(df, SimSearch.IvfK * f)))
       // one amplified corpus per (factor, kind), shared by every family

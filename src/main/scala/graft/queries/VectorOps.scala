@@ -339,5 +339,52 @@ object VectorOps {
               |         GROUP BY 1)
               |SELECT c.vec_id, c.cell, r.rep_id IS NOT NULL AS is_dup, r.rep_id
               |FROM cells c LEFT JOIN reps r USING (vec_id)""".stripMargin),
-      "SemDeDup-style semantic dedup: IVF-cell-bounded cosine pairs, keep-first representative"))
+      "SemDeDup-style semantic dedup: IVF-cell-bounded cosine pairs, keep-first representative"),
+
+    // q135 against the TRAINED codebook — production SemDeDup clusters
+    // with k-means centroids, not raw seeds (the seed quantizer's cell
+    // boundaries are whatever the k lowest-id vectors happen to be, so
+    // near-dups straddling a bad boundary are never paired). Same plan
+    // shape: training is linear per round, assignment stays the
+    // single-pass zero-shuffle fold, pair volume stays Σ cell² — only
+    // the broadcast codebook values change. The oracle replays the
+    // training rounds in SQL (kmeansCentsSql), so the trained cells are
+    // engine-exact.
+    "q140_semantic_dedup_trained" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = SimSearch.trainCodebook(
+          emb, "vec_id", "embedding", SimSearch.IvfK, rounds = 3)
+        val cells = SimSearch.ivfAssign(emb, "vec_id", "embedding", cb, p = 1)
+          .select(col("id").as("vec_id"),
+            element_at(col("probes"), 1).getField("cid").as("cell"),
+            col("v"), col("n"))
+          .localCheckpoint() // both pair sides + the base read it
+        val a = cells.toDF("vec_id", "cell", "av", "an")
+        val b = cells.toDF("b_id", "cell", "bv", "bn")
+        val reps = a.join(b, Seq("cell"))
+          .where(col("b_id") < col("vec_id"))
+          .where(round(SimSearch.cosine(
+            col("av"), col("bv"), col("an"), col("bn")), 6) >= 0.3)
+          .groupBy(col("vec_id")).agg(min(col("b_id")).as("rep_id"))
+        cells.select(col("vec_id"), col("cell"))
+          .join(reps, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            col("rep_id").isNotNull.as("is_dup"), col("rep_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |${kmeansCentsSql(3, SimSearch.IvfK)},
+              |rt AS (SELECT e.vec_id, e.v, cid,
+              |         row_number() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |       FROM e CROSS JOIN cent3),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+              |reps AS (SELECT a.vec_id, min(b.vec_id) AS rep_id
+              |         FROM cells a JOIN cells b
+              |           ON a.cell = b.cell AND b.vec_id < a.vec_id
+              |          AND ${cosSql("a.v", "b.v")} >= 0.3
+              |         GROUP BY 1)
+              |SELECT c.vec_id, c.cell, r.rep_id IS NOT NULL AS is_dup, r.rep_id
+              |FROM cells c LEFT JOIN reps r USING (vec_id)""".stripMargin),
+      "semantic dedup over the trained codebook: deterministic k-means cells, oracle-replayed training"))
 }

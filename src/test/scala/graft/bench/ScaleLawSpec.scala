@@ -75,6 +75,26 @@ class ScaleLawSpec extends AnyFunSuite {
     assert(d4 === 4 * d1, s"sharded dups not exactly x4: $d1 -> $d4")
   }
 
+  test("LSH plane-notch rule: +4 planes per 4x n holds candidates linear; the uniform +2 does not") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val e1 = ScaleLaws.amplifyEmbeddings(emb, 1).localCheckpoint()
+    val e4 = ScaleLaws.amplifyEmbeddings(emb, 4).localCheckpoint()
+    val (base, _) = ScaleLaws.lshCosine(e1, 8)
+    val (plus2, _) = ScaleLaws.lshCosine(e4, 10)
+    val (plus4, _) = ScaleLaws.lshCosine(e4, 12)
+    // measured: each plane divides collisions by ~1.36 on real
+    // sign-buckets (not the uniform-hash 2), so the +2 remedy leaves
+    // ~9x growth per 4x n while +4 lands at ~4.5x — the notch rule
+    // SCALE.md states. Bounds are generous against corpus drift but
+    // strict enough that a uniformity regression (or an amplifier that
+    // fabricates clusters) flips them.
+    val g2 = plus2.toDouble / base
+    val g4 = plus4.toDouble / base
+    assert(g4 < 6.0, s"+4 planes no longer holds 4x n linear-ish: ${g4}x")
+    assert(g2 > 7.0, s"+2 planes unexpectedly sufficient (${g2}x) — " +
+      "either the corpus went uniform or the law measurement is broken")
+  }
+
   test("span confirm layer is key-width-independent; narrow keys only inflate the advisory count") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextAnalysis
