@@ -70,15 +70,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("IVF assignment q34: zero-join single-pass fold, one exchange for the cell histogram") {
+    val p = plan("q34_ivf_cells")
+    // assignment is the plan-carried-codebook fold — n rows of O(K·d)
+    // arithmetic, no join of any kind; the only exchange is the
+    // groupBy(cell) histogram. This is the plan the 150s->1.3s scaled-K
+    // collapse rides on (SCALE_MEASURED_r6 ivf_probe_scaledK).
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   /** Queries that intentionally plan a broadcast nested loop: the exact
     * brute-force similarity baselines (documented next to their
-    * equi-join scale twins) and the broadcast-codebook IVF assignment
-    * (bounded k-row build side). */
+    * equi-join scale twins). The IVF family (q34/q35/q135/q140) left
+    * this list in round 6: cell assignment is the single-pass
+    * plan-carried-codebook fold now — no crossJoin survives in those
+    * plans, and the sweep below enforces that it stays gone. */
   private val intentionalNestedLoop = Set(
-    "q30_knn", "q31_cos_pairs", "q34_ivf_cells", "q35_ivf_topk", "q65_sim_edges",
-    // IVF cell assignment inside semantic dedup: same broadcast
-    // codebook cross as q34 (bounded k-row build side)
-    "q135_semantic_dedup",
+    "q30_knn", "q31_cos_pairs", "q65_sim_edges",
     // recall measurement BY DESIGN runs the exact brute-force baseline
     // (q30's plan) next to the IVF path to compare them
     "q127_ann_recall",
