@@ -32,8 +32,15 @@ object TextOps {
   /** q28's LSH near-dup machinery, shared with cluster assignment
     * (q101): fused one-pass signatures → 2 bands of 2 hashes → band
     * equi-join candidates → signature-agreement score ≥ 0.5. */
-  private def bandPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = documents(s, d)
+  private def bandPairs(s: SparkSession, d: String): DataFrame =
+    bandPairsOf(documents(s, d))
+
+  /** [[bandPairs]] over an arbitrary (doc_id, text) frame — the curation
+    * pipeline (q141) runs it over exact-dedup SURVIVORS, not the raw
+    * table. */
+  private def bandPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val sig = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
       .where(col("sig").isNotNull)
@@ -61,12 +68,14 @@ object TextOps {
       .where(col("est_jaccard") >= 0.5)
   }
 
-  /** The CTE chain producing q28's scored pairs as `p` (DuckDB side). */
-  private def bandPairsCtesSql: String = {
+  /** The CTE chain producing q28's scored pairs as `p` (DuckDB side).
+    * `rel` is the (doc_id, text) relation the chain reads — mirrors
+    * [[bandPairsOf]]'s input parameter. */
+  private def bandPairsCtesSql(rel: String = "documents"): String = {
     val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
     }.mkString(", ")
-    s"""t AS (SELECT doc_id, $toksSql AS T FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS T FROM $rel),
        |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
        |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
        |bands AS (
@@ -82,6 +91,112 @@ object TextOps {
        |         CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
        |         CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 AS est_jaccard
        |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
+  }
+
+  /** The curation pipeline's stages, in production order, each built on
+    * the registered operator it composes (q83/q28/q98/q27/q126/q131) —
+    * q141 reads the final packed manifest, q142 audits every stage's
+    * surviving count. Returned as (stage label, frame) pairs; labels
+    * match [[curateCtesSql]]'s CTE names so the two engines audit the
+    * same boundaries. */
+  private def curateStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    // stage 1: exact dedup, best representative per content hash (q83)
+    val w1 = Window.partitionBy(col("key"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val s1 = docs
+      .withColumn("key", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint() // band machinery + three later stages read it
+    // stage 2: near-dup keep-first — drop the LARGER id of every banded
+    // pair scoring est_jaccard >= 0.5 (non-cascading, like q135: dup if
+    // ANY smaller near-twin exists, kept or not)
+    val drop2 = bandPairsOf(s1).select(col("b_id").as("doc_id")).distinct()
+    val s2 = s1.join(drop2, Seq("doc_id"), "left_anti")
+    // stage 3: decontamination — the benchmark's shingles come from the
+    // ORIGINAL corpus (the eval suite exists independently of what
+    // dedup kept) and broadcast into a semi-join (q98)
+    val shape = (df: DataFrame) => df
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+    val bench = shape(docs.where(col("doc_id") % 29 === 0))
+      .select(col("sh").as("b_sh")).distinct()
+    val contaminated = shape(s2.where(col("doc_id") % 29 =!= 0))
+      .join(broadcast(bench), col("sh") === col("b_sh"), "left_semi")
+      .select("doc_id").distinct()
+    val s3 = s2.where(col("doc_id") % 29 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 4: quality gate on q27's exact statistics
+    val s4 = s3
+      .withColumn("T", tokens(col("text")))
+      .withColumn("n_toks", size(col("T")).cast("long"))
+      .withColumn("stopword_ratio", round(
+        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+          .cast("double") / col("n_toks"), 6))
+      .where(col("n_toks") >= 40L && col("stopword_ratio") >= 0.03)
+    // stage 5: PII scrub (q126's injected fixture so the redaction
+    // provably fires; chars_removed rides the manifest)
+    val dirty = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com ref "),
+      ((col("doc_id") + 1L) * 1234567L).cast("string"), lit(" end"))
+    val scrubbed = regexp_replace(
+      regexp_replace(dirty,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+    val s5 = s4.withColumn("chars_removed",
+      (length(dirty) - length(scrubbed)).cast("long"))
+    // stage 6: per-source token-budget packing, best-first (q131)
+    val w6 = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = s5.withColumn("cum_toks", sum(col("n_toks")).over(w6))
+    Seq("s1" -> s1, "s2" -> s2, "s3" -> s3, "s4" -> s4, "packed" -> packed)
+  }
+
+  /** Budget shared by [[curateStages]]' packing window and its oracle. */
+  private val CurateTokenBudget = 800L
+
+  /** The DuckDB CTE chain mirroring [[curateStages]] stage for stage;
+    * ends with `packed` (pre-budget-filter rows carry cum_toks). */
+  private def curateCtesSql: String = {
+    val dirtySql = "text || ' contact: user' || doc_id || '@example.com ref ' || (doc_id + 1) * 1234567 || ' end'"
+    val scrubSql = s"regexp_replace(regexp_replace($dirtySql, " +
+      """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g')"""
+    s"""r1 AS (
+       |  SELECT doc_id, text, source,
+       |         row_number() OVER (PARTITION BY md5(text)
+       |           ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, text, source FROM r1 WHERE rn = 1),
+       |${bandPairsCtesSql("s1")},
+       |drop2 AS (SELECT DISTINCT b_id AS doc_id FROM p WHERE est_jaccard >= 0.5),
+       |s2 AS (SELECT * FROM s1 ANTI JOIN drop2 USING (doc_id)),
+       |tb AS (SELECT doc_id, $toksSql AS T FROM documents WHERE doc_id % 29 = 0),
+       |bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM tb),
+       |t2 AS (SELECT doc_id, $toksSql AS T FROM s2 WHERE doc_id % 29 <> 0),
+       |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t2),
+       |cont AS (SELECT DISTINCT doc_id FROM sh2 SEMI JOIN bench USING (sh)),
+       |s3 AS (SELECT * FROM (SELECT * FROM s2 WHERE doc_id % 29 <> 0) z
+       |       ANTI JOIN cont USING (doc_id)),
+       |q4 AS (SELECT doc_id, text, source,
+       |         CAST(len($toksSql) AS BIGINT) AS n_toks,
+       |         round(CAST(len(list_filter($toksSql, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+       |               / len($toksSql), 6) AS stopword_ratio
+       |       FROM s3),
+       |s4 AS (SELECT * FROM q4 WHERE n_toks >= 40 AND stopword_ratio >= 0.03),
+       |s5 AS (SELECT doc_id, source, n_toks, stopword_ratio,
+       |         CAST(length($dirtySql) - length($scrubSql) AS BIGINT) AS chars_removed
+       |       FROM s4),
+       |packed AS (
+       |  SELECT source, doc_id, n_toks, stopword_ratio, chars_removed,
+       |         sum(n_toks) OVER (PARTITION BY source
+       |           ORDER BY n_toks DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  FROM s5)""".stripMargin
   }
 
   /** DISTINCT (doc_id, sp, w) span rows: `keyFn` maps the token-hash
@@ -312,7 +427,7 @@ object TextOps {
     // no shingle-level pair fan-out at all)
     "q28_minhash_bands" -> Q(
       (s, d) => bandPairs(s, d),
-      Some(s"""WITH $bandPairsCtesSql
+      Some(s"""WITH ${bandPairsCtesSql()}
               |SELECT a_id, b_id, est_jaccard FROM p WHERE est_jaccard >= 0.5""".stripMargin),
       "MinHash-LSH band join + signature agreement: the q24 scale path"),
 
@@ -637,7 +752,7 @@ object TextOps {
           .select(col("doc_id"), col("canonical"), col("cluster_size"),
             (col("doc_id") === col("canonical")).as("keep"))
       },
-      Some(s"""WITH RECURSIVE $bandPairsCtesSql,
+      Some(s"""WITH RECURSIVE ${bandPairsCtesSql()},
               |pairs AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
               |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
               |        UNION SELECT b_id, a_id FROM pairs),
@@ -1191,5 +1306,58 @@ object TextOps {
               |      FROM tok WHERE length(tok) >= 2)
               |SELECT pair, CAST(count(*) AS BIGINT) AS n
               |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin),
-      "BPE merge-rule counting: global adjacent char-pair counts, the vocab-training iteration step"))
+      "BPE merge-rule counting: global adjacent char-pair counts, the vocab-training iteration step"),
+
+    // THE END-TO-END CURATION PIPELINE — the program face of the
+    // training-data pillar, composing the proven stages in production
+    // order over one corpus (what extract/stream/analyse are for the
+    // reference's side): exact dedup (q83's keep-best) → MinHash-LSH
+    // near-dup keep-first (q28's bands, q135's non-cascading smaller-id
+    // rule) → benchmark decontamination (q98's broadcast semi-join;
+    // doc_id % 29 plays the eval suite) → quality gate (q27's stats:
+    // n_words ≥ 40, stopword_ratio ≥ 0.03 — keeps 288/500 at sf0.01)
+    // → PII scrub (q126's deterministic-injection fixture; the
+    // redaction measurably fires on every row) → per-source token
+    // packing (q131's best-first windowed budget). Scale shape: every
+    // stage is the registered operator's own plan — two window
+    // shuffles (dedup key, packing source), band/shingle equi-joins,
+    // one broadcast semi-join; nothing quadratic, nothing collected.
+    // Output = the packed curated corpus manifest.
+    "q141_curate_corpus" -> Q(
+      (s, d) => curateStages(s, d).last._2
+        .where(col("cum_toks") <= CurateTokenBudget)
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          col("cum_toks"), col("stopword_ratio"), col("chars_removed")),
+      Some(s"""WITH $curateCtesSql
+              |SELECT source, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+              |       stopword_ratio, chars_removed
+              |FROM packed WHERE cum_toks <= $CurateTokenBudget""".stripMargin),
+      "end-to-end curation pipeline: exact dedup -> LSH near-dup -> decontaminate -> quality gate -> PII scrub -> token packing"),
+
+    // The pipeline's per-stage AUDIT — what a production curation run
+    // logs so nothing is silently dropped: surviving doc count at every
+    // stage boundary, both engines replaying the identical chain. The
+    // "no silent caps" discipline as an oracle-gated query.
+    "q142_curate_audit" -> Q(
+      (s, d) => {
+        val labels = Map("s1" -> "s1_exact_dedup", "s2" -> "s2_near_dup",
+          "s3" -> "s3_decontaminated", "s4" -> "s4_quality")
+        val counts = ("s0_input" -> documents(s, d)) +: curateStages(s, d).map {
+          case ("packed", df) =>
+            "s5_packed" -> df.where(col("cum_toks") <= CurateTokenBudget)
+          case (name, df) => labels(name) -> df
+        }
+        counts.map { case (label, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(label).as("stage"), col("n_docs"))
+        }.reduce(_.unionByName(_))
+      },
+      Some(s"""WITH $curateCtesSql
+              |SELECT 's0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+              |UNION ALL SELECT 's1_exact_dedup', count(*) FROM s1
+              |UNION ALL SELECT 's2_near_dup', count(*) FROM s2
+              |UNION ALL SELECT 's3_decontaminated', count(*) FROM s3
+              |UNION ALL SELECT 's4_quality', count(*) FROM s4
+              |UNION ALL SELECT 's5_packed', count(*) FROM packed
+              |                 WHERE cum_toks <= $CurateTokenBudget""".stripMargin),
+      "curation-pipeline audit: surviving doc count at every stage boundary"))
 }
