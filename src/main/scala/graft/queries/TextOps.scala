@@ -116,6 +116,8 @@ object TextOps {
     // ANY smaller near-twin exists, kept or not)
     val drop2 = bandPairsOf(s1).select(col("b_id").as("doc_id")).distinct()
     val s2 = s1.join(drop2, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // truncate the band-join lineage: the audit
+    // counts every later stage and must not re-run the MinHash pass
     // stage 3: decontamination — the benchmark's shingles come from the
     // ORIGINAL corpus (the eval suite exists independently of what
     // dedup kept) and broadcast into a semi-join (q98)
@@ -130,6 +132,7 @@ object TextOps {
       .select("doc_id").distinct()
     val s3 = s2.where(col("doc_id") % 29 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // same: shingle explode runs once, not 3×
     // stage 4: quality gate on q27's exact statistics
     val s4 = s3
       .withColumn("T", tokens(col("text")))
