@@ -346,6 +346,30 @@ object ScaleLaws {
     (cand, 0L)
   }
 
+  /** The END-TO-END curation chain (q141/q142) over the amplified
+    * corpus — the per-stage families above measure each candidate
+    * generator alone; this one measures their COMPOSITION (two window
+    * shuffles + band join + shingle semi-join + per-row gates) so a
+    * cross-stage blowup can't hide between green per-stage laws.
+    * Returns (docs surviving decontamination [s3], packed manifest
+    * rows within budget). Laws: s3 grows ~linearly in n (the exact /
+    * near-dup / bench-member removals are all per-copy); the packed
+    * manifest is EXACTLY invariant under amplification, because (a)
+    * every mutated copy's stopword_ratio is 0 (the token suffixes
+    * destroy stopwords) so only copy-0 reaches the quality gate, and
+    * (b) copy-0 replays the base run bit-for-bit: its doc_ids scale
+    * by `factor` (order-preserving), and bench membership is preserved
+    * since doc_id·factor ≡ 0 (mod 29) ⟺ doc_id ≡ 0 for any factor
+    * coprime to the prime 29 (true of 1/4/16). */
+  def curatePipeline(docs: DataFrame): (Long, Long) = {
+    val stages = graft.queries.TextOps.curateStagesOf(docs).toMap
+    val s3 = stages("s3").count()
+    val packed = stages("packed")
+      .where(col("cum_toks") <= graft.queries.TextOps.CurateTokenBudget)
+      .count()
+    (s3, packed)
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -372,6 +396,7 @@ object ScaleLaws {
         ("shingle_jaccard_q24", true, (df, _) => shingleJaccard(df)),
         ("span_dedup_q134", true, (df, _) => spanDedup(df)),
         ("span_confirm30_q138", true, (df, _) => spanConfirmNarrow(df)),
+        ("curate_pipeline_q141", true, (df, _) => curatePipeline(df)),
         ("lsh_cosine_q32_33", false, (df, _) => lshCosine(df)),
         // plane sweep AT EACH n (factors give the n axis): candidates
         // at (4n, p+Δ) vs (n, p) across these rows measure how many

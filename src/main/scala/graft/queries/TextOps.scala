@@ -99,9 +99,17 @@ object TextOps {
     * surviving count. Returned as (stage label, frame) pairs; labels
     * match [[curateCtesSql]]'s CTE names so the two engines audit the
     * same boundaries. */
-  private def curateStages(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  private def curateStages(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    curateStagesOf(documents(s, d))
+
+  /** [[curateStages]] over an arbitrary (doc_id, text, source, n_chars)
+    * frame — [[graft.bench.ScaleLaws]] feeds it amplified corpora to
+    * measure whether the END-TO-END chain stays linear, not just each
+    * stage in isolation. The benchmark shingle set is re-derived from
+    * the INPUT frame (doc_id % 29), mirroring the registered query. */
+  def curateStagesOf(docs: DataFrame): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
+    val s = docs.sparkSession
     // stage 1: exact dedup, best representative per content hash (q83)
     val w1 = Window.partitionBy(col("key"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -162,7 +170,7 @@ object TextOps {
   }
 
   /** Budget shared by [[curateStages]]' packing window and its oracle. */
-  private val CurateTokenBudget = 800L
+  val CurateTokenBudget = 800L
 
   /** The DuckDB CTE chain mirroring [[curateStages]] stage for stage;
     * ends with `packed` (pre-budget-filter rows carry cum_toks). */
@@ -251,6 +259,112 @@ object TextOps {
         countDistinct(when(col("isdup") === 1, col("sp"))).as("n_dup_spans"),
         countDistinct(when(col("isconf") === 1, col("sp")))
           .as("n_dup_spans_confirmed"))
+  }
+
+  /** The q143 chain over an arbitrary (doc_id, text, source, n_chars)
+    * frame: batch = doc_id % 5 = 0 curated against the rest as the
+    * existing corpus, one row per batch doc with its drop-provenance
+    * status. Public so the spec can drive a hand-built corpus through
+    * ALL eight statuses (the synthetic corpus never exercises the
+    * exact-dup and in-batch-near-dup paths at oracle scale). */
+  def curateIncremental(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val batch0 = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    // exact layer: corpus content-hash probe + within-batch keep-best
+    val keyed = batch0.withColumn("key", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .localCheckpoint() // read by the probe, the rn filter, and the final join
+    val dupExactCorpus = keyed
+      .join(corpus.select(md5(col("text").cast("binary")).as("key")).distinct(),
+        Seq("key"), "left_semi")
+      .select("doc_id")
+    val dupExactBatch = keyed.where(col("rn") > 1).select("doc_id")
+    val b1 = keyed.select("doc_id")
+      .join(dupExactCorpus, Seq("doc_id"), "left_anti")
+      .join(dupExactBatch, Seq("doc_id"), "left_anti")
+    // near-dup layer: ONE signature pass over the whole table (the
+    // corpus side is the stored band index in production), then the
+    // batch probes the corpus index AND self-joins its own bands
+    val sig = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      .localCheckpoint() // bands ×2 sides + the two scorers read it
+    val bsig = sig.join(b1, Seq("doc_id"), "left_semi")
+    val csig = sig.where(col("doc_id") % 5 =!= 0)
+    def bands(df: DataFrame) =
+      df.select(col("doc_id"), lit(0).as("band"),
+          col("h0").as("x"), col("h1").as("y"))
+        .unionByName(df.select(col("doc_id"), lit(1).as("band"),
+          col("h2").as("x"), col("h3").as("y")))
+    def agree(a: DataFrame, aId: String, b: DataFrame, bId: String,
+        cand: DataFrame): DataFrame = cand
+      .join(a.toDF(aId, "a0", "a1", "a2", "a3"), aId)
+      .join(b.toDF(bId, "b0", "b1", "b2", "b3"), bId)
+      .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+        when(col("a1") === col("b1"), 1).otherwise(0) +
+        when(col("a2") === col("b2"), 1).otherwise(0) +
+        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+        >= 0.5)
+    val candCorpus = bands(bsig).toDF("b_id", "band", "x", "y")
+      .join(bands(csig).toDF("c_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .select("b_id", "c_id").distinct()
+    val dupNearCorpus = agree(bsig, "b_id", csig, "c_id", candCorpus)
+      .select(col("b_id").as("doc_id")).distinct()
+    val bb = bands(bsig)
+    val candBatch = bb.toDF("a_id", "band", "x", "y")
+      .join(bb.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // q141's keep-first rule: the LARGER id of a scoring pair drops
+    val dupNearBatch = agree(bsig, "a_id", bsig, "b_id", candBatch)
+      .select(col("b_id").as("doc_id")).distinct()
+    val b2 = b1
+      .join(dupNearCorpus, Seq("doc_id"), "left_anti")
+      .join(dupNearBatch, Seq("doc_id"), "left_anti")
+    // decontamination: benchmark shingles from the FULL corpus
+    // (q141's rule — the eval suite exists independently of the
+    // batch split); bench members themselves route to the suite
+    val shape = (df: DataFrame) => df
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+    val bench = shape(docs.where(col("doc_id") % 29 === 0))
+      .select(col("sh").as("b_sh")).distinct()
+    val contaminated = shape(
+        batch0.join(b2, Seq("doc_id"), "left_semi")
+          .where(col("doc_id") % 29 =!= 0))
+      .join(broadcast(bench), col("sh") === col("b_sh"), "left_semi")
+      .select("doc_id").distinct()
+    // quality stats per-row for EVERY batch doc (they ride the
+    // manifest even for dropped docs — provenance plus evidence)
+    val withQ = keyed
+      .withColumn("T", tokens(col("text")))
+      .withColumn("n_toks", size(col("T")).cast("long"))
+      .withColumn("stopword_ratio", round(
+        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+          .cast("double") / col("n_toks"), 6))
+    def flag(df: DataFrame, name: String) =
+      df.withColumn(name, lit(1))
+    withQ
+      .join(flag(dupExactCorpus, "f_dec"), Seq("doc_id"), "left")
+      .join(flag(dupNearCorpus, "f_dnc"), Seq("doc_id"), "left")
+      .join(flag(dupNearBatch, "f_dnb"), Seq("doc_id"), "left")
+      .join(flag(contaminated, "f_cont"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        when(col("f_dec") === 1, "dup_exact_corpus")
+          .when(col("rn") > 1, "dup_exact_batch")
+          .when(col("f_dnc") === 1, "dup_near_corpus")
+          .when(col("f_dnb") === 1, "dup_near_batch")
+          .when(col("doc_id") % 29 === 0, "bench_member")
+          .when(col("f_cont") === 1, "contaminated")
+          .when(col("n_toks") < 40L || col("stopword_ratio") < 0.03, "low_quality")
+          .otherwise("kept").as("status"))
   }
 
   def defs: Map[String, Q] = Map(
@@ -1362,5 +1476,91 @@ object TextOps {
               |UNION ALL SELECT 's4_quality', count(*) FROM s4
               |UNION ALL SELECT 's5_packed', count(*) FROM packed
               |                 WHERE cum_toks <= $CurateTokenBudget""".stripMargin),
-      "curation-pipeline audit: surviving doc count at every stage boundary"))
+      "curation-pipeline audit: surviving doc count at every stage boundary"),
+
+    // INCREMENTAL curation — the q141 chain applied to a NEW BATCH
+    // (doc_id % 5 = 0, q133's split) against the EXISTING corpus (the
+    // rest), composing q133's band probe: the online-ingest face of the
+    // pipeline. Every batch doc is returned with a drop PROVENANCE
+    // status — the first stage that rejects it — extending q142's
+    // no-silent-drops discipline to the online path. Scale shape:
+    // every check is linear in the BATCH — the corpus contributes only
+    // its content-hash set, MinHash band index, and benchmark shingle
+    // set, all incrementally maintainable; there is no corpus×corpus
+    // pass anywhere. Batch-internal checks (exact rn, band self-join)
+    // are linear-in-batch; the corpus-side joins are equi-joins on
+    // derived keys (hash / band / shingle).
+    "q143_curate_incremental" -> Q(
+      (s, d) => curateIncremental(documents(s, d)),
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        s"""WITH kb AS (
+           |  SELECT doc_id, text, source, n_chars, md5(text) AS key
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |r1 AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key
+           |         ORDER BY n_chars DESC, doc_id) AS rn FROM kb),
+           |dec AS (SELECT doc_id FROM kb SEMI JOIN
+           |          (SELECT DISTINCT md5(text) AS key FROM documents
+           |           WHERE doc_id % 5 <> 0) ck USING (key)),
+           |b1 AS (SELECT doc_id FROM r1 WHERE rn = 1
+           |         AND doc_id NOT IN (SELECT doc_id FROM dec)),
+           |t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |bsig AS (SELECT sig.* FROM sig SEMI JOIN b1 USING (doc_id)),
+           |csig AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+           |bbands AS (
+           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM bsig
+           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM bsig),
+           |cbands AS (
+           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM csig
+           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM csig),
+           |dnc AS (SELECT DISTINCT b_id AS doc_id FROM
+           |          (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+           |           FROM bbands b JOIN cbands c
+           |             ON b.band = c.band AND b.x = c.x AND b.y = c.y) cc
+           |        JOIN bsig sa ON sa.doc_id = b_id
+           |        JOIN csig sb ON sb.doc_id = c_id
+           |        WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5),
+           |dnb AS (SELECT DISTINCT b_id AS doc_id FROM
+           |          (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |           FROM bbands a JOIN bbands b
+           |             ON a.band = b.band AND a.x = b.x AND a.y = b.y
+           |                AND a.doc_id < b.doc_id) cc
+           |        JOIN bsig sa ON sa.doc_id = a_id
+           |        JOIN bsig sb ON sb.doc_id = b_id
+           |        WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+           |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5),
+           |b2 AS (SELECT doc_id FROM b1
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM dnc)
+           |         AND doc_id NOT IN (SELECT doc_id FROM dnb)),
+           |tb AS (SELECT doc_id, T FROM t WHERE doc_id % 29 = 0),
+           |bench AS (SELECT DISTINCT unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM tb),
+           |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh
+           |        FROM (SELECT t.* FROM t SEMI JOIN b2 USING (doc_id)
+           |              WHERE doc_id % 29 <> 0) z),
+           |cont AS (SELECT DISTINCT doc_id FROM sh2 SEMI JOIN bench USING (sh)),
+           |q AS (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
+           |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+           |              / len(T), 6) AS stopword_ratio
+           |      FROM t)
+           |SELECT kb.doc_id, kb.source, q.n_toks,
+           |  CASE WHEN kb.doc_id IN (SELECT doc_id FROM dec) THEN 'dup_exact_corpus'
+           |       WHEN r1.rn > 1 THEN 'dup_exact_batch'
+           |       WHEN kb.doc_id IN (SELECT doc_id FROM dnc) THEN 'dup_near_corpus'
+           |       WHEN kb.doc_id IN (SELECT doc_id FROM dnb) THEN 'dup_near_batch'
+           |       WHEN kb.doc_id % 29 = 0 THEN 'bench_member'
+           |       WHEN kb.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+           |       WHEN q.n_toks < 40 OR q.stopword_ratio < 0.03 THEN 'low_quality'
+           |       ELSE 'kept' END AS status
+           |FROM kb JOIN r1 USING (doc_id) JOIN q USING (doc_id)""".stripMargin
+      },
+      "incremental curation: the full chain over a new batch vs the corpus, with per-doc drop provenance"))
 }

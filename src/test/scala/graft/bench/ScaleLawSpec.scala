@@ -95,6 +95,24 @@ class ScaleLawSpec extends AnyFunSuite {
       "either the corpus went uniform or the law measurement is broken")
   }
 
+  test("curate pipeline: end-to-end survivors linear; packed manifest invariant under amplification") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val (s3_1, p1) = ScaleLaws.curatePipeline(ScaleLaws.amplifyDocs(docs, 1))
+    val (s3_4, p4) = ScaleLaws.curatePipeline(ScaleLaws.amplifyDocs(docs, 4))
+    // s3 survivors: each copy loses only its own exact/near dups and
+    // its ~1/29 bench members, so composition must stay ~linear — a
+    // cross-stage interaction (e.g. a stage whose cost or survivor set
+    // couples copies) would bend this ratio away from 4
+    val r = s3_4.toDouble / s3_1
+    assert(r >= 3.5 && r <= 4.5,
+      s"curate s3 survivors not ~linear: $s3_1 -> $s3_4 (${r}x) at 4x n")
+    // the packed manifest is EXACTLY the base run's: mutated copies die
+    // at the stopword gate (suffixed tokens match no stopword) and
+    // copy-0 replays the base chain order-preservingly (ids scale by 4;
+    // 4 is invertible mod 29 so bench membership is unchanged)
+    assert(p4 === p1, s"packed manifest not amplification-invariant: $p1 -> $p4")
+  }
+
   test("span confirm layer is key-width-independent; narrow keys only inflate the advisory count") {
     import org.apache.spark.sql.functions._
     import graft.ops.TextAnalysis
