@@ -1562,5 +1562,114 @@ object TextOps {
            |       ELSE 'kept' END AS status
            |FROM kb JOIN r1 USING (doc_id) JOIN q USING (doc_id)""".stripMargin
       },
-      "incremental curation: the full chain over a new batch vs the corpus, with per-doc drop provenance"))
+      "incremental curation: the full chain over a new batch vs the corpus, with per-doc drop provenance"),
+
+    // ONLINE curation over a MAINTAINED index (CurateStream): q143's
+    // corpus probes are materialized as static tables (content-hash
+    // set, band index, bench shingles) and the batch arrives as TWO
+    // sequential micro-batches — batch 1 = doc_id % 10 = 0, batch 2 =
+    // doc_id % 10 = 5 — with batch 1's kept docs folded into the index
+    // before batch 2 probes it. This is the 100-TB shape: the corpus
+    // is NEVER re-scanned per ingest (each batch touches the batch
+    // plus three equi-join probes into stored indexes), and sequential
+    // semantics are first-arrival-wins across batches (spec-pinned
+    // deviations from q143's one-shot keep-best). The oracle replays
+    // both phases: phase 2's index relation is corpus ∪ phase-1 kept.
+    "q144_curate_stream" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        // memoized root + idempotent upserts + self-excluding probes:
+        // re-invocation (Bench's best-of-2) recomputes bit-identical
+        // statuses and re-lands nothing
+        val root = graft.Temps.dirFor(s"curate-stream-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
+        graft.sinks.Layout.readStatic(s, root, CurateStream.ManifestEntity)
+          .get
+      },
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        val agreeSql =
+          """(CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5""".stripMargin
+        // one phase of the sequential chain: batch residue `m` (mod
+        // 10), probing index relation idx$p; bench$p = the shingle set
+        // as of this phase (corpus + every batch ingested so far,
+        // including this one)
+        def phase(p: Int, m: Int, benchPred: String): String =
+          s"""b$p AS (SELECT d.doc_id, d.source, d.n_chars, k.key
+             |        FROM documents d JOIN keys k USING (doc_id)
+             |        WHERE d.doc_id % 10 = $m),
+             |r$p AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key
+             |          ORDER BY n_chars DESC, doc_id) AS rn FROM b$p),
+             |dec$p AS (SELECT b.doc_id FROM b$p b SEMI JOIN
+             |            (SELECT DISTINCT k.key FROM keys k
+             |             SEMI JOIN idx$p USING (doc_id)) ck USING (key)),
+             |b1$p AS (SELECT doc_id FROM r$p WHERE rn = 1
+             |           AND doc_id NOT IN (SELECT doc_id FROM dec$p)),
+             |bsig$p AS (SELECT sig.* FROM sig SEMI JOIN b1$p USING (doc_id)),
+             |csig$p AS (SELECT sig.* FROM sig SEMI JOIN idx$p USING (doc_id)),
+             |bb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM bsig$p
+             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM bsig$p),
+             |cb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM csig$p
+             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM csig$p),
+             |dnc$p AS (SELECT DISTINCT b_id AS doc_id FROM
+             |            (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+             |             FROM bb$p b JOIN cb$p c
+             |               ON b.band = c.band AND b.x = c.x AND b.y = c.y) cc
+             |          JOIN bsig$p sa ON sa.doc_id = b_id
+             |          JOIN csig$p sb ON sb.doc_id = c_id
+             |          WHERE $agreeSql),
+             |dnb$p AS (SELECT DISTINCT b_id AS doc_id FROM
+             |            (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |             FROM bb$p a JOIN bb$p b
+             |               ON a.band = b.band AND a.x = b.x AND a.y = b.y
+             |                  AND a.doc_id < b.doc_id) cc
+             |          JOIN bsig$p sa ON sa.doc_id = a_id
+             |          JOIN bsig$p sb ON sb.doc_id = b_id
+             |          WHERE $agreeSql),
+             |b2$p AS (SELECT doc_id FROM b1$p
+             |         WHERE doc_id NOT IN (SELECT doc_id FROM dnc$p)
+             |           AND doc_id NOT IN (SELECT doc_id FROM dnb$p)),
+             |bench$p AS (SELECT DISTINCT sh FROM shing
+             |            WHERE doc_id % 29 = 0 AND ($benchPred)),
+             |cont$p AS (SELECT DISTINCT s2.doc_id FROM
+             |             (SELECT s.* FROM shing s SEMI JOIN b2$p USING (doc_id)
+             |              WHERE s.doc_id % 29 <> 0) s2
+             |           SEMI JOIN bench$p USING (sh)),
+             |m$p AS (SELECT b.doc_id, b.source, q.n_toks,
+             |          CASE WHEN b.doc_id IN (SELECT doc_id FROM dec$p) THEN 'dup_exact_corpus'
+             |               WHEN r.rn > 1 THEN 'dup_exact_batch'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM dnc$p) THEN 'dup_near_corpus'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM dnb$p) THEN 'dup_near_batch'
+             |               WHEN b.doc_id % 29 = 0 THEN 'bench_member'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM cont$p) THEN 'contaminated'
+             |               WHEN q.n_toks < 40 OR q.stopword_ratio < 0.03 THEN 'low_quality'
+             |               ELSE 'kept' END AS status
+             |        FROM b$p b JOIN r$p r USING (doc_id) JOIN q USING (doc_id)),
+             |kept$p AS (SELECT doc_id FROM m$p WHERE status = 'kept')""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |keys AS (SELECT doc_id, md5(text) AS key FROM documents),
+           |shing AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+           |q AS (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
+           |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+           |              / len(T), 6) AS stopword_ratio
+           |      FROM t),
+           |idx1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+           |${phase(1, 0, "doc_id % 10 <> 5")},
+           |idx2 AS (SELECT doc_id FROM idx1
+           |         UNION ALL SELECT doc_id FROM kept1),
+           |${phase(2, 5, "TRUE")}
+           |SELECT doc_id, source, n_toks, status FROM m1
+           |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin
+      },
+      "online curation over a maintained index: two sequential micro-batches, phase-2 probes include phase-1's kept docs"))
 }

@@ -1,0 +1,238 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import graft.sinks.Layout
+import graft.ops.TextAnalysis._
+
+/** ONLINE curation over a maintained corpus index — the production
+  * face of q143 (incremental curation) and the streaming face of the
+  * q141 pipeline.
+  *
+  * q143 derives the corpus's probe structures inline from the full
+  * table; here they are MATERIALIZED as static tables under
+  * `root/static/` and maintained incrementally, which is the only
+  * shape that works at 100 TB (the corpus is never re-scanned per
+  * batch — each ingest touches the batch plus three equi-join probes
+  * into stored indexes):
+  *
+  *   - `curate_keys`   (key, doc_id): content-hash set (exact layer)
+  *   - `curate_bands`  (doc_id, h0..h3): MinHash signatures whose 2×2
+  *     band projection is the near-dup index
+  *   - `curate_bench`  (sh): benchmark shingle set (decontamination)
+  *   - `curate_manifest` (doc_id, source, n_toks, status): one row per
+  *     ingested doc with its drop PROVENANCE — q142's no-silent-drops
+  *     discipline, written LAST per batch as the commit marker
+  *
+  * Only KEPT docs join the keys/bands index (their dropped duplicates
+  * are represented by their survivor); bench members contribute their
+  * shingles to `curate_bench` and route to the eval suite.
+  *
+  * Replay safety (the foreachBatch retry contract): every probe
+  * EXCLUDES index rows whose doc_id is in the current batch, so a
+  * half-applied batch (keys/bands landed, manifest missing) recomputes
+  * bit-identical statuses on retry — a kept doc does not see its own
+  * (or a batch-mate's) half-landed index rows and misclassify the
+  * whole batch as corpus duplicates. All four writes are
+  * [[Layout.upsertStatic]] anti-join upserts, so re-landing is a
+  * no-op row-wise; the manifest, keyed by doc_id, lands last.
+  *
+  * Versus q143's one-shot batch semantics, sequential ingest is
+  * FIRST-ARRIVAL-WINS across batches: an exact-dup group split over
+  * two batches keeps the earlier arrival (not the batch-global
+  * keep-best representative), and a near-dup pair split over batches
+  * reports `dup_near_corpus` (the earlier member is corpus by then)
+  * where the one-shot batch said `dup_near_batch`. CurateStreamSpec
+  * pins both deviations.
+  */
+object CurateStream {
+
+  val KeysEntity = "curate_keys"
+  val BandsEntity = "curate_bands"
+  val BenchEntity = "curate_bench"
+  val ManifestEntity = "curate_manifest"
+
+  private def contentKey(text: Column): Column = md5(text.cast("binary"))
+
+  /** MinHash signature frame (doc_id, h0..h3); docs with no shingles
+    * (under 4 tokens) have no signature and skip the near-dup layer. */
+  private def sigsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+        element_at(col("sig"), j + 1).as(s"h$j")): _*)
+  }
+
+  /** 2 bands of 2 hashes — the q28 band projection of a signature
+    * frame (works for both the batch side and the stored index). */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), lit(0).as("band"),
+        col("h0").as("x"), col("h1").as("y"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        col("h2").as("x"), col("h3").as("y")))
+
+  /** Distinct shingle hashes of bench-member docs (doc_id % 29 = 0,
+    * the corpus's bench-membership rule — q98/q141/q143). */
+  private def benchShinglesOf(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 29 === 0)
+      .select(explode(
+        graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+      .distinct()
+
+  private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
+    s.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType.fromDDL(ddl))
+
+  private def stored(s: SparkSession, root: String, entity: String,
+      ddl: String): DataFrame =
+    Layout.readStatic(s, root, entity, recover = true)
+      .getOrElse(emptyFrame(s, ddl))
+
+  /** Seed the index from an existing corpus (assumed already curated:
+    * ALL its docs contribute keys and signatures; its bench members
+    * contribute shingles). Idempotent — re-bootstrapping is a no-op. */
+  def bootstrap(corpus: DataFrame, root: String): Unit = {
+    Layout.upsertStatic(
+      corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
+      root, KeysEntity, Seq("key", "doc_id"))
+    Layout.upsertStatic(sigsOf(corpus), root, BandsEntity, Seq("doc_id"))
+    Layout.upsertStatic(benchShinglesOf(corpus), root, BenchEntity, Seq("sh"))
+  }
+
+  /** Curate one batch against the stored index: returns (and lands)
+    * the manifest rows — one per batch doc with its drop provenance,
+    * q143's statuses and precedence — then folds the kept docs into
+    * the index. Deterministic and replay-idempotent (see object doc). */
+  def ingestBatch(batch0: DataFrame, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch0.sparkSession
+    val batch = batch0.localCheckpoint()
+    val ids = batch.select("doc_id").distinct()
+
+    // probes EXCLUDE this batch's own ids — a replayed half-applied
+    // batch must not see its own landed rows (bit-stable statuses)
+    val keyIdx = stored(s, root, KeysEntity, "key string, doc_id bigint")
+      .join(ids, Seq("doc_id"), "left_anti").select("key").distinct()
+    val sigIdx = stored(s, root, BandsEntity,
+        "doc_id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint")
+      .join(ids, Seq("doc_id"), "left_anti")
+    val benchIdx = stored(s, root, BenchEntity, "sh bigint")
+
+    // exact layer: stored content-key probe + within-batch keep-best
+    val keyed = batch.withColumn("key", contentKey(col("text")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .localCheckpoint()
+    val dupExactCorpus = keyed.join(keyIdx, Seq("key"), "left_semi")
+      .select("doc_id")
+    val dupExactBatch = keyed.where(col("rn") > 1).select("doc_id")
+    val b1 = keyed.select("doc_id")
+      .join(dupExactCorpus, Seq("doc_id"), "left_anti")
+      .join(dupExactBatch, Seq("doc_id"), "left_anti")
+
+    // near-dup layer: batch signatures probe the stored band index AND
+    // self-join their own bands (q143's two scorers)
+    val sigB = sigsOf(batch).localCheckpoint()
+    val bsig = sigB.join(b1, Seq("doc_id"), "left_semi")
+    def agree(a: DataFrame, aId: String, b: DataFrame, bId: String,
+        cand: DataFrame): DataFrame = cand
+      .join(a.toDF(aId, "a0", "a1", "a2", "a3"), aId)
+      .join(b.toDF(bId, "b0", "b1", "b2", "b3"), bId)
+      .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+        when(col("a1") === col("b1"), 1).otherwise(0) +
+        when(col("a2") === col("b2"), 1).otherwise(0) +
+        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+        >= 0.5)
+    val candCorpus = bandsOf(bsig).toDF("b_id", "band", "x", "y")
+      .join(bandsOf(sigIdx).toDF("c_id", "band", "x", "y"),
+        Seq("band", "x", "y"))
+      .select("b_id", "c_id").distinct()
+    val dupNearCorpus = agree(bsig, "b_id", sigIdx, "c_id", candCorpus)
+      .select(col("b_id").as("doc_id")).distinct()
+    val bb = bandsOf(bsig)
+    val candBatch = bb.toDF("a_id", "band", "x", "y")
+      .join(bb.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val dupNearBatch = agree(bsig, "a_id", bsig, "b_id", candBatch)
+      .select(col("b_id").as("doc_id")).distinct()
+    val b2 = b1
+      .join(dupNearCorpus, Seq("doc_id"), "left_anti")
+      .join(dupNearBatch, Seq("doc_id"), "left_anti")
+
+    // decontamination: stored bench shingles ∪ THIS batch's members'
+    // (a batch doc contaminated by a batch-mate bench member is caught
+    // in the same ingest, matching q143's full-corpus bench rule)
+    val batchBench = benchShinglesOf(batch)
+    val bench = benchIdx.unionByName(batchBench).distinct()
+    val contaminated = batch.join(b2, Seq("doc_id"), "left_semi")
+      .where(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), explode(
+        graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+      .join(broadcast(bench.toDF("b_sh")), col("sh") === col("b_sh"),
+        "left_semi")
+      .select("doc_id").distinct()
+
+    // per-row quality stats ride the manifest for EVERY doc
+    val withQ = keyed
+      .withColumn("T", tokens(col("text")))
+      .withColumn("n_toks", size(col("T")).cast("long"))
+      .withColumn("stopword_ratio", round(
+        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+          .cast("double") / col("n_toks"), 6))
+    def flag(df: DataFrame, name: String) = df.withColumn(name, lit(1))
+    // materialize BEFORE any index write: the manifest's plan reads the
+    // stored tables, and the upserts below mutate them — an unmaterial-
+    // ized manifest would re-probe the post-write store and flag the
+    // batch's own kept docs as corpus duplicates
+    val manifest = withQ
+      .join(flag(dupExactCorpus, "f_dec"), Seq("doc_id"), "left")
+      .join(flag(dupNearCorpus, "f_dnc"), Seq("doc_id"), "left")
+      .join(flag(dupNearBatch, "f_dnb"), Seq("doc_id"), "left")
+      .join(flag(contaminated, "f_cont"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        when(col("f_dec") === 1, "dup_exact_corpus")
+          .when(col("rn") > 1, "dup_exact_batch")
+          .when(col("f_dnc") === 1, "dup_near_corpus")
+          .when(col("f_dnb") === 1, "dup_near_batch")
+          .when(col("doc_id") % 29 === 0, "bench_member")
+          .when(col("f_cont") === 1, "contaminated")
+          .when(col("n_toks") < 40L || col("stopword_ratio") < 0.03,
+            "low_quality")
+          .otherwise("kept").as("status"))
+      .localCheckpoint()
+
+    // index first, manifest LAST (the batch's commit marker)
+    val kept = manifest.where(col("status") === "kept").select("doc_id")
+    Layout.upsertStatic(
+      keyed.join(kept, Seq("doc_id"), "left_semi").select("key", "doc_id"),
+      root, KeysEntity, Seq("key", "doc_id"))
+    Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
+      root, BandsEntity, Seq("doc_id"))
+    Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
+    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
+    manifest
+  }
+
+  /** The Structured Streaming driver: watch `rawDir` for document
+    * batches (parquet), curate each micro-batch against the index.
+    * Restart-safe: the checkpoint replays the unfinished batch and
+    * [[ingestBatch]]'s probes + anti-join upserts make that replay a
+    * row-wise no-op. */
+  def run(spark: SparkSession, rawDir: String, schema: StructType,
+      root: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(rawDir)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        ingestBatch(b, root); ()
+      }
+      .start()
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sinks.Layout
+
+/** The online-curation contract: CurateIncrementalSpec's hand corpus
+  * driven through [[CurateStream]] as TWO micro-batches over a real
+  * file-source stream, pinning (a) every status lands with the stored
+  * index probing exactly as q143's inline derivation, (b) the two
+  * DOCUMENTED deviations from one-shot batch semantics when a dup
+  * group straddles micro-batches — first-arrival-wins for exact dups,
+  * and near-dup pairs reporting `dup_near_corpus` because the earlier
+  * member is corpus by the time the later one arrives — and (c) the
+  * foreachBatch replay contract: re-ingesting an already-applied batch
+  * changes nothing, row-wise. */
+class CurateStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Same quality-text construction as CurateIncrementalSpec: 45
+    * unique tokens + 5 interleaved (never-adjacent) stopwords. */
+  private def qtext(k: Int): String = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    (0 until 45).flatMap(i =>
+      if (i % 9 == 0) Seq(stop(i / 9), s"w${k}_$i") else Seq(s"w${k}_$i"))
+      .mkString(" ")
+  }
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS INT) AS n_chars")
+  }
+
+  test("file-source stream curates micro-batches against the maintained index") {
+    val s = spark
+    import s.implicits._
+    val t1 = qtext(1); val t2 = qtext(2)
+    val t3 = qtext(3); val t4 = qtext(4)
+    // corpus (doc_id % 5 <> 0): mirrors CurateIncrementalSpec's
+    val corpus = docsDF(Seq(
+      1L -> t1,                 // exact twin of batch doc 0
+      2L -> (t3 + " tail3"),    // near-dup partner of batch doc 15
+      29L -> qtext(6)))         // bench member (29 % 29 = 0)
+    // the q143 batch, split: %10=0 arrives first, %10=5 second
+    val batchA = docsDF(Seq(
+      0L -> t1,                 // exact corpus dup (and bench member —
+                                //   exact precedence wins, as in q143)
+      10L -> t2,                // its keep-best twin 5 arrives LATER:
+                                //   10 is kept (first-arrival-wins)
+      20L -> t4,                // near partner 25 arrives later: kept
+      30L -> (qtext(7) + " w6_0 w6_1 w6_2 w6_3"), // bench-29 shingle
+      40L -> qtext(8)))         // unique quality text
+    val batchB = docsDF(Seq(
+      5L -> t2,                 // exact twin of now-kept 10 →
+                                //   dup_exact_corpus (batch said
+                                //   dup_exact_batch and kept 5)
+      15L -> t3,                // near corpus doc 2
+      25L -> (t4 + " tail4"),   // near now-kept 20 → dup_near_corpus
+                                //   (one-shot batch said dup_near_batch)
+      35L -> "just three tokens", // low_quality
+      145L -> qtext(9)))        // 145 % 29 = 0 → bench_member
+
+    val root = graft.Temps.dir("curate-stream-root")
+    val rawDir = graft.Temps.dir("curate-stream-raw")
+    val ckpt = graft.Temps.dir("curate-stream-ckpt")
+    CurateStream.bootstrap(corpus, root)
+
+    // real file-source stream, one file per micro-batch, arrival order
+    // forced by writing each file only after the previous drained
+    val q = CurateStream.run(s, rawDir, batchA.schema, root, ckpt)
+    batchA.coalesce(1).write.mode("append").parquet(rawDir)
+    q.processAllAvailable()
+    batchB.coalesce(1).write.mode("append").parquet(rawDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val manifest = Layout.readStatic(s, root, CurateStream.ManifestEntity).get
+    val got = manifest.select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    val want = Map(
+      0L -> "dup_exact_corpus", 10L -> "kept", 20L -> "kept",
+      30L -> "contaminated", 40L -> "kept",
+      5L -> "dup_exact_corpus", 15L -> "dup_near_corpus",
+      25L -> "dup_near_corpus", 35L -> "low_quality",
+      145L -> "bench_member")
+    assert(got === want)
+
+    // index contents: kept docs' keys+sigs only; bench grew by the
+    // batch members' shingles
+    val keys = Layout.readStatic(s, root, CurateStream.KeysEntity).get
+    assert(keys.select("doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 29L, 10L, 20L, 40L))
+
+    // replay contract: re-ingesting batch B is a row-wise no-op — the
+    // statuses recompute identically (probes exclude the batch's own
+    // landed rows) and every upsert anti-joins to nothing
+    val counts = Seq(CurateStream.KeysEntity, CurateStream.BandsEntity,
+      CurateStream.BenchEntity, CurateStream.ManifestEntity)
+      .map(e => Layout.readStatic(s, root, e).get.count())
+    val replayed = CurateStream.ingestBatch(batchB, root)
+    assert(replayed.select("doc_id", "status")
+      .as[(Long, String)].collect().toMap === want.filter {
+        case (id, _) => id % 10 == 5 })
+    val countsAfter = Seq(CurateStream.KeysEntity, CurateStream.BandsEntity,
+      CurateStream.BenchEntity, CurateStream.ManifestEntity)
+      .map(e => Layout.readStatic(s, root, e).get.count())
+    assert(countsAfter === counts)
+  }
+}
