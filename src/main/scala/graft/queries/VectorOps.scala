@@ -386,5 +386,66 @@ object VectorOps {
               |         GROUP BY 1)
               |SELECT c.vec_id, c.cell, r.rep_id IS NOT NULL AS is_dup, r.rep_id
               |FROM cells c LEFT JOIN reps r USING (vec_id)""".stripMargin),
-      "semantic dedup over the trained codebook: deterministic k-means cells, oracle-replayed training"))
+      "semantic dedup over the trained codebook: deterministic k-means cells, oracle-replayed training"),
+
+    // ONLINE semantic dedup over a MAINTAINED IVF index
+    // (SemanticStream): the vector-side analog of q144 — the codebook
+    // and inverted file are stored; each batch pays a zero-shuffle
+    // argmin assignment, one cell equi-join against the stored file,
+    // and a batch-internal cell self-join; kept vectors fold in before
+    // the next batch probes. Two sequential batches (vec_id % 10 = 0,
+    // then % 10 = 5) against corpus = vec_id % 5 <> 0; the oracle
+    // replays both phases with phase 2's inverted file = corpus ∪
+    // phase-1 kept. rep_id is the LEAST matching same-cell id ≥ 0.3
+    // cosine (corpus or smaller batch-mate); its provenance is the
+    // status.
+    "q145_semantic_ingest" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-stream-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 5), root)
+        graft.sinks.Layout.readStatic(s, root, SemanticStream.ManifestEntity)
+          .get
+      },
+      Some {
+        def phase(p: Int, m: Int, idx: String): String =
+          s"""b$p AS (SELECT * FROM cells WHERE vec_id % 10 = $m),
+             |mm$p AS (
+             |  SELECT a.vec_id, c.vec_id AS m_id, 1 AS fc
+             |  FROM b$p a JOIN $idx c ON a.cell = c.cell
+             |   AND ${cosSql("a.v", "c.v")} >= 0.3
+             |  UNION ALL
+             |  SELECT a.vec_id, b.vec_id AS m_id, 0 AS fc
+             |  FROM b$p a JOIN b$p b ON a.cell = b.cell
+             |   AND b.vec_id < a.vec_id
+             |   AND ${cosSql("a.v", "b.v")} >= 0.3),
+             |r$p AS (SELECT vec_id, min(m_id) AS rep_id,
+             |          arg_min(fc, m_id) AS fc FROM mm$p GROUP BY 1),
+             |man$p AS (SELECT b.vec_id, b.cell,
+             |            CASE WHEN r.rep_id IS NULL THEN 'kept'
+             |                 WHEN r.fc = 1 THEN 'dup_corpus'
+             |                 ELSE 'dup_batch' END AS status, r.rep_id
+             |          FROM b$p b LEFT JOIN r$p r USING (vec_id)),
+             |kept$p AS (SELECT c.* FROM b$p c SEMI JOIN
+             |             (SELECT vec_id FROM man$p WHERE status = 'kept') k
+             |             USING (vec_id))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+           |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+           |${phase(1, 0, "corp")},
+           |idx2 AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+           |${phase(2, 5, "idx2")}
+           |SELECT vec_id, cell, status, rep_id FROM man1
+           |UNION ALL SELECT vec_id, cell, status, rep_id FROM man2""".stripMargin
+      },
+      "online semantic dedup over a stored IVF index: sequential batches, kept vectors fold into the inverted file"))
 }
