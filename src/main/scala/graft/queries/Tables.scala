@@ -33,17 +33,35 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read it as raw nanos (legacy long mode) and convert
-    * to a micros TimestampType with integer division — `ts div 1000`
-    * stays in Long space (nanos ≈ 1.7e18 would lose precision through a
-    * double). DuckDB reads the same file as TIMESTAMP_NS and its
-    * epoch_us() truncates identically. The nanosAsLong conf is pinned in
-    * [[graft.Sessions]] (session-wide, not a reader side effect). */
+  /** `events.ts` has drifted across testdata generations:
+    * TIMESTAMP(NANOS) (which Spark reads as a raw Long under the pinned
+    * `nanosAsLong` conf), then TIMESTAMP(MICROS) (arriving as
+    * TIMESTAMP_NTZ). A reader hard-coded to either encoding dies at
+    * analysis time on the other, so branch on the *scanned* dataType:
+    *  - LongType (nanos-as-long era): `ts div 1000` in Long space —
+    *    integer division, no double round-trip — then timestamp_micros.
+    *  - TimestampNTZType / TimestampType (micros era): cast to session
+    *    TimestampType; the session TZ is pinned UTC so NTZ→LTZ is exact
+    *    and `epochUs` downstream is unchanged.
+    * DuckDB's epoch_us() over either encoding truncates identically, so
+    * the oracles need no branch. Encoding-invariance is pinned by
+    * TablesSpec (writes the fixture both ways, asserts identical
+    * epoch-micros). */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet encoding $other — expected " +
+            "LongType (TIMESTAMP_NANOS under nanosAsLong) or Timestamp(NTZ); " +
+            "extend Tables.events for this encoding")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
