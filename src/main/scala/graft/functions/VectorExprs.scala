@@ -119,7 +119,7 @@ case class NearestCellsExpr(child: Expression, cids: Seq[Long],
 
   /** Spark `round(x, 6)`'s exact double path (mathExpressions codegen):
     * NaN/Inf pass through, else BigDecimal.valueOf half-up. */
-  private def round6(x: Double): Double =
+  private def round6dp(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -140,7 +140,7 @@ case class NearestCellsExpr(child: Expression, cids: Seq[Long],
     var filled = 0
     var j = 0
     while (j < k) {
-      val cc = round6(VectorExprs.dotRef(v, cvArr(j)) / (n * cnArr(j)))
+      val cc = round6dp(VectorExprs.dotRef(v, cvArr(j)) / (n * cnArr(j)))
       val cid = cidArr(j)
       var pos = filled
       while (pos > 0 && before(cc, cid, accCc(pos - 1), accCid(pos - 1))) pos -= 1

@@ -28,7 +28,7 @@ object SimSearch {
     * @param queries (idCol, vecCol) rows — small side, broadcast
     * @param corpus  (idCol, vecCol) rows */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, round6: Boolean = true): DataFrame = {
+      vecCol: String, k: Int, round6dp: Boolean = true): DataFrame = {
     val q = queries.select(
       col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -36,7 +36,7 @@ object SimSearch {
       col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
     val cosRaw = cosine(col("qv"), col("cv"), col("qn"), col("cn"))
-    val cos = if (round6) round(cosRaw, 6) else cosRaw
+    val cos = if (round6dp) round(cosRaw, 6) else cosRaw
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cos.as("cos"))

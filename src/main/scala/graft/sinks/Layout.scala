@@ -242,6 +242,59 @@ object Layout {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Full atomic replacement of a static entity through the crash-safe
+    * swap — the public face of [[overwriteStaticAtomic]] for callers
+    * that rebuild a WHOLE table (e.g. [[graft.streaming.SemanticStream]]
+    * retrain, which re-derives every cell assignment and must not leave
+    * a torn mix of old and new rows; key-scoped replacement stays on
+    * [[upsertStaticReplace]]). */
+  def replaceStatic(df: DataFrame, root: String, entity: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    overwriteStaticAtomic(df, root, entity, maxRecordsPerFile)
+
+  /** Compact a static entity's FILE LAYOUT without changing its rows.
+    * Incremental ingest ([[upsertStatic]] per batch) appends a few
+    * small files per batch; after hundreds of batches every probe of
+    * the index pays file listing + per-footer schema reads + one scan
+    * task per tiny file — the curate/vector index cost that
+    * CurateRehearsal measures growing with batch count. Compaction
+    * rewrites the table through the same crash-safe atomic swap
+    * ([[overwriteStaticAtomic]] — a kill at any point leaves a
+    * complete copy) into ~targetBytes-sized files, restoring the
+    * per-batch probe cost to the data's size rather than its append
+    * history. Runs in the ingest process between batches (writers are
+    * one-per-root by contract, so there is no reader to race beyond
+    * readStatic's documented between-renames window).
+    *
+    * Returns (filesBefore, filesAfter), or None when the entity does
+    * not exist. Idempotent: re-compacting a compacted table rewrites
+    * it to the same file count. */
+  def compactStatic(spark: org.apache.spark.sql.SparkSession, root: String,
+      entity: String, targetBytes: Long = 128L * 1024 * 1024,
+      maxRecordsPerFile: Long = 1000000L): Option[(Int, Int)] =
+    readStatic(spark, root, entity, recover = true).map { existing =>
+      val fs = hadoopFs(spark, root)
+      val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
+      def dataFiles(): Int = {
+        val it = fs.listFiles(dst, true)
+        var n = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val before = dataFiles()
+      val bytes = fs.getContentSummary(dst).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      // repartition (not coalesce): coalesce would glue scan partitions
+      // without a shuffle but inherits their skew; the rewrite is the
+      // cost here anyway and a balanced layout is the product
+      overwriteStaticAtomic(existing.repartition(nFiles), root, entity,
+        maxRecordsPerFile)
+      (before, dataFiles())
+    }
+
   /** K4 for MULTI-row-per-key entities (the `abi` table: one skeleton →
     * many rows, all-or-nothing per skeleton): incoming rows REPLACE any
     * existing rows sharing their keys, via the atomic swap. The add-only

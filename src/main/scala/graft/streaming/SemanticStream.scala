@@ -14,10 +14,12 @@ import graft.sinks.Layout
   * from the full corpus; at 100 TB the corpus index must be STORED and
   * probed per batch instead:
   *
-  *   - `ivf_codebook` (cid, cv, cn): the coarse quantizer — bounded
-  *     (K rows), broadcast into every assignment
-  *   - `ivf_cells`    (id, cell, v, n): the inverted file — every
-  *     kept vector with its cell assignment
+  *   - `ivf_codebook` (cid, cv, cn, ver): the coarse quantizer —
+  *     bounded (K rows), broadcast into every assignment; `ver` is a
+  *     content hash of the codebook, the consistency tag the cells
+  *     carry back
+  *   - `ivf_cells`    (id, cell, v, n, ver): the inverted file — every
+  *     kept vector with its cell assignment under codebook `ver`
   *   - `vec_manifest` (vec_id, cell, status, rep_id): one row per
   *     ingested vector with its dedup provenance, written LAST per
   *     batch as the commit marker
@@ -27,8 +29,23 @@ import graft.sinks.Layout
   * row), one equi-join on cell against the stored inverted file, and
   * one batch-internal cell self-join. The corpus is never rescanned
   * and never pairs against itself. The codebook is FROZEN between
-  * ingests (standard IVF practice — [[SimSearch.trainCodebook]] is
-  * the offline retrain; re-bootstrapping re-assigns, an offline job).
+  * ingests (standard IVF practice); [[retrain]] is the periodic
+  * offline pass that re-fits it to the corpus the index has actually
+  * accumulated — SemanticRehearsal measures the drift law (dup recall
+  * decays and cells unbalance as ingested batches leave the trained
+  * distribution) that sets the retrain cadence, documented in
+  * SCALE.md.
+  *
+  * Retrain crash contract: the codebook and the inverted file are two
+  * entities, each swapped atomically ([[Layout.replaceStatic]]) but
+  * not jointly — a kill between the swaps would leave assignments
+  * from one codebook probed under another, silently missing
+  * duplicates. The `ver` tag closes that window: retrain lands the
+  * NEW codebook first, then the reassigned cells; every ingest
+  * compares the cells' `ver` against the codebook's and ROLLS the
+  * torn retrain FORWARD (one reassignment pass — the exact work the
+  * crash interrupted) before probing. RetrainSpec kills retrain
+  * between the swaps and pins the repair.
   *
   * Dedup rule (q135's keep-first, extended with provenance): a batch
   * vector is a duplicate when some same-cell vector scores cosine
@@ -38,6 +55,10 @@ import graft.sinks.Layout
   * batch-mate (`dup_batch`). Only kept vectors join the inverted
   * file. Replay-safe like CurateStream: probes exclude the current
   * batch's own ids, writes are anti-join upserts, manifest last.
+  * Retrain does NOT revisit past dedup decisions: the manifest is
+  * historical provenance (its `cell` is the assignment at ingest
+  * time), and a dropped vector stays dropped — only FUTURE probes see
+  * the re-fitted geometry.
   */
 object SemanticStream {
 
@@ -48,6 +69,11 @@ object SemanticStream {
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
 
+  private val CellsDdl =
+    "id bigint, cell bigint, v array<double>, n double, ver string"
+  private val CodebookDdl =
+    "cid bigint, cv array<double>, cn double, ver string"
+
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
       StructType.fromDDL(ddl))
@@ -57,32 +83,99 @@ object SemanticStream {
     Layout.readStatic(s, root, entity, recover = true)
       .getOrElse(emptyFrame(s, ddl))
 
+  /** Content hash of a collected codebook — deterministic (the
+    * codebook itself is: id-seeded init, fixed rounds, decimal means)
+    * so a replayed retrain produces the same tag. */
+  def codebookVersion(cb: Seq[(Long, Seq[Double], Double)]): String = {
+    val canon = cb.sortBy(_._1)
+      .map { case (cid, cv, cn) => s"$cid:${cv.mkString(",")}:$cn" }
+      .mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def codebookFrame(s: SparkSession,
+      cb: Seq[(Long, Seq[Double], Double)], ver: String): DataFrame = {
+    import s.implicits._
+    cb.map { case (cid, cv, cn) => (cid, cv, cn, ver) }
+      .toDF("cid", "cv", "cn", "ver")
+  }
+
+  /** One zero-shuffle assignment pass over the stored inverted file
+    * under codebook `cb`, atomically replacing it (ver-tagged). The
+    * unit of work a [[retrain]] ends with and a torn retrain's repair
+    * repeats. */
+  private def reassignAll(s: SparkSession, root: String,
+      cb: Seq[(Long, Seq[Double], Double)], ver: String): Unit = {
+    val cells = stored(s, root, CellsEntity, CellsDdl)
+    val reassigned = SimSearch.ivfAssign(cells, "id", "v", cb, p = 1)
+      .select(col("id"),
+        element_at(col("probes"), 1).getField("cid").as("cell"),
+        col("v"), col("n"), lit(ver).as("ver"))
+    Layout.replaceStatic(reassigned, root, CellsEntity)
+  }
+
   /** Seed the index from an existing corpus: id-seeded codebook
-    * (K lowest-id vectors — swap in [[SimSearch.trainCodebook]]'s
-    * output for production recall) and the corpus's cell assignments.
-    * Idempotent. */
+    * (K lowest-id vectors — [[retrain]] upgrades it to the trained
+    * one) and the corpus's cell assignments. Idempotent. */
   def bootstrap(corpus: DataFrame, root: String, k: Int = SimSearch.IvfK,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = SimSearch.ivfCentroids(corpus, idCol, vecCol, k)
-    Layout.upsertStatic(cents, root, CodebookEntity, Seq("cid"))
-    val cb = SimSearch.collectCodebook(cents)
+    val s = corpus.sparkSession
+    val cb = SimSearch.collectCodebook(
+      SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
+    val ver = codebookVersion(cb)
+    Layout.upsertStatic(codebookFrame(s, cb, ver), root, CodebookEntity,
+      Seq("cid"))
     val cells = SimSearch.ivfAssign(corpus, idCol, vecCol, cb, p = 1)
       .select(col("id"),
         element_at(col("probes"), 1).getField("cid").as("cell"),
-        col("v"), col("n"))
+        col("v"), col("n"), lit(ver).as("ver"))
     Layout.upsertStatic(cells, root, CellsEntity, Seq("id"))
+  }
+
+  /** Re-fit the frozen codebook to the corpus the inverted file has
+    * accumulated: deterministic Lloyd's over the KEPT vectors
+    * ([[SimSearch.trainCodebook]] — dropped duplicates don't vote),
+    * then swap codebook (first — its `ver` is the retrain's commit
+    * marker) and reassigned cells (second). A kill between the swaps
+    * leaves cells tagged with the old `ver`; the next [[ingestVectors]]
+    * detects the mismatch and rolls forward. Returns the new version
+    * tag. `afterCodebookSwap` is the crash-injection seam RetrainSpec
+    * kills in. */
+  def retrain(spark: SparkSession, root: String, k: Int = SimSearch.IvfK,
+      rounds: Int = 3,
+      afterCodebookSwap: () => Unit = () => ()): String = {
+    val cells = stored(spark, root, CellsEntity, CellsDdl)
+    require(!cells.isEmpty, s"no inverted file under $root — bootstrap first")
+    val cb = SimSearch.trainCodebook(cells, "id", "v", k, rounds)
+    val ver = codebookVersion(cb)
+    Layout.replaceStatic(codebookFrame(spark, cb, ver), root, CodebookEntity)
+    afterCodebookSwap()
+    reassignAll(spark, root, cb, ver)
+    ver
   }
 
   /** Dedup one vector batch against the stored index; returns (and
     * lands) the manifest, then folds kept vectors into the inverted
-    * file. Deterministic and replay-idempotent. */
+    * file. Deterministic and replay-idempotent. Repairs a torn
+    * [[retrain]] (cells' ver ≠ codebook's) by rolling it forward
+    * before probing. */
   def ingestVectors(batch0: DataFrame, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = batch0.sparkSession
     val batch = batch0.localCheckpoint()
     val cb = SimSearch.collectCodebook(
-      stored(s, root, CodebookEntity, "cid bigint, cv array<double>, cn double"))
+      stored(s, root, CodebookEntity, CodebookDdl))
     require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
+    val ver = codebookVersion(cb)
+    // torn-retrain repair: any cell row not tagged with the live
+    // codebook's version was assigned under a different codebook —
+    // finish the interrupted reassignment before probing (the check is
+    // a column-pruned scan of `ver` only; parquet min/max stats prune
+    // the files on a healthy store)
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
     // zero-shuffle assignment of the batch against the frozen codebook
     val asg = SimSearch.ivfAssign(batch, idCol, vecCol, cb, p = 1)
       .select(col("id").as("vec_id"),
@@ -92,8 +185,8 @@ object SemanticStream {
     val ids = asg.select(col("vec_id").as("id"))
     // the inverted file, minus this batch's own (possibly half-landed
     // on a replay) rows
-    val corpusCells = stored(s, root, CellsEntity,
-        "id bigint, cell bigint, v array<double>, n double")
+    val corpusCells = stored(s, root, CellsEntity, CellsDdl)
+      .select("id", "cell", "v", "n")
       .join(ids, Seq("id"), "left_anti")
     val a = asg.toDF("vec_id", "cell", "av", "an")
     val corpusMatches = a
@@ -124,7 +217,8 @@ object SemanticStream {
     val kept = manifest.where(col("status") === "kept")
       .select(col("vec_id").as("id"))
     Layout.upsertStatic(
-      asg.toDF("id", "cell", "v", "n").join(kept, Seq("id"), "left_semi"),
+      asg.toDF("id", "cell", "v", "n").withColumn("ver", lit(ver))
+        .join(kept, Seq("id"), "left_semi"),
       root, CellsEntity, Seq("id"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     manifest

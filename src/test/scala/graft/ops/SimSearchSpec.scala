@@ -109,7 +109,7 @@ class SimSearchSpec extends AnyFunSuite {
     // v is equidistant from both centroids (identical rounded cosine)
     val df = Seq((10L, Array(1.0, 1.0))).toDF("vec_id", "embedding")
     val cb = Seq(
-      (7L, Seq(0.0, 2.0), 2.0), // cos = round6(1/sqrt(2)) both
+      (7L, Seq(0.0, 2.0), 2.0), // cos = round6dp(1/sqrt(2)) both
       (3L, Seq(2.0, 0.0), 2.0))
     val probes = SimSearch.ivfAssign(df, "vec_id", "embedding", cb, p = 2)
       .select(col("probes").getField("cid")).head.getSeq[Long](0)

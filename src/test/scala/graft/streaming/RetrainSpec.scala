@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sinks.Layout
+
+/** [[SemanticStream.retrain]] contract, three faces:
+  *
+  *  1. the functional payoff — a near-dup pair that the id-seeded
+  *     codebook splits across cells (dup MISSED) is caught after
+  *     retrain re-fits the centroids to the true clusters;
+  *  2. version bookkeeping — retrain retags codebook + every cell row
+  *     with the new content-hash version, preserving ids/vectors;
+  *  3. the crash window — a kill between the codebook swap and the
+  *     cells swap leaves a detectable ver mismatch, and the next
+  *     ingest ROLLS THE RETRAIN FORWARD: its manifest and final index
+  *     state are bit-identical to a run whose retrain never crashed.
+  */
+class RetrainSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def vec(parts: (Int, Double)*): Seq[Double] = {
+    val a = Array.fill(6)(0.0)
+    parts.foreach { case (i, x) => a(i) = x }
+    a.toSeq
+  }
+
+  private def df(rows: Seq[(Long, Seq[Double])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // Both codebook seeds (the 2 lowest ids) sit in cluster A around e0,
+  // so the seeded quantizer cannot separate cluster B around e2 — the
+  // drift scenario in miniature (the stored codebook no longer fits
+  // the accumulated corpus).
+  private def corpus = df(Seq(
+    1L -> vec(0 -> 1.0),              // cluster A (seed 1)
+    2L -> vec(0 -> 1.0, 1 -> 0.1),    // cluster A (seed 2)
+    3L -> vec(2 -> 1.0),              // cluster B
+    4L -> vec(0 -> 0.2, 2 -> 1.0),    // cluster B — the twin's nearest
+    5L -> vec(2 -> 1.0, 4 -> 0.3)))   // cluster B
+
+  // Near-twin of corpus 4 (cos ≈ 0.97) nudged with an e1 component so
+  // the SEEDED codebook assigns it to the other seed's cell than 4.
+  private def batch = df(Seq(100L -> vec(0 -> 0.2, 1 -> 0.25, 2 -> 1.0)))
+
+  private def status(root: String): Map[Long, (String, Long)] = {
+    val man = Layout.readStatic(spark, root, SemanticStream.ManifestEntity).get
+    man.select("vec_id", "status", "rep_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+  }
+
+  private def cellsState(root: String): Set[(Long, Long, String)] = {
+    val c = Layout.readStatic(spark, root, SemanticStream.CellsEntity).get
+    c.select("id", "cell", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+  }
+
+  private def codebookVer(root: String): String =
+    Layout.readStatic(spark, root, SemanticStream.CodebookEntity).get
+      .select("ver").distinct().collect().map(_.getString(0)) match {
+      case Array(v) => v
+      case vs => fail(s"codebook carries ${vs.length} versions: ${vs.toSeq}")
+    }
+
+  test("seeded codebook misses the cross-cell near-dup; retrain catches it") {
+    // control: no retrain — seeds can't separate cluster B, the twin
+    // lands in a different cell than its rep and is wrongly kept
+    val ctl = graft.Temps.dir("retrain-control")
+    SemanticStream.bootstrap(corpus, ctl, k = 2)
+    SemanticStream.ingestVectors(batch, ctl)
+    assert(status(ctl)(100L)._1 === "kept",
+      "fixture geometry: the seeded codebook was supposed to split the pair")
+
+    // retrained: centroids move to the true cluster means, the twin
+    // shares cluster B's cell with 3/4/5 → dup_corpus, rep = least id
+    val root = graft.Temps.dir("retrain-happy")
+    SemanticStream.bootstrap(corpus, root, k = 2)
+    val ver = SemanticStream.retrain(spark, root, k = 2)
+    assert(codebookVer(root) === ver)
+    val cells = cellsState(root)
+    assert(cells.map(_._1) === Set(1L, 2L, 3L, 4L, 5L), "ids preserved")
+    assert(cells.map(_._3) === Set(ver), "every cell row retagged")
+    SemanticStream.ingestVectors(batch, root)
+    assert(status(root)(100L) === ("dup_corpus", 3L)) // keep-first: least same-cell match
+  }
+
+  test("kill between codebook and cells swap: next ingest rolls forward") {
+    val root = graft.Temps.dir("retrain-torn")
+    SemanticStream.bootstrap(corpus, root, k = 2)
+    val boom = intercept[RuntimeException] {
+      SemanticStream.retrain(spark, root, k = 2,
+        afterCodebookSwap = () => throw new RuntimeException("injected kill"))
+    }
+    assert(boom.getMessage === "injected kill")
+    // torn: new codebook live, cells still tagged with the old version
+    val newVer = codebookVer(root)
+    assert(cellsState(root).map(_._3) !== Set(newVer))
+
+    // the next ingest repairs before probing — and must land EXACTLY
+    // the state of a run whose retrain never crashed
+    val man = SemanticStream.ingestVectors(batch, root)
+    assert(cellsState(root).map(_._3) === Set(newVer), "roll-forward retag")
+    assert(status(root)(100L) === ("dup_corpus", 3L)) // keep-first: least same-cell match
+
+    val clean = graft.Temps.dir("retrain-clean")
+    SemanticStream.bootstrap(corpus, clean, k = 2)
+    SemanticStream.retrain(spark, clean, k = 2)
+    SemanticStream.ingestVectors(batch, clean)
+    assert(cellsState(root) === cellsState(clean))
+    assert(status(root) === status(clean))
+    assert(man.columns.toSeq ===
+      Seq("vec_id", "cell", "status", "rep_id"), "manifest schema stable")
+  }
+}
