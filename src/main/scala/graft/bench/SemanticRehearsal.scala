@@ -1,0 +1,136 @@
+package graft.bench
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.streaming.SemanticStream
+
+/** Measures the DRIFT LAW behind [[SemanticStream]]'s frozen codebook —
+  * the round-6 open item: nothing quantified how dup recall decays as
+  * ingested batches leave the distribution the codebook was trained
+  * on, so no retrain cadence could be stated.
+  *
+  * Construction (deterministic, no RNG):
+  *  - bootstrap + [[SemanticStream.retrain]] on the base embeddings —
+  *    the codebook fits the base distribution exactly;
+  *  - batch b of B slices the base corpus (`vec_id % B == b`, re-id'd
+  *    disjointly) and blends every vector toward a fixed sign-flipped
+  *    "new domain": v_b = (1-α)·v + α·flip(v), α = b/B — the ingest
+  *    stream migrates smoothly off the trained distribution;
+  *  - every batch vector arrives TWICE: the original and a canary twin
+  *    perturbed ±30% per dimension (cos ≈ 0.95, safely over the 0.3
+  *    dup threshold) under a HIGHER id. A twin is caught iff it shares
+  *    a cell with its partner (cross-pair cosines in this stream are
+  *    sign-noise ≈ 0 ≪ 0.3), so per-batch canary recall measures
+  *    exactly P(near-pair co-assigned) — the quantity cell-boundary
+  *    geometry degrades as the codebook stops fitting;
+  *  - at batch `retrainAt` (2B/3 by default) one [[SemanticStream
+  *    .retrain]] re-fits the codebook to the accumulated inverted file
+  *    (base + every kept drifted vector) and the remaining batches
+  *    measure the recovery.
+  *
+  * Per batch it reports canary recall, the batch's max-cell share
+  * (assignment imbalance — the join-cost face of the same drift), and
+  * ingest seconds. The SCALE.md rule this pins: canary recall is the
+  * retrain trigger — plant ~1% canary twins per ingest, retrain when
+  * recall dips below its trained-era band, and the one-pass retrain
+  * (assignment + (cell,dim) agg per Lloyd round, linear in the index)
+  * restores it.
+  *
+  * Usage: `runMain graft.bench.SemanticRehearsal [batches=24]
+  * [retrainAt=16] [sfDir=/root/testdata/sf0.1]`. */
+object SemanticRehearsal {
+
+  /** Deterministic per-dimension sign flip — the fixed "new domain"
+    * (same orthonormal-transform discipline as
+    * [[ScaleLaws.amplifyEmbeddings]], constant across batches). */
+  private def flip(v: Column): Column =
+    transform(v, (x, i) =>
+      x * when(pmod(hash(lit(42), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+
+  /** ±45% per-(id, dim) canary perturbation: cos(v, twin) ≈
+    * 1/√(mean f²) ≈ 0.91 — a real near-dup, not a byte copy (a copy
+    * would co-assign trivially and measure nothing), sized so trained-
+    * era recall sits on the sensitive slope of the co-assignment curve
+    * rather than its plateau (±30% measured ≈ 0.96 recall with barely
+    * any drift response). */
+  private def perturb(v: Column, id: Column): Column =
+    transform(v, (x, i) =>
+      x * when(pmod(hash(id, i), lit(2)) === 0, lit(1.45)).otherwise(lit(0.55)))
+
+  /** Drift schedule: ramp linearly to the new domain over the first
+    * half of the stream, then SETTLE there (α = 1). A never-ending
+    * ramp would keep decaying recall straight through a retrain and
+    * measure nothing about recovery; ramp-then-plateau is the
+    * domain-shift scenario a retrain cadence is actually for. */
+  def alphaOf(b: Int, batches: Int): Double =
+    math.min(1.0, 2.0 * b / batches)
+
+  /** Batch b: disjoint base slice, α-blended toward the new domain,
+    * each vector plus its canary twin (twin id = orig id + 1). */
+  def batchOf(base: DataFrame, b: Int, batches: Int): DataFrame = {
+    val alpha = alphaOf(b, batches)
+    val v = col("embedding").cast("array<double>")
+    val drifted = base.where(pmod(col("vec_id"), lit(batches)) === b)
+      .select(
+        (lit(10000000L) + col("vec_id") * 1000L).as("vec_id"),
+        zip_with(v, flip(v), (x, fx) =>
+          x * lit(1 - alpha) + fx * lit(alpha)).as("embedding"))
+    drifted.unionByName(drifted.select(
+      (col("vec_id") + 1).as("vec_id"),
+      perturb(col("embedding"), col("vec_id")).as("embedding")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(24)
+    val retrainAt = args.lift(1).map(_.toInt).getOrElse(batches * 2 / 3)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    try {
+      val base = graft.queries.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint()
+      val root = graft.Temps.dir("semantic-rehearsal")
+      SemanticStream.bootstrap(base, root)
+      SemanticStream.retrain(spark, root) // codebook fits the BASE distribution
+      val rows = (0 until batches).map { b =>
+        var retrainSecs = 0.0
+        if (b == retrainAt) {
+          val r0 = System.nanoTime()
+          SemanticStream.retrain(spark, root)
+          retrainSecs = (System.nanoTime() - r0) / 1e9
+        }
+        val batch = batchOf(base, b, batches).localCheckpoint()
+        val t0 = System.nanoTime()
+        val man = SemanticStream.ingestVectors(batch, root)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // canaries: odd re-ids (orig + 1); caught = flagged any-dup
+        val twins = man.where(col("vec_id") % 2 === 1)
+        val planted = twins.count()
+        val caught = twins.where(col("status") =!= "kept").count()
+        val recall = caught.toDouble / planted
+        val maxShare = man.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).cast("double") / sum(col("n")))
+          .head().getDouble(0)
+        val alpha = alphaOf(b, batches)
+        println(f"""{"family":"semantic_ingest_drift","batch":$b,"alpha":$alpha%.3f,""" +
+          f""""planted":$planted,"caught":$caught,"recall":$recall%.3f,""" +
+          f""""max_cell_share":$maxShare%.3f,"secs":${math.round(secs * 100) / 100.0},""" +
+          f""""retrain_secs":${math.round(retrainSecs * 100) / 100.0}}""")
+        (b, alpha, planted, caught, recall, maxShare, secs, retrainSecs)
+      }
+      println("\n| batch | alpha | recall | max cell share | ingest secs | retrain secs |")
+      println("|---|---|---|---|---|---|")
+      rows.foreach { case (b, a, _, _, r, m, s, rs) =>
+        println(f"| $b%d | $a%.3f | $r%.3f | $m%.3f | $s%.2f | $rs%.2f |")
+      }
+      val pre = rows.filter(_._1 < retrainAt)
+      val post = rows.filter(_._1 >= retrainAt)
+      def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+      println(f"pre-retrain: recall first-3=${mean(pre.take(3).map(_._5))}%.3f " +
+        f"last-3=${mean(pre.takeRight(3).map(_._5))}%.3f; " +
+        f"post-retrain: first-3=${mean(post.take(3).map(_._5))}%.3f " +
+        f"last-3=${mean(post.takeRight(3).map(_._5))}%.3f")
+    } finally spark.stop()
+  }
+}
