@@ -57,11 +57,17 @@ object CurateRehearsal {
     }.sum
   }
 
-  /** Batch b of the deterministic stream (see object doc). */
+  /** Batch b of the deterministic stream (see object doc). Stopwords
+    * survive the mutation unsuffixed: a fully-suffixed doc has
+    * stopword_ratio 0 and dies at the low_quality gate (the exact
+    * property ScaleLaws exploits to make amplified copies inert) — but
+    * THIS harness needs its fresh docs KEPT, or the maintained index
+    * never grows and the growth law under test goes unmeasured. */
   def batchOf(base: DataFrame, b: Int, batches: Int): DataFrame = {
     val toks = graft.ops.TextAnalysis.tokens(col("text"))
     val mutated = concat_ws(" ", transform(toks, t =>
-      concat(t, lit(s"_b${b}x"), col("doc_id"))))
+      when(t.isin("the", "a", "of", "and", "to"), t)
+        .otherwise(concat(t, lit(s"_b${b}x"), col("doc_id")))))
     base.where(pmod(col("doc_id"), lit(batches)) === b)
       .select(
         (lit(10000000L) + col("doc_id") * 1000L + b).as("doc_id"),

@@ -17,7 +17,7 @@ import graft.streaming.SemanticStream
   *    "new domain": v_b = (1-α)·v + α·flip(v), α = b/B — the ingest
   *    stream migrates smoothly off the trained distribution;
   *  - every batch vector arrives TWICE: the original and a canary twin
-  *    perturbed ±30% per dimension (cos ≈ 0.95, safely over the 0.3
+  *    perturbed ±60% per dimension (cos ≈ 0.86, safely over the 0.3
   *    dup threshold) under a HIGHER id. A twin is caught iff it shares
   *    a cell with its partner (cross-pair cosines in this stream are
   *    sign-noise ≈ 0 ≪ 0.3), so per-batch canary recall measures
@@ -41,21 +41,33 @@ import graft.streaming.SemanticStream
 object SemanticRehearsal {
 
   /** Deterministic per-dimension sign flip — the fixed "new domain"
-    * (same orthonormal-transform discipline as
-    * [[ScaleLaws.amplifyEmbeddings]], constant across batches). */
+    * of the `shift` mode (same orthonormal-transform discipline as
+    * [[ScaleLaws.amplifyEmbeddings]], constant across batches): the
+    * drifted distribution stays as SPREAD as the base, it just sits
+    * where no trained centroid does. */
   private def flip(v: Column): Column =
     transform(v, (x, i) =>
       x * when(pmod(hash(lit(42), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
 
-  /** ±45% per-(id, dim) canary perturbation: cos(v, twin) ≈
-    * 1/√(mean f²) ≈ 0.91 — a real near-dup, not a byte copy (a copy
+  /** The `collapse` mode's new domain: keep ~1 dimension in 8, zero
+    * the rest — drift toward a LOW-DIMENSIONAL subspace, the domain
+    * shift that wrecks the quantizer's BALANCE rather than pair
+    * co-assignment (all drifted mass crowds into the few cells whose
+    * centroids have the largest incidental subspace component, and the
+    * per-batch cell self-join cost grows with Σ|cell|²). */
+  private def collapse(v: Column): Column =
+    transform(v, (x, i) =>
+      x * when(pmod(hash(lit(7), i), lit(8)) === 0, lit(1.0)).otherwise(lit(0.0)))
+
+  /** ±60% per-(id, dim) canary perturbation: cos(v, twin) =
+    * 1/√(mean f²) ≈ 0.86 — a real near-dup, not a byte copy (a copy
     * would co-assign trivially and measure nothing), sized so trained-
     * era recall sits on the sensitive slope of the co-assignment curve
-    * rather than its plateau (±30% measured ≈ 0.96 recall with barely
-    * any drift response). */
+    * rather than its plateau (±30% measured ≈ 0.99 recall at K=16 with
+    * barely any drift response; the law needs dynamic range). */
   private def perturb(v: Column, id: Column): Column =
     transform(v, (x, i) =>
-      x * when(pmod(hash(id, i), lit(2)) === 0, lit(1.45)).otherwise(lit(0.55)))
+      x * when(pmod(hash(id, i), lit(2)) === 0, lit(1.6)).otherwise(lit(0.4)))
 
   /** Drift schedule: ramp linearly to the new domain over the first
     * half of the stream, then SETTLE there (α = 1). A never-ending
@@ -65,15 +77,21 @@ object SemanticRehearsal {
   def alphaOf(b: Int, batches: Int): Double =
     math.min(1.0, 2.0 * b / batches)
 
-  /** Batch b: disjoint base slice, α-blended toward the new domain,
-    * each vector plus its canary twin (twin id = orig id + 1). */
-  def batchOf(base: DataFrame, b: Int, batches: Int): DataFrame = {
+  /** Batch b: disjoint base slice, α-blended toward the mode's new
+    * domain, each vector plus its canary twin (twin id = orig id + 1). */
+  def batchOf(base: DataFrame, b: Int, batches: Int,
+      mode: String = "shift"): DataFrame = {
     val alpha = alphaOf(b, batches)
     val v = col("embedding").cast("array<double>")
+    val domain = mode match {
+      case "shift" => flip(v)
+      case "collapse" => collapse(v)
+      case m => throw new IllegalArgumentException(s"unknown drift mode $m")
+    }
     val drifted = base.where(pmod(col("vec_id"), lit(batches)) === b)
       .select(
         (lit(10000000L) + col("vec_id") * 1000L).as("vec_id"),
-        zip_with(v, flip(v), (x, fx) =>
+        zip_with(v, domain, (x, fx) =>
           x * lit(1 - alpha) + fx * lit(alpha)).as("embedding"))
     drifted.unionByName(drifted.select(
       (col("vec_id") + 1).as("vec_id"),
@@ -84,53 +102,83 @@ object SemanticRehearsal {
     val batches = args.headOption.map(_.toInt).getOrElse(24)
     val retrainAt = args.lift(1).map(_.toInt).getOrElse(batches * 2 / 3)
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    // 2× the query default: the drift law is boundary geometry, and at
+    // K=16 over 2k base vectors the cells are so coarse that even a
+    // fully-drifted stream barely straddles them (measured ~0.96 recall
+    // at α=1) — K=32 is also the K the √n rule would pick at this n
+    val k = args.lift(3).map(_.toInt).getOrElse(2 * graft.ops.SimSearch.IvfK)
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
       val base = graft.queries.Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .localCheckpoint()
-      val root = graft.Temps.dir("semantic-rehearsal")
-      SemanticStream.bootstrap(base, root)
-      SemanticStream.retrain(spark, root) // codebook fits the BASE distribution
-      val rows = (0 until batches).map { b =>
-        var retrainSecs = 0.0
-        if (b == retrainAt) {
-          val r0 = System.nanoTime()
-          SemanticStream.retrain(spark, root)
-          retrainSecs = (System.nanoTime() - r0) / 1e9
+      val all = Seq("shift", "collapse").map { mode =>
+        val root = graft.Temps.dir(s"semantic-rehearsal-$mode")
+        SemanticStream.bootstrap(base, root, k)
+        SemanticStream.retrain(spark, root, k) // codebook fits the BASE distribution
+        val rows = (0 until batches).map { b =>
+          var retrainSecs = 0.0
+          if (b == retrainAt) {
+            val r0 = System.nanoTime()
+            SemanticStream.retrain(spark, root, k)
+            retrainSecs = (System.nanoTime() - r0) / 1e9
+          }
+          val batch = batchOf(base, b, batches, mode).localCheckpoint()
+          val t0 = System.nanoTime()
+          val man = SemanticStream.ingestVectors(batch, root)
+          val secs = (System.nanoTime() - t0) / 1e9
+          batch.unpersist()
+          // canaries: odd re-ids (orig + 1); caught = flagged any-dup
+          val twins = man.where(col("vec_id") % 2 === 1)
+          val planted = twins.count()
+          val caught = twins.where(col("status") =!= "kept").count()
+          val recall = caught.toDouble / planted
+          val maxShare = man.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+            .agg(max(col("n")).cast("double") / sum(col("n")))
+            .head().getDouble(0)
+          // the probe's join volume this batch: batch×corpus meeting on
+          // cell plus the batch-internal pairs — the cost face drift
+          // inflates when assignments unbalance (Σ over cells)
+          val batchHist = man.groupBy(col("cell")).agg(count(lit(1)).as("bn"))
+          val corpusHist = graft.sinks.Layout
+            .readStatic(spark, root, SemanticStream.CellsEntity).get
+            .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+          val cand = batchHist.join(corpusHist, Seq("cell"), "left")
+            .agg(sum(col("bn") * coalesce(col("cn"), lit(0L)) +
+              col("bn") * (col("bn") - 1) / 2).cast("long"))
+            .head().getLong(0)
+          val alpha = alphaOf(b, batches)
+          println(f"""{"family":"semantic_ingest_drift","mode":"$mode","batch":$b,""" +
+            f""""alpha":$alpha%.3f,"planted":$planted,"caught":$caught,""" +
+            f""""recall":$recall%.3f,"max_cell_share":$maxShare%.3f,""" +
+            f""""probe_candidates":$cand,"secs":${math.round(secs * 100) / 100.0},""" +
+            f""""retrain_secs":${math.round(retrainSecs * 100) / 100.0}}""")
+          man.unpersist()
+          (b, alpha, planted, caught, recall, maxShare, cand, secs, retrainSecs)
         }
-        val batch = batchOf(base, b, batches).localCheckpoint()
-        val t0 = System.nanoTime()
-        val man = SemanticStream.ingestVectors(batch, root)
-        val secs = (System.nanoTime() - t0) / 1e9
-        // canaries: odd re-ids (orig + 1); caught = flagged any-dup
-        val twins = man.where(col("vec_id") % 2 === 1)
-        val planted = twins.count()
-        val caught = twins.where(col("status") =!= "kept").count()
-        val recall = caught.toDouble / planted
-        val maxShare = man.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n")).cast("double") / sum(col("n")))
-          .head().getDouble(0)
-        val alpha = alphaOf(b, batches)
-        println(f"""{"family":"semantic_ingest_drift","batch":$b,"alpha":$alpha%.3f,""" +
-          f""""planted":$planted,"caught":$caught,"recall":$recall%.3f,""" +
-          f""""max_cell_share":$maxShare%.3f,"secs":${math.round(secs * 100) / 100.0},""" +
-          f""""retrain_secs":${math.round(retrainSecs * 100) / 100.0}}""")
-        (b, alpha, planted, caught, recall, maxShare, secs, retrainSecs)
+        (mode, rows)
       }
-      println("\n| batch | alpha | recall | max cell share | ingest secs | retrain secs |")
-      println("|---|---|---|---|---|---|")
-      rows.foreach { case (b, a, _, _, r, m, s, rs) =>
-        println(f"| $b%d | $a%.3f | $r%.3f | $m%.3f | $s%.2f | $rs%.2f |")
+      println("\n| mode | batch | alpha | recall | max cell share | probe cand | ingest secs | retrain secs |")
+      println("|---|---|---|---|---|---|---|---|")
+      all.foreach { case (mode, rows) =>
+        rows.foreach { case (b, a, _, _, r, m, c, s, rs) =>
+          println(f"| $mode | $b%d | $a%.3f | $r%.3f | $m%.3f | $c%d | $s%.2f | $rs%.2f |")
+        }
       }
-      val pre = rows.filter(_._1 < retrainAt)
-      val post = rows.filter(_._1 >= retrainAt)
       def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
-      println(f"pre-retrain: recall first-3=${mean(pre.take(3).map(_._5))}%.3f " +
-        f"last-3=${mean(pre.takeRight(3).map(_._5))}%.3f; " +
-        f"post-retrain: first-3=${mean(post.take(3).map(_._5))}%.3f " +
-        f"last-3=${mean(post.takeRight(3).map(_._5))}%.3f")
+      all.foreach { case (mode, rows) =>
+        val pre = rows.filter(_._1 < retrainAt)
+        val post = rows.filter(_._1 >= retrainAt)
+        println(f"$mode: recall trained=${mean(pre.take(3).map(_._5))}%.3f " +
+          f"drifted=${mean(pre.takeRight(3).map(_._5))}%.3f " +
+          f"retrained=${mean(post.map(_._5))}%.3f; " +
+          f"max-cell-share trained=${mean(pre.take(3).map(_._6))}%.3f " +
+          f"drifted=${mean(pre.takeRight(3).map(_._6))}%.3f " +
+          f"retrained=${mean(post.map(_._6))}%.3f; " +
+          f"probe-cand drifted=${mean(pre.takeRight(3).map(_._7.toDouble))}%.0f " +
+          f"retrained=${mean(post.map(_._7.toDouble))}%.0f")
+      }
     } finally spark.stop()
   }
 }

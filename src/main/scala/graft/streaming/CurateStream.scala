@@ -216,6 +216,12 @@ object CurateStream {
       root, BandsEntity, Seq("doc_id"))
     Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
+    // a long-lived ingest process calls this once per micro-batch in
+    // ONE session: the localCheckpoints above would otherwise stay
+    // pinned in executor storage forever (3 blocks per batch ×
+    // thousands of batches → eviction churn). Everything they fed has
+    // landed; only the returned manifest stays materialized.
+    batch.unpersist(); keyed.unpersist(); sigB.unpersist()
     manifest
   }
 
@@ -232,7 +238,10 @@ object CurateStream {
       .parquet(rawDir)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        ingestBatch(b, root); ()
+        // the stream has no consumer for the manifest frame — drop its
+        // pinned blocks too (ingestBatch keeps it materialized for
+        // batch callers that read statuses back)
+        ingestBatch(b, root).unpersist(); ()
       }
       .start()
 }

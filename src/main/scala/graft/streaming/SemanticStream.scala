@@ -221,6 +221,10 @@ object SemanticStream {
         .join(kept, Seq("id"), "left_semi"),
       root, CellsEntity, Seq("id"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
+    // drop the per-batch pinned checkpoints (see CurateStream: a
+    // long-lived ingest session would otherwise accumulate them);
+    // the returned manifest stays materialized for the caller
+    batch.unpersist(); asg.unpersist()
     manifest
   }
 }
