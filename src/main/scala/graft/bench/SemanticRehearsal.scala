@@ -29,15 +29,20 @@ import graft.streaming.SemanticStream
   *    measure the recovery.
   *
   * Per batch it reports canary recall, the batch's max-cell share
-  * (assignment imbalance — the join-cost face of the same drift), and
-  * ingest seconds. The SCALE.md rule this pins: canary recall is the
-  * retrain trigger — plant ~1% canary twins per ingest, retrain when
-  * recall dips below its trained-era band, and the one-pass retrain
-  * (assignment + (cell,dim) agg per Lloyd round, linear in the index)
-  * restores it.
+  * (assignment imbalance — the join-cost face of the same drift),
+  * probe-candidate volume, and ingest seconds. What the measurement
+  * established (SCALE.md "Online-index maintenance"): near-pair
+  * co-assignment is robust to centroid placement (full domain shift
+  * costs only ~3 recall points at p=1) and retraining does NOT win
+  * those points back — finer cells straddle more; retrain is the
+  * BALANCE remedy (collapse mode's top-cell share), multi-probe
+  * ingest (`probes` arg → [[SemanticStream.ingestVectors]]) is the
+  * RECALL remedy (p=2 holds drifted recall ≈ 0.99 at unchanged
+  * candidate volume), and planted canaries are the in-band monitor
+  * for both.
   *
   * Usage: `runMain graft.bench.SemanticRehearsal [batches=24]
-  * [retrainAt=16] [sfDir=/root/testdata/sf0.1]`. */
+  * [retrainAt=16] [sfDir=/root/testdata/sf0.1] [k=32] [probes=1]`. */
 object SemanticRehearsal {
 
   /** Deterministic per-dimension sign flip — the fixed "new domain"
@@ -107,6 +112,9 @@ object SemanticRehearsal {
     // fully-drifted stream barely straddles them (measured ~0.96 recall
     // at α=1) — K=32 is also the K the √n rule would pick at this n
     val k = args.lift(3).map(_.toInt).getOrElse(2 * graft.ops.SimSearch.IvfK)
+    // the dup-recall lever under test in the p-sweep: batch-side probe
+    // list width (assignment and the stored file are unchanged)
+    val probes = args.lift(4).map(_.toInt).getOrElse(1)
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
@@ -114,7 +122,7 @@ object SemanticRehearsal {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .localCheckpoint()
       val all = Seq("shift", "collapse").map { mode =>
-        val root = graft.Temps.dir(s"semantic-rehearsal-$mode")
+        val root = graft.Temps.dir(s"semantic-rehearsal-$mode-p$probes")
         SemanticStream.bootstrap(base, root, k)
         SemanticStream.retrain(spark, root, k) // codebook fits the BASE distribution
         val rows = (0 until batches).map { b =>
@@ -126,7 +134,7 @@ object SemanticRehearsal {
           }
           val batch = batchOf(base, b, batches, mode).localCheckpoint()
           val t0 = System.nanoTime()
-          val man = SemanticStream.ingestVectors(batch, root)
+          val man = SemanticStream.ingestVectors(batch, root, probes = probes)
           val secs = (System.nanoTime() - t0) / 1e9
           batch.unpersist()
           // canaries: odd re-ids (orig + 1); caught = flagged any-dup
@@ -149,7 +157,7 @@ object SemanticRehearsal {
               col("bn") * (col("bn") - 1) / 2).cast("long"))
             .head().getLong(0)
           val alpha = alphaOf(b, batches)
-          println(f"""{"family":"semantic_ingest_drift","mode":"$mode","batch":$b,""" +
+          println(f"""{"family":"semantic_ingest_drift","mode":"$mode","probes":$probes,"batch":$b,""" +
             f""""alpha":$alpha%.3f,"planted":$planted,"caught":$caught,""" +
             f""""recall":$recall%.3f,"max_cell_share":$maxShare%.3f,""" +
             f""""probe_candidates":$cand,"secs":${math.round(secs * 100) / 100.0},""" +

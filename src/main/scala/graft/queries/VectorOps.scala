@@ -447,5 +447,71 @@ object VectorOps {
            |SELECT vec_id, cell, status, rep_id FROM man1
            |UNION ALL SELECT vec_id, cell, status, rep_id FROM man2""".stripMargin
       },
-      "online semantic dedup over a stored IVF index: sequential batches, kept vectors fold into the inverted file"))
+      "online semantic dedup over a stored IVF index: sequential batches, kept vectors fold into the inverted file"),
+
+    // MULTI-PROBE online semantic dedup — q145's exact scenario with
+    // the batch side probing its top-2 cells (SemanticStream
+    // `probes = 2`). The round-7 drift rehearsal measured that near-dup
+    // misses are cell-boundary straddles that RETRAINING cannot recover
+    // (finer cells straddle more at p = 1); the probe list is the
+    // recall lever, and it widens only the batch-side join volume
+    // (≤ p×) — the stored inverted file still meets on its single
+    // assignment cell, assignment stays the one zero-shuffle kernel
+    // pass. The oracle replays both phases with the probe relation
+    // rn ≤ 2 of the same ranking the assignment takes rn = 1 from, so
+    // any straddled pair q145 misses and p = 2 reaches is
+    // hash-checked, not asserted.
+    "q146_semantic_ingest_probe2" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-stream-p2-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root,
+          probes = 2)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 5), root,
+          probes = 2)
+        graft.sinks.Layout.readStatic(s, root, SemanticStream.ManifestEntity)
+          .get
+      },
+      Some {
+        def phase(p: Int, m: Int, idx: String): String =
+          s"""b$p AS (SELECT * FROM cells WHERE vec_id % 10 = $m),
+             |prb$p AS (SELECT * FROM pr WHERE vec_id % 10 = $m),
+             |mm$p AS (
+             |  SELECT a.vec_id, c.vec_id AS m_id, 1 AS fc
+             |  FROM prb$p a JOIN $idx c ON a.cell = c.cell
+             |   AND ${cosSql("a.v", "c.v")} >= 0.3
+             |  UNION ALL
+             |  SELECT a.vec_id, b.vec_id AS m_id, 0 AS fc
+             |  FROM prb$p a JOIN b$p b ON a.cell = b.cell
+             |   AND b.vec_id < a.vec_id
+             |   AND ${cosSql("a.v", "b.v")} >= 0.3),
+             |r$p AS (SELECT vec_id, min(m_id) AS rep_id,
+             |          arg_min(fc, m_id) AS fc FROM mm$p GROUP BY 1),
+             |man$p AS (SELECT b.vec_id, b.cell,
+             |            CASE WHEN r.rep_id IS NULL THEN 'kept'
+             |                 WHEN r.fc = 1 THEN 'dup_corpus'
+             |                 ELSE 'dup_batch' END AS status, r.rep_id
+             |          FROM b$p b LEFT JOIN r$p r USING (vec_id)),
+             |kept$p AS (SELECT c.* FROM b$p c SEMI JOIN
+             |             (SELECT vec_id FROM man$p WHERE status = 'kept') k
+             |             USING (vec_id))""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+           |pr AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn <= 2),
+           |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+           |${phase(1, 0, "corp")},
+           |idx2 AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+           |${phase(2, 5, "idx2")}
+           |SELECT vec_id, cell, status, rep_id FROM man1
+           |UNION ALL SELECT vec_id, cell, status, rep_id FROM man2""".stripMargin
+      },
+      "multi-probe online semantic dedup: batch probes its top-2 cells against the stored inverted file — the measured dup-recall lever"))
 }

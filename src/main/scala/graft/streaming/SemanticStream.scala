@@ -159,9 +159,21 @@ object SemanticStream {
     * lands) the manifest, then folds kept vectors into the inverted
     * file. Deterministic and replay-idempotent. Repairs a torn
     * [[retrain]] (cells' ver ≠ codebook's) by rolling it forward
-    * before probing. */
+    * before probing.
+    *
+    * `probes` is the dup-recall lever the round-7 drift rehearsal
+    * measured: a near pair is only caught when the batch vector's
+    * probe list reaches its partner's cell, and at p = 1 cell-boundary
+    * straddles are misses — a cost retraining does NOT recover (finer
+    * cells straddle MORE). Probing the top-p cells multiplies only the
+    * batch-side join volume by ≤ p (the stored side still meets on its
+    * single assignment cell — the inverted file never fans out);
+    * assignment stays the single zero-shuffle kernel pass, which
+    * already returns the top-p fold. p = 1 is bit-identical to the
+    * pre-probe behavior. */
   def ingestVectors(batch0: DataFrame, root: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame = {
     val s = batch0.sparkSession
     val batch = batch0.localCheckpoint()
     val cb = SimSearch.collectCodebook(
@@ -176,10 +188,13 @@ object SemanticStream {
     val torn = !stored(s, root, CellsEntity, CellsDdl)
       .where(!(col("ver") <=> lit(ver))).isEmpty
     if (torn) reassignAll(s, root, cb, ver)
-    // zero-shuffle assignment of the batch against the frozen codebook
-    val asg = SimSearch.ivfAssign(batch, idCol, vecCol, cb, p = 1)
+    // zero-shuffle assignment of the batch against the frozen codebook;
+    // probe 1 is the assignment cell (what a kept vector is stored
+    // under), probes 2..p only widen the match search
+    val asg = SimSearch.ivfAssign(batch, idCol, vecCol, cb, p = probes)
       .select(col("id").as("vec_id"),
         element_at(col("probes"), 1).getField("cid").as("cell"),
+        col("probes").getField("cid").as("pcells"),
         col("v"), col("n"))
       .localCheckpoint()
     val ids = asg.select(col("vec_id").as("id"))
@@ -188,14 +203,16 @@ object SemanticStream {
     val corpusCells = stored(s, root, CellsEntity, CellsDdl)
       .select("id", "cell", "v", "n")
       .join(ids, Seq("id"), "left_anti")
-    val a = asg.toDF("vec_id", "cell", "av", "an")
+    val a = asg.select(col("vec_id"), explode(col("pcells")).as("cell"),
+      col("v").as("av"), col("n").as("an"))
     val corpusMatches = a
       .join(corpusCells.toDF("c_id", "cell", "cv", "cn"), Seq("cell"))
       .where(round(SimSearch.cosine(col("av"), col("cv"), col("an"),
         col("cn")), 6) >= DupThreshold)
       .select(col("vec_id"), col("c_id").as("m_id"), lit(1).as("fc"))
     val batchMatches = a
-      .join(asg.toDF("b_id", "cell", "bv", "bn"), Seq("cell"))
+      .join(asg.select(col("vec_id").as("b_id"), col("cell"),
+        col("v").as("bv"), col("n").as("bn")), Seq("cell"))
       .where(col("b_id") < col("vec_id"))
       .where(round(SimSearch.cosine(col("av"), col("bv"), col("an"),
         col("bn")), 6) >= DupThreshold)
@@ -217,7 +234,8 @@ object SemanticStream {
     val kept = manifest.where(col("status") === "kept")
       .select(col("vec_id").as("id"))
     Layout.upsertStatic(
-      asg.toDF("id", "cell", "v", "n").withColumn("ver", lit(ver))
+      asg.select(col("vec_id").as("id"), col("cell"), col("v"), col("n"))
+        .withColumn("ver", lit(ver))
         .join(kept, Seq("id"), "left_semi"),
       root, CellsEntity, Seq("id"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))

@@ -89,6 +89,18 @@ class RetrainSpec extends AnyFunSuite {
     assert(status(root)(100L) === ("dup_corpus", 3L)) // keep-first: least same-cell match
   }
 
+  test("probes=2 catches the straddled pair WITHOUT retraining") {
+    // the other remedy for the same miss (the round-7 drift rehearsal's
+    // finding: probe count, not retraining, is the dup-recall lever):
+    // keep the bad seeded codebook, widen the batch's probe list to its
+    // top-2 cells — the partner's cell is the twin's runner-up, so the
+    // pair meets and dedups identically to the retrained run
+    val root = graft.Temps.dir("retrain-probe2")
+    SemanticStream.bootstrap(corpus, root, k = 2)
+    SemanticStream.ingestVectors(batch, root, probes = 2)
+    assert(status(root)(100L) === ("dup_corpus", 3L))
+  }
+
   test("kill between codebook and cells swap: next ingest rolls forward") {
     val root = graft.Temps.dir("retrain-torn")
     SemanticStream.bootstrap(corpus, root, k = 2)
