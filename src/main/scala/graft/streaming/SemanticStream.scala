@@ -155,6 +155,33 @@ object SemanticStream {
     ver
   }
 
+  /** Top-cell share of the stored inverted file — the RETRAIN TRIGGER
+    * metric the round-7 drift rehearsal pinned: domain drift shows up
+    * as assignment imbalance (collapse-mode share grew 0.075 → 0.116
+    * at K=32 while dup recall barely moved), and imbalance is what
+    * inflates every probe join's Σ|cell|² term. A one-aggregate scan
+    * of the `cell` column only. Uniform would be 1/K; the measured
+    * trained-era band sits at ~2.4/K — alarm at ~2× that. */
+  def cellImbalance(spark: SparkSession, root: String): Double =
+    stored(spark, root, CellsEntity, CellsDdl)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+      .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+      .getOrElse(0.0)
+
+  /** The maintenance policy, mechanized: [[retrain]] when
+    * [[cellImbalance]] crosses `threshold`, else leave the codebook
+    * frozen (retraining on a balanced index buys nothing and — the
+    * rehearsal's finding — can even cost near-pair recall by tightening
+    * cells; dup recall wants `probes`, not retrains). Returns the new
+    * version when a retrain ran. */
+  def retrainIfUnbalanced(spark: SparkSession, root: String,
+      threshold: Double, k: Int = SimSearch.IvfK,
+      rounds: Int = 3): Option[String] =
+    if (cellImbalance(spark, root) >= threshold)
+      Some(retrain(spark, root, k, rounds))
+    else None
+
   /** Dedup one vector batch against the stored index; returns (and
     * lands) the manifest, then folds kept vectors into the inverted
     * file. Deterministic and replay-idempotent. Repairs a torn

@@ -110,4 +110,40 @@ class CurateStreamSpec extends AnyFunSuite {
       .map(e => Layout.readStatic(s, root, e).get.count())
     assert(countsAfter === counts)
   }
+
+  test("compactEvery=1 stream: same statuses, file count pinned to 1/entity") {
+    val s = spark
+    import s.implicits._
+    val t1 = qtext(1)
+    val corpus = docsDF(Seq(1L -> t1, 29L -> qtext(6)))
+    val batchA = docsDF(Seq(0L -> t1, 40L -> qtext(8)))
+    val batchB = docsDF(Seq(15L -> qtext(3), 35L -> "just three tokens"))
+    val root = graft.Temps.dir("curate-compact-root")
+    val rawDir = graft.Temps.dir("curate-compact-raw")
+    val ckpt = graft.Temps.dir("curate-compact-ckpt")
+    CurateStream.bootstrap(corpus, root)
+    val q = CurateStream.run(s, rawDir, batchA.schema, root, ckpt,
+      compactEvery = 1)
+    batchA.coalesce(1).write.mode("append").parquet(rawDir)
+    q.processAllAvailable()
+    batchB.coalesce(1).write.mode("append").parquet(rawDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = Layout.readStatic(s, root, CurateStream.ManifestEntity).get
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(0L -> "dup_exact_corpus", 40L -> "kept",
+      15L -> "kept", 35L -> "low_quality"))
+    // every entity sits at exactly one data file after the last
+    // batch's compaction window — the sawtooth floor
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(CurateStream.KeysEntity, CurateStream.BandsEntity,
+      CurateStream.BenchEntity, CurateStream.ManifestEntity).foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/static/$e")
+      val it = p.getFileSystem(conf).listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      assert(n === 1, s"$e should be compacted to one file, saw $n")
+    }
+  }
 }

@@ -89,6 +89,18 @@ class RetrainSpec extends AnyFunSuite {
     assert(status(root)(100L) === ("dup_corpus", 3L)) // keep-first: least same-cell match
   }
 
+  test("imbalance trigger: retrainIfUnbalanced fires once, then the index is calm") {
+    // seeded codebook lumps cluster B plus seed 1 into one cell
+    // (4 of 5 vectors); the trained split is 3/5 — so a 0.7 threshold
+    // fires exactly once
+    val root = graft.Temps.dir("retrain-trigger")
+    SemanticStream.bootstrap(corpus, root, k = 2)
+    assert(SemanticStream.cellImbalance(spark, root) === 0.8)
+    assert(SemanticStream.retrainIfUnbalanced(spark, root, 0.7, k = 2).nonEmpty)
+    assert(SemanticStream.cellImbalance(spark, root) === 0.6)
+    assert(SemanticStream.retrainIfUnbalanced(spark, root, 0.7, k = 2).isEmpty)
+  }
+
   test("probes=2 catches the straddled pair WITHOUT retraining") {
     // the other remedy for the same miss (the round-7 drift rehearsal's
     // finding: probe count, not retraining, is the dup-recall lever):
