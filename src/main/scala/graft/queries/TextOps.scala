@@ -1671,5 +1671,159 @@ object TextOps {
            |SELECT doc_id, source, n_toks, status FROM m1
            |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin
       },
-      "online curation over a maintained index: two sequential micro-batches, phase-2 probes include phase-1's kept docs"))
+      "online curation over a maintained index: two sequential micro-batches, phase-2 probes include phase-1's kept docs"),
+
+    // The SPAN LAYER armed (q134/q138's substring discipline, online):
+    // bootstrap additionally materializes the doc-attributed span
+    // index (8-token 60-bit rolling-hash keys of every corpus doc) and
+    // each ingest flags surviving non-bench docs whose distinct spans
+    // are ≥ 50% covered by stored spans as `dup_span_corpus` — the
+    // FRANKEN-DOC case: recomposed corpus substrings that pass both
+    // the exact layer (novel byte string) and the MinHash layer (each
+    // source contributes too few shingles for a band to agree).
+    // Phase 1 ingests the regular %10=0 batch; phase 2 ingests
+    // CONSTRUCTED franken-docs — first 32 tokens of corpus doc d
+    // (d%5=1) spliced to the first 32 of doc d+1, re-id'd to 10⁶+d —
+    // a deterministic token-slice both engines replay, so the span
+    // verdicts are hash-checked, not just spec-asserted. Precedence
+    // after bench routing, before contamination; kept docs fold their
+    // spans in. The span store is the one index linear in corpus
+    // TOKENS — the price any substring-level dedup pays (SCALE.md).
+    "q147_curate_stream_spans" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = graft.Temps.dirFor(s"curate-stream-spans-$d")
+        val docs = documents(s, d)
+        val base = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), tokens(col("text")).as("T"),
+            col("lang"), col("source"))
+          .where(size(col("T")) >= 40)
+        val franken = base.where(col("doc_id") % 5 === 1)
+          .join(base.select(col("doc_id").as("b_id"), col("T").as("TB")),
+            col("b_id") === col("doc_id") + 1)
+          .select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ",
+              concat(slice(col("T"), 1, 32), slice(col("TB"), 1, 32))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("int"))
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
+          withSpans = true)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
+          spanGate = true)
+        CurateStream.ingestBatch(franken, root, spanGate = true)
+        graft.sinks.Layout.readStatic(s, root, CurateStream.ManifestEntity)
+          .get
+      },
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        val agreeSql =
+          """(CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+            |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5""".stripMargin
+        def phase(p: Int, pred: String, benchPred: String): String =
+          s"""b$p AS (SELECT d.doc_id, d.source, d.n_chars, k.key
+             |        FROM docs2 d JOIN keys k USING (doc_id)
+             |        WHERE $pred),
+             |r$p AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key
+             |          ORDER BY n_chars DESC, doc_id) AS rn FROM b$p),
+             |dec$p AS (SELECT b.doc_id FROM b$p b SEMI JOIN
+             |            (SELECT DISTINCT k.key FROM keys k
+             |             SEMI JOIN idx$p USING (doc_id)) ck USING (key)),
+             |b1$p AS (SELECT doc_id FROM r$p WHERE rn = 1
+             |           AND doc_id NOT IN (SELECT doc_id FROM dec$p)),
+             |bsig$p AS (SELECT sig.* FROM sig SEMI JOIN b1$p USING (doc_id)),
+             |csig$p AS (SELECT sig.* FROM sig SEMI JOIN idx$p USING (doc_id)),
+             |bb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM bsig$p
+             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM bsig$p),
+             |cb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM csig$p
+             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM csig$p),
+             |dnc$p AS (SELECT DISTINCT b_id AS doc_id FROM
+             |            (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+             |             FROM bb$p b JOIN cb$p c
+             |               ON b.band = c.band AND b.x = c.x AND b.y = c.y) cc
+             |          JOIN bsig$p sa ON sa.doc_id = b_id
+             |          JOIN csig$p sb ON sb.doc_id = c_id
+             |          WHERE $agreeSql),
+             |dnb$p AS (SELECT DISTINCT b_id AS doc_id FROM
+             |            (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |             FROM bb$p a JOIN bb$p b
+             |               ON a.band = b.band AND a.x = b.x AND a.y = b.y
+             |                  AND a.doc_id < b.doc_id) cc
+             |          JOIN bsig$p sa ON sa.doc_id = a_id
+             |          JOIN bsig$p sb ON sb.doc_id = b_id
+             |          WHERE $agreeSql),
+             |b2$p AS (SELECT doc_id FROM b1$p
+             |         WHERE doc_id NOT IN (SELECT doc_id FROM dnc$p)
+             |           AND doc_id NOT IN (SELECT doc_id FROM dnb$p)),
+             |spix$p AS MATERIALIZED (SELECT DISTINCT sp FROM spd SEMI JOIN idx$p USING (doc_id)),
+             |spdup$p AS (SELECT doc_id FROM
+             |              (SELECT s.doc_id, count(*) AS n_sp,
+             |                 sum(CASE WHEN s.sp IN (SELECT sp FROM spix$p)
+             |                     THEN 1 ELSE 0 END) AS n_dup
+             |               FROM (SELECT spd.* FROM spd SEMI JOIN b2$p USING (doc_id)
+             |                     WHERE spd.doc_id % 29 <> 0) s
+             |               GROUP BY 1) g
+             |            WHERE n_dup >= n_sp * 0.5),
+             |bench$p AS (SELECT DISTINCT sh FROM shing
+             |            WHERE doc_id % 29 = 0 AND ($benchPred)),
+             |cont$p AS (SELECT DISTINCT s2.doc_id FROM
+             |             (SELECT s.* FROM shing s SEMI JOIN b2$p USING (doc_id)
+             |              WHERE s.doc_id % 29 <> 0) s2
+             |           SEMI JOIN bench$p USING (sh)),
+             |m$p AS (SELECT b.doc_id, b.source, q.n_toks,
+             |          CASE WHEN b.doc_id IN (SELECT doc_id FROM dec$p) THEN 'dup_exact_corpus'
+             |               WHEN r.rn > 1 THEN 'dup_exact_batch'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM dnc$p) THEN 'dup_near_corpus'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM dnb$p) THEN 'dup_near_batch'
+             |               WHEN b.doc_id % 29 = 0 THEN 'bench_member'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM spdup$p) THEN 'dup_span_corpus'
+             |               WHEN b.doc_id IN (SELECT doc_id FROM cont$p) THEN 'contaminated'
+             |               WHEN q.n_toks < 40 OR q.stopword_ratio < 0.03 THEN 'low_quality'
+             |               ELSE 'kept' END AS status
+             |        FROM b$p b JOIN r$p r USING (doc_id) JOIN q USING (doc_id)),
+             |kept$p AS (SELECT doc_id FROM m$p WHERE status = 'kept')""".stripMargin
+        s"""WITH tf AS (SELECT d.doc_id,
+           |            list_filter(string_split(d.text, ' '), x -> x <> '') AS T,
+           |            d.source FROM documents d WHERE d.doc_id % 5 <> 0),
+           |t40 AS (SELECT * FROM tf WHERE len(T) >= 40),
+           |fr AS (SELECT 1000000 + a.doc_id AS doc_id,
+           |         array_to_string(list_concat(a.T[1:32], b.T[1:32]), ' ') AS text,
+           |         a.source
+           |       FROM t40 a JOIN t40 b ON b.doc_id = a.doc_id + 1
+           |       WHERE a.doc_id % 5 = 1),
+           |docs2 AS MATERIALIZED (SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_chars
+           |          FROM documents
+           |          UNION ALL
+           |          SELECT doc_id, text, source, CAST(length(text) AS BIGINT)
+           |          FROM fr),
+           |t AS MATERIALIZED (SELECT doc_id, $toksSql AS T FROM docs2),
+           |hh AS MATERIALIZED (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sig AS MATERIALIZED (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |keys AS MATERIALIZED (SELECT doc_id, md5(text) AS key FROM docs2),
+           |shing AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+           |th AS MATERIALIZED (SELECT doc_id, list_transform(T, x -> ${tokHashSql("x")}) AS TH FROM t),
+           |spd AS MATERIALIZED (SELECT DISTINCT doc_id,
+           |          unnest(list_transform(range(1, len(TH) - 6), i ->
+           |            list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+           |              (a, b) -> (a * 131 + b) % $HashMod) * $HashMod +
+           |            list_reduce(list_prepend(CAST(0 AS BIGINT), TH[i:i+7]),
+           |              (a, b) -> (a * 137 + b) % $HashMod))) AS sp
+           |        FROM th),
+           |q AS MATERIALIZED (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
+           |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+           |              / len(T), 6) AS stopword_ratio
+           |      FROM t),
+           |idx1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+           |${phase(1, "d.doc_id % 10 = 0", "doc_id < 1000000 AND doc_id % 10 <> 5")},
+           |idx2 AS (SELECT doc_id FROM idx1
+           |         UNION ALL SELECT doc_id FROM kept1),
+           |${phase(2, "d.doc_id >= 1000000", "doc_id % 10 <> 5")}
+           |SELECT doc_id, source, n_toks, status FROM m1
+           |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin
+      },
+      "online curation with the span layer armed: franken-docs recomposed from corpus substrings land dup_span_corpus"))
 }

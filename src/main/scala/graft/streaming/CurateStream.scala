@@ -52,9 +52,29 @@ object CurateStream {
   val KeysEntity = "curate_keys"
   val BandsEntity = "curate_bands"
   val BenchEntity = "curate_bench"
+  val SpansEntity = "curate_spans"
   val ManifestEntity = "curate_manifest"
 
+  /** Span-gate threshold: a doc whose stored-corpus span coverage
+    * reaches this fraction of its own distinct spans is
+    * `dup_span_corpus` — the online face of q134/q138's span-level
+    * dedup (a "franken-doc" stitched from corpus substrings passes
+    * both the exact and MinHash layers; only span coverage sees it). */
+  val SpanDupFrac = 0.5
+
   private def contentKey(text: Column): Column = md5(text.cast("binary"))
+
+  /** Per-doc DISTINCT 8-token span-hash rows (doc_id, sp) — q134's
+    * 60-bit composite keys ([[graft.ops.TextAnalysis.spanHashes]];
+    * the measured-width discipline). Doc-attributed, like the
+    * content-key store, so a replayed batch can exclude its own
+    * half-landed spans. */
+  private def spanSetOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("TH", transform(tokens(col("text")), t => tokenHash(t)))
+      .select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.spanHashes(col("TH"), 8)).as("sp"))
+      .distinct()
 
   /** MinHash signature frame (doc_id, h0..h3); docs with no shingles
     * (under 4 tokens) have no signature and skip the near-dup layer. */
@@ -95,20 +115,39 @@ object CurateStream {
 
   /** Seed the index from an existing corpus (assumed already curated:
     * ALL its docs contribute keys and signatures; its bench members
-    * contribute shingles). Idempotent — re-bootstrapping is a no-op. */
-  def bootstrap(corpus: DataFrame, root: String): Unit = {
+    * contribute shingles). Idempotent — re-bootstrapping is a no-op.
+    * `withSpans` additionally seeds the span index for ingests that
+    * run the [[SpanDupFrac]] gate — opt-in because the span store is
+    * the one index linear in corpus TOKENS, not docs (the price every
+    * substring-level dedup pays). */
+  def bootstrap(corpus: DataFrame, root: String,
+      withSpans: Boolean = false): Unit = {
     Layout.upsertStatic(
       corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
       root, KeysEntity, Seq("key", "doc_id"))
     Layout.upsertStatic(sigsOf(corpus), root, BandsEntity, Seq("doc_id"))
     Layout.upsertStatic(benchShinglesOf(corpus), root, BenchEntity, Seq("sh"))
+    if (withSpans)
+      Layout.upsertStatic(spanSetOf(corpus), root, SpansEntity,
+        Seq("sp", "doc_id"))
   }
 
   /** Curate one batch against the stored index: returns (and lands)
     * the manifest rows — one per batch doc with its drop provenance,
     * q143's statuses and precedence — then folds the kept docs into
-    * the index. Deterministic and replay-idempotent (see object doc). */
-  def ingestBatch(batch0: DataFrame, root: String): DataFrame = {
+    * the index. Deterministic and replay-idempotent (see object doc).
+    *
+    * `spanGate = true` adds the SPAN layer (q147): surviving non-bench
+    * docs whose distinct 8-token spans are ≥ [[SpanDupFrac]] covered
+    * by the stored span index are `dup_span_corpus` — catching
+    * franken-docs recomposed from corpus substrings that the exact
+    * and MinHash layers both pass. Precedence sits after bench
+    * routing and before contamination; kept docs fold their spans
+    * into the index. Off by default: the span store is the one index
+    * linear in corpus tokens (pair with `bootstrap(withSpans =
+    * true)`). */
+  def ingestBatch(batch0: DataFrame, root: String,
+      spanGate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = batch0.sparkSession
     val batch = batch0.localCheckpoint()
@@ -178,6 +217,25 @@ object CurateStream {
         "left_semi")
       .select("doc_id").distinct()
 
+    // span layer (opt-in): corpus-coverage fraction of each surviving
+    // non-bench doc's distinct spans, probed against the stored span
+    // index minus this batch's own (replay-safe) contribution
+    val spanDup: DataFrame =
+      if (!spanGate) emptyFrame(s, "doc_id bigint")
+      else {
+        val spanIdx = stored(s, root, SpansEntity, "doc_id bigint, sp bigint")
+          .join(ids, Seq("doc_id"), "left_anti")
+          .select("sp").distinct()
+        spanSetOf(batch.join(b2, Seq("doc_id"), "left_semi")
+            .where(col("doc_id") % 29 =!= 0))
+          .join(spanIdx.withColumn("isdup", lit(1)), Seq("sp"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sp"),
+            sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+          .where(col("n_dup") >= col("n_sp") * SpanDupFrac)
+          .select("doc_id")
+      }
+
     // per-row quality stats ride the manifest for EVERY doc
     val withQ = keyed
       .withColumn("T", tokens(col("text")))
@@ -194,6 +252,7 @@ object CurateStream {
       .join(flag(dupExactCorpus, "f_dec"), Seq("doc_id"), "left")
       .join(flag(dupNearCorpus, "f_dnc"), Seq("doc_id"), "left")
       .join(flag(dupNearBatch, "f_dnb"), Seq("doc_id"), "left")
+      .join(flag(spanDup, "f_span"), Seq("doc_id"), "left")
       .join(flag(contaminated, "f_cont"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_toks"),
         when(col("f_dec") === 1, "dup_exact_corpus")
@@ -201,6 +260,7 @@ object CurateStream {
           .when(col("f_dnc") === 1, "dup_near_corpus")
           .when(col("f_dnb") === 1, "dup_near_batch")
           .when(col("doc_id") % 29 === 0, "bench_member")
+          .when(col("f_span") === 1, "dup_span_corpus")
           .when(col("f_cont") === 1, "contaminated")
           .when(col("n_toks") < 40L || col("stopword_ratio") < 0.03,
             "low_quality")
@@ -215,6 +275,10 @@ object CurateStream {
     Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
       root, BandsEntity, Seq("doc_id"))
     Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
+    if (spanGate)
+      Layout.upsertStatic(
+        spanSetOf(batch.join(kept, Seq("doc_id"), "left_semi")),
+        root, SpansEntity, Seq("sp", "doc_id"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
     // a long-lived ingest process calls this once per micro-batch in
     // ONE session: the localCheckpoints above would otherwise stay
