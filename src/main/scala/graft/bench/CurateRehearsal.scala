@@ -39,7 +39,8 @@ import graft.streaming.CurateStream
 object CurateRehearsal {
 
   private val Entities = Seq(CurateStream.KeysEntity, CurateStream.BandsEntity,
-    CurateStream.BenchEntity, CurateStream.ManifestEntity)
+    CurateStream.BenchEntity, CurateStream.SpansEntity,
+    CurateStream.ManifestEntity)
 
   private def parquetFiles(spark: SparkSession, root: String): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -84,16 +85,25 @@ object CurateRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
       val base = graft.queries.Tables.documents(spark, sfDir).localCheckpoint()
-      val variants = Seq("none" -> 0, s"every$compactEvery" -> compactEvery)
-      val rows = variants.flatMap { case (variant, every) =>
+      // span variants measure the q147 layer's marginal cost: the span
+      // store is the one index linear in corpus TOKENS, so its probe +
+      // fold dominate the delta vs the doc-level variants
+      val variants = Seq(
+        ("none", 0, false), (s"every$compactEvery", compactEvery, false),
+        ("spans-none", 0, true), (s"spans-every$compactEvery", compactEvery, true))
+      val rows = variants.flatMap { case (variant, every, spans) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
-        CurateStream.bootstrap(base, root)
+        CurateStream.bootstrap(base, root, withSpans = spans)
         (0 until batches).map { b =>
           val batch = batchOf(base, b, batches).localCheckpoint()
           val t0 = System.nanoTime()
-          val manifest = CurateStream.ingestBatch(batch, root)
+          val manifest = CurateStream.ingestBatch(batch, root, spanGate = spans)
           val nMan = manifest.count() // manifest is localCheckpointed: free
           val secs = (System.nanoTime() - t0) / 1e9
+          // the harness is a long-lived session too: drop the per-batch
+          // pinned frames (same discipline ingestBatch applies to its
+          // own intermediates)
+          batch.unpersist(); manifest.unpersist()
           val files = parquetFiles(spark, root)
           val keysRows = Layout.readStatic(spark, root, CurateStream.KeysEntity)
             .map(_.count()).getOrElse(0L)
@@ -120,7 +130,7 @@ object CurateRehearsal {
       // the law in two numbers per variant: mean ingest secs over the
       // first and last fifth of the stream
       val fifth = math.max(batches / 5, 1)
-      variants.foreach { case (v, _) =>
+      variants.foreach { case (v, _, _) =>
         val vs = rows.filter(_._1 == v)
         val head = vs.take(fifth).map(_._6).sum / fifth
         val tail = vs.takeRight(fifth).map(_._6).sum / fifth
