@@ -115,6 +115,11 @@ object SemanticRehearsal {
     // the dup-recall lever under test in the p-sweep: batch-side probe
     // list width (assignment and the stored file are unchanged)
     val probes = args.lift(4).map(_.toInt).getOrElse(1)
+    // > 0 switches maintenance to the MECHANIZED policy: no fixed
+    // retrainAt — every batch first runs
+    // SemanticStream.retrainIfUnbalanced(threshold) and the log records
+    // when the imbalance trigger actually fires on the drift stream
+    val autoThreshold = args.lift(5).map(_.toDouble).getOrElse(0.0)
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
@@ -127,7 +132,7 @@ object SemanticRehearsal {
         SemanticStream.retrain(spark, root, k) // codebook fits the BASE distribution
         val rows = (0 until batches).map { b =>
           var retrainSecs = 0.0
-          if (b == retrainAt) {
+          if (autoThreshold <= 0 && b == retrainAt) {
             val r0 = System.nanoTime()
             SemanticStream.retrain(spark, root, k)
             retrainSecs = (System.nanoTime() - r0) / 1e9
@@ -142,9 +147,15 @@ object SemanticRehearsal {
           val planted = twins.count()
           val caught = twins.where(col("status") =!= "kept").count()
           val recall = caught.toDouble / planted
-          val maxShare = man.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-            .agg(max(col("n")).cast("double") / sum(col("n")))
-            .head().getDouble(0)
+          val maxShare = SemanticStream.batchImbalance(man)
+          // mechanized policy: the batch-level imbalance IS the trigger
+          // input (the stored index is dedup-shielded from collapse
+          // drift — see SemanticStream.cellImbalance's note)
+          if (autoThreshold > 0 && maxShare >= autoThreshold) {
+            val r0 = System.nanoTime()
+            SemanticStream.retrain(spark, root, k)
+            retrainSecs = (System.nanoTime() - r0) / 1e9
+          }
           // the probe's join volume this batch: batch×corpus meeting on
           // cell plus the batch-internal pairs — the cost face drift
           // inflates when assignments unbalance (Σ over cells)
@@ -157,7 +168,7 @@ object SemanticRehearsal {
               col("bn") * (col("bn") - 1) / 2).cast("long"))
             .head().getLong(0)
           val alpha = alphaOf(b, batches)
-          println(f"""{"family":"semantic_ingest_drift","mode":"$mode","probes":$probes,"batch":$b,""" +
+          println(f"""{"family":"semantic_ingest_drift","mode":"$mode","probes":$probes,"auto_threshold":$autoThreshold%.2f,"batch":$b,""" +
             f""""alpha":$alpha%.3f,"planted":$planted,"caught":$caught,""" +
             f""""recall":$recall%.3f,"max_cell_share":$maxShare%.3f,""" +
             f""""probe_candidates":$cand,"secs":${math.round(secs * 100) / 100.0},""" +

@@ -155,13 +155,16 @@ object SemanticStream {
     ver
   }
 
-  /** Top-cell share of the stored inverted file — the RETRAIN TRIGGER
-    * metric the round-7 drift rehearsal pinned: domain drift shows up
-    * as assignment imbalance (collapse-mode share grew 0.075 → 0.116
-    * at K=32 while dup recall barely moved), and imbalance is what
-    * inflates every probe join's Σ|cell|² term. A one-aggregate scan
+  /** Top-cell share of the stored inverted file — assignment imbalance
+    * at the INDEX level, the Σ|cell|² cost face. A one-aggregate scan
     * of the `cell` column only. Uniform would be 1/K; the measured
-    * trained-era band sits at ~2.4/K — alarm at ~2× that. */
+    * trained-era band sits at ~2.4/K. Note the rehearsal's finding:
+    * keep-first dedup SHIELDS this metric from collapse-mode drift —
+    * mutually-similar drifted vectors are dropped as duplicates, so
+    * the inverted file stays dominated by the balanced base corpus
+    * and index-level share barely moves while the arriving
+    * distribution is already degenerate. Watch [[batchImbalance]] for
+    * the drift signal; watch this for accumulated index health. */
   def cellImbalance(spark: SparkSession, root: String): Double =
     stored(spark, root, CellsEntity, CellsDdl)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -169,16 +172,29 @@ object SemanticStream {
       .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
       .getOrElse(0.0)
 
-  /** The maintenance policy, mechanized: [[retrain]] when
-    * [[cellImbalance]] crosses `threshold`, else leave the codebook
-    * frozen (retraining on a balanced index buys nothing and — the
-    * rehearsal's finding — can even cost near-pair recall by tightening
-    * cells; dup recall wants `probes`, not retrains). Returns the new
-    * version when a retrain ran. */
+  /** Top-cell share of ONE ingest's manifest — the batch-level
+    * imbalance, and the metric the mechanized retrain trigger watches:
+    * it reads the ARRIVING distribution before dedup filters it, so
+    * collapse-mode drift shows here (measured 0.075 → 0.116+ at K=32)
+    * even while [[cellImbalance]] stays calm. Costs one aggregate over
+    * the already-materialized manifest. */
+  def batchImbalance(manifest: DataFrame): Double =
+    manifest.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+      .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+      .getOrElse(0.0)
+
+  /** The maintenance policy, mechanized: [[retrain]] when the batch's
+    * assignment imbalance crosses `threshold`, else leave the codebook
+    * frozen (retraining on a balanced stream buys nothing and — the
+    * rehearsal's finding — can even cost near-pair recall by
+    * tightening cells; dup recall wants `probes`, not retrains).
+    * Call after an ingest with its manifest; returns the new version
+    * when a retrain ran. */
   def retrainIfUnbalanced(spark: SparkSession, root: String,
-      threshold: Double, k: Int = SimSearch.IvfK,
+      manifest: DataFrame, threshold: Double, k: Int = SimSearch.IvfK,
       rounds: Int = 3): Option[String] =
-    if (cellImbalance(spark, root) >= threshold)
+    if (batchImbalance(manifest) >= threshold)
       Some(retrain(spark, root, k, rounds))
     else None
 

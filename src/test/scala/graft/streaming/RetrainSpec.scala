@@ -89,16 +89,34 @@ class RetrainSpec extends AnyFunSuite {
     assert(status(root)(100L) === ("dup_corpus", 3L)) // keep-first: least same-cell match
   }
 
-  test("imbalance trigger: retrainIfUnbalanced fires once, then the index is calm") {
-    // seeded codebook lumps cluster B plus seed 1 into one cell
-    // (4 of 5 vectors); the trained split is 3/5 — so a 0.7 threshold
-    // fires exactly once
+  test("imbalance: index metric reads the store; batch trigger fires on degenerate arrivals") {
     val root = graft.Temps.dir("retrain-trigger")
     SemanticStream.bootstrap(corpus, root, k = 2)
+    // seeded codebook lumps cluster B plus seed 1 into one cell: 4/5
     assert(SemanticStream.cellImbalance(spark, root) === 0.8)
-    assert(SemanticStream.retrainIfUnbalanced(spark, root, 0.7, k = 2).nonEmpty)
+    SemanticStream.retrain(spark, root, k = 2)
     assert(SemanticStream.cellImbalance(spark, root) === 0.6)
-    assert(SemanticStream.retrainIfUnbalanced(spark, root, 0.7, k = 2).isEmpty)
+
+    // spread batch lands across both trained cells (share 2/3 < 0.7):
+    // the mechanized policy stays calm
+    val spread = df(Seq(
+      200L -> vec(0 -> 1.0, 3 -> 0.2),
+      210L -> vec(2 -> 1.0, 4 -> 0.2),
+      220L -> vec(2 -> 1.0, 5 -> 0.2)))
+    val mSpread = SemanticStream.ingestVectors(spread, root)
+    assert(SemanticStream.batchImbalance(mSpread) < 0.7)
+    assert(SemanticStream
+      .retrainIfUnbalanced(spark, root, mSpread, 0.7, k = 2).isEmpty)
+
+    // degenerate batch (all one cluster → one cell, share 1.0) fires
+    val degen = df(Seq(
+      300L -> vec(2 -> 1.0, 3 -> 0.31),
+      310L -> vec(2 -> 1.0, 4 -> 0.31),
+      320L -> vec(2 -> 1.0, 5 -> 0.31)))
+    val mDegen = SemanticStream.ingestVectors(degen, root)
+    assert(SemanticStream.batchImbalance(mDegen) === 1.0)
+    assert(SemanticStream
+      .retrainIfUnbalanced(spark, root, mDegen, 0.7, k = 2).nonEmpty)
   }
 
   test("probes=2 catches the straddled pair WITHOUT retraining") {
