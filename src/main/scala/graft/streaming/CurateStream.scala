@@ -22,6 +22,9 @@ import graft.ops.TextAnalysis._
   *   - `curate_bands`  (doc_id, h0..h3): MinHash signatures whose 2×2
   *     band projection is the near-dup index
   *   - `curate_bench`  (sh): benchmark shingle set (decontamination)
+  *   - `curate_spans`  (sp, doc_id): kept docs' distinct 8-token span
+  *     keys — the OPT-IN substring layer (q147); linear in corpus
+  *     tokens, which is why it's not always-on
   *   - `curate_manifest` (doc_id, source, n_toks, status): one row per
   *     ingested doc with its drop PROVENANCE — q142's no-silent-drops
   *     discipline, written LAST per batch as the commit marker
@@ -219,22 +222,28 @@ object CurateStream {
 
     // span layer (opt-in): corpus-coverage fraction of each surviving
     // non-bench doc's distinct spans, probed against the stored span
-    // index minus this batch's own (replay-safe) contribution
-    val spanDup: DataFrame =
-      if (!spanGate) emptyFrame(s, "doc_id bigint")
-      else {
+    // index minus this batch's own (replay-safe) contribution. The
+    // span rows are the layer's dominant cost (linear in batch
+    // TOKENS), so they are materialized ONCE and shared by the probe
+    // here and the kept-doc fold below (kept ⊆ b2 ∖ bench, so the
+    // fold is a filter of this frame, not a recompute).
+    val bSpans: Option[DataFrame] =
+      if (!spanGate) None
+      else Some(spanSetOf(batch.join(b2, Seq("doc_id"), "left_semi")
+        .where(col("doc_id") % 29 =!= 0)).localCheckpoint())
+    val spanDup: DataFrame = bSpans match {
+      case None => emptyFrame(s, "doc_id bigint")
+      case Some(sp) =>
         val spanIdx = stored(s, root, SpansEntity, "doc_id bigint, sp bigint")
           .join(ids, Seq("doc_id"), "left_anti")
           .select("sp").distinct()
-        spanSetOf(batch.join(b2, Seq("doc_id"), "left_semi")
-            .where(col("doc_id") % 29 =!= 0))
-          .join(spanIdx.withColumn("isdup", lit(1)), Seq("sp"), "left")
+        sp.join(spanIdx.withColumn("isdup", lit(1)), Seq("sp"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sp"),
             sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
           .where(col("n_dup") >= col("n_sp") * SpanDupFrac)
           .select("doc_id")
-      }
+    }
 
     // per-row quality stats ride the manifest for EVERY doc
     val withQ = keyed
@@ -275,17 +284,18 @@ object CurateStream {
     Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
       root, BandsEntity, Seq("doc_id"))
     Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
-    if (spanGate)
-      Layout.upsertStatic(
-        spanSetOf(batch.join(kept, Seq("doc_id"), "left_semi")),
+    bSpans.foreach { sp =>
+      Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
         root, SpansEntity, Seq("sp", "doc_id"))
+    }
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
     // a long-lived ingest process calls this once per micro-batch in
     // ONE session: the localCheckpoints above would otherwise stay
-    // pinned in executor storage forever (3 blocks per batch ×
+    // pinned in executor storage forever (3-4 blocks per batch ×
     // thousands of batches → eviction churn). Everything they fed has
     // landed; only the returned manifest stays materialized.
     batch.unpersist(); keyed.unpersist(); sigB.unpersist()
+    bSpans.foreach(_.unpersist())
     manifest
   }
 

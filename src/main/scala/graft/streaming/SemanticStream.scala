@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 import graft.ops.SimSearch
 import graft.sinks.Layout
@@ -197,6 +198,38 @@ object SemanticStream {
     if (batchImbalance(manifest) >= threshold)
       Some(retrain(spark, root, k, rounds))
     else None
+
+  /** The Structured Streaming driver — [[CurateStream.run]]'s
+    * vector-side twin: watch `rawDir` for embedding batches (parquet),
+    * dedup each micro-batch against the stored index. Restart-safe for
+    * the same reasons (checkpoint replay + self-excluding probes +
+    * anti-join upserts + manifest-last), and a replayed batch also
+    * repairs any torn [[retrain]] first. `autoThreshold > 0` arms the
+    * mechanized maintenance policy per batch
+    * ([[retrainIfUnbalanced]] on the fresh manifest — the measured
+    * batch-level trigger; the stored index is dedup-shielded and
+    * would never fire). `compactEvery > 0` compacts the cells +
+    * manifest stores every that many batches, keyed off the stream's
+    * batch id like the curate driver. */
+  def run(spark: SparkSession, rawDir: String, schema: StructType,
+      root: String, checkpoint: String, maxFilesPerTrigger: Int = 1,
+      probes: Int = 1, autoThreshold: Double = 0.0,
+      compactEvery: Int = 0, k: Int = SimSearch.IvfK): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(rawDir)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val man = ingestVectors(b, root, probes = probes)
+        if (autoThreshold > 0)
+          retrainIfUnbalanced(spark, root, man, autoThreshold, k)
+        man.unpersist()
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          Seq(CellsEntity, ManifestEntity)
+            .foreach(Layout.compactStatic(spark, root, _))
+        ()
+      }
+      .start()
 
   /** Dedup one vector batch against the stored index; returns (and
     * lands) the manifest, then folds kept vectors into the inverted
