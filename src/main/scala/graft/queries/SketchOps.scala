@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.BloomGate
+import Tables._
+
+/** Sketch-probe queries — gates whose sketches compress an INDEX, not
+  * an answer: the output is exact (and therefore plain-SQL oracle-
+  * checkable) while the sketch only prunes work. */
+object SketchOps {
+
+  def defs: Map[String, Q] = Map(
+    // Bloom-gated exact corpus dedup: batch keys probe a Bloom sketch
+    // of the corpus key set; only might-contain candidates pay the
+    // confirm semi-join. No false negatives → the flags equal the
+    // ungated semi-join bit for bit, which is exactly what the oracle
+    // states (the sketch never appears in it — it provably cannot
+    // change the answer, only the plan). BloomGateSpec pins the
+    // pruning itself (candidate count ≈ dups + fpp·novel) and the
+    // gate/ungated equality across fpp settings.
+    "q149_bloom_gate" -> Q(
+      (s, d) => {
+        val k = documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("key"))
+        val corpus = k.where(col("doc_id") % 5 =!= 0).select(col("key"))
+          .localCheckpoint() // sketch build + confirm join both read it
+        val batch = k.where(col("doc_id") % 5 === 0)
+        BloomGate.corpusDupFlag(batch, corpus, "key",
+            expectedItems = 4096L, fpp = 0.01)
+          .select(col("doc_id"), col("key"), col("is_dup_corpus"))
+      },
+      Some("""WITH k AS (SELECT doc_id, md5(text) AS key FROM documents),
+             |c AS (SELECT key FROM k WHERE doc_id % 5 <> 0)
+             |SELECT doc_id, key,
+             |       (key IN (SELECT key FROM c)) AS is_dup_corpus
+             |FROM k WHERE doc_id % 5 = 0""".stripMargin),
+      "Bloom-gated exact dedup: join-free probe settles novel keys, confirm join only behind sketch positives"))
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.functions.BloomExprs
+
+class BloomGateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // corpus keys k0000..k0999; batch = 50 true dups + 950 novel keys
+  private def corpus = {
+    import spark.implicits._
+    (0 until 1000).map(i => f"k$i%04d").toDF("key")
+  }
+  private def batch = {
+    import spark.implicits._
+    ((0 until 50).map(i => (i.toLong, f"k$i%04d")) ++
+      (0 until 950).map(i => (1000L + i, f"n$i%04d"))).toDF("id", "key")
+  }
+
+  test("no false negatives: every true dup is a sketch candidate") {
+    val bf = corpus.stat.bloomFilter("key", 1000L, 0.01)
+    val missed = batch.where(col("id") < 50)
+      .where(!BloomExprs.mightContain(bf)(col("key")))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("the sketch prunes: candidates ≈ dups + fpp·novel, well under the batch") {
+    val bf = corpus.stat.bloomFilter("key", 1000L, 0.01)
+    val cand = batch.where(BloomExprs.mightContain(bf)(col("key"))).count()
+    assert(cand >= 50L)        // all true dups
+    assert(cand <= 50L + 95L)  // ≤ 10× the nominal 1% fp allowance on 950 novel
+  }
+
+  test("gate output equals the ungated semi-join across fpp settings") {
+    val expected = batch
+      .join(corpus.withColumn("is_dup_corpus", lit(true)), Seq("key"), "left")
+      .select(col("id"), col("key"),
+        coalesce(col("is_dup_corpus"), lit(false)).as("is_dup_corpus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    for (fpp <- Seq(0.5, 0.1, 0.01)) { // even an awful sketch stays exact
+      val gated = BloomGate.corpusDupFlag(batch, corpus, "key", 1000L, fpp)
+        .select(col("id"), col("key"), col("is_dup_corpus"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(gated === expected, s"fpp=$fpp")
+    }
+  }
+
+  test("sketch bits are deterministic for a key set regardless of partitioning") {
+    val a = BloomExprs.serialize(corpus.stat.bloomFilter("key", 1000L, 0.01))
+    val b = BloomExprs.serialize(
+      corpus.repartition(7).stat.bloomFilter("key", 1000L, 0.01))
+    assert(java.util.Arrays.equals(a, b))
+  }
+}
