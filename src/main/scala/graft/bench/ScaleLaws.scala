@@ -370,6 +370,108 @@ object ScaleLaws {
     (s3, packed)
   }
 
+  /** q148's two scan formulations at IDENTICAL candidate volume
+    * (queries = vec_id % 97 == 0 scoring the whole corpus, top-10):
+    * candidates := q×(n−1) scored pairs for both, pairs := the top-10
+    * row count. The secs ratio exact/adc at equal candidates is the
+    * PQ compression dividend — each ADC score reads M=8 table entries
+    * instead of d=64 doubles (and the shuffled scan state is 8 codes
+    * per corpus row, not the vector). [[pqRecall]] prices the
+    * approximation. */
+  def l2ExactScan(emb: DataFrame): (Long, Long) = {
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val rows = graft.ops.Pq.l2TopK(q, emb, "vec_id", "embedding", 10).count()
+    val nq = q.count()
+    (nq * (emb.count() - 1), rows)
+  }
+
+  def pqAdcScan(emb: DataFrame): (Long, Long) = {
+    val books = graft.ops.Pq.seedBooks(emb, "vec_id", "embedding")
+    val codes = graft.ops.Pq.encodeCodes(emb, "vec_id", "embedding", books)
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val rows = graft.ops.Pq.adcTopK(q, codes, "vec_id", "embedding", books, 10).count()
+    val nq = q.count()
+    (nq * (emb.count() - 1), rows)
+  }
+
+  /** The production two-stage shape ([[graft.ops.Pq.adcRerankTopK]]):
+    * ADC top-100 prefilter from codes, exact re-rank of candidates
+    * only. candidates := prefilter rows (the full-vector IO bound),
+    * pairs := recall hits@10 vs the exact scan — the measured claim is
+    * that a 100-row prefilter recovers most of what raw ADC@10 loses
+    * while touching full vectors for ~0.3% of the corpus. */
+  def pqRerank(emb: DataFrame): (Long, Long) = {
+    import graft.ops.Pq
+    val books = Pq.seedBooks(emb, "vec_id", "embedding")
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val exact = Pq.l2TopK(q, emb, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val rr = Pq.adcRerankTopK(q, emb, "vec_id", "embedding", books,
+        prefilterK = 100, topK = 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val hits = exact.join(rr, Seq("q_id", "c_id"), "left_semi").count()
+    val nCand = q.count() * 100
+    exact.unpersist(true); rr.unpersist(true)
+    (nCand, hits)
+  }
+
+  /** Recall@10 of the ADC scan against the exact scan, seeded vs
+    * Lloyd-refined books: candidates := exact top-10 rows, pairs :=
+    * hits — pairs/candidates is the recall. Not a throughput row (it
+    * runs both scans); the law is the recall RATIO between the
+    * trained and seeded variants as n grows while the books stay
+    * 8×16. */
+  def pqRecall(emb: DataFrame, trained: Boolean): (Long, Long) = {
+    import graft.ops.Pq
+    val books =
+      if (trained) Pq.trainBooks(emb, "vec_id", "embedding", rounds = 2)
+      else Pq.seedBooks(emb, "vec_id", "embedding")
+    val codes = Pq.encodeCodes(emb, "vec_id", "embedding", books)
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val exact = Pq.l2TopK(q, emb, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val approx = Pq.adcTopK(q, codes, "vec_id", "embedding", books, 10)
+      .select("q_id", "c_id")
+    val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi").count()
+    val nExact = exact.count()
+    exact.unpersist(true)
+    (nExact, hits)
+  }
+
+  /** q149's Bloom gate vs its ungated twin on the amplified docs
+    * (corpus = doc_id % 5 ≠ 0 keys, batch = the rest): candidates :=
+    * rows entering the confirm join (gate: sketch positives; ungated:
+    * the whole batch), pairs := confirmed dups. Laws: confirmed dups
+    * come only from copy-0 byte-dups so the pairs column is EXACTLY
+    * invariant under amplification while corpus and batch grow ×n;
+    * gate candidates ≈ dups + fpp×novel stays a ~1% sliver of the
+    * batch at every n (the join the sketch buys away), and the two
+    * families' pairs columns must be EQUAL at every scale — the
+    * no-false-negatives law. */
+  def bloomGate(docs: DataFrame): (Long, Long) = {
+    val k = docs.select(col("doc_id"), md5(col("text")).as("key"))
+    val corpus = k.where(col("doc_id") % 5 =!= 0).select("key").localCheckpoint()
+    val batch = k.where(col("doc_id") % 5 === 0)
+    val bf = corpus.stat.bloomFilter("key", math.max(corpus.count(), 1L), 0.01)
+    val cand = batch
+      .where(graft.functions.BloomExprs.mightContain(bf)(col("key")))
+      .localCheckpoint()
+    val confirmed = cand.join(corpus, Seq("key"), "left_semi").count()
+    val nCand = cand.count()
+    cand.unpersist(true); corpus.unpersist(true)
+    (nCand, confirmed)
+  }
+
+  def exactSemiJoin(docs: DataFrame): (Long, Long) = {
+    val k = docs.select(col("doc_id"), md5(col("text")).as("key"))
+    val corpus = k.where(col("doc_id") % 5 =!= 0).select("key").localCheckpoint()
+    val batch = k.where(col("doc_id") % 5 === 0).localCheckpoint()
+    val confirmed = batch.join(corpus, Seq("key"), "left_semi").count()
+    val nBatch = batch.count()
+    batch.unpersist(true); corpus.unpersist(true)
+    (nBatch, confirmed)
+  }
+
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -421,7 +523,20 @@ object ScaleLaws {
         ("lsh_cosine_scaledK", false, (df, f) =>
           lshCosine(df, SimSearch.LshPlanes + 4 * log4(f))),
         ("ivf_probe_scaledK", false, (df, f) =>
-          ivfProbe(df, SimSearch.IvfK * f)))
+          ivfProbe(df, SimSearch.IvfK * f)),
+        // PQ compression dividend + its recall price (q148): exact and
+        // ADC scans at identical candidate volume, then recall@10 for
+        // seeded vs Lloyd-refined books
+        ("l2_exact_scan_q148", false, (df, _) => l2ExactScan(df)),
+        ("pq_adc_scan_q148", false, (df, _) => pqAdcScan(df)),
+        ("pq_recall_seeded_q148", false, (df, _) => pqRecall(df, trained = false)),
+        ("pq_recall_trained_q148", false, (df, _) => pqRecall(df, trained = true)),
+        ("pq_rerank_q151", false, (df, _) => pqRerank(df)),
+        // Bloom gate (q149) vs its ungated twin: equal confirmed-dup
+        // columns at every n (no false negatives), candidate sliver
+        // ≈ dups + 1% of batch
+        ("bloom_gate_q149", true, (df, _) => bloomGate(df)),
+        ("exact_semijoin_q149", true, (df, _) => exactSemiJoin(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock

@@ -117,6 +117,36 @@ object PqOps {
                 |WHERE r.rn <= 3""".stripMargin),
         "PQ-compressed ADC top-k (8 subspaces × 16 centroids, 64×-smaller scan) with exact-L2 hit flags"),
 
+      // The two-stage production scan: ADC top-50 prefilter from the
+      // compressed codes, exact squared-L2 re-rank of candidates only
+      // — full vectors are read for prefilterK·|queries| rows, never
+      // the corpus. The oracle replays prefilter, re-rank and the
+      // final ranking (both stages' tie disciplines) end to end.
+      "q151_pq_rerank" -> Q(
+        (s, d) => {
+          val emb = embeddings(s, d)
+          val books = Pq.seedBooks(emb, "vec_id", "embedding", m, ksub)
+          Pq.adcRerankTopK(emb.where(col("vec_id") < 8), emb,
+              "vec_id", "embedding", books, prefilterK = 50, topK = 5)
+            .select(col("q_id"), col("rn"), col("c_id"), col("dist"))
+        },
+        Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+                |${pqCtes(m, sub, ksub)},
+                |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id
+                |         FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+                |$adcRankCtes,
+                |pre AS (SELECT q_id, c_id FROM ranked WHERE rn <= 50),
+                |rr AS (SELECT p.q_id, p.c_id,
+                |         round(${l2Sql("q.v", "c.v")}, 6) AS dist
+                |       FROM pre p
+                |       JOIN e q ON q.vec_id = p.q_id
+                |       JOIN e c ON c.vec_id = p.c_id),
+                |rank2 AS (SELECT q_id, c_id, dist,
+                |            row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rn
+                |          FROM rr)
+                |SELECT q_id, rn, c_id, dist FROM rank2 WHERE rn <= 5""".stripMargin),
+        "ADC-prefilter + exact re-rank: the two-stage compressed scan, full-vector IO bounded to candidates"),
+
       // IVF+PQ: the composed production index — coarse cells bound
       // WHICH codes each query scores (probe equi-join), PQ bounds the
       // per-code cost; nothing in the scoring path touches a full

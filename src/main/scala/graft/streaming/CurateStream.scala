@@ -124,7 +124,16 @@ object CurateStream {
     * the one index linear in corpus TOKENS, not docs (the price every
     * substring-level dedup pays). */
   def bootstrap(corpus: DataFrame, root: String,
-      withSpans: Boolean = false): Unit = {
+      withSpans: Boolean = false, withSketch: Boolean = false): Unit = {
+    // sketch BEFORE keys: the superset invariant (KeySketch object doc)
+    // holds through every crash window, and ingests auto-detect the
+    // sketch's presence — a bootstrap that died between the two leaves
+    // a gated-but-correct or ungated-but-correct store, never a wrong one
+    if (withSketch)
+      KeySketch.write(corpus.sparkSession, root,
+        KeySketch.build(
+          corpus.select(contentKey(col("text")).as("key")), "key",
+          capacity = 0L))
     Layout.upsertStatic(
       corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
       root, KeysEntity, Seq("key", "doc_id"))
@@ -165,12 +174,26 @@ object CurateStream {
       .join(ids, Seq("doc_id"), "left_anti")
     val benchIdx = stored(s, root, BenchEntity, "sh bigint")
 
-    // exact layer: stored content-key probe + within-batch keep-best
+    // exact layer: stored content-key probe + within-batch keep-best.
+    // When the maintained Bloom sketch exists ([[KeySketch]]; opt-in at
+    // bootstrap), only sketch-POSITIVE rows reach the confirm
+    // semi-join — the novel-key majority is settled by a per-row bit
+    // test. No false negatives + the same confirm join ⇒ statuses are
+    // bit-identical to the ungated path (CurateStreamSpec pins the
+    // equality), including under replay: a half-landed batch's own
+    // keys sit in the sketch, but the id-excluded keyIdx confirm
+    // rejects them exactly as it always did.
+    val sketch = KeySketch.read(s, root)
     val keyed = batch.withColumn("key", contentKey(col("text")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)))
       .localCheckpoint()
-    val dupExactCorpus = keyed.join(keyIdx, Seq("key"), "left_semi")
+    val exactProbe = sketch match {
+      case Some(sk) => keyed.where(
+        graft.functions.BloomExprs.mightContain(sk.bf)(col("key")))
+      case None => keyed
+    }
+    val dupExactCorpus = exactProbe.join(keyIdx, Seq("key"), "left_semi")
       .select("doc_id")
     val dupExactBatch = keyed.where(col("rn") > 1).select("doc_id")
     val b1 = keyed.select("doc_id")
@@ -276,8 +299,14 @@ object CurateStream {
           .otherwise("kept").as("status"))
       .localCheckpoint()
 
-    // index first, manifest LAST (the batch's commit marker)
+    // index first, manifest LAST (the batch's commit marker); the
+    // sketch merge lands BEFORE the keys it covers (superset invariant
+    // — a crash between the two only costs false positives)
     val kept = manifest.where(col("status") === "kept").select("doc_id")
+    sketch.foreach { sk =>
+      KeySketch.write(s, root, KeySketch.merge(sk,
+        keyed.join(kept, Seq("doc_id"), "left_semi").select("key"), "key"))
+    }
     Layout.upsertStatic(
       keyed.join(kept, Seq("doc_id"), "left_semi").select("key", "doc_id"),
       root, KeysEntity, Seq("key", "doc_id"))
@@ -326,9 +355,17 @@ object CurateStream {
         // pinned blocks too (ingestBatch keeps it materialized for
         // batch callers that read statuses back)
         ingestBatch(b, root).unpersist()
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           Seq(KeysEntity, BandsEntity, BenchEntity, ManifestEntity)
             .foreach(Layout.compactStatic(spark, root, _))
+          // sketch-saturation maintenance rides the same window: once
+          // merged items cross capacity, rebuild at 4× from the
+          // authoritative key store (fpp is a cost knob, so deferring
+          // the rebuild to the window is always safe)
+          Layout.readStatic(spark, root, KeysEntity).foreach { keys =>
+            KeySketch.maybeRebuild(spark, root, keys.select("key"), "key")
+          }
+        }
         ()
       }
       .start()

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sinks.Layout
+
+/** The maintained-sketch contract ([[KeySketch]] + the gated exact
+  * layer in [[CurateStream.ingestBatch]]): gating is a pure plan
+  * optimization — statuses bit-identical to the ungated path through
+  * sequential ingest, replay, crash-window supersets, and sketch
+  * saturation + rebuild. */
+class KeySketchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def qtext(k: Int): String = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    (0 until 45).flatMap(i =>
+      if (i % 9 == 0) Seq(stop(i / 9), s"w${k}_$i") else Seq(s"w${k}_$i"))
+      .mkString(" ")
+  }
+
+  private def docsDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS INT) AS n_chars")
+  }
+
+  private def corpus = docsDF(Seq(
+    1L -> qtext(1), 2L -> (qtext(3) + " tail3"), 29L -> qtext(6)))
+  private def batchA = docsDF(Seq(
+    0L -> qtext(1), 10L -> qtext(2), 40L -> qtext(8)))
+  private def batchB = docsDF(Seq(
+    5L -> qtext(2), 15L -> qtext(3), 35L -> "just three tokens"))
+
+  private def manifests(root: String) = {
+    val s = spark
+    import s.implicits._
+    Layout.readStatic(s, root, CurateStream.ManifestEntity).get
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+  }
+
+  test("sketch-gated ingest produces bit-identical statuses to ungated") {
+    val gatedRoot = graft.Temps.dir("sketch-gated")
+    val plainRoot = graft.Temps.dir("sketch-plain")
+    CurateStream.bootstrap(corpus, gatedRoot, withSketch = true)
+    CurateStream.bootstrap(corpus, plainRoot)
+    assert(KeySketch.read(spark, gatedRoot).isDefined)
+    assert(KeySketch.read(spark, plainRoot).isEmpty)
+    for (root <- Seq(gatedRoot, plainRoot)) {
+      CurateStream.ingestBatch(batchA, root).unpersist()
+      CurateStream.ingestBatch(batchB, root).unpersist()
+    }
+    val gated = manifests(gatedRoot)
+    assert(gated === manifests(plainRoot))
+    // the scenario exercises the gate both ways: corpus dups (sketch
+    // positives that confirm) and novel keys (settled without joining)
+    assert(gated(0L) === "dup_exact_corpus")
+    assert(gated(5L) === "dup_exact_corpus") // kept-in-A twin of 10
+    assert(gated(40L) === "kept")
+    // sketch item accounting: corpus 3 + kept of A (10, 40) + kept of
+    // B (none — all three rows drop)
+    val sk = KeySketch.read(spark, gatedRoot).get
+    assert(sk.items === 3L + 2L + 0L)
+  }
+
+  test("replayed batch re-merges the sketch harmlessly (statuses stable)") {
+    val root = graft.Temps.dir("sketch-replay")
+    CurateStream.bootstrap(corpus, root, withSketch = true)
+    CurateStream.ingestBatch(batchA, root).unpersist()
+    val before = manifests(root)
+    val itemsBefore = KeySketch.read(spark, root).get.items
+    // foreachBatch replay: same batch again — its own keys sit in the
+    // sketch (positives), but the id-excluded confirm rejects them
+    val replayed = CurateStream.ingestBatch(batchA, root)
+    val s = spark
+    import s.implicits._
+    assert(replayed.select("doc_id", "status")
+      .as[(Long, String)].collect().toMap === before)
+    replayed.unpersist()
+    // the re-merge double-counts items (OR of identical bits) — pure
+    // accounting conservatism, only ever hastens the rebuild window
+    assert(KeySketch.read(spark, root).get.items >= itemsBefore)
+  }
+
+  test("crash-window superset: sketch with unlanded keys stays exact") {
+    val root = graft.Temps.dir("sketch-superset")
+    CurateStream.bootstrap(corpus, root, withSketch = true)
+    // simulate a batch whose sketch merge landed but whose keys upsert
+    // (and manifest) died: merge batchA's keys in by hand, land nothing
+    val sk = KeySketch.read(spark, root).get
+    KeySketch.write(spark, root, KeySketch.merge(sk,
+      batchA.select(md5(col("text").cast("binary")).as("key")), "key"))
+    // the retried ingest must classify exactly as a clean one: doc 0 is
+    // a real corpus dup; 10/40's keys are sketch false-positives that
+    // the confirm join rejects
+    val got = CurateStream.ingestBatch(batchA, root)
+    val s = spark
+    import s.implicits._
+    val m = got.select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(m === Map(0L -> "dup_exact_corpus", 10L -> "kept", 40L -> "kept"))
+    got.unpersist()
+  }
+
+  test("saturation rebuild: 4x capacity from the key store, gate still exact") {
+    val root = graft.Temps.dir("sketch-rebuild")
+    CurateStream.bootstrap(corpus, root, withSketch = true)
+    CurateStream.ingestBatch(batchA, root).unpersist()
+    // force saturation: shrink the recorded capacity below items
+    val sk = KeySketch.read(spark, root).get
+    KeySketch.write(spark, root, sk.copy(capacity = 1L))
+    val keys = Layout.readStatic(spark, root, CurateStream.KeysEntity).get
+    assert(KeySketch.maybeRebuild(spark, root, keys.select("key"), "key"))
+    val rebuilt = KeySketch.read(spark, root).get
+    // 4× the saturated capacity, floored at build()'s 2×-keys headroom
+    assert(rebuilt.capacity === math.max(4L, 2L * keys.count()))
+    assert(rebuilt.items === keys.count())
+    assert(!KeySketch.maybeRebuild(spark, root, keys.select("key"), "key"))
+    // post-rebuild ingest still classifies exactly
+    val got = CurateStream.ingestBatch(batchB, root)
+    val s = spark
+    import s.implicits._
+    val m = got.select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(m === Map(5L -> "dup_exact_corpus", 15L -> "dup_near_corpus",
+      35L -> "low_quality"))
+    got.unpersist()
+  }
+
+  test("interrupted swap recovery: a lone .tmp or .old is promoted") {
+    val root = graft.Temps.dir("sketch-swap")
+    CurateStream.bootstrap(corpus, root, withSketch = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$root/static/curate_sketch.bin")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/static/.curate_sketch.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$root/static/.curate_sketch.old")
+    val items = KeySketch.read(spark, root).get.items
+    // crash between tmp-write and park: .tmp holds the newest copy
+    assert(fs.rename(dst, tmp))
+    assert(KeySketch.read(spark, root).get.items === items)
+    assert(fs.exists(dst) && !fs.exists(tmp))
+    // crash between park and promote with the promote lost: .old rolls back
+    assert(fs.rename(dst, old))
+    assert(KeySketch.read(spark, root).get.items === items)
+    assert(fs.exists(dst) && !fs.exists(old))
+  }
+}
