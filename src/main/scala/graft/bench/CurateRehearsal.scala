@@ -88,12 +88,21 @@ object CurateRehearsal {
       // span variants measure the q147 layer's marginal cost: the span
       // store is the one index linear in corpus TOKENS, so its probe +
       // fold dominate the delta vs the doc-level variants
+      // the sketch variant measures the gated exact layer's marginal
+      // effect: at this corpus/batch ratio the confirm join is small
+      // either way, so the expected result is parity on wall-clock with
+      // candidate-volume accounting living in the bloom_gate_q149
+      // ScaleLaws family — the rehearsal's job is to prove the gate
+      // rides the long-ingest maintenance loop (merge + saturation
+      // rebuild at compaction windows) without perturbing the law
       val variants = Seq(
-        ("none", 0, false), (s"every$compactEvery", compactEvery, false),
-        ("spans-none", 0, true), (s"spans-every$compactEvery", compactEvery, true))
-      val rows = variants.flatMap { case (variant, every, spans) =>
+        ("none", 0, false, false), (s"every$compactEvery", compactEvery, false, false),
+        ("spans-none", 0, true, false), (s"spans-every$compactEvery", compactEvery, true, false),
+        (s"sketch-every$compactEvery", compactEvery, false, true))
+      val rows = variants.flatMap { case (variant, every, spans, sketch) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
-        CurateStream.bootstrap(base, root, withSpans = spans)
+        CurateStream.bootstrap(base, root, withSpans = spans,
+          withSketch = sketch)
         (0 until batches).map { b =>
           val batch = batchOf(base, b, batches).localCheckpoint()
           val t0 = System.nanoTime()
@@ -111,6 +120,12 @@ object CurateRehearsal {
           if (every > 0 && (b + 1) % every == 0) {
             val c0 = System.nanoTime()
             Entities.foreach(Layout.compactStatic(spark, root, _))
+            if (sketch)
+              Layout.readStatic(spark, root, CurateStream.KeysEntity)
+                .foreach { keys =>
+                  graft.streaming.KeySketch.maybeRebuild(
+                    spark, root, keys.select("key"), "key")
+                }
             compactSecs = (System.nanoTime() - c0) / 1e9
             println(s"""{"family":"curate_compact","variant":"$variant","batch":$b,""" +
               s""""files_before":$files,"files_after":${parquetFiles(spark, root)},""" +
@@ -130,7 +145,7 @@ object CurateRehearsal {
       // the law in two numbers per variant: mean ingest secs over the
       // first and last fifth of the stream
       val fifth = math.max(batches / 5, 1)
-      variants.foreach { case (v, _, _) =>
+      variants.foreach { case (v, _, _, _) =>
         val vs = rows.filter(_._1 == v)
         val head = vs.take(fifth).map(_._6).sum / fifth
         val tail = vs.takeRight(fifth).map(_._6).sum / fifth

@@ -438,6 +438,35 @@ object ScaleLaws {
     (nExact, hits)
   }
 
+  /** The d=512 contrast pair: the d=64 scans above measure PARITY
+    * (per-pair cost there is join/window/rounding machinery, not
+    * arithmetic — the d=64 dividend is the 64× smaller scan state).
+    * Production embedding dims are 512–4096, where the per-pair
+    * arithmetic DOES dominate: these two families widen the corpus to
+    * d=512 (deterministic 8× self-concatenation — distances scale ×8,
+    * rankings unchanged) so the exact side pays 512 FMAs/pair while
+    * ADC still pays M=8 table reads — the FLOP dividend, measured.
+    * The one-off encode pass (16×512 mults/row) is part of the timed
+    * ADC side; it amortizes over every query of the index's life. */
+  def scan512(emb: DataFrame, adc: Boolean): (Long, Long) = {
+    import graft.ops.Pq
+    val e512 = emb.select(col("vec_id"),
+        flatten(array_repeat(col("embedding").cast("array<double>"), 8))
+          .as("embedding"))
+      .localCheckpoint()
+    val q = e512.where(pmod(col("vec_id"), lit(97)) === 0)
+    val rows =
+      if (adc) {
+        val books = Pq.seedBooks(e512, "vec_id", "embedding")
+        val codes = Pq.encodeCodes(e512, "vec_id", "embedding", books)
+        Pq.adcTopK(q, codes, "vec_id", "embedding", books, 10).count()
+      } else Pq.l2TopK(q, e512, "vec_id", "embedding", 10).count()
+    val n = e512.count()
+    val nq = q.count()
+    e512.unpersist(true)
+    (nq * (n - 1), rows)
+  }
+
   /** q149's Bloom gate vs its ungated twin on the amplified docs
     * (corpus = doc_id % 5 ≠ 0 keys, batch = the rest): candidates :=
     * rows entering the confirm join (gate: sketch positives; ungated:
@@ -532,6 +561,8 @@ object ScaleLaws {
         ("pq_recall_seeded_q148", false, (df, _) => pqRecall(df, trained = false)),
         ("pq_recall_trained_q148", false, (df, _) => pqRecall(df, trained = true)),
         ("pq_rerank_q151", false, (df, _) => pqRerank(df)),
+        ("l2_exact_d512", false, (df, _) => scan512(df, adc = false)),
+        ("pq_adc_d512", false, (df, _) => scan512(df, adc = true)),
         // Bloom gate (q149) vs its ungated twin: equal confirmed-dup
         // columns at every n (no false negatives), candidate sliver
         // ≈ dups + 1% of batch

@@ -98,7 +98,27 @@ class PlanSpec extends AnyFunSuite {
     // broadcast frame (the looked-up address/skeleton), so the "nested
     // loop" is a bounded broadcast of one row against the skeleton
     // universe — the reference's one-vs-all scan shape
-    "q90_similar_to_address")
+    "q90_similar_to_address",
+    // the PQ scans BY DESIGN broadcast the ≤8-row query side (with its
+    // ADC tables) against the corpus — q148 over the 8-byte code table
+    // (the compressed-scan shape; the code table is materialized behind
+    // adcTopK's checkpoint so the per-pair loop reads codes, never
+    // re-encodes), q151's prefilter stage likewise (its re-rank stage
+    // is candidate-bounded equi-joins); both also run the exact-scan
+    // baseline for hit flags. The IVF-composed q150 is NOT here — its
+    // candidates meet on the cell equi-join, asserted below.
+    "q148_pq_topk", "q151_pq_rerank")
+
+  test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {
+    val p = plan("q150_pq_ivf_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom gate q149: the sketch probe filters ahead of the confirm join") {
+    val p = plan("q149_bloom_gate").toLowerCase
+    assert(p.contains("bloommightcontain"), p)
+  }
 
   test("no other query plans a cartesian product or nested-loop join") {
     val offenders = Registry.all.keys.toSeq.sorted
