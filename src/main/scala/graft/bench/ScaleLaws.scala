@@ -467,6 +467,26 @@ object ScaleLaws {
     (nq * (n - 1), rows)
   }
 
+  /** q152's shard-balance concentration: hash-mod sharding engineers
+    * nothing — token mass balances by CLT, and the law is the
+    * relative spread (max−min)/mean of per-shard token sums falling
+    * ~1/√n as the corpus grows. candidates := n docs, pairs := the
+    * spread in ppm (a Long-encoded ratio; the factor-over-factor
+    * halving is the assertion, not the absolute). */
+  def shardBalance(docs: DataFrame): (Long, Long) = {
+    val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+    val sums = docs
+      .select(pmod(h, lit(graft.queries.ShardOps.NumShards.toLong)).as("shard"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("shard")).agg(sum(col("n")).as("toks"))
+      .agg(min(col("toks")).as("lo"), max(col("toks")).as("hi"),
+        avg(col("toks")).as("mean"), sum(col("toks")).as("total"))
+      .head()
+    val spreadPpm =
+      ((sums.getLong(1) - sums.getLong(0)) / sums.getDouble(2) * 1e6).toLong
+    (docs.count(), spreadPpm)
+  }
+
   /** q149's Bloom gate vs its ungated twin on the amplified docs
     * (corpus = doc_id % 5 ≠ 0 keys, batch = the rest): candidates :=
     * rows entering the confirm join (gate: sketch positives; ungated:
@@ -567,7 +587,8 @@ object ScaleLaws {
         // columns at every n (no false negatives), candidate sliver
         // ≈ dups + 1% of batch
         ("bloom_gate_q149", true, (df, _) => bloomGate(df)),
-        ("exact_semijoin_q149", true, (df, _) => exactSemiJoin(df)))
+        ("exact_semijoin_q149", true, (df, _) => exactSemiJoin(df)),
+        ("shard_balance_q152", true, (df, _) => shardBalance(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Training-order sharding — the step between a curated corpus and a
+  * trainer: give every document a deterministic pseudorandom position,
+  * split the stream into shards, and emit the per-shard write order.
+  * The 100-TB shape is the point: a literal global ORDER BY rand()
+  * is a full-corpus range sort with sampled boundaries; hash-mod
+  * sharding is one hash-partition exchange (embarrassingly parallel),
+  * and the within-shard sort is bounded by the shard, whose size the
+  * operator controls by shard count. Token-mass balance across shards
+  * is not engineered — it concentrates (CLT over per-doc token
+  * counts), and the query MEASURES it instead of asserting it.
+  */
+object ShardOps {
+
+  val NumShards = 8
+
+  def defs: Map[String, Q] = Map(
+    // per-shard manifest of the deterministic global shuffle: doc
+    // positions from the cross-engine tokenHash of the doc id (q82's
+    // split discipline), shard = hash mod N, within-shard order =
+    // (hash, doc_id). Output is the balance sheet a trainer checks
+    // before reading: docs + token mass per shard, and the head of
+    // each shard's order pinned via min-position doc — all
+    // hash-checked against the SQL replay.
+    "q152_shuffle_shards" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("doc_id"), h.as("h"),
+            size(toks).cast("long").as("n_toks"))
+          .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+          .withColumn("seq", row_number().over(w))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("sum_toks"),
+            min(when(col("seq") === 1, col("doc_id"))).as("head_doc"))
+      },
+      Some {
+        val tokSql = TextOps.toksSql
+        s"""WITH t AS (SELECT doc_id,
+           |  ${TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")} AS h,
+           |  CAST(len($tokSql) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |sh AS (SELECT doc_id, h, n_toks, h % ${ShardOps.NumShards} AS shard,
+           |         row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
+           |           ORDER BY h, doc_id) AS seq
+           |       FROM t)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+           |       min(CASE WHEN seq = 1 THEN doc_id END) AS head_doc
+           |FROM sh GROUP BY 1""".stripMargin
+      },
+      "deterministic training-order shuffle + hash-mod sharding: one exchange, measured shard balance"),
+
+    // interleave QUALITY of the shuffled order: a trainer reading a
+    // shard sequentially should not see long same-source runs (the
+    // hash order is source-blind, so runs follow the source mix's
+    // geometric law — this measures them instead of asserting). Per
+    // shard: adjacent same-source pairs (lag over the seq order) and
+    // the longest same-source run (the seq − row_number-within-
+    // (shard, source) constant-group trick — both engines replay the
+    // identical windows). One exchange on shard; both windows reuse
+    // its partitioning.
+    "q153_interleave" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val order = Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val bySrc = Window.partitionBy(col("shard"), col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(NumShards.toLong)))
+          .withColumn("seq", row_number().over(order))
+          .withColumn("same_prev",
+            (lag(col("source"), 1).over(order) === col("source")).cast("int"))
+          .withColumn("grp", col("seq") - row_number().over(bySrc))
+          .withColumn("run_len", count(lit(1)).over(
+            Window.partitionBy(col("shard"), col("source"), col("grp"))))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("same_prev"), lit(0))).as("adj_same"),
+            max(col("run_len")).as("max_run"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  ${TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |sh AS (SELECT doc_id, source, h, h % ${NumShards} AS shard,
+              |         row_number() OVER (PARTITION BY h % ${NumShards}
+              |           ORDER BY h, doc_id) AS seq,
+              |         CASE WHEN lag(source) OVER (PARTITION BY h % ${NumShards}
+              |           ORDER BY h, doc_id) = source THEN 1 ELSE 0 END AS same_prev,
+              |         row_number() OVER (PARTITION BY h % ${NumShards}, source
+              |           ORDER BY h, doc_id) AS rs
+              |       FROM t),
+              |runs AS (SELECT shard, source, seq - rs AS grp,
+              |           count(*) OVER (PARTITION BY shard, source, seq - rs) AS run_len,
+              |           same_prev
+              |         FROM sh)
+              |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(same_prev) AS BIGINT) AS adj_same,
+              |       CAST(max(run_len) AS BIGINT) AS max_run
+              |FROM runs GROUP BY 1""".stripMargin),
+      "interleave quality of the sharded order: adjacent same-source pairs + longest same-source run per shard"))
+}

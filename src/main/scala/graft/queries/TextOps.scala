@@ -19,10 +19,10 @@ object TextOps {
   val MaxShingleDF = 500
 
   // ---- DuckDB SQL fragments mirroring TextAnalysis ----
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private[queries] val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** char-fold hash of SQL string expression `s` — mirrors tokenHash. */
-  private def tokHashSql(s: String): String =
+  private[queries] def tokHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $HashMod)"
 
   /** 4-token shingles of list expr `T` — mirrors shingles(_, 4). */
