@@ -513,5 +513,56 @@ object VectorOps {
            |SELECT vec_id, cell, status, rep_id FROM man1
            |UNION ALL SELECT vec_id, cell, status, rep_id FROM man2""".stripMargin
       },
-      "multi-probe online semantic dedup: batch probes its top-2 cells against the stored inverted file — the measured dup-recall lever"))
+      "multi-probe online semantic dedup: batch probes its top-2 cells against the stored inverted file — the measured dup-recall lever"),
+
+    // The READ face of the stored index: q145's scenario (bootstrap +
+    // one ingest), then EXTERNAL queries (vec_id % 10 = 5, never
+    // ingested) ask the index for top-3 neighbors — assignment-kernel
+    // probe lists, cell equi-join against the stored inverted file
+    // (corpus ∪ the ingested batch's kept vectors), exact re-rank.
+    // The oracle replays the ingest's keep decisions and the query
+    // ranking end to end, so the SERVED answers — not just the
+    // maintained state — are hash-checked.
+    "q154_semantic_query" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-query-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+          .unpersist()
+        SemanticStream.queryTopK(emb.where(col("vec_id") % 10 === 5), root,
+            topK = 3)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+              |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |rt AS (SELECT e.vec_id, e.v, cid,
+              |         row_number() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |       FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+              |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+              |b1 AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+              |mm1 AS (SELECT a.vec_id FROM b1 a JOIN corp c ON a.cell = c.cell
+              |          AND ${cosSql("a.v", "c.v")} >= 0.3
+              |        UNION ALL
+              |        SELECT a.vec_id FROM b1 a JOIN b1 b ON a.cell = b.cell
+              |          AND b.vec_id < a.vec_id
+              |          AND ${cosSql("a.v", "b.v")} >= 0.3),
+              |kept1 AS (SELECT * FROM b1
+              |          WHERE vec_id NOT IN (SELECT vec_id FROM mm1)),
+              |idx AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+              |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+              |       WHERE vec_id % 10 = 5 AND rn <= ${SimSearch.IvfProbe}),
+              |sc AS (SELECT q_id, c.vec_id AS c_id,
+              |         ${cosSql("qv", "c.v")} AS cos
+              |       FROM pr JOIN idx c USING (cell) WHERE q_id <> c.vec_id),
+              |rk AS (SELECT q_id, c_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY cos DESC, c_id) AS rn
+              |       FROM sc)
+              |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin),
+      "online ANN serving from the stored IVF index: external queries probe corpus ∪ kept, served answers hash-checked"))
 }

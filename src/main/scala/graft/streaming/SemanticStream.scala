@@ -231,6 +231,44 @@ object SemanticStream {
       }
       .start()
 
+  /** Approximate top-k over the STORED index without ingesting — the
+    * read face of the online index (ingest maintains it, this serves
+    * it): zero-shuffle assignment of the query rows against the live
+    * codebook (top-`nProbe` probe list from the same fold kernel),
+    * one equi-join on cell against the stored inverted file, exact
+    * 6-dp cosine re-rank inside the probed cells. Shares ingest's
+    * torn-retrain repair so a query never scores cells assigned under
+    * a codebook other than the live one. Per query the cost is
+    * K·d assignment arithmetic + the probed cells' vectors — the
+    * corpus is never scanned. */
+  def queryTopK(queries: DataFrame, root: String, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val cb = SimSearch.collectCodebook(
+      stored(s, root, CodebookEntity, CodebookDdl))
+    require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
+    val ver = codebookVersion(cb)
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
+    val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
+    val cells = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("cell"),
+        col("v").as("cv"), col("n").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+  }
+
   /** Dedup one vector batch against the stored index; returns (and
     * lands) the manifest, then folds kept vectors into the inverted
     * file. Deterministic and replay-idempotent. Repairs a torn

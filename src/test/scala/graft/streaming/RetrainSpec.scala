@@ -158,4 +158,45 @@ class RetrainSpec extends AnyFunSuite {
     assert(man.columns.toSeq ===
       Seq("vec_id", "cell", "status", "rep_id"), "manifest schema stable")
   }
+
+  test("queryTopK serves the stored index and repairs a torn retrain first") {
+    def answers(root: String) =
+      SemanticStream.queryTopK(
+          df(Seq(500L -> vec(2 -> 1.0, 0 -> 0.1))), root, topK = 2, nProbe = 1)
+        .select("q_id", "rn", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+
+    // two identical index histories: bootstrap + retrain + ingest of a
+    // KEPT vector (orthogonal e4 — no same-cell match), so the second
+    // retrain below trains on a grown corpus and lands a NEW codebook
+    // version (a no-op retrain would leave no torn window to test)
+    def seeded(): String = {
+      val root = graft.Temps.dir("query-root")
+      SemanticStream.bootstrap(corpus, root, k = 2)
+      SemanticStream.retrain(spark, root, k = 2)
+      SemanticStream.ingestVectors(df(Seq(100L -> vec(4 -> 1.0))), root)
+        .unpersist()
+      root
+    }
+    val clean = seeded()
+    val torn = seeded()
+    // ...diverge at a SECOND retrain: clean completes, torn is killed
+    // between the codebook and cells swaps
+    SemanticStream.retrain(spark, clean, k = 2)
+    intercept[RuntimeException] {
+      SemanticStream.retrain(spark, torn, k = 2,
+        afterCodebookSwap = () => throw new RuntimeException("injected kill"))
+    }
+    assert(cellsState(torn).map(_._3) !== Set(codebookVer(torn)), "torn")
+    // the read path repairs before serving: answers equal the clean
+    // run's, and the repair retagged the cells as a side effect
+    val want = answers(clean)
+    assert(want.nonEmpty && want.forall(_._1 == 500L))
+    // the query vector sits in cluster B: every served neighbor is a B
+    // member from its one probed cell, ranked by exact cosine
+    assert(want.map(_._3).forall(Set(3L, 4L, 5L)), want.toString)
+    assert(answers(torn) === want)
+    assert(cellsState(torn).map(_._3) === Set(codebookVer(torn)))
+  }
 }
