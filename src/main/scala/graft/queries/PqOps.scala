@@ -22,7 +22,7 @@ object PqOps {
 
   /** DuckDB sequential-fold squared L2 of list exprs (1-indexed),
     * mirroring [[graft.functions.PqExprs.l2sqEval]]'s fold order. */
-  private def l2Sql(a: String, b: String): String =
+  private[queries] def l2Sql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), " +
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +

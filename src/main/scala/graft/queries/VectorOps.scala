@@ -564,5 +564,93 @@ object VectorOps {
               |           ORDER BY cos DESC, c_id) AS rn
               |       FROM sc)
               |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin),
-      "online ANN serving from the stored IVF index: external queries probe corpus ∪ kept, served answers hash-checked"))
+      "online ANN serving from the stored IVF index: external queries probe corpus ∪ kept, served answers hash-checked"),
+
+    // q154's scenario served through the PQ SIDECAR (bootstrap
+    // withPq): the probed cells are scanned as 8-byte code rows first
+    // (ADC against the queries' distance tables, top-10 prefilter per
+    // query), and only those candidates fetch full vectors for the
+    // exact cosine re-rank — q151's two-stage scan composed with the
+    // MAINTAINED index (kept batch vectors fold their codes in under
+    // the frozen books). The oracle replays books → codes → ADC fold →
+    // prefilter → exact re-rank over corpus ∪ kept, so the served
+    // two-stage answers are hash-checked end to end.
+    "q155_semantic_query_pq" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-query-pq-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root,
+          withPq = true)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+          .unpersist()
+        SemanticStream.queryTopKPq(emb.where(col("vec_id") % 10 === 5), root,
+            topK = 3, prefilterC = 10)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some {
+        val sub = SimSearch.LshDim / graft.ops.Pq.M
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+           |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+           |b1 AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+           |mm1 AS (SELECT a.vec_id FROM b1 a JOIN corp c ON a.cell = c.cell
+           |          AND ${cosSql("a.v", "c.v")} >= 0.3
+           |        UNION ALL
+           |        SELECT a.vec_id FROM b1 a JOIN b1 b ON a.cell = b.cell
+           |          AND b.vec_id < a.vec_id
+           |          AND ${cosSql("a.v", "b.v")} >= 0.3),
+           |kept1 AS (SELECT * FROM b1
+           |          WHERE vec_id NOT IN (SELECT vec_id FROM mm1)),
+           |idx AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+           |seed AS (SELECT vec_id, v,
+           |           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+           |         FROM e WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${graft.ops.Pq.Ksub}),
+           |pcent AS (SELECT ms.range AS m, j,
+           |            list_transform(range(1, ${sub + 1}), i -> CAST(v[ms.range * $sub + i] AS DOUBLE)) AS c
+           |          FROM seed, range(0, ${graft.ops.Pq.M}) ms),
+           |subv AS (SELECT vec_id, ms.range AS m,
+           |           list_transform(range(1, ${sub + 1}), i -> CAST(v[ms.range * $sub + i] AS DOUBLE)) AS sv
+           |         FROM e, range(0, ${graft.ops.Pq.M}) ms),
+           |dall AS (SELECT s.vec_id, s.m, c.j,
+           |           round(${PqOps.l2Sql("s.sv", "c.c")}, 6) AS dist
+           |         FROM subv s JOIN pcent c ON s.m = c.m),
+           |code AS (SELECT vec_id, m, j FROM (
+           |           SELECT vec_id, m, j,
+           |             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+           |           FROM dall) WHERE rn = 1),
+           |pr AS (SELECT vec_id AS q_id, cid AS cell FROM rt
+           |       WHERE vec_id % 10 = 5 AND rn <= ${SimSearch.IvfProbe}),
+           |cand AS (SELECT pr.q_id, c.vec_id AS c_id
+           |         FROM pr JOIN idx c USING (cell) WHERE q_id <> c.vec_id),
+           |pairm AS (SELECT cand.q_id, cand.c_id, qd.m, qd.dist
+           |          FROM cand
+           |          JOIN code cd ON cd.vec_id = cand.c_id
+           |          JOIN dall qd ON qd.vec_id = cand.q_id
+           |           AND qd.m = cd.m AND qd.j = cd.j),
+           |score AS (SELECT q_id, c_id,
+           |            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |              list(dist ORDER BY m)), (acc, x) -> acc + x), 6) AS adist
+           |          FROM pairm GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS prn
+           |          FROM score) WHERE prn <= 10),
+           |sc AS (SELECT p.q_id, p.c_id, ${cosSql("q.v", "c.v")} AS cos
+           |       FROM pre p
+           |       JOIN e q ON q.vec_id = p.q_id
+           |       JOIN e c ON c.vec_id = p.c_id),
+           |rk AS (SELECT q_id, c_id, cos,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY cos DESC, c_id) AS rn
+           |       FROM sc)
+           |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin
+      },
+      "two-stage PQ serving from the maintained index: ADC prefilter over stored codes, exact re-rank on candidates only"))
 }

@@ -66,6 +66,12 @@ object SemanticStream {
   val CodebookEntity = "ivf_codebook"
   val CellsEntity = "ivf_cells"
   val ManifestEntity = "vec_manifest"
+  /** Optional PQ sidecar (opt-in at [[bootstrap]]): the per-subspace
+    * books (tiny, frozen at bootstrap like the seed codebook) and the
+    * cell-attributed code rows — M small codes per stored vector, the
+    * compressed face [[queryTopKPq]] scans before touching vectors. */
+  val PqBooksEntity = "pq_books"
+  val PqCodesEntity = "ivf_codes"
 
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
@@ -74,6 +80,8 @@ object SemanticStream {
     "id bigint, cell bigint, v array<double>, n double, ver string"
   private val CodebookDdl =
     "cid bigint, cv array<double>, cn double, ver string"
+  private val PqBooksDdl = "m int, j int, c array<double>"
+  private val PqCodesDdl = "id bigint, codes array<int>"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -116,11 +124,36 @@ object SemanticStream {
     Layout.replaceStatic(reassigned, root, CellsEntity)
   }
 
+  /** The stored PQ books, as the nested structure the kernel
+    * expressions take. */
+  def readBooks(s: SparkSession, root: String): Option[Seq[Seq[Seq[Double]]]] = {
+    val rows = stored(s, root, PqBooksEntity, PqBooksDdl).collect()
+    if (rows.isEmpty) None
+    else Some(rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq))
+  }
+
+  private def booksFrame(s: SparkSession,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import s.implicits._
+    (for ((book, m) <- books.zipWithIndex; (c, j) <- book.zipWithIndex)
+      yield (m, j, c)).toDF("m", "j", "c")
+  }
+
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
-    * one) and the corpus's cell assignments. Idempotent. */
+    * one) and the corpus's cell assignments. Idempotent. `withPq`
+    * additionally freezes id-seeded per-subspace PQ books and stores
+    * the corpus's code rows — the compressed sidecar
+    * [[queryTopKPq]] scans (kept ingests fold their codes in; the
+    * codes are keyed by id only, so they need no retrain coupling —
+    * the cell attribution is always read live from the inverted
+    * file). */
   def bootstrap(corpus: DataFrame, root: String, k: Int = SimSearch.IvfK,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      withPq: Boolean = false, pqM: Int = graft.ops.Pq.M,
+      pqKsub: Int = graft.ops.Pq.Ksub): Unit = {
     val s = corpus.sparkSession
     val cb = SimSearch.collectCodebook(
       SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
@@ -132,6 +165,15 @@ object SemanticStream {
         element_at(col("probes"), 1).getField("cid").as("cell"),
         col("v"), col("n"), lit(ver).as("ver"))
     Layout.upsertStatic(cells, root, CellsEntity, Seq("id"))
+    if (withPq) {
+      val books = graft.ops.Pq.seedBooks(corpus, idCol, vecCol, pqM, pqKsub)
+      Layout.upsertStatic(booksFrame(s, books), root, PqBooksEntity,
+        Seq("m", "j"))
+      Layout.upsertStatic(
+        graft.ops.Pq.encodeCodes(corpus, idCol, vecCol, books)
+          .select(col("c_id").as("id"), col("codes")),
+        root, PqCodesEntity, Seq("id"))
+    }
   }
 
   /** Re-fit the frozen codebook to the corpus the inverted file has
@@ -269,6 +311,65 @@ object SemanticStream {
       .where(col("rn") <= topK)
   }
 
+  /** FAISS-style two-stage serving from the stored index (requires
+    * `bootstrap(withPq = true)`): the query's probed cells are scanned
+    * as CODES first — the cells read is column-pruned to (id, cell)
+    * and the 8-byte code rows join by id — ADC keeps the
+    * `prefilterC` best per query, and only those candidates fetch
+    * their full vectors for the exact cosine re-rank. Per query the
+    * full-vector IO is prefilterC rows, never the probed cells' — the
+    * composition of q151's two-stage scan with the maintained index.
+    * (Production would inline the codes as a column of the inverted
+    * file; the sidecar keeps the entity keyed by id alone, so it needs
+    * no retrain coupling — cell attribution is read live.) Shares the
+    * torn-retrain repair. */
+  def queryTopKPq(queries: DataFrame, root: String, topK: Int,
+      prefilterC: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val books = readBooks(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no PQ books under $root — bootstrap(withPq = true) first"))
+    val ksub = books.head.length
+    val cb = SimSearch.collectCodebook(
+      stored(s, root, CodebookEntity, CodebookDdl))
+    require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
+    val ver = codebookVersion(cb)
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
+    val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        graft.functions.PqExprs.distTable(col("v"), books).as("dtab"),
+        explode(col("probes").getField("cid")).as("cell"))
+      .localCheckpoint() // bound dtab/assignment work to one pass
+    val cellIds = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val codes = stored(s, root, PqCodesEntity, PqCodesDdl)
+      .select(col("id").as("c_id"), col("codes"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("c_id").asc)
+    val cand = probes.join(cellIds, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(codes, Seq("c_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        graft.functions.PqExprs.adcScore(col("dtab"), col("codes"), ksub)
+          .as("adist"))
+      .withColumn("prn", row_number().over(w1))
+      .where(col("prn") <= prefilterC)
+    val vecs = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand.join(vecs, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= topK)
+  }
+
   /** Dedup one vector batch against the stored index; returns (and
     * lands) the manifest, then folds kept vectors into the inverted
     * file. Deterministic and replay-idempotent. Repairs a torn
@@ -352,6 +453,16 @@ object SemanticStream {
         .withColumn("ver", lit(ver))
         .join(kept, Seq("id"), "left_semi"),
       root, CellsEntity, Seq("id"))
+    // PQ sidecar (present iff bootstrap(withPq = true)): kept vectors
+    // fold their code rows in under the frozen books — same anti-join
+    // upsert discipline, before the manifest commit marker
+    readBooks(s, root).foreach { books =>
+      Layout.upsertStatic(
+        asg.select(col("vec_id").as("id"),
+            graft.functions.PqExprs.encode(col("v"), books).as("codes"))
+          .join(kept, Seq("id"), "left_semi"),
+        root, PqCodesEntity, Seq("id"))
+    }
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     // drop the per-batch pinned checkpoints (see CurateStream: a
     // long-lived ingest session would otherwise accumulate them);

@@ -199,4 +199,34 @@ class RetrainSpec extends AnyFunSuite {
     assert(answers(torn) === want)
     assert(cellsState(torn).map(_._3) === Set(codebookVer(torn)))
   }
+
+  test("PQ sidecar: a wide prefilter serves exactly the uncompressed read path") {
+    // prefilterC ≥ every probed cell's population ⇒ the ADC stage
+    // passes all candidates through and the exact re-rank must equal
+    // queryTopK bit for bit — the equivalence that makes prefilterC a
+    // pure recall/IO knob, never a correctness one
+    val root = graft.Temps.dir("query-pq")
+    SemanticStream.bootstrap(corpus, root, k = 2,
+      withPq = true, pqM = 3, pqKsub = 4)
+    SemanticStream.ingestVectors(df(Seq(100L -> vec(4 -> 1.0))), root)
+      .unpersist()
+    val q = df(Seq(
+      500L -> vec(2 -> 1.0, 0 -> 0.1),
+      510L -> vec(0 -> 1.0, 3 -> 0.1)))
+    def rows(res: org.apache.spark.sql.DataFrame) =
+      res.select("q_id", "rn", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val exact = rows(SemanticStream.queryTopK(q, root, topK = 2, nProbe = 2))
+    val pq = rows(SemanticStream.queryTopKPq(q, root, topK = 2,
+      prefilterC = 100, nProbe = 2))
+    assert(exact.nonEmpty)
+    assert(pq === exact)
+    // prefilterC bounds the full-vector fetches: at C = 1 each query
+    // re-ranks (and can return) at most one candidate
+    val narrow = rows(SemanticStream.queryTopKPq(q, root, topK = 2,
+      prefilterC = 1, nProbe = 2))
+    assert(narrow.nonEmpty)
+    assert(narrow.groupBy(_._1).forall(_._2.size <= 1))
+  }
 }
