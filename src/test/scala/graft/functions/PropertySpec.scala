@@ -202,4 +202,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- PQ kernel properties (q148/q150/q151/q155 hot path) ----
+
+  private def arr(xs: Seq[Double]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray[Any])
+  private val dummy = org.apache.spark.sql.catalyst.expressions.Literal(0)
+
+  /** Random (vector, books) pairs: dim = m·sub, Ksub small; components
+    * are dyadic-ish rationals so arithmetic edge cases vary. */
+  private val pqGen: Gen[(Seq[Double], Seq[Seq[Seq[Double]]])] = for {
+    m <- Gen.chooseNum(1, 4)
+    sub <- Gen.chooseNum(1, 5)
+    ksub <- Gen.chooseNum(1, 6)
+    v <- Gen.listOfN(m * sub, Gen.chooseNum(-1000, 1000).map(_ / 7.0))
+    books <- Gen.listOfN(m, Gen.listOfN(ksub,
+      Gen.listOfN(sub, Gen.chooseNum(-1000, 1000).map(_ / 7.0))))
+  } yield (v, books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  private def round6(x: Double) = PqExprs.round6dp(x)
+  private def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      val d = a(i) - b(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  test("round6dp == Spark round(x, 6) semantics on random doubles") {
+    val xGen = Gen.oneOf(
+      Gen.chooseNum(-1e9, 1e9).map(x => x / 1234567.0),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 1.0000005, -1.0000005))
+    forAll(xGen) { x =>
+      val want =
+        if (x.isNaN || x.isInfinite) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val got = round6(x)
+      assert(got === want || (got.isNaN && want.isNaN))
+    }
+  }
+
+  test("PqEncodeExpr: each code is the rounded-argmin with lower-j ties") {
+    forAll(pqGen) { case (v, books) =>
+      val sub = books.head.head.length
+      val codes = PqEncodeExpr(dummy, books).encode(arr(v))
+      for (s <- books.indices) {
+        val dists = books(s).map(c =>
+          round6(l2sq(v.slice(s * sub, (s + 1) * sub), c)))
+        val want = dists.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+        assert(codes.getInt(s) === want, s"subspace $s: $dists")
+      }
+    }
+  }
+
+  test("AdcScoreExpr(distTable, encode) == subspace-ordered fold of rounded l2") {
+    forAll(pqGen) { case (v, books) =>
+      val sub = books.head.head.length
+      val ksub = books.head.length
+      val dtab = PqDistTableExpr(dummy, books).table(arr(v))
+      val codes = PqEncodeExpr(dummy, books).encode(arr(v))
+      // the table IS the rounded subspace grid
+      for (s <- books.indices; j <- 0 until ksub)
+        assert(dtab.getDouble(s * ksub + j) ===
+          round6(l2sq(v.slice(s * sub, (s + 1) * sub), books(s)(j))))
+      // and the score folds it in subspace order
+      var acc = 0.0
+      for (s <- books.indices) acc += dtab.getDouble(s * ksub + codes.getInt(s))
+      assert(AdcScoreExpr(dummy, dummy, ksub).score(dtab, codes) === round6(acc))
+      // self-consistency: scoring a vector against its own codes is the
+      // minimal table entry per subspace (the quantization distortion)
+      val minSum = books.indices.foldLeft(0.0)((a, s) =>
+        a + (0 until ksub).map(j => dtab.getDouble(s * ksub + j)).min)
+      assert(AdcScoreExpr(dummy, dummy, ksub).score(dtab, codes) === round6(minSum))
+    }
+  }
+
+  test("Bloom sketch: no false negatives, serialization-stable, merge = union") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val keysGen = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)))
+    forAll(keysGen, keysGen) { (as, bs) =>
+      val a = BloomFilter.create(512, 0.01)
+      as.foreach(a.putString)
+      assert(as.forall(a.mightContainString), "false negative")
+      val rt = BloomExprs.deserialize(BloomExprs.serialize(a))
+      assert(as.forall(rt.mightContainString), "round-trip lost keys")
+      val b = BloomFilter.create(512, 0.01)
+      bs.foreach(b.putString)
+      a.mergeInPlace(b)
+      assert((as ++ bs).forall(a.mightContainString), "merge lost keys")
+    }
+  }
+
 }
