@@ -34,5 +34,33 @@ object SketchOps {
              |SELECT doc_id, key,
              |       (key IN (SELECT key FROM c)) AS is_dup_corpus
              |FROM k WHERE doc_id % 5 = 0""".stripMargin),
-      "Bloom-gated exact dedup: join-free probe settles novel keys, confirm join only behind sketch positives"))
+      "Bloom-gated exact dedup: join-free probe settles novel keys, confirm join only behind sketch positives"),
+
+    // CMS-gated exact heavy hitters: shingles appearing in ≥ 3 docs,
+    // exact counts — the count-min estimate (never an underestimate)
+    // admits a superset of the true heavies per row, and only admitted
+    // rows enter the exact count shuffle, whose map-side combine then
+    // collapses to the admitted vocabulary instead of the full one.
+    // The oracle states the plain GROUP BY ... HAVING — like q149's
+    // sketch, the CMS provably cannot change the answer, only the
+    // plan (HeavyHittersSpec pins gate/ungated equality and the
+    // admitted-row sliver).
+    "q156_cms_hot_shingles" -> Q(
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(explode(graft.functions.EvmExprs
+            .shingleHashesFromText(col("text"))).as("sh"))
+        graft.ops.HeavyHitters.atLeast(sh, "sh", threshold = 3L)
+      },
+      Some {
+        import TextOps.{toksSql, shinglesSql, tokHashSql}
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |s AS (SELECT doc_id,
+           |        unnest(list_distinct(list_transform(${shinglesSql("T")},
+           |          x -> ${tokHashSql("x")}))) AS sh
+           |      FROM t)
+           |SELECT sh, CAST(count(*) AS BIGINT) AS cnt
+           |FROM s GROUP BY 1 HAVING count(*) >= 3""".stripMargin
+      },
+      "CMS-gated exact heavy hitters: only sketch-admitted rows enter the count shuffle, output = plain GROUP BY/HAVING"))
 }

@@ -26,7 +26,7 @@ object TextOps {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $HashMod)"
 
   /** 4-token shingles of list expr `T` — mirrors shingles(_, 4). */
-  private def shinglesSql(T: String): String =
+  private[queries] def shinglesSql(T: String): String =
     s"list_transform(range(1, len($T) - 2), i -> $T[i] || ' ' || $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3])"
 
   /** q28's LSH near-dup machinery, shared with cluster assignment

@@ -120,6 +120,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bloommightcontain"), p)
   }
 
+  test("PQ serving q155: the candidate pass reads cells column-pruned to (id, cell)") {
+    // the doc claim behind the two-stage IO law: the ADC stage's scan
+    // of the inverted file must NOT read the vectors — only the exact
+    // re-rank's second scan fetches them
+    val p = plan("q155_semantic_query_pq")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.exists(s =>
+      s.contains("id:") && s.contains("cell:") && !s.contains("v:")),
+      s"no pruned (id, cell) scan among: $schemas")
+    assert(schemas.exists(s => s.contains("v:")), // the re-rank fetch
+      s"no vector-fetch scan among: $schemas")
+  }
+
   test("no other query plans a cartesian product or nested-loop join") {
     val offenders = Registry.all.keys.toSeq.sorted
       .filterNot(intentionalNestedLoop)
