@@ -467,6 +467,33 @@ object ScaleLaws {
     (nq * (n - 1), rows)
   }
 
+  /** q157's posting-join law: each query term meets only documents
+    * containing it, so the scored-pair volume follows the query terms'
+    * POSTING LISTS, not query × corpus. Amplified copies share no
+    * tokens, so per-copy postings stay per-copy-local and the volume
+    * must grow ~linearly in n even as the query count scales with the
+    * corpus. candidates := scored (query, doc) pairs, pairs := top-5
+    * rows. */
+  def bm25Postings(docs: DataFrame): (Long, Long) = {
+    val toks = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .localCheckpoint()
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val qterms = toks.where(pmod(col("doc_id"), lit(997)) === 0)
+      .select(col("doc_id").as("q_id"), col("t")).distinct()
+    val pairs = qterms.join(tf, Seq("t"))
+      .select(col("q_id"), col("doc_id")).distinct()
+    val nCand = pairs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("n_shared").desc, col("doc_id").asc)
+    val topk = qterms.join(tf, Seq("t"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .count()
+    toks.unpersist(true)
+    (nCand, topk)
+  }
+
   /** q152's shard-balance concentration: hash-mod sharding engineers
     * nothing — token mass balances by CLT, and the law is the
     * relative spread (max−min)/mean of per-shard token sums falling
@@ -588,7 +615,8 @@ object ScaleLaws {
         // ≈ dups + 1% of batch
         ("bloom_gate_q149", true, (df, _) => bloomGate(df)),
         ("exact_semijoin_q149", true, (df, _) => exactSemiJoin(df)),
-        ("shard_balance_q152", true, (df, _) => shardBalance(df)))
+        ("shard_balance_q152", true, (df, _) => shardBalance(df)),
+        ("bm25_postings_q157", true, (df, _) => bm25Postings(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock
