@@ -107,7 +107,11 @@ class PlanSpec extends AnyFunSuite {
     // is candidate-bounded equi-joins); both also run the exact-scan
     // baseline for hit flags. The IVF-composed q150 is NOT here — its
     // candidates meet on the cell equi-join, asserted below.
-    "q148_pq_topk", "q151_pq_rerank")
+    "q148_pq_topk", "q151_pq_rerank",
+    // the corpus-stats frame (N, avgdl) is ONE row crossJoined onto the
+    // posting join — the same bounded-broadcast shape as q90's 1-row
+    // target; the scoring join itself is the term equi-join
+    "q157_bm25_topk")
 
   test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q150_pq_ivf_topk")
