@@ -266,6 +266,28 @@ object SimSearch {
     cb
   }
 
+  /** Johnson–Lindenstrauss random projection: d → dOut via the same
+    * deterministic LCG plane family as [[lshBuckets]] (row p of the
+    * projection matrix = plane p; uniform entries — for cosine
+    * comparisons the JL scale factor cancels, so none is applied).
+    * One zero-shuffle projection pass, dOut sequential-fold dots per
+    * row; the plane family is SQL-derivable so oracles replay the
+    * projection exactly. The dimensionality lever composes UNDER the
+    * others: project, then LSH/IVF/PQ the short vectors — at d=4096
+    * model embeddings, d'=64 cuts every downstream per-pair and
+    * per-assignment cost 64× while JL concentration bounds the cosine
+    * distortion (~1/√d'); q158 MEASURES the distortion per pair
+    * instead of asserting the bound. */
+  def jlProject(vectors: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, dim: Int = LshDim): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val comps = (0 until dOut).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+      dot(v, plane)
+    }
+    vectors.select(col(idCol).as("id"), array(comps: _*).as("pv"))
+  }
+
   /** LSH-accelerated near-dup pairs: bucket join then exact re-rank. */
   def lshDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int = LshDim): DataFrame = {

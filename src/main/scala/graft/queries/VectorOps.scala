@@ -652,5 +652,50 @@ object VectorOps {
            |       FROM sc)
            |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin
       },
-      "two-stage PQ serving from the maintained index: ADC prefilter over stored codes, exact re-rank on candidates only"))
+      "two-stage PQ serving from the maintained index: ADC prefilter over stored codes, exact re-rank on candidates only"),
+
+    // Johnson–Lindenstrauss projection measured per pair: vectors
+    // project 64 → 16 dims through the deterministic LCG plane family
+    // (scale-free for cosine), and every upper-triangle pair of the
+    // vec_id < 40 sample carries its full-dim and projected cosine
+    // side by side — the distortion column IS the measurement (JL
+    // concentration says ~1/√d'), hash-checked because both engines
+    // replay the identical projection and fold orders.
+    "q158_jl_cosine" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d).where(col("vec_id") < 40)
+        val full = emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("n", SimSearch.l2norm(col("v")))
+        val proj = SimSearch.jlProject(emb, "vec_id", "embedding", dOut = 16)
+          .withColumn("pn", SimSearch.l2norm(col("pv")))
+        val a = full.toDF("a_id", "av", "an")
+          .join(proj.toDF("a_id", "apv", "apn"), Seq("a_id"))
+        val b = full.toDF("b_id", "bv", "bn")
+          .join(proj.toDF("b_id", "bpv", "bpn"), Seq("b_id"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(SimSearch.cosine(col("av"), col("bv"), col("an"), col("bn")), 6)
+              .as("cos_full"),
+            round(SimSearch.cosine(col("apv"), col("bpv"), col("apn"), col("bpn")), 6)
+              .as("cos_proj"))
+          .withColumn("distortion",
+            round(abs(col("cos_proj") - col("cos_full")), 6))
+      },
+      Some {
+        val pvSql = (0 until 16).map { p =>
+          val planeList =
+            s"list_transform(range(0, ${SimSearch.LshDim}), i -> ${planeSql(p, "i")})"
+          dotSql("v", planeList)
+        }.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+           |           WHERE vec_id < 40),
+           |p AS (SELECT vec_id, v, $pvSql AS pv FROM e)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |       ${cosSql("a.v", "b.v")} AS cos_full,
+           |       ${cosSql("a.pv", "b.pv")} AS cos_proj,
+           |       round(abs(${cosSql("a.pv", "b.pv")} - ${cosSql("a.v", "b.v")}), 6) AS distortion
+           |FROM p a JOIN p b ON a.vec_id < b.vec_id""".stripMargin
+      },
+      "JL random projection 64→16 with per-pair cosine distortion measured and hash-checked"))
 }

@@ -111,7 +111,11 @@ class PlanSpec extends AnyFunSuite {
     // the corpus-stats frame (N, avgdl) is ONE row crossJoined onto the
     // posting join — the same bounded-broadcast shape as q90's 1-row
     // target; the scoring join itself is the term equi-join
-    "q157_bm25_topk")
+    "q157_bm25_topk",
+    // per-pair distortion MEASUREMENT over a bounded 40-row sample —
+    // exact pairwise by design, like q31; the production face of JL is
+    // the projection pass (zero-shuffle), not this audit
+    "q158_jl_cosine")
 
   test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q150_pq_ivf_topk")
