@@ -266,23 +266,44 @@ object SimSearch {
     cb
   }
 
-  /** Johnson–Lindenstrauss random projection: d → dOut via the same
-    * deterministic LCG plane family as [[lshBuckets]] (row p of the
-    * projection matrix = plane p; uniform entries — for cosine
-    * comparisons the JL scale factor cancels, so none is applied).
-    * One zero-shuffle projection pass, dOut sequential-fold dots per
-    * row; the plane family is SQL-derivable so oracles replay the
-    * projection exactly. The dimensionality lever composes UNDER the
-    * others: project, then LSH/IVF/PQ the short vectors — at d=4096
-    * model embeddings, d'=64 cuts every downstream per-pair and
-    * per-assignment cost 64× while JL concentration bounds the cosine
-    * distortion (~1/√d'); q158 MEASURES the distortion per pair
-    * instead of asserting the bound. */
+  /** splitmix64 (public-domain finalizer constants) — the JL plane
+    * entry generator. The [[planeComponent]] LCG is fine for SIGN
+    * buckets but is affine in its seed, and an affine family's rows
+    * are too correlated to serve as a projection BASIS: the first
+    * JlRehearsal run measured its cosine distortion FLAT in d′
+    * (0.38 → 0.31 over d′ = 8 → 64) where the law demands ~1/√d′
+    * halving; with this mix the family sits on the i.i.d.-gaussian
+    * reference at every d′ (0.283/0.195/0.138/0.100 vs
+    * 0.289/0.202/0.144/0.100). Oracles don't re-derive the mix — the
+    * SQL inlines the plane values as literals (round-tripping
+    * Double.toString), the keccak-golden precedent. */
+  def splitmix64(x0: Long): Long = {
+    val x = x0 + 0x9E3779B97F4A7C15L
+    var z = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** JL plane entry (p, i): splitmix64 of the (plane, dim) pair, top
+    * 53 bits mapped to uniform [0, 1), centered to [-0.5, 0.5). */
+  def jlPlaneComponent(p: Int, i: Int): Double =
+    (splitmix64((p.toLong << 32) + i) >>> 11).toDouble / 9007199254740992.0 - 0.5
+
+  /** Johnson–Lindenstrauss random projection: d → dOut via the
+    * [[jlPlaneComponent]] family (row p of the projection matrix =
+    * plane p; uniform entries — for cosine comparisons the JL scale
+    * factor cancels, so none is applied). One zero-shuffle projection
+    * pass, dOut sequential-fold dots per row. The dimensionality lever
+    * composes UNDER the others: project, then LSH/IVF/PQ the short
+    * vectors — at d=4096 model embeddings, d′=64 cuts every
+    * downstream per-pair and per-assignment cost 64× while JL
+    * concentration bounds the cosine distortion (~1/√d′); q158 and
+    * JlRehearsal MEASURE the distortion instead of asserting it. */
   def jlProject(vectors: DataFrame, idCol: String, vecCol: String,
       dOut: Int, dim: Int = LshDim): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val comps = (0 until dOut).map { p =>
-      val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
+      val plane = array((0 until dim).map(i => lit(jlPlaneComponent(p, i))): _*)
       dot(v, plane)
     }
     vectors.select(col(idCol).as("id"), array(comps: _*).as("pv"))

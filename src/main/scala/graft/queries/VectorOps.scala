@@ -655,12 +655,16 @@ object VectorOps {
       "two-stage PQ serving from the maintained index: ADC prefilter over stored codes, exact re-rank on candidates only"),
 
     // Johnson–Lindenstrauss projection measured per pair: vectors
-    // project 64 → 16 dims through the deterministic LCG plane family
-    // (scale-free for cosine), and every upper-triangle pair of the
-    // vec_id < 40 sample carries its full-dim and projected cosine
-    // side by side — the distortion column IS the measurement (JL
-    // concentration says ~1/√d'), hash-checked because both engines
-    // replay the identical projection and fold orders.
+    // project 64 → 16 dims through the splitmix64 plane family
+    // (scale-free for cosine; the first measurement caught the LSH
+    // LCG family's affine correlations holding distortion FLAT in d′,
+    // which is why JL gets its own generator), and every
+    // upper-triangle pair of the vec_id < 40 sample carries its
+    // full-dim and projected cosine side by side — the distortion
+    // column IS the measurement (JL concentration says ~1/√d′). The
+    // oracle inlines the plane values as round-tripping literals (the
+    // keccak-golden precedent: DuckDB never re-derives the mix) and
+    // replays the identical fold orders, so the columns hash-match.
     "q158_jl_cosine" -> Q(
       (s, d) => {
         val emb = embeddings(s, d).where(col("vec_id") < 40)
@@ -684,8 +688,9 @@ object VectorOps {
       },
       Some {
         val pvSql = (0 until 16).map { p =>
-          val planeList =
-            s"list_transform(range(0, ${SimSearch.LshDim}), i -> ${planeSql(p, "i")})"
+          val planeList = (0 until SimSearch.LshDim)
+            .map(i => SimSearch.jlPlaneComponent(p, i).toString)
+            .mkString("[CAST(", " AS DOUBLE), CAST(", " AS DOUBLE)]")
           dotSql("v", planeList)
         }.mkString("[", ", ", "]")
         s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
