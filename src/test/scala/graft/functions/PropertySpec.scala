@@ -279,6 +279,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JL plane family: deterministic, in [-0.5, 0.5), and decorrelated across rows") {
+    import graft.ops.SimSearch.{jlPlaneComponent, splitmix64}
+    forAll(Gen.chooseNum(0, 1 << 20)) { s =>
+      assert(splitmix64(s.toLong) === splitmix64(s.toLong))
+    }
+    val entries = for (p <- 0 until 64; i <- 0 until 64)
+      yield jlPlaneComponent(p, i)
+    assert(entries.forall(x => x >= -0.5 && x < 0.5))
+    assert(math.abs(entries.sum / entries.size) < 0.01) // mean ~0
+    // the property the LCG family FAILED (flat-in-d' distortion): row
+    // pairs must be near-orthogonal — normalized dot of any two rows
+    // stays at the 1/sqrt(64) noise scale, not O(1) structure
+    def row(p: Int) = (0 until 64).map(jlPlaneComponent(p, _))
+    def ndot(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val coss = for (p <- 0 until 16; q <- (p + 1) until 16)
+      yield math.abs(ndot(row(p), row(q)))
+    assert(coss.max < 0.5, s"max inter-row |cos| = ${coss.max}")
+    assert(coss.sum / coss.size < 0.15, s"mean inter-row |cos| = ${coss.sum / coss.size}")
+  }
+
   test("Bloom sketch: no false negatives, serialization-stable, merge = union") {
     import org.apache.spark.util.sketch.BloomFilter
     val keysGen = Gen.chooseNum(1, 200).flatMap(n =>
