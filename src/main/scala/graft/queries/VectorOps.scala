@@ -702,5 +702,73 @@ object VectorOps {
            |       round(abs(${cosSql("a.pv", "b.pv")} - ${cosSql("a.v", "b.v")}), 6) AS distortion
            |FROM p a JOIN p b ON a.vec_id < b.vec_id""".stripMargin
       },
-      "JL random projection 64→16 with per-pair cosine distortion measured and hash-checked"))
+      "JL random projection 64→16 with per-pair cosine distortion measured and hash-checked"),
+
+    // The levers COMPOSED: project 64 → 32 (half the per-pair cost
+    // everywhere downstream), build the IVF index over the PROJECTED
+    // vectors, and measure recall@3 of the projected-index probe
+    // against the FULL-dimension exact top-3 — per query, q127/q139
+    // style. The oracle inlines the 32 projection planes as literals
+    // and replays projection → seeding → ranking → probe → recall
+    // end to end, so the composition's answers (not just its pieces)
+    // are hash-checked.
+    "q159_jl_ivf_recall" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val proj = SimSearch.jlProject(emb, "vec_id", "embedding", dOut = 32)
+        val exact = SimSearch.bruteForceTopK(
+            emb.where(col("vec_id") % 13 === 0), emb, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("c_id")).localCheckpoint()
+        val approx = SimSearch.ivfTopKSelf(
+            proj, col("id") % 13 === 0, "id", "pv", topK = 3)
+          .select(col("q_id"), col("c_id"))
+        val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / 3.0, 6)
+              .as("recall_at_3"))
+      },
+      Some {
+        val pvSql = (0 until 32).map { p =>
+          val planeList = (0 until SimSearch.LshDim)
+            .map(i => SimSearch.jlPlaneComponent(p, i).toString)
+            .mkString("[CAST(", " AS DOUBLE), CAST(", " AS DOUBLE)]")
+          dotSql("v", planeList)
+        }.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |p AS (SELECT vec_id, $pvSql AS pv FROM e),
+           |xp AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |         ${cosSql("q.v", "c.v")} AS cos
+           |  FROM e q JOIN e c ON q.vec_id % 13 = 0 AND q.vec_id <> c.vec_id),
+           |exact AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+           |    FROM xp) WHERE rn <= 3),
+           |cent AS (SELECT vec_id AS cid, pv AS cv FROM p ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |r AS (SELECT p.vec_id, p.pv, cid,
+           |        row_number() OVER (PARTITION BY p.vec_id
+           |          ORDER BY ${cosSql("p.pv", "cv")} DESC, cid) AS rn
+           |      FROM p CROSS JOIN cent),
+           |cells AS (SELECT vec_id AS c_id, pv AS cvv, cid AS cell FROM r WHERE rn = 1),
+           |probes AS (SELECT vec_id AS q_id, pv AS qvv, cid AS cell FROM r
+           |           WHERE vec_id % 13 = 0 AND rn <= ${SimSearch.IvfProbe}),
+           |scored AS (SELECT q_id, c_id, ${cosSql("qvv", "cvv")} AS cos
+           |           FROM probes JOIN cells USING (cell) WHERE q_id <> c_id),
+           |approx AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+           |    FROM scored) WHERE rn <= 3),
+           |h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+           |      FROM exact SEMI JOIN approx USING (q_id, c_id) GROUP BY 1)
+           |SELECT q.q_id, coalesce(h.hits, 0) AS hits,
+           |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+           |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN h USING (q_id)""".stripMargin
+      },
+      "levers composed: IVF index over JL-projected vectors, recall@3 vs full-dim exact, replayed end to end"))
 }

@@ -88,9 +88,9 @@ class PlanSpec extends AnyFunSuite {
     * plans, and the sweep below enforces that it stays gone. */
   private val intentionalNestedLoop = Set(
     "q30_knn", "q31_cos_pairs", "q65_sim_edges",
-    // recall measurement BY DESIGN runs the exact brute-force baseline
-    // (q30's plan) next to the IVF path to compare them
-    "q127_ann_recall",
+    // recall measurements BY DESIGN run the exact brute-force baseline
+    // (q30's plan) next to the index path to compare them
+    "q127_ann_recall", "q159_jl_ivf_recall",
     // upper-triangle pairs over the AGGREGATED brand dimension — the
     // cross is |brands|², a dimension cardinality, not a data size
     "q67_interface_jaccard",
