@@ -43,13 +43,16 @@ object BloomExprs {
 
   /** `might_contain(bf, key)` over a string column. */
   def mightContain(bf: BloomFilter)(key: Column): Column =
-    Bridge.column(BloomMightContainExpr(Bridge.expression(key), serialize(bf)))
+    Bridge.column(BloomMightContainExpr(Bridge.expression(key),
+      SketchBytes(serialize(bf))))
 }
 
 /** See [[BloomExprs.mightContain]]. String keys probe via their UTF-8
   * bytes — the same bytes `stat.bloomFilter` inserted for a
-  * StringType column, so probe and build hash identically. */
-case class BloomMightContainExpr(child: Expression, bfBytes: Array[Byte])
+  * StringType column, so probe and build hash identically. The bits
+  * ride as [[SketchBytes]] (content equality) so two probes of the
+  * same sketch canonicalize equal. */
+case class BloomMightContainExpr(child: Expression, bfBytes: SketchBytes)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -59,7 +62,7 @@ case class BloomMightContainExpr(child: Expression, bfBytes: Array[Byte])
     case t => TypeCheckResult.TypeCheckFailure(s"might_contain needs STRING, got $t")
   }
 
-  @transient private lazy val bf: BloomFilter = BloomExprs.deserialize(bfBytes)
+  @transient private lazy val bf: BloomFilter = BloomExprs.deserialize(bfBytes.bytes)
 
   /** Public so generated code can call it via the reference object. */
   def test(s: UTF8String): Boolean = bf.mightContainBinary(s.getBytes)

@@ -42,11 +42,14 @@ object CmsExprs {
 
   /** `cms_estimate(item)` over a long column. */
   def estimate(cms: CountMinSketch)(item: Column): Column =
-    Bridge.column(CmsEstimateExpr(Bridge.expression(item), serialize(cms)))
+    Bridge.column(CmsEstimateExpr(Bridge.expression(item),
+      SketchBytes(serialize(cms))))
 }
 
-/** See [[CmsExprs.estimate]]. */
-case class CmsEstimateExpr(child: Expression, cmsBytes: Array[Byte])
+/** See [[CmsExprs.estimate]]. The sketch cells ride as [[SketchBytes]]
+  * (content equality) so two probes of the same sketch canonicalize
+  * equal — reference-equality Array fields defeat plan-level CSE. */
+case class CmsEstimateExpr(child: Expression, cmsBytes: SketchBytes)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -57,7 +60,7 @@ case class CmsEstimateExpr(child: Expression, cmsBytes: Array[Byte])
   }
 
   @transient private lazy val cms: CountMinSketch =
-    CmsExprs.deserialize(cmsBytes)
+    CmsExprs.deserialize(cmsBytes.bytes)
 
   /** Public so generated code can call it via the reference object. */
   def est(item: Long): Long = cms.estimateCount(java.lang.Long.valueOf(item))

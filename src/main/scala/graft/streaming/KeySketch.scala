@@ -1,5 +1,10 @@
 package graft.streaming
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataOutputStream}
+import java.util.zip.CRC32
+
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
@@ -21,13 +26,27 @@ import org.apache.spark.util.sketch.BloomFilter
   *    positives, which the confirm join eats);
   *  - merges are bitwise-OR idempotent, so foreachBatch replay
   *    re-merges harmlessly;
-  *  - the batch's own sketch is built DISTRIBUTED
-  *    (`stat.bloomFilter` with the stored sketch's exact geometry —
-  *    same expectedItems + numBits ⇒ mergeable) and OR'd in; no
-  *    driver-side key loop;
+  *  - the batch's own sketch is built DISTRIBUTED: `stat.bloomFilter`
+  *    with the stored sketch's exact creation parameters — the SAME
+  *    (expectedItems, fpp) pair, which reproduces both numBits and
+  *    numHashFunctions, hence a mergeable geometry. (Deriving the
+  *    batch side from `bitSize()` instead is a trap: BitArray rounds
+  *    bits up to a 64-bit word multiple, so `create(cap, bitSize)`
+  *    can land on a different optimal hash count than
+  *    `create(cap, fpp)` did and `mergeInPlace` throws
+  *    IncompatibleMergeException — KeySketchSpec pins the repro and
+  *    the fix across small capacities.) That is why fpp is persisted
+  *    in the sketch header, not treated as a call-site default;
   *  - the file swap is rename-based: write `.tmp`, park the old file
   *    aside, promote, delete the parked copy. At every crash point
-  *    either the old or the new (superset) sketch is recoverable.
+  *    either the old or the new (superset) sketch is recoverable;
+  *  - the on-disk image is self-validating (CRC32 trailer over the
+  *    whole payload): a torn FIRST-ever write — the one crash window
+  *    with no parked copy to roll back to — is detected on read,
+  *    deleted, and reported as absent, so ingest degrades to the
+  *    ungated (still-exact) semi-join instead of failing permanently.
+  *    The sketch is derived data; the authoritative `curate_keys`
+  *    store rebuilds it at the next maintenance window.
   *
   * CAPACITY: a Bloom filter's fpp degrades as inserts exceed its
   * sizing. The meta header tracks (capacity, itemsMerged); when
@@ -40,6 +59,10 @@ object KeySketch {
 
   val DefaultFpp = 0.01
 
+  /** Header version: "GSK2" — capacity, items, fpp, length-prefixed
+    * filter bytes, CRC32 trailer. */
+  private val Magic = 0x47534b32
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -47,14 +70,24 @@ object KeySketch {
   private def tmp(root: String) = new Path(s"$root/static/.curate_sketch.tmp")
   private def old(root: String) = new Path(s"$root/static/.curate_sketch.old")
 
-  final case class Sketch(capacity: Long, items: Long, bf: BloomFilter) {
+  final case class Sketch(capacity: Long, items: Long, fpp: Double,
+      bf: BloomFilter) {
     def numBits: Long = bf.bitSize()
+  }
+
+  private def copyOf(bf: BloomFilter): BloomFilter = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    BloomFilter.readFrom(new ByteArrayInputStream(bos.toByteArray))
   }
 
   /** Read the sketch, recovering from an interrupted swap: a complete
     * `.tmp` with no promoted file is the newest (superset) copy;
     * otherwise a parked `.old` from a crash after promotion cleanup
-    * failure is stale and removable. */
+    * failure is stale and removable. A file that fails its CRC or
+    * deserialize (torn first-ever write, bit rot) is DELETED and
+    * reported absent — callers fall back to the ungated path and the
+    * next bootstrap/rebuild recreates the sketch. */
   def read(spark: SparkSession, root: String): Option[Sketch] = {
     val f = fs(spark, root)
     val dst = file(root)
@@ -71,23 +104,57 @@ object KeySketch {
     }
     if (f.exists(old(root))) f.delete(old(root), false)
     if (f.exists(tmp(root))) f.delete(tmp(root), false)
-    val in = f.open(dst)
     try {
-      val capacity = in.readLong()
-      val items = in.readLong()
-      Some(Sketch(capacity, items, BloomFilter.readFrom(in)))
-    } finally in.close()
+      val len = f.getFileStatus(dst).getLen
+      require(len >= 4 + 8 + 8 + 8 + 4 + 8, s"sketch file truncated ($len B)")
+      val bytes = new Array[Byte](len.toInt)
+      val in = f.open(dst)
+      try in.readFully(0L, bytes) finally in.close()
+      val crc = new CRC32()
+      crc.update(bytes, 0, bytes.length - 8)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      require(buf.getLong(bytes.length - 8) == crc.getValue, "sketch CRC mismatch")
+      require(buf.getInt() == Magic, "sketch magic mismatch")
+      val capacity = buf.getLong()
+      val items = buf.getLong()
+      val fpp = buf.getDouble()
+      val bfLen = buf.getInt()
+      require(bfLen == bytes.length - buf.position() - 8, "sketch length mismatch")
+      val bf = BloomFilter.readFrom(
+        new ByteArrayInputStream(bytes, buf.position(), bfLen))
+      Some(Sketch(capacity, items, fpp, bf))
+    } catch {
+      case NonFatal(_) =>
+        // derived data: discard the corrupt image so every later read
+        // degrades cleanly instead of re-throwing forever
+        f.delete(dst, false)
+        None
+    }
   }
 
   /** Rename-swap write; see object doc for the crash windows. */
   def write(spark: SparkSession, root: String, s: Sketch): Unit = {
     val f = fs(spark, root)
     f.mkdirs(file(root).getParent)
+    val payload = {
+      val bos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(bos)
+      d.writeInt(Magic)
+      d.writeLong(s.capacity)
+      d.writeLong(s.items)
+      d.writeDouble(s.fpp)
+      val bfb = { val b = new ByteArrayOutputStream(); s.bf.writeTo(b); b.toByteArray }
+      d.writeInt(bfb.length)
+      d.write(bfb)
+      d.flush()
+      bos.toByteArray
+    }
+    val crc = new CRC32()
+    crc.update(payload)
     val out = f.create(tmp(root), true)
     try {
-      out.writeLong(s.capacity)
-      out.writeLong(s.items)
-      s.bf.writeTo(out)
+      out.write(payload)
+      out.writeLong(crc.getValue)
     } finally out.close()
     if (f.exists(file(root))) {
       if (f.exists(old(root))) f.delete(old(root), false)
@@ -106,30 +173,38 @@ object KeySketch {
       fpp: Double = DefaultFpp): Sketch = {
     val n = keys.count()
     val cap = math.max(capacity, math.max(2 * n, 1L))
-    Sketch(cap, n, keys.stat.bloomFilter(keyCol, cap, fpp))
+    Sketch(cap, n, fpp, keys.stat.bloomFilter(keyCol, cap, fpp))
   }
 
   /** OR-merge a batch's keys into the stored sketch (distributed: the
-    * batch side builds with the SAME geometry, then the two bitsets
-    * OR on the driver). Returns the merged sketch; caller writes it
-    * BEFORE upserting the keys it covers. */
+    * batch side builds with the stored sketch's exact creation
+    * parameters, then the two bitsets OR on the driver). Returns a
+    * NEW sketch owning its own bits — the caller's `stored` is left
+    * untouched, so a pre-merge Sketch held for later evaluation keeps
+    * its pre-merge contents. Caller writes the result BEFORE
+    * upserting the keys it covers. */
   def merge(stored: Sketch, batchKeys: DataFrame, keyCol: String): Sketch = {
     val n = batchKeys.count()
     if (n == 0) return stored
-    val batchBf = batchKeys.stat.bloomFilter(keyCol, stored.capacity,
-      stored.numBits)
-    stored.bf.mergeInPlace(batchBf)
-    Sketch(stored.capacity, stored.items + n, stored.bf)
+    // identical (expectedItems, fpp) ⇒ identical numBits AND
+    // numHashFunctions; building from bitSize() instead re-rounds the
+    // word-aligned bit count and can flip the optimal hash count (see
+    // object doc — the IncompatibleMergeException trap)
+    val batchBf = batchKeys.stat.bloomFilter(keyCol, stored.capacity, stored.fpp)
+    val merged = copyOf(stored.bf)
+    merged.mergeInPlace(batchBf)
+    Sketch(stored.capacity, stored.items + n, stored.fpp, merged)
   }
 
   /** Rebuild at 4× capacity from the authoritative key store once
     * merged items cross capacity — the saturation maintenance window
-    * (pair with the compaction cadence). Returns true if rebuilt. */
+    * (pair with the compaction cadence). The stored sketch's own fpp
+    * is sticky across rebuilds. Returns true if rebuilt. */
   def maybeRebuild(spark: SparkSession, root: String, allKeys: DataFrame,
-      keyCol: String, fpp: Double = DefaultFpp): Boolean =
+      keyCol: String): Boolean =
     read(spark, root) match {
       case Some(s) if s.items > s.capacity =>
-        write(spark, root, build(allKeys, keyCol, s.capacity * 4, fpp))
+        write(spark, root, build(allKeys, keyCol, s.capacity * 4, s.fpp))
         true
       case _ => false
     }

@@ -55,4 +55,38 @@ class BloomGateSpec extends AnyFunSuite {
       corpus.repartition(7).stat.bloomFilter("key", 1000L, 0.01))
     assert(java.util.Arrays.equals(a, b))
   }
+
+  test("two probes of the same sketch bits compare equal (plan-level CSE)") {
+    // r7 advice: an Array[Byte] expression field is reference-equal, so
+    // identical probes never canonicalize together and common-
+    // subexpression elimination / plan dedup can't fire. SketchBytes
+    // restores value semantics: same bits ⇒ equal + semanticEquals.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{BloomMightContainExpr, CmsEstimateExpr, SketchBytes}
+    val key = Literal("k0001")
+    val bf1 = SketchBytes(BloomExprs.serialize(
+      corpus.stat.bloomFilter("key", 1000L, 0.01)))
+    val bf2 = SketchBytes(BloomExprs.serialize(
+      corpus.stat.bloomFilter("key", 1000L, 0.01)))
+    assert(!(bf1.bytes eq bf2.bytes)) // distinct arrays, equal contents
+    val e1 = BloomMightContainExpr(key, bf1)
+    val e2 = BloomMightContainExpr(key, bf2)
+    assert(e1 === e2)
+    assert(e1.hashCode === e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    val s = spark
+    import s.implicits._
+    val items = (0L until 100L).toDF("item")
+    val item = Literal(5L)
+    val c1 = CmsEstimateExpr(item, SketchBytes(graft.functions.CmsExprs.serialize(
+      items.stat.countMinSketch("item", 0.01, 0.99, 7))))
+    val c2 = CmsEstimateExpr(item, SketchBytes(graft.functions.CmsExprs.serialize(
+      items.stat.countMinSketch("item", 0.01, 0.99, 7))))
+    assert(c1 === c2)
+    assert(c1.semanticEquals(c2))
+    // different bits must NOT collide
+    val bf3 = SketchBytes(BloomExprs.serialize(
+      batch.stat.bloomFilter("key", 1000L, 0.01)))
+    assert(e1 !== BloomMightContainExpr(key, bf3))
+  }
 }

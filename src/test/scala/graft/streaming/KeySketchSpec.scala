@@ -129,6 +129,88 @@ class KeySketchSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("merge geometry: fpp-derived batch side is mergeable at every capacity") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    // the r7 trap, kept as documentation: deriving the batch filter
+    // from the stored bitSize() re-rounds the word-aligned bit count,
+    // which can flip optimalNumOfHashFunctions — mergeInPlace then
+    // throws IncompatibleMergeException. Small capacities reproduce it.
+    val caps = Seq(1L, 2L, 4L, 8L, 10L, 100L, 1000L)
+    val bitDerivedFailures = caps.count { cap =>
+      val a = BloomFilter.create(cap, KeySketch.DefaultFpp)
+      val b = BloomFilter.create(cap, a.bitSize())
+      scala.util.Try(a.mergeInPlace(b)).isFailure
+    }
+    assert(bitDerivedFailures > 0) // the hazard is real on this Spark
+    // the fix: merge() builds the batch side from the PERSISTED
+    // (capacity, fpp) pair — identical geometry at every capacity
+    for (cap <- caps) {
+      val stored = KeySketch.Sketch(cap, 1L, KeySketch.DefaultFpp,
+        Seq("ka").toDF("key").stat.bloomFilter("key", cap, KeySketch.DefaultFpp))
+      val merged = KeySketch.merge(stored, Seq("kb").toDF("key"), "key")
+      assert(merged.items === 2L)
+      assert(merged.bf.mightContainBinary("ka".getBytes("UTF-8")))
+      assert(merged.bf.mightContainBinary("kb".getBytes("UTF-8")))
+    }
+  }
+
+  test("merge returns a sketch owning its bits; the caller's is unmutated") {
+    val s = spark
+    import s.implicits._
+    def bits(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] =
+      graft.functions.BloomExprs.serialize(bf)
+    val stored = KeySketch.build(Seq("ka").toDF("key"), "key", capacity = 64L)
+    val before = bits(stored.bf)
+    val merged = KeySketch.merge(stored, Seq("kb").toDF("key"), "key")
+    // a caller that held the pre-merge Sketch for later evaluation
+    // sees its original contents, not silently-OR'd bits
+    assert(java.util.Arrays.equals(bits(stored.bf), before))
+    assert(!java.util.Arrays.equals(bits(merged.bf), before))
+    assert(merged.bf.mightContainBinary("ka".getBytes("UTF-8")))
+    assert(merged.bf.mightContainBinary("kb".getBytes("UTF-8")))
+  }
+
+  test("torn write: corrupt image is discarded; ingest degrades to ungated") {
+    val fsOf = (root: String) => new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(root: String, name: String, bytes: Array[Byte]): Unit = {
+      val fs = fsOf(root)
+      val p = new org.apache.hadoop.fs.Path(s"$root/static/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    // (a) torn FIRST-ever write: a lone partial .tmp, nothing to roll
+    // back to — read() promotes it, fails validation, deletes it, and
+    // reports absent instead of throwing on every subsequent read
+    val r1 = graft.Temps.dir("sketch-torn-first")
+    plant(r1, ".curate_sketch.tmp", Array.fill[Byte](12)(0x5a))
+    assert(KeySketch.read(spark, r1).isEmpty)
+    assert(!fsOf(r1).exists(
+      new org.apache.hadoop.fs.Path(s"$r1/static/curate_sketch.bin")))
+    assert(KeySketch.read(spark, r1).isEmpty) // stays absent, no throw
+    // (b) torn LIVE file mid-pipeline: the gated store degrades to the
+    // ungated semi-join with bit-identical statuses
+    val gatedRoot = graft.Temps.dir("sketch-torn-live")
+    val plainRoot = graft.Temps.dir("sketch-torn-plain")
+    CurateStream.bootstrap(corpus, gatedRoot, withSketch = true)
+    CurateStream.bootstrap(corpus, plainRoot)
+    val live = new org.apache.hadoop.fs.Path(s"$gatedRoot/static/curate_sketch.bin")
+    val full = {
+      val in = fsOf(gatedRoot).open(live)
+      val len = fsOf(gatedRoot).getFileStatus(live).getLen.toInt
+      val b = new Array[Byte](len)
+      try in.readFully(0L, b) finally in.close()
+      b
+    }
+    plant(gatedRoot, "curate_sketch.bin", full.take(full.length / 2))
+    for (root <- Seq(gatedRoot, plainRoot))
+      CurateStream.ingestBatch(batchA, root).unpersist()
+    assert(manifests(gatedRoot) === manifests(plainRoot))
+  }
+
   test("interrupted swap recovery: a lone .tmp or .old is promoted") {
     val root = graft.Temps.dir("sketch-swap")
     CurateStream.bootstrap(corpus, root, withSketch = true)
