@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqExprs
+
+/** Scalar quantization (SQ8) over the embedding column — the SIMPLE
+  * compression leg beside [[Pq]]: one uint8 code per dimension from a
+  * per-dimension affine (min, step) grid, d bytes per stored vector
+  * (8× smaller than float64, 4× smaller than float32) with no
+  * codebook training at all. Reference scope: as with PQ, the
+  * similarity stack of davideaimar/eth2dgraph
+  * (src/analysys/similarities.rs) stops at exact pairwise scores; SQ
+  * is the standard first rung of the published compression ladder
+  * (FAISS's ScalarQuantizer) below PQ's 64×.
+  *
+  * Plan shapes, all linear in corpus size n:
+  *  - stats: ONE aggregation pass producing d (min, max) pairs — a
+  *    d-length driver array that rides the encode/score expressions
+  *    as plan-time data (1 KiB at d=64). At 100 TB this is the cheap
+  *    part: a map-side-combined min/max agg, no shuffle of vectors.
+  *  - encode: zero-shuffle projection pass, d multiply-rounds per row.
+  *  - asymmetric scan: the query keeps full precision, the corpus is
+  *    codes only — distance de-quantizes each code against the
+  *    broadcast grid inline (mn[i] + code·step[i]), so the scan never
+  *    touches a stored float vector. Candidate bounding composes
+  *    exactly like PQ's: IVF cells or LSH buckets in front, SQ codes
+  *    inside.
+  *
+  * Determinism (DuckDB oracle replay): stats are min/max over
+  * element-wise double casts (exact — no summation), codes are
+  * `round((x − mn)·scale, 0)` with non-negative arguments (half-up ≡
+  * half-away), distances fold sequentially in index order and round
+  * at 6 dp, ranking ties on the lower corpus id. */
+object Sq {
+
+  /** Code range top: codes are 0..255 (uint8 grid). */
+  val Levels = 255
+
+  /** Per-dimension grid from ONE min/max aggregation pass:
+    * (mins, scales = 255/(max−min), isteps = (max−min)/255), with
+    * degenerate dimensions (max = min) pinned to scale = istep = 0 so
+    * every code is 0 and reconstruction is exactly `min`. */
+  def dimGrid(vectors: DataFrame, vecCol: String): (Seq[Double], Seq[Double], Seq[Double]) = {
+    val rows = vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val mins = rows.map(_._1).toSeq
+    val scales = rows.map { case (mn, mx) =>
+      if (mx > mn) Levels.toDouble / (mx - mn) else 0.0 }.toSeq
+    val isteps = rows.map { case (mn, mx) =>
+      if (mx > mn) (mx - mn) / Levels.toDouble else 0.0 }.toSeq
+    (mins, scales, isteps)
+  }
+
+  /** `array<bigint>` SQ codes of a (float/double) vector column.
+    * Codes are UNCLAMPED: corpus rows (which defined the grid) land in
+    * 0..255 by construction, and an out-of-grid input still rounds to
+    * the nearest grid point, keeping |x − recon| ≤ istep/2 — the
+    * invariant the scan bounds actually rely on. */
+  def encode(v: Column, mins: Seq[Double], scales: Seq[Double]): Column =
+    transform(v.cast("array<double>"), (x, i) =>
+      round((x - element_at(typedlit(mins), i + 1)) *
+        element_at(typedlit(scales), i + 1), 0).cast("long"))
+
+  /** Asymmetric squared-L2: full-precision query element vs the
+    * de-quantized code, folded sequentially in index order, 6 dp. */
+  def sqDist(qv: Column, codes: Column, mins: Seq[Double],
+      isteps: Seq[Double]): Column = {
+    val terms = transform(qv, (x, i) => {
+      val recon = element_at(typedlit(mins), i + 1) +
+        element_at(codes, i + 1).cast("double") * element_at(typedlit(isteps), i + 1)
+      val d = x - recon
+      d * d
+    })
+    round(aggregate(terms, lit(0.0), (acc, t) => acc + t), 6)
+  }
+
+  /** Codes-only top-k scan: broadcast query side against the
+    * materialized code table (the localCheckpoint keeps the encode
+    * out of the per-pair loop of the non-equi broadcast join). */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val (mins, scales, isteps) = dimGrid(corpus, vecCol)
+    val codes = corpus
+      .select(col(idCol).as("c_id"), encode(col(vecCol), mins, scales).as("codes"))
+      .localCheckpoint()
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sdist").asc, col("c_id").asc)
+    broadcast(q).join(codes, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("qv"), col("codes"), mins, isteps).as("sdist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
+
+  /** Two-stage scan: SQ prefilter from codes, exact squared-L2
+    * re-rank of the candidates only — the corpus's full vectors are
+    * read for prefilterK·|queries| rows, never the corpus (the same
+    * discipline as [[Pq.adcRerankTopK]], one rung cheaper). */
+  def sqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, prefilterK: Int, topK: Int): DataFrame = {
+    val cand = sqTopK(queries, corpus, idCol, vecCol, prefilterK)
+      .select(col("q_id"), col("c_id"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("c_id").asc)
+    cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(PqExprs.l2sq(col("qv"), col("cv")), 6).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+  }
+}

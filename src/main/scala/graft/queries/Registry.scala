@@ -21,7 +21,8 @@ final case class Q(
 object Registry {
   def all: Map[String, Q] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ VectorOps.defs ++
-      PqOps.defs ++ SketchOps.defs ++ ShardOps.defs ++ RetrievalOps.defs ++
+      PqOps.defs ++ SqOps.defs ++ SketchOps.defs ++ ShardOps.defs ++
+      RetrievalOps.defs ++ LayoutOps.defs ++
       TraceOps.defs ++
       StreamOps.defs ++ MediaOps.defs ++
       GraphQueries.defs ++ ExternalOps.defs ++ PipelineOps.defs ++

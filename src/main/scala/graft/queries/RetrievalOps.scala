@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.SimSearch
 import Tables._
 
 /** Sparse lexical retrieval over the documents table — the query-side
@@ -29,82 +31,220 @@ object RetrievalOps {
   val K1 = 1.2
   val B = 0.75
 
+  /** The surrogate-BM25 top-k pipeline (see object doc) — shared by
+    * the lexical query (q157) and the hybrid fusion (q162). Queries =
+    * token sets of docs 0–4; self-matches are legitimate and rank
+    * highly (though tf saturation + length normalization can put a
+    * longer superset doc above the source itself). Returns
+    * (q_id, rn, doc_id, score). */
+  private[queries] def bm25TopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .localCheckpoint() // read three ways: tf, df, query terms
+    val tf = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val qterms = toks.where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("t")).distinct()
+    // literal discipline: every float constant is the double nearest
+    // its decimal string on BOTH engines (Spark lit(2.2) ≡ DuckDB
+    // CAST(2.2 AS DOUBLE)); operation order written identically
+    val idf = round((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)), 6)
+    val tfn = round((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qterms.join(tf, Seq("t"))
+      .join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfn, 6).as("term_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("term_score").cast("decimal(30,15)"))
+        .cast("double"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
+  /** Oracle CTE chain ending in `rk(q_id, doc_id, score, rn)` — the
+    * SQL replay of [[bm25TopK]], shared by the q157 and q162 oracles. */
+  private def bm25CtesSql: String = {
+    val toksSql = TextOps.toksSql
+    s"""tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk GROUP BY 1, 2),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+       |          FROM (SELECT DISTINCT doc_id, t FROM tk) GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM tk GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+       |          FROM dl),
+       |qterms AS (SELECT DISTINCT doc_id AS q_id, t FROM tk WHERE doc_id < 5),
+       |scored AS (SELECT q.q_id, tf.doc_id,
+       |             round(
+       |               round((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |                     (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)), 6) *
+       |               round((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |                     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / s.avgdl)), 6),
+       |             6) AS term_score
+       |           FROM qterms q
+       |           JOIN tf ON tf.t = q.t
+       |           JOIN dfreq ON dfreq.t = q.t
+       |           JOIN dl ON dl.doc_id = tf.doc_id
+       |           CROSS JOIN stats s),
+       |agg AS (SELECT q_id, doc_id,
+       |          round(CAST(sum(CAST(term_score AS DECIMAL(30,15))) AS DOUBLE), 6) AS score
+       |        FROM scored GROUP BY 1, 2),
+       |rk AS (SELECT q_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, doc_id ASC) AS rn
+       |       FROM agg)""".stripMargin
+  }
+
+  /** DuckDB sequential-fold dot product (1-indexed) — [[VectorOps]]'s
+    * discipline, local copy for the dense-leg oracle. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
   def defs: Map[String, Q] = Map(
     // five queries = the token sets of docs 0–4; rank the whole corpus
     // by the surrogate-BM25 score, top-5 per query (self-matches are
     // legitimate and rank first — retrieval finding the query's own
     // source is the sanity case).
     "q157_bm25_topk" -> Q(
+      (s, d) => bm25TopK(s, d, 5),
+      Some(s"""WITH $bm25CtesSql
+              |SELECT q_id, rn, doc_id, score FROM rk WHERE rn <= 5""".stripMargin),
+      "surrogate-BM25 lexical top-k: query-term posting joins, decimal-summed 6-dp term scores, bounded per-query window"),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    // 2009) of the lexical BM25 list and the dense cosine list for
+    // the same five queries (doc_id ≡ vec_id in the testdata). RRF is
+    // rank-only — rrf = Σ_lists 1/(60 + rank) — so it needs no score
+    // calibration between the legs, which is exactly why it's the
+    // production default for hybrid search. Scale shape: each leg is
+    // its own bounded top-k plan (posting equi-joins; broadcast query
+    // side), fusion is a k-row-per-query outer join + window — the
+    // corpus is never touched again.
+    "q162_rrf_fusion" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val lex = bm25TopK(s, d, 5)
+          .select(col("q_id"), col("doc_id"), col("rn").as("lex_rn"))
+        val dense = SimSearch.bruteForceTopK(
+            embeddings(s, d).where(col("vec_id") < 5), embeddings(s, d),
+            "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("c_id").as("doc_id"), col("rn").as("dense_rn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+          .select(col("q_id"), col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("dense_rn")), lit(0.0)), 6).as("rrf"),
+            coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
+            coalesce(col("dense_rn"), lit(0)).as("dense_rn"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("doc_id"), col("rrf"),
+            col("lex_rn"), col("dense_rn"))
+      },
+      Some(s"""WITH $bm25CtesSql,
+              |lex AS (SELECT q_id, doc_id, rn AS lex_rn FROM rk WHERE rn <= 5),
+              |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |dp AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+              |         ${cosSql("q.v", "c.v")} AS cos
+              |       FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |dense AS (SELECT q_id, doc_id, rn AS dense_rn FROM (
+              |            SELECT q_id, doc_id, cos,
+              |              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS rn
+              |            FROM dp) WHERE rn <= 5),
+              |fused AS (SELECT coalesce(l.q_id, de.q_id) AS q_id,
+              |            coalesce(l.doc_id, de.doc_id) AS doc_id,
+              |            round(
+              |              coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rn), CAST(0.0 AS DOUBLE)) +
+              |              coalesce(CAST(1.0 AS DOUBLE) / (60 + de.dense_rn), CAST(0.0 AS DOUBLE)), 6) AS rrf,
+              |            coalesce(l.lex_rn, 0) AS lex_rn,
+              |            coalesce(de.dense_rn, 0) AS dense_rn
+              |          FROM lex l FULL OUTER JOIN dense de
+              |            ON l.q_id = de.q_id AND l.doc_id = de.doc_id),
+              |fr AS (SELECT q_id, doc_id, rrf, lex_rn, dense_rn,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rn
+              |       FROM fused)
+              |SELECT q_id, rn, doc_id, rrf, lex_rn, dense_rn FROM fr WHERE rn <= 5""".stripMargin),
+      "reciprocal-rank fusion of the BM25 and dense-cosine lists: calibration-free hybrid top-k"),
+
+    // Unigram-LM corpus scoring — the perplexity-filter shape (CCNet;
+    // Wenzek et al. 2020) with the repo's no-transcendentals
+    // discipline: a doc's score is its MEAN TOKEN PROBABILITY under
+    // the corpus unigram model (monotone companion of perplexity's
+    // mean log-prob; docs made of rare tokens score low and get
+    // flagged). Scale shape: the model IS the token-count aggregate;
+    // scoring is the token→count equi-join (posting-shaped, never
+    // doc × vocab) + one per-doc aggregate.
+    "q164_unigram_lm" -> Q(
+      (s, d) => {
         val docs = documents(s, d)
         val toks = docs.select(col("doc_id"),
             explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
-          .localCheckpoint() // read three ways: tf, df, query terms
-        val tf = toks.groupBy(col("doc_id"), col("t"))
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = toks.select(col("doc_id"), col("t")).distinct()
-          .groupBy(col("t")).agg(count(lit(1)).as("df"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-            round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
-        val qterms = toks.where(col("doc_id") < 5)
-          .select(col("doc_id").as("q_id"), col("t")).distinct()
-        // literal discipline: every float constant is the double nearest
-        // its decimal string on BOTH engines (Spark lit(2.2) ≡ DuckDB
-        // CAST(2.2 AS DOUBLE)); operation order written identically
-        val idf = round((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)), 6)
-        val tfn = round((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-        qterms.join(tf, Seq("t"))
-          .join(broadcast(dfreq), Seq("t"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("q_id"), col("doc_id"),
-            round(idf * tfn, 6).as("term_score"))
-          .groupBy(col("q_id"), col("doc_id"))
-          .agg(round(sum(col("term_score").cast("decimal(30,15)"))
-            .cast("double"), 6).as("score"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
+          .localCheckpoint() // read twice: model counts + scoring join
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+        toks.join(broadcast(cnt), Seq("t"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(col("ct").cast("double") / col("n_total"), 6).as("p"))
+          .groupBy(col("doc_id"))
+          // mean_p stays at FULL double precision: the numerator is
+          // decimal-exact and the division is one IEEE op on identical
+          // inputs, so both engines emit the identical double — while a
+          // final round(·, 6) can straddle a half-up boundary between
+          // Spark's shortest-repr rounding and DuckDB's binary rounding
+          // (one row at sf0.01 did exactly that)
+          .agg(count(lit(1)).as("n_toks"),
+            (sum(col("p").cast("decimal(30,15)")).cast("double") /
+              count(lit(1))).as("mean_p"))
+          // rank-relative flag (bottom decile), not an absolute
+          // threshold: the corpus's probability band shifts with scale
+          // and domain, the decile cut doesn't
+          .withColumn("decile", ntile(10).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("mean_p").asc, col("doc_id").asc)))
+          .select(col("doc_id"), col("n_toks"), col("mean_p"), col("decile"),
+            (col("decile") === 1).as("flagged"))
       },
       Some {
         val toksSql = TextOps.toksSql
         s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
-           |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-           |       FROM tk GROUP BY 1, 2),
-           |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
-           |          FROM (SELECT DISTINCT doc_id, t FROM tk) GROUP BY 1),
-           |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-           |       FROM tk GROUP BY 1),
-           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
-           |          FROM dl),
-           |qterms AS (SELECT DISTINCT doc_id AS q_id, t FROM tk WHERE doc_id < 5),
-           |scored AS (SELECT q.q_id, tf.doc_id,
-           |             round(
-           |               round((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-           |                     (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)), 6) *
-           |               round((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
-           |                     (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / s.avgdl)), 6),
-           |             6) AS term_score
-           |           FROM qterms q
-           |           JOIN tf ON tf.t = q.t
-           |           JOIN dfreq ON dfreq.t = q.t
-           |           JOIN dl ON dl.doc_id = tf.doc_id
-           |           CROSS JOIN stats s),
-           |agg AS (SELECT q_id, doc_id,
-           |          round(CAST(sum(CAST(term_score AS DECIMAL(30,15))) AS DOUBLE), 6) AS score
-           |        FROM scored GROUP BY 1, 2),
-           |rk AS (SELECT q_id, doc_id, score,
-           |         row_number() OVER (PARTITION BY q_id
-           |           ORDER BY score DESC, doc_id ASC) AS rn
-           |       FROM agg)
-           |SELECT q_id, rn, doc_id, score FROM rk WHERE rn <= 5""".stripMargin
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk),
+           |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tk GROUP BY 1),
+           |sc AS (SELECT tk.doc_id,
+           |         round(CAST(cnt.ct AS DOUBLE) / tot.n_total, 6) AS p
+           |       FROM tk JOIN cnt USING (t) CROSS JOIN tot),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           |          CAST(sum(CAST(p AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean_p
+           |        FROM sc GROUP BY 1),
+           |dec AS (SELECT doc_id, n_toks, mean_p,
+           |          ntile(10) OVER (ORDER BY mean_p ASC, doc_id ASC) AS decile
+           |        FROM agg)
+           |SELECT doc_id, n_toks, mean_p, decile,
+           |       decile = 1 AS flagged
+           |FROM dec""".stripMargin
       },
-      "surrogate-BM25 lexical top-k: query-term posting joins, decimal-summed 6-dp term scores, bounded per-query window"))
+      "unigram-LM mean-token-probability scoring: the perplexity-filter shape without transcendentals"))
 }

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Scalar-quantization contract ([[Sq]]): code range and grid
+  * endpoints, reconstruction error bounded by half a step, degenerate
+  * dimensions, and the two-stage scan's exactness once the prefilter
+  * covers the corpus. */
+class SqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // 20 vectors × 4 dims: dim 0 wide range, dim 1 narrow, dim 2
+  // CONSTANT (degenerate), dim 3 negative-spanning
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    (0 until 20).map { i =>
+      (i.toLong, Seq(i * 10.0, 1.0 + i * 0.01, 7.5, -5.0 + i * 0.5))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codes are 0..255 with grid endpoints at 0 and 255") {
+    val (mins, scales, _) = Sq.dimGrid(vecs, "embedding")
+    val codes = vecs.select(col("vec_id"),
+        Sq.encode(col("embedding"), mins, scales).as("codes"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(codes.flatMap(_._2).forall(c => c >= 0L && c <= 255L))
+    // the min row encodes to 0 and the max row to 255 on every
+    // non-degenerate dim (all four move monotonically with vec_id)
+    assert(codes.head._2 === Seq(0L, 0L, 0L, 0L))
+    assert(codes.last._2(0) === 255L)
+    assert(codes.last._2(3) === 255L)
+  }
+
+  test("degenerate dimension: scale 0, code 0, reconstruction = min exactly") {
+    val (mins, scales, isteps) = Sq.dimGrid(vecs, "embedding")
+    assert(scales(2) === 0.0 && isteps(2) === 0.0)
+    assert(mins(2) === 7.5)
+    // distance contribution of dim 2 between any two rows is (x−7.5)²
+    // with x ≡ 7.5 → zero; check via a self-distance of the constant
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, Seq(0.0, 0.0, 7.5, 0.0))).toDF("vec_id", "v")
+    val d = one.select(Sq.sqDist(col("v"),
+        Sq.encode(col("v"), mins, scales), mins, isteps).as("d"))
+      .head().getDouble(0)
+    // dims 0/1/3 of the probe sit on grid interior points; total
+    // reconstruction error is bounded by Σ (istep_i/2)²
+    val bound = isteps.map(st => (st / 2) * (st / 2)).sum + 1e-9
+    assert(d <= bound)
+  }
+
+  test("quantization error ≤ istep/2 per dimension (corpus members)") {
+    val (mins, scales, isteps) = Sq.dimGrid(vecs, "embedding")
+    val rows = vecs.select(col("embedding"),
+        Sq.encode(col("embedding"), mins, scales).as("codes"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val c = r.getSeq[Long](1)
+      v.indices.foreach { i =>
+        val recon = mins(i) + c(i).toDouble * isteps(i)
+        assert(math.abs(v(i) - recon) <= isteps(i) / 2 + 1e-9,
+          s"dim $i: x=${v(i)} recon=$recon istep=${isteps(i)}")
+      }
+    }
+  }
+
+  test("rerank with corpus-covering prefilter equals the exact scan") {
+    val q = vecs.where(col("vec_id") < 3)
+    val exact = Pq.l2TopK(q, vecs, "vec_id", "embedding", 5)
+      .select("q_id", "rn", "c_id", "dist").collect().toSet
+    val two = Sq.sqRerankTopK(q, vecs, "vec_id", "embedding",
+        prefilterK = 19, topK = 5)
+      .select("q_id", "rn", "c_id", "dist").collect().toSet
+    assert(two === exact)
+  }
+
+  test("sq top-1 finds the true nearest on a well-separated corpus") {
+    // rows are far apart relative to the grid step, so the top-1 of
+    // the quantized scan must agree with exact search
+    val q = vecs.where(col("vec_id") === 0 || col("vec_id") === 10)
+    val sq = Sq.sqTopK(q, vecs, "vec_id", "embedding", 1)
+      .select("q_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = Pq.l2TopK(q, vecs, "vec_id", "embedding", 1)
+      .select("q_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq === ex)
+  }
+}

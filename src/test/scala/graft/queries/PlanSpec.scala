@@ -115,7 +115,22 @@ class PlanSpec extends AnyFunSuite {
     // per-pair distortion MEASUREMENT over a bounded 40-row sample —
     // exact pairwise by design, like q31; the production face of JL is
     // the projection pass (zero-shuffle), not this audit
-    "q158_jl_cosine")
+    "q158_jl_cosine",
+    // the SQ scans broadcast the ≤8-row query side against the
+    // materialized code table (q148/q151's sanctioned compressed-scan
+    // shape one rung down; codes sit behind sqTopK's localCheckpoint
+    // so the per-pair loop reads codes, never re-encodes); q160 also
+    // runs the exact baseline for hit flags
+    "q160_sq8_topk", "q161_sq8_rerank",
+    // the dense leg is q30's broadcast-query exact scan; the fusion
+    // itself is a k-row-per-query outer join
+    "q162_rrf_fusion",
+    // both layouts' stats frames are 1-row aggregates cross-joined
+    // (the q90/q157 bounded stats-frame shape)
+    "q163_zorder_layout",
+    // the (N_total) model-stats frame is ONE row crossJoined onto the
+    // posting-shaped scoring join — q157's exact pattern
+    "q164_unigram_lm")
 
   test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q150_pq_ivf_topk")
