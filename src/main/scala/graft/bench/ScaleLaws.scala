@@ -494,6 +494,79 @@ object ScaleLaws {
     (nCand, topk)
   }
 
+  /** q160's SQ8 asymmetric scan at the same query sample and k as
+    * [[l2ExactScan]]/[[pqAdcScan]] — the third column of the
+    * compression-ladder comparison (full vectors / 8× SQ codes / 64×
+    * PQ codes) on identical candidate volume. */
+  def sqScan(emb: DataFrame): (Long, Long) = {
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val rows = graft.ops.Sq.sqTopK(q, emb, "vec_id", "embedding", 10).count()
+    val nq = q.count()
+    (nq * (emb.count() - 1), rows)
+  }
+
+  /** q161's two-stage recall, [[pqRerank]]'s twin: SQ top-100
+    * prefilter, exact re-rank, hits@10 vs the exact scan. The law is
+    * SQ recall ≥ PQ recall at the same prefilter (8× compression
+    * keeps per-dim resolution PQ's 64× gives up). */
+  def sqRerank(emb: DataFrame): (Long, Long) = {
+    import graft.ops.{Pq, Sq}
+    val q = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val exact = Pq.l2TopK(q, emb, "vec_id", "embedding", 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val rr = Sq.sqRerankTopK(q, emb, "vec_id", "embedding",
+        prefilterK = 100, topK = 10)
+      .select("q_id", "c_id").localCheckpoint()
+    val hits = exact.join(rr, Seq("q_id", "c_id"), "left_semi").count()
+    val nCand = q.count() * 100
+    exact.unpersist(true); rr.unpersist(true)
+    (nCand, hits)
+  }
+
+  /** q163's skipping law on a uniform synthetic grid (x cycles with
+    * doc_id, y is a hash spread so the full key space is populated at
+    * EVERY n): a y-band probe's touched-row footprint under the
+    * z-order layout vs the x-major layout at 64 files. candidates :=
+    * z-order touched rows (should track band-fraction × n ≈ n/8 plus
+    * file-boundary slack), pairs := x-major touched rows (→ n: every
+    * file holds the full y extent). */
+  def zorderSkip(docs: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+        (col("doc_id") % 256).as("x"), pmod(hash(col("doc_id")), lit(256)).cast("long").as("y"))
+      .withColumn("zkey", graft.ops.ZOrder.interleave(col("x"), col("y"), 8))
+      .localCheckpoint()
+    def bandRows(order: Seq[org.apache.spark.sql.Column]): Long =
+      base.withColumn("f", ntile(64).over(Window.orderBy(order: _*)))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n"), min(col("y")).as("mny"), max(col("y")).as("mxy"))
+        .where(col("mny") <= 31 && col("mxy") >= 0) // y-band [0, 31]
+        .agg(coalesce(sum(col("n")), lit(0L)))
+        .head().getLong(0)
+    val z = bandRows(Seq(col("zkey"), col("x"), col("y")))
+    val lin = bandRows(Seq(col("x"), col("y")))
+    base.unpersist(true)
+    (z, lin)
+  }
+
+  /** q164's unigram-LM scoring: model build (one count agg) + the
+    * posting-shaped scoring join + per-doc mean. candidates := token
+    * instances (the join's probe side), pairs := docs scored — both
+    * linear in n; the timing row is the law. */
+  def unigramLm(docs: DataFrame): (Long, Long) = {
+    val toks = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .localCheckpoint()
+    val nTok = toks.count()
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val scored = toks.join(broadcast(cnt), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("ct")).cast("double") / count(lit(1))).as("mean_ct"))
+      .count()
+    toks.unpersist(true)
+    (nTok, scored)
+  }
+
   /** q152's shard-balance concentration: hash-mod sharding engineers
     * nothing — token mass balances by CLT, and the law is the
     * relative spread (max−min)/mean of per-shard token sums falling
@@ -616,7 +689,14 @@ object ScaleLaws {
         ("bloom_gate_q149", true, (df, _) => bloomGate(df)),
         ("exact_semijoin_q149", true, (df, _) => exactSemiJoin(df)),
         ("shard_balance_q152", true, (df, _) => shardBalance(df)),
-        ("bm25_postings_q157", true, (df, _) => bm25Postings(df)))
+        ("bm25_postings_q157", true, (df, _) => bm25Postings(df)),
+        // round-8 families: the SQ rungs of the compression ladder
+        // (compare against l2_exact_scan / pq_adc_scan rows), the
+        // z-order skipping law, and the unigram-LM scoring pass
+        ("sq_scan_q160", false, (df, _) => sqScan(df)),
+        ("sq_rerank_q161", false, (df, _) => sqRerank(df)),
+        ("zorder_skip_q163", true, (df, _) => zorderSkip(df)),
+        ("unigram_lm_q164", true, (df, _) => unigramLm(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock
