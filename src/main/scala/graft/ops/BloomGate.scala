@@ -51,4 +51,56 @@ object BloomGate {
       fpp: Double): Column =
     BloomExprs.mightContain(
       corpusKeys.stat.bloomFilter(keyCol, expectedItems, fpp))(col(keyCol))
+
+  /** The header doc's 10^10-key shape, implemented: S key-hash shards,
+    * built GROUPED in one shuffle — `groupByKey(pmod(xxhash64(key), S))
+    * .mapGroups` fills each shard's filter on the executor that owns
+    * its partition, so no single filter ever needs the whole key set's
+    * bits in one place and the driver never `mergeInPlace`s giant
+    * bitsets (filter bits are an OR of per-key insertions —
+    * insertion-order independent, hence deterministic given the
+    * routing). Missing shards (no keys routed) get an empty filter:
+    * every probe of them is provably novel. */
+  def buildShards(corpusKeys: DataFrame, keyCol: String, shards: Int,
+      expectedItems: Long, fpp: Double): Seq[graft.functions.SketchBytes] = {
+    val spark = corpusKeys.sparkSession
+    import spark.implicits._
+    val perShard = math.max(expectedItems / shards, 1L)
+    val built = corpusKeys
+      .select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("s"),
+        col(keyCol).cast("string").as("k"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (s, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+        it.foreach(t =>
+          bf.putBinary(t._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        (s, BloomExprs.serialize(bf))
+      }
+      .collect().toMap
+    lazy val empty = BloomExprs.serialize(
+      org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp))
+    (0 until shards).map(i =>
+      graft.functions.SketchBytes(built.getOrElse(i, empty)))
+  }
+
+  /** [[corpusDupFlag]] probing a sharded sketch — bit-identical
+    * output (the gate never decides, the confirm join does); the
+    * sharding only re-shapes WHERE the filter bits live. */
+  def shardedCorpusDupFlag(batch: DataFrame, corpusKeys: DataFrame,
+      keyCol: String, shards: Int, expectedItems: Long, fpp: Double,
+      flagCol: String = "is_dup_corpus"): DataFrame = {
+    val sk = buildShards(corpusKeys, keyCol, shards, expectedItems, fpp)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ShardedBloomProbeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col(keyCol)), sk))
+    val candidates = batch
+      .where(probe)
+      .select(col(keyCol))
+      .join(corpusKeys.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .distinct()
+      .withColumn(flagCol, lit(true))
+    batch.join(candidates, Seq(keyCol), "left")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
 }

@@ -101,6 +101,33 @@ object Sq {
       .where(col("rn") <= k)
   }
 
+  /** IVF+SQ: coarse IVF cells bound WHICH codes a query scores (probe
+    * equi-join on cell), SQ bounds what scoring each one COSTS — the
+    * FAISS IVFScalarQuantizer layout, [[Pq.pqIvfTopK]]'s training-free
+    * sibling. Nothing in the scoring path touches a stored full
+    * vector; the candidate set meets on the cell equi-join, never a
+    * nested loop. */
+  def sqIvfTopK(corpus: DataFrame, queryPred: Column, idCol: String,
+      vecCol: String, topK: Int, nProbe: Int,
+      coarse: Seq[(Long, Seq[Double], Double)],
+      mins: Seq[Double], scales: Seq[Double], isteps: Seq[Double]): DataFrame = {
+    val assigned = SimSearch.ivfAssign(corpus, idCol, vecCol, coarse, p = nProbe)
+      .localCheckpoint() // read twice: code table + probe lists
+    val cells = assigned
+      .select(col("id").as("c_id"),
+        element_at(col("probes"), 1).getField("cid").as("cell"),
+        encode(col("v"), mins, scales).as("codes"))
+    val probes = assigned.where(queryPred)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        explode(col("probes").getField("cid")).as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sdist").asc, col("c_id").asc)
+    probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        sqDist(col("qv"), col("codes"), mins, isteps).as("sdist"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+  }
+
   /** Two-stage scan: SQ prefilter from codes, exact squared-L2
     * re-rank of the candidates only — the corpus's full vectors are
     * read for prefilterK·|queries| rows, never the corpus (the same

@@ -36,6 +36,31 @@ object SketchOps {
              |FROM k WHERE doc_id % 5 = 0""".stripMargin),
       "Bloom-gated exact dedup: join-free probe settles novel keys, confirm join only behind sketch positives"),
 
+    // the gate's 10^10-key deployment shape: the SAME semantics as
+    // q149 through an 8-shard sketch — shards built grouped in one
+    // shuffle (no monolithic filter, no driver-side bitset merge),
+    // probes routed per row by the build's own xxhash64-mod. The
+    // oracle is the identical plain semi-join: sharding re-shapes
+    // where the bits live, never the answer (BloomGateSpec pins
+    // sharded ≡ monolithic ≡ ungated across shard counts).
+    "q166_sharded_bloom_gate" -> Q(
+      (s, d) => {
+        val k = documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("key"))
+        val corpus = k.where(col("doc_id") % 5 =!= 0).select(col("key"))
+          .localCheckpoint() // shard build + confirm join both read it
+        val batch = k.where(col("doc_id") % 5 === 0)
+        BloomGate.shardedCorpusDupFlag(batch, corpus, "key",
+            shards = 8, expectedItems = 4096L, fpp = 0.01)
+          .select(col("doc_id"), col("key"), col("is_dup_corpus"))
+      },
+      Some("""WITH k AS (SELECT doc_id, md5(text) AS key FROM documents),
+             |c AS (SELECT key FROM k WHERE doc_id % 5 <> 0)
+             |SELECT doc_id, key,
+             |       (key IN (SELECT key FROM c)) AS is_dup_corpus
+             |FROM k WHERE doc_id % 5 = 0""".stripMargin),
+      "sharded Bloom gate: grouped shard build + per-row shard routing, output = the plain semi-join"),
+
     // CMS-gated exact heavy hitters: shingles appearing in ≥ 3 docs,
     // exact counts — the count-min estimate (never an underestimate)
     // admits a superset of the true heavies per row, and only admitted

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Pq, Sq}
+import graft.ops.{Pq, SimSearch, Sq}
 import Tables._
 
 /** Scalar-quantization queries over the `embeddings` table — the
@@ -15,6 +15,16 @@ import Tables._
   * arguments (half-up ≡ half-away), sequential left-fold distances,
   * 6-dp rounding before any compare, ties to the lower corpus id. */
 object SqOps {
+
+  /** DuckDB sequential-fold dot / cosine ([[VectorOps]]'s discipline,
+    * local copy for the coarse-quantizer ranking CTE). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
   /** CTE block shared by the SQ oracles: per-dimension grid stats
     * (st → prm as ordered lists) and the corpus code table (cd),
@@ -108,5 +118,53 @@ object SqOps {
               |            row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) AS rn
               |          FROM rr)
               |SELECT q_id, rn, c_id, dist FROM rank2 WHERE rn <= 5""".stripMargin),
-      "SQ8-prefilter + exact re-rank: full-vector IO bounded to candidates, no training pass"))
+      "SQ8-prefilter + exact re-rank: full-vector IO bounded to candidates, no training pass"),
+
+    // IVF+SQ: the composed training-free index (FAISS IVFSQ) — coarse
+    // cells bound the candidates on a cell equi-join (q150's plan
+    // shape, asserted nested-loop-free in PlanSpec), SQ codes bound
+    // the per-candidate cost. Query sample vec_id % 13 = 0 (q150's
+    // spread sample).
+    "q165_sq_ivf_topk" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val (mins, scales, isteps) = Sq.dimGrid(emb, "embedding")
+        val coarse = SimSearch.collectCodebook(
+          SimSearch.ivfCentroids(emb, "vec_id", "embedding"))
+        Sq.sqIvfTopK(emb, col("id") % 13 === 0, "vec_id", "embedding",
+            topK = 3, nProbe = SimSearch.IvfProbe, coarse, mins, scales, isteps)
+          .select(col("q_id"), col("rn"), col("c_id"), col("sdist"))
+      },
+      Some {
+        val recon = "(mn[i] + CAST(c.codes[i] AS DOUBLE) * istep[i])"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |$sqCtes,
+           |ivfc AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN ivfc),
+           |cand AS (SELECT p.vec_id AS q_id, cl.vec_id AS c_id
+           |         FROM (SELECT vec_id, cid FROM rt
+           |               WHERE vec_id % 13 = 0 AND rn <= ${SimSearch.IvfProbe}) p
+           |         JOIN (SELECT vec_id, cid FROM rt WHERE rn = 1) cl
+           |           ON p.cid = cl.cid
+           |         WHERE p.vec_id <> cl.vec_id),
+           |p2 AS (SELECT cand.q_id, cand.c_id,
+           |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |           list_transform(range(1, len(q.v) + 1), i ->
+           |             (CAST(q.v[i] AS DOUBLE) - $recon) *
+           |             (CAST(q.v[i] AS DOUBLE) - $recon))),
+           |           (acc, x) -> acc + x), 6) AS sdist
+           |       FROM cand
+           |       JOIN e q ON q.vec_id = cand.q_id
+           |       JOIN cd c ON c.vec_id = cand.c_id
+           |       CROSS JOIN prm),
+           |ranked AS (SELECT q_id, c_id, sdist,
+           |             row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS rn
+           |           FROM p2)
+           |SELECT q_id, rn, c_id, sdist FROM ranked WHERE rn <= 3""".stripMargin
+      },
+      "IVF+SQ composed training-free index: cell equi-join bounds candidates, SQ codes bound per-candidate cost"))
 }

@@ -56,6 +56,36 @@ class BloomGateSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("sharded gate ≡ monolithic gate ≡ ungated semi-join, all shard counts") {
+    val expected = batch
+      .join(corpus.withColumn("is_dup_corpus", lit(true)), Seq("key"), "left")
+      .select(col("id"), col("key"),
+        coalesce(col("is_dup_corpus"), lit(false)).as("is_dup_corpus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    for (shards <- Seq(1, 4, 16)) {
+      val gated = BloomGate.shardedCorpusDupFlag(batch, corpus, "key",
+          shards, 1000L, 0.01)
+        .select(col("id"), col("key"), col("is_dup_corpus"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(gated === expected, s"shards=$shards")
+    }
+  }
+
+  test("sharded probe routes like the build: no false negatives, real pruning") {
+    val sk = BloomGate.buildShards(corpus, "key", 8, 1000L, 0.01)
+    assert(sk.length === 8)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ShardedBloomProbeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(col("key")), sk))
+    // every true dup is admitted (per-shard filters have no false
+    // negatives and routing is deterministic)
+    assert(batch.where(col("id") < 50).where(!probe).count() === 0L)
+    // and the novel majority is still pruned (same fpp budget as the
+    // monolithic sketch, spread over the shards)
+    val cand = batch.where(probe).count()
+    assert(cand >= 50L && cand <= 50L + 95L)
+  }
+
   test("two probes of the same sketch bits compare equal (plan-level CSE)") {
     // r7 advice: an Array[Byte] expression field is reference-equal, so
     // identical probes never canonicalize together and common-
