@@ -59,28 +59,23 @@ object Sq {
     (mins, scales, isteps)
   }
 
-  /** `array<bigint>` SQ codes of a (float/double) vector column.
+  /** `array<bigint>` SQ codes of a (float/double) vector column —
+    * native codegen kernel ([[graft.functions.SqExprs]]; the first
+    * higher-order-function formulation evaluated interpreted and was
+    * measured 10× slower than the exact scan it should undercut).
     * Codes are UNCLAMPED: corpus rows (which defined the grid) land in
     * 0..255 by construction, and an out-of-grid input still rounds to
     * the nearest grid point, keeping |x − recon| ≤ istep/2 — the
     * invariant the scan bounds actually rely on. */
   def encode(v: Column, mins: Seq[Double], scales: Seq[Double]): Column =
-    transform(v.cast("array<double>"), (x, i) =>
-      round((x - element_at(typedlit(mins), i + 1)) *
-        element_at(typedlit(scales), i + 1), 0).cast("long"))
+    graft.functions.SqExprs.encode(v.cast("array<double>"), mins, scales)
 
   /** Asymmetric squared-L2: full-precision query element vs the
-    * de-quantized code, folded sequentially in index order, 6 dp. */
+    * de-quantized code, folded sequentially in index order, 6 dp —
+    * native codegen kernel, one tight loop per pair. */
   def sqDist(qv: Column, codes: Column, mins: Seq[Double],
-      isteps: Seq[Double]): Column = {
-    val terms = transform(qv, (x, i) => {
-      val recon = element_at(typedlit(mins), i + 1) +
-        element_at(codes, i + 1).cast("double") * element_at(typedlit(isteps), i + 1)
-      val d = x - recon
-      d * d
-    })
-    round(aggregate(terms, lit(0.0), (acc, t) => acc + t), 6)
-  }
+      isteps: Seq[Double]): Column =
+    graft.functions.SqExprs.dist(qv, codes, mins, isteps)
 
   /** Codes-only top-k scan: broadcast query side against the
     * materialized code table (the localCheckpoint keeps the encode
