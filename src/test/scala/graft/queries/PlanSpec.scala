@@ -132,6 +132,29 @@ class PlanSpec extends AnyFunSuite {
     // posting-shaped scoring join — q157's exact pattern
     "q164_unigram_lm")
 
+  test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
+    val p = plan("q165_sq_ivf_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("SQ scans run the NATIVE kernels, not interpreted HOFs") {
+    // the r8 lesson: transform/aggregate lambdas evaluate interpreted
+    // (measured 21 s vs 1.9 s at n=32k) — the scan hot path must show
+    // the codegen expressions and no higher-order function nodes
+    for (q <- Seq("q160_sq8_topk", "q165_sq_ivf_topk")) {
+      val p = plan(q).toLowerCase
+      assert(p.contains("sqdistexpr"), q)
+      assert(!p.contains("transform(") && !p.contains("aggregate("),
+        s"$q plans a higher-order function in the scan path")
+    }
+  }
+
+  test("sharded bloom gate q166: the routed probe filters ahead of the confirm join") {
+    val p = plan("q166_sharded_bloom_gate").toLowerCase
+    assert(p.contains("shardedbloomprobe"), p)
+  }
+
   test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q150_pq_ivf_topk")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
