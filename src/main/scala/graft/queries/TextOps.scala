@@ -368,6 +368,52 @@ object TextOps {
   }
 
   def defs: Map[String, Q] = Map(
+    // Per-source winsorization: clamp a quality signal to its source's
+    // [P5, P95] band — the outlier-robust normalization step ahead of
+    // any threshold/mixture logic (a 10^6-char scraped page shouldn't
+    // drag its source's statistics). Percentile = the VALUE at the
+    // rank-index floor(q·(n−1)), computed in INTEGER arithmetic
+    // (((n−1)·5) div 100) so both engines floor the same number —
+    // float 0.05·(n−1) straddles integers differently in decimal vs
+    // binary. Shape: one window shuffle per source (q108's partition
+    // key), two 1-row-per-source cut frames broadcast back; no
+    // approximate-percentile nondeterminism anywhere.
+    "q167_winsorize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val ranked = docs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .localCheckpoint() // read twice: both cut frames
+        val lo = ranked.where(col("rn") === expr("((n - 1) * 5) div 100 + 1"))
+          .select(col("source"), col("n_chars").as("p05"))
+        val hi = ranked.where(col("rn") === expr("((n - 1) * 95) div 100 + 1"))
+          .select(col("source"), col("n_chars").as("p95"))
+        docs.join(broadcast(lo), Seq("source")).join(broadcast(hi), Seq("source"))
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            least(greatest(col("n_chars"), col("p05")), col("p95")).as("clamped"),
+            (col("n_chars") < col("p05") || col("n_chars") > col("p95"))
+              .as("winsorized"))
+      },
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |            row_number() OVER (PARTITION BY source
+             |              ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             |            count(*) OVER (PARTITION BY source) AS n
+             |          FROM documents),
+             |lo AS (SELECT source, n_chars AS p05 FROM r
+             |       WHERE rn = ((n - 1) * 5) // 100 + 1),
+             |hi AS (SELECT source, n_chars AS p95 FROM r
+             |       WHERE rn = ((n - 1) * 95) // 100 + 1)
+             |SELECT d.source, d.doc_id, d.n_chars,
+             |       least(greatest(d.n_chars, lo.p05), hi.p95) AS clamped,
+             |       (d.n_chars < lo.p05 OR d.n_chars > hi.p95) AS winsorized
+             |FROM documents d
+             |JOIN lo USING (source) JOIN hi USING (source)""".stripMargin),
+      "per-source rank-based P5/P95 winsorization: integer-exact percentile indices, broadcast cut frames"),
+
     // token counting + quality scoring
     "q20_text_stats" -> Q(
       (s, d) => {

@@ -302,6 +302,55 @@ class PropertySpec extends AnyFunSuite {
     assert(coss.sum / coss.size < 0.15, s"mean inter-row |cos| = ${coss.sum / coss.size}")
   }
 
+  test("SQ kernels: codes in range, reconstruction ≤ istep/2, dist consistent (random grids)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val corpusGen: Gen[Seq[Seq[Double]]] = for {
+      d <- Gen.chooseNum(1, 6)
+      n <- Gen.chooseNum(2, 12)
+      rows <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-100.0, 100.0)))
+    } yield rows.map(r => r :+ 7.25) // append a DEGENERATE constant dim
+    forAll(corpusGen) { rows =>
+      val d = rows.head.length
+      val mins = (0 until d).map(i => rows.map(_(i)).min)
+      val maxs = (0 until d).map(i => rows.map(_(i)).max)
+      val scales = (0 until d).map(i =>
+        if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
+      val isteps = (0 until d).map(i =>
+        if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255.0 else 0.0)
+      val child = Literal.create(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      val encE = SqEncodeExpr(child, mins, scales)
+      val distE = SqDistExpr(child, child, mins, isteps)
+      rows.foreach { v =>
+        val codes = encE.enc(new GenericArrayData(v.toArray))
+        (0 until d).foreach { i =>
+          val c = codes.getLong(i)
+          assert(c >= 0L && c <= 255L, s"code $c out of range (dim $i)")
+          val recon = mins(i) + c.toDouble * isteps(i)
+          val tol = isteps(i) / 2 + 1e-9 * (1 + math.abs(v(i)))
+          assert(math.abs(v(i) - recon) <= tol,
+            s"dim $i: x=${v(i)} recon=$recon istep=${isteps(i)}")
+        }
+        // self-distance bound through the full kernel: Σ (istep/2)²,
+        // with per-dim FP slack folded in
+        val dSelf = distE.dist(new GenericArrayData(v.toArray), codes)
+        val bound = isteps.map(st => (st / 2) * (st / 2)).sum + 1e-6
+        assert(dSelf <= bound, s"self-dist $dSelf above bound $bound")
+      }
+      // cross-distance consistency: kernel == independent fold replay
+      val qv = rows.head
+      val codes = encE.enc(new GenericArrayData(rows.last.toArray))
+      val expect = PqExprs.round6dp(
+        (0 until d).foldLeft(0.0) { (acc, i) =>
+          val recon = mins(i) + codes.getLong(i).toDouble * isteps(i)
+          val diff = qv(i) - recon
+          acc + diff * diff
+        })
+      assert(distE.dist(new GenericArrayData(qv.toArray), codes) === expect)
+    }
+  }
+
   test("Bloom sketch: no false negatives, serialization-stable, merge = union") {
     import org.apache.spark.util.sketch.BloomFilter
     val keysGen = Gen.chooseNum(1, 200).flatMap(n =>
