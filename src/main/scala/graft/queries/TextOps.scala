@@ -1497,6 +1497,44 @@ object TextOps {
               |FROM packed WHERE cum_toks <= $CurateTokenBudget""".stripMargin),
       "end-to-end curation pipeline: exact dedup -> LSH near-dup -> decontaminate -> quality gate -> PII scrub -> token packing"),
 
+    // The full export, ONE call: the q141 curated + budgeted corpus
+    // handed to the q152 training-order shuffle — per-doc shard and
+    // within-shard sequence, i.e. exactly the manifest a trainer
+    // reads. Composition of two oracled pillars; the oracle replays
+    // the entire chain (six curation stages, budget cut, hash-mod
+    // shard, per-shard order) in one statement. Plan shape is the sum
+    // of its parts: the curation chain's joins + one hash exchange on
+    // shard for the order window — no new shuffle class appears by
+    // composing.
+    "q168_training_export" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val curated = curateStages(s, d).last._2
+          .where(col("cum_toks") <= CurateTokenBudget)
+          .select(col("doc_id"), col("source"), col("n_toks"))
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        curated.withColumn("h", h)
+          .withColumn("shard", pmod(col("h"), lit(ShardOps.NumShards.toLong)))
+          .withColumn("seq", row_number().over(w))
+          .select(col("shard"), col("seq"), col("doc_id"), col("source"),
+            col("n_toks"))
+      },
+      Some(s"""WITH $curateCtesSql,
+              |exp AS (SELECT doc_id, source, n_toks FROM packed
+              |        WHERE cum_toks <= $CurateTokenBudget),
+              |shx AS (SELECT doc_id, source, n_toks,
+              |          ${tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |        FROM exp),
+              |ord AS (SELECT h % ${ShardOps.NumShards} AS shard,
+              |          row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
+              |            ORDER BY h, doc_id) AS seq,
+              |          doc_id, source, n_toks
+              |        FROM shx)
+              |SELECT shard, seq, doc_id, source, n_toks FROM ord""".stripMargin),
+      "one-call training export: curated + budgeted corpus through the deterministic shard/order shuffle — the trainer's manifest"),
+
     // The pipeline's per-stage AUDIT — what a production curation run
     // logs so nothing is silently dropped: surviving doc count at every
     // stage boundary, both engines replaying the identical chain. The
