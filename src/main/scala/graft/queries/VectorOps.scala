@@ -654,6 +654,91 @@ object VectorOps {
       },
       "two-stage PQ serving from the maintained index: ADC prefilter over stored codes, exact re-rank on candidates only"),
 
+    // q155's scenario served through the SQ SIDECAR (bootstrap
+    // withSq): the probed cells scan as SQ code rows against the
+    // grid frozen at bootstrap (derived from the CORPUS only — kept
+    // batch vectors encode under it, out-of-grid values round
+    // unclamped), top-10 asymmetric prefilter per query, exact cosine
+    // re-rank on candidates only. The training-free serving rung: 8×
+    // compression with the total-recall rerank law
+    // (SCALE_MEASURED_r8). The oracle replays grid → codes → fold →
+    // prefilter → re-rank over corpus ∪ kept end to end.
+    "q169_semantic_query_sq" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-query-sq-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root,
+          withSq = true)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+          .unpersist()
+        SemanticStream.queryTopKSq(emb.where(col("vec_id") % 10 === 5), root,
+            topK = 3, prefilterC = 10)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+           |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+           |b1 AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+           |mm1 AS (SELECT a.vec_id FROM b1 a JOIN corp c ON a.cell = c.cell
+           |          AND ${cosSql("a.v", "c.v")} >= 0.3
+           |        UNION ALL
+           |        SELECT a.vec_id FROM b1 a JOIN b1 b ON a.cell = b.cell
+           |          AND b.vec_id < a.vec_id
+           |          AND ${cosSql("a.v", "b.v")} >= 0.3),
+           |kept1 AS (SELECT * FROM b1
+           |          WHERE vec_id NOT IN (SELECT vec_id FROM mm1)),
+           |idx AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e WHERE vec_id % 5 <> 0),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id % 10 = 5 AND rn <= ${SimSearch.IvfProbe}),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN idx c USING (cell)
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 10),
+           |scx AS (SELECT p.q_id, p.c_id, ${cosSql("q.v", "c.v")} AS cos
+           |        FROM pre p
+           |        JOIN e q ON q.vec_id = p.q_id
+           |        JOIN e c ON c.vec_id = p.c_id),
+           |rk AS (SELECT q_id, c_id, cos,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY cos DESC, c_id) AS rn
+           |       FROM scx)
+           |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin
+      },
+      "two-stage SQ serving from the maintained index: training-free asymmetric prefilter over stored codes, exact re-rank on candidates"),
+
     // Johnson–Lindenstrauss projection measured per pair: vectors
     // project 64 → 16 dims through the splitmix64 plane family
     // (scale-free for cosine; the first measurement caught the LSH

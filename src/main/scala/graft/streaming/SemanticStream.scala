@@ -72,6 +72,15 @@ object SemanticStream {
     * compressed face [[queryTopKPq]] scans before touching vectors. */
   val PqBooksEntity = "pq_books"
   val PqCodesEntity = "ivf_codes"
+  /** Optional SQ sidecar (opt-in at [[bootstrap]]): the per-dimension
+    * uint8 grid (tiny, frozen at bootstrap like the PQ books — no
+    * training pass at all) and code rows — d small codes per stored
+    * vector, the training-free compressed face [[queryTopKSq]] scans
+    * before touching vectors. Kept ingests encode under the frozen
+    * grid; out-of-grid values round unclamped to the nearest grid
+    * point, preserving the ≤ istep/2 reconstruction bound. */
+  val SqGridEntity = "sq_grid"
+  val SqCodesEntity = "sq_codes"
 
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
@@ -82,6 +91,8 @@ object SemanticStream {
     "cid bigint, cv array<double>, cn double, ver string"
   private val PqBooksDdl = "m int, j int, c array<double>"
   private val PqCodesDdl = "id bigint, codes array<int>"
+  private val SqGridDdl = "pos int, mn double, sc double, istep double"
+  private val SqCodesDdl = "id bigint, codes array<bigint>"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -134,6 +145,26 @@ object SemanticStream {
       .map(_._2.sortBy(_._2).map(_._3).toSeq))
   }
 
+  /** The stored SQ grid as (mins, scales, isteps). */
+  def readGrid(s: SparkSession, root: String): Option[(Seq[Double], Seq[Double], Seq[Double])] = {
+    val rows = stored(s, root, SqGridEntity, SqGridDdl).collect()
+    if (rows.isEmpty) None
+    else {
+      val sorted = rows.map(r =>
+        (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
+      Some((sorted.map(_._2).toSeq, sorted.map(_._3).toSeq,
+        sorted.map(_._4).toSeq))
+    }
+  }
+
+  private def gridFrame(s: SparkSession, mins: Seq[Double],
+      scales: Seq[Double], isteps: Seq[Double]): DataFrame = {
+    import s.implicits._
+    mins.indices.map(i => (i, mins(i), scales(i), isteps(i)))
+      .toDF("pos", "mn", "sc", "istep")
+  }
+
   private def booksFrame(s: SparkSession,
       books: Seq[Seq[Seq[Double]]]): DataFrame = {
     import s.implicits._
@@ -153,7 +184,7 @@ object SemanticStream {
   def bootstrap(corpus: DataFrame, root: String, k: Int = SimSearch.IvfK,
       idCol: String = "vec_id", vecCol: String = "embedding",
       withPq: Boolean = false, pqM: Int = graft.ops.Pq.M,
-      pqKsub: Int = graft.ops.Pq.Ksub): Unit = {
+      pqKsub: Int = graft.ops.Pq.Ksub, withSq: Boolean = false): Unit = {
     val s = corpus.sparkSession
     val cb = SimSearch.collectCodebook(
       SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
@@ -173,6 +204,15 @@ object SemanticStream {
         graft.ops.Pq.encodeCodes(corpus, idCol, vecCol, books)
           .select(col("c_id").as("id"), col("codes")),
         root, PqCodesEntity, Seq("id"))
+    }
+    if (withSq) {
+      val (mins, scales, isteps) = graft.ops.Sq.dimGrid(corpus, vecCol)
+      Layout.upsertStatic(gridFrame(s, mins, scales, isteps), root,
+        SqGridEntity, Seq("pos"))
+      Layout.upsertStatic(
+        corpus.select(col(idCol).as("id"),
+          graft.ops.Sq.encode(col(vecCol), mins, scales).as("codes")),
+        root, SqCodesEntity, Seq("id"))
     }
   }
 
@@ -308,6 +348,60 @@ object SemanticStream {
         round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
           .as("cos"))
       .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+  }
+
+  /** [[queryTopKPq]]'s training-free twin (requires
+    * `bootstrap(withSq = true)`): the probed cells scan as SQ code
+    * rows first — asymmetric distance against the frozen grid keeps
+    * the `prefilterC` best per query, and only those candidates fetch
+    * full vectors for the exact cosine re-rank. Same IO bound (full
+    * vectors for prefilterC rows per query), 8× compression instead
+    * of 64×, and the SQ rerank recall law (SCALE_MEASURED_r8: total
+    * at prefilter 100 where PQ holds 16%) carries over. Shares the
+    * torn-retrain repair. */
+  def queryTopKSq(queries: DataFrame, root: String, topK: Int,
+      prefilterC: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val (mins, _, isteps) = readGrid(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no SQ grid under $root — bootstrap(withSq = true) first"))
+    val cb = SimSearch.collectCodebook(
+      stored(s, root, CodebookEntity, CodebookDdl))
+    require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
+    val ver = codebookVersion(cb)
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
+    val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
+      .localCheckpoint() // bound assignment work to one pass
+    val cellIds = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
+      .select(col("id").as("c_id"), col("codes"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sdist").asc, col("c_id").asc)
+    val cand = probes.join(cellIds, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(codes, Seq("c_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        graft.functions.SqExprs.dist(col("qv"), col("codes"), mins, isteps)
+          .as("sdist"))
+      .withColumn("prn", row_number().over(w1))
+      .where(col("prn") <= prefilterC)
+    val vecs = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand.join(vecs, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w2))
       .where(col("rn") <= topK)
   }
 
@@ -462,6 +556,15 @@ object SemanticStream {
             graft.functions.PqExprs.encode(col("v"), books).as("codes"))
           .join(kept, Seq("id"), "left_semi"),
         root, PqCodesEntity, Seq("id"))
+    }
+    // SQ sidecar (present iff bootstrap(withSq = true)): kept vectors
+    // encode under the frozen grid — same discipline as the PQ codes
+    readGrid(s, root).foreach { case (mins, scales, _) =>
+      Layout.upsertStatic(
+        asg.select(col("vec_id").as("id"),
+            graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
+          .join(kept, Seq("id"), "left_semi"),
+        root, SqCodesEntity, Seq("id"))
     }
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     // drop the per-batch pinned checkpoints (see CurateStream: a

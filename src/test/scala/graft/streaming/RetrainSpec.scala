@@ -229,4 +229,31 @@ class RetrainSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
     assert(narrow.groupBy(_._1).forall(_._2.size <= 1))
   }
+
+  test("SQ sidecar: a wide prefilter serves exactly the uncompressed read path") {
+    // the training-free twin of the PQ equivalence above: grid frozen
+    // at bootstrap, kept ingest encodes under it (out-of-grid values
+    // round unclamped), and prefilterC ≥ cell population ⇒ the
+    // asymmetric stage passes everything to the exact re-rank
+    val root = graft.Temps.dir("query-sq")
+    SemanticStream.bootstrap(corpus, root, k = 2, withSq = true)
+    SemanticStream.ingestVectors(df(Seq(100L -> vec(4 -> 1.0))), root)
+      .unpersist()
+    val q = df(Seq(
+      500L -> vec(2 -> 1.0, 0 -> 0.1),
+      510L -> vec(0 -> 1.0, 3 -> 0.1)))
+    def rows(res: org.apache.spark.sql.DataFrame) =
+      res.select("q_id", "rn", "c_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val exact = rows(SemanticStream.queryTopK(q, root, topK = 2, nProbe = 2))
+    val sq = rows(SemanticStream.queryTopKSq(q, root, topK = 2,
+      prefilterC = 100, nProbe = 2))
+    assert(exact.nonEmpty)
+    assert(sq === exact)
+    val narrow = rows(SemanticStream.queryTopKSq(q, root, topK = 2,
+      prefilterC = 1, nProbe = 2))
+    assert(narrow.nonEmpty)
+    assert(narrow.groupBy(_._1).forall(_._2.size <= 1))
+  }
 }
