@@ -58,18 +58,25 @@ object Bench {
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     // stdout gets a BUDGETED line that FITS the tail and parses: 3-dp
     // values, per-query entries kept (in sorted-name order) until the
-    // map reaches ~1400 chars, with the truncation made explicit
+    // map reaches the budget, with the truncation made explicit
+    println(budgetedLine(results, total, outFile, suffix))
+    spark.stop()
+  }
+
+  /** The tail-sized stdout line (the harness keeps only ~2000 chars of
+    * stdout, so the full per-query map can never parse from there —
+    * BenchLineSpec pins that this one always fits AND parses). */
+  def budgetedLine(results: Seq[(String, Double)], total: Double,
+      outFile: String, suffix: String, mapBudget: Int = 1400): String = {
     val entries = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>
-      if (used + e.length + 1 <= 1400) { kept += e; used += e.length + 1 }
+      if (used + e.length + 1 <= mapBudget) { kept += e; used += e.length + 1 }
     }
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${kept.mkString("{", ",", "}")},""" +
       s""""queries_total":${results.size},"queries_reported":${kept.size},""" +
       s""""full_map_file":"$outFile",""" + suffix
-    println(line)
-    spark.stop()
   }
 }

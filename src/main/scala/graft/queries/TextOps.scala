@@ -537,6 +537,66 @@ object TextOps {
               |FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id""".stripMargin),
       "n-gram Jaccard near-dup via df-capped shingle equi-join"),
 
+    // One-sided CONTAINMENT dedup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    // — the subset-duplicate detector symmetric Jaccard structurally
+    // misses. A 100-token excerpt embedded verbatim in a 10k-token page
+    // has Jaccard ≈ 0.01 (invisible to any sane threshold) but
+    // containment ≈ 1.0; containment is what production dedup uses to
+    // kill quoted/aggregated copies (both directions emitted — the
+    // shorter side is the one "contained"). Same plan skeleton as q24:
+    // df-capped shingle equi-join candidates, never all-pairs; one
+    // extra flag marks pairs Jaccard would have missed at its 0.5 bar.
+    "q170_containment" -> Q(
+      (s, d) => {
+        val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+          .localCheckpoint()
+        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > MaxShingleDF).select("sh")
+        val joinable = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+          .localCheckpoint()
+        val sizes = joinable.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val a = joinable.toDF("sh", "a_id")
+        val b = joinable.toDF("sh", "b_id")
+        a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+          .where(col("inter") >= 2)
+          .join(sizes.toDF("a_id", "na"), "a_id")
+          .join(sizes.toDF("b_id", "nb"), "b_id")
+          .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
+          .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+          .withColumn("contained",
+            greatest(col("cont_a"), col("cont_b")) >= lit(0.8))
+          .select(col("a_id"), col("b_id"), col("inter"),
+            col("cont_a"), col("cont_b"), col("contained"),
+            (col("contained") &&
+              round(col("inter").cast("double") /
+                (col("na") + col("nb") - col("inter")), 6) < lit(0.5))
+              .as("jaccard_blind"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+              |hot AS (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) > $MaxShingleDF),
+              |sh AS (SELECT doc_id, sh FROM sh0 ANTI JOIN hot USING (sh)),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+              |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2 HAVING count(*) >= 2),
+              |c AS (SELECT a_id, b_id, inter,
+              |        round(CAST(inter AS DOUBLE) / sa.n, 6) AS cont_a,
+              |        round(CAST(inter AS DOUBLE) / sb.n, 6) AS cont_b,
+              |        sa.n AS na, sb.n AS nb
+              |      FROM p JOIN sz sa ON sa.doc_id = a_id
+              |      JOIN sz sb ON sb.doc_id = b_id)
+              |SELECT a_id, b_id, inter, cont_a, cont_b,
+              |       greatest(cont_a, cont_b) >= CAST(0.8 AS DOUBLE) AS contained,
+              |       (greatest(cont_a, cont_b) >= CAST(0.8 AS DOUBLE) AND
+              |        round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) < CAST(0.5 AS DOUBLE)) AS jaccard_blind
+              |FROM c""".stripMargin),
+      "one-sided containment dedup: catches subset duplicates symmetric Jaccard misses (df-capped shingle join)"),
+
     // MinHash signatures (the LSH building block)
     "q25_minhash" -> Q(
       (s, d) => {
@@ -1534,6 +1594,58 @@ object TextOps {
               |        FROM shx)
               |SELECT shard, seq, doc_id, source, n_toks FROM ord""".stripMargin),
       "one-call training export: curated + budgeted corpus through the deterministic shard/order shuffle — the trainer's manifest"),
+
+    // The export's last mile: SEQUENCE layout. Trainers consume
+    // fixed-length token sequences (L = 512 here), and docs are packed
+    // back to back WITHIN each shard's order, splitting across
+    // sequence boundaries — so every doc maps to a token offset and a
+    // [first_seq, last_seq] span. Pure integer arithmetic over one
+    // per-shard running sum (the window rides q168's shard exchange;
+    // no new shuffle class), replayed exactly by the oracle. At 100 TB
+    // this is the map from corpus to training step that data-order
+    // ablations and checkpoint-replay audits need.
+    "q171_sequence_layout" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val curated = curateStages(s, d).last._2
+          .where(col("cum_toks") <= CurateTokenBudget)
+          .select(col("doc_id"), col("n_toks"))
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val wOrd = Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        curated.withColumn("h", h)
+          .withColumn("shard", pmod(col("h"), lit(ShardOps.NumShards.toLong)))
+          .withColumn("seq", row_number().over(wOrd))
+          .withColumn("cum", sum(col("n_toks")).over(wSum))
+          .select(col("shard"), col("seq"), col("doc_id"), col("n_toks"),
+            (col("cum") - col("n_toks")).as("tok_start"),
+            expr("(cum - n_toks) div 512").as("first_seq"),
+            expr("(cum - 1) div 512").as("last_seq"))
+          .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      },
+      Some(s"""WITH $curateCtesSql,
+              |exp AS (SELECT doc_id, n_toks FROM packed
+              |        WHERE cum_toks <= $CurateTokenBudget),
+              |shx AS (SELECT doc_id, n_toks,
+              |          ${tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |        FROM exp),
+              |ord AS (SELECT h % ${ShardOps.NumShards} AS shard,
+              |          row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
+              |            ORDER BY h, doc_id) AS seq,
+              |          doc_id, n_toks, h
+              |        FROM shx),
+              |cums AS (SELECT shard, seq, doc_id, n_toks,
+              |           sum(n_toks) OVER (PARTITION BY shard ORDER BY seq
+              |             ROWS UNBOUNDED PRECEDING) AS cum
+              |         FROM ord)
+              |SELECT shard, seq, doc_id, n_toks,
+              |       CAST(cum - n_toks AS BIGINT) AS tok_start,
+              |       CAST((cum - n_toks) // 512 AS BIGINT) AS first_seq,
+              |       CAST((cum - 1) // 512 AS BIGINT) AS last_seq,
+              |       CAST((cum - 1) // 512 - (cum - n_toks) // 512 + 1 AS BIGINT) AS n_seqs
+              |FROM cums""".stripMargin),
+      "sequence-boundary layout of the training export: per-shard token offsets, docs split across fixed-length sequences"),
 
     // The pipeline's per-stage AUDIT — what a production curation run
     // logs so nothing is silently dropped: surviving doc count at every
