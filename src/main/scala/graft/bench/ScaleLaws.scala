@@ -567,6 +567,61 @@ object ScaleLaws {
     (nTok, scored)
   }
 
+  /** q170's containment dedup on q24's candidate plan: candidates :=
+    * surviving shingle-join pairs (the df-cap holds them near-linear),
+    * pairs := contained pairs at the 0.8 bar. Same law as
+    * shingle_jaccard — the extra per-pair division is free. */
+  def containment(docs: DataFrame): (Long, Long) = {
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
+      .localCheckpoint()
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > graft.queries.TextOps.MaxShingleDF).select("sh")
+    val joinable = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
+    val sizes = joinable.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = joinable.toDF("sh", "a_id")
+    val b = joinable.toDF("sh", "b_id")
+    val pairs = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= 2)
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .localCheckpoint()
+    val cand = pairs.count()
+    val contained = pairs.where(
+      greatest(col("inter").cast("double") / col("na"),
+        col("inter").cast("double") / col("nb")) >= 0.8).count()
+    sh.unpersist(true); joinable.unpersist(true); pairs.unpersist(true)
+    (cand, contained)
+  }
+
+  /** q171's sequence layout: one per-shard running sum + integer
+    * division — candidates := docs laid out, pairs := boundary-split
+    * docs (expected ≈ docs · mean_toks/L). Linear; the timing row is
+    * the law. */
+  def seqLayout(docs: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+    val wOrd = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val laid = docs
+      .select(col("doc_id"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .withColumn("cum", sum(col("n_toks")).over(wSum))
+      .select(expr("(cum - n_toks) div 512").as("first_seq"),
+        expr("(cum - 1) div 512").as("last_seq"))
+      .localCheckpoint()
+    val n = laid.count()
+    val split = laid.where(col("last_seq") > col("first_seq")).count()
+    laid.unpersist(true)
+    (n, split)
+  }
+
   /** q152's shard-balance concentration: hash-mod sharding engineers
     * nothing — token mass balances by CLT, and the law is the
     * relative spread (max−min)/mean of per-shard token sums falling
@@ -696,7 +751,9 @@ object ScaleLaws {
         ("sq_scan_q160", false, (df, _) => sqScan(df)),
         ("sq_rerank_q161", false, (df, _) => sqRerank(df)),
         ("zorder_skip_q163", true, (df, _) => zorderSkip(df)),
-        ("unigram_lm_q164", true, (df, _) => unigramLm(df)))
+        ("unigram_lm_q164", true, (df, _) => unigramLm(df)),
+        ("containment_q170", true, (df, _) => containment(df)),
+        ("seq_layout_q171", true, (df, _) => seqLayout(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock
