@@ -35,6 +35,61 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.values.toSet.size === pairs.size)
   }
 
+  test("REAL parquet row-group skipping: z-order layout reads a fraction of x-major") {
+    // the end-to-end claim, not the simulation: write the same grid
+    // under both layouts (64 sorted range-partitions → 64 parquet
+    // files, one row group each), filter on the y-band, and count the
+    // records the scan ACTUALLY read via task input metrics — parquet
+    // footer min/max stats skip whole row groups only when the layout
+    // made the filtered column's per-file range tight
+    val s = spark
+    import s.implicits._
+    val grid = (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
+      .toDF("x", "y")
+      .withColumn("zkey", ZOrder.interleave(col("x"), col("y"), 8))
+      .localCheckpoint()
+    val zDir = graft.Temps.dir("zorder-parquet")
+    val lDir = graft.Temps.dir("linear-parquet")
+    grid.repartitionByRange(64, col("zkey")).sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(64, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(lDir)
+
+    def recordsRead(dir: String): Long = {
+      val read = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val matched = spark.read.parquet(dir)
+          .where(col("y") >= 0 && col("y") <= 7).count()
+        assert(matched === 256L * 8L) // the answer is layout-invariant
+        // listener events are async: poll until the counter is stable
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var prev = -1L
+        var stable = 0
+        while (stable < 6 && System.nanoTime() < deadline) {
+          val cur = read.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          Thread.sleep(50)
+        }
+        read.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val zRead = recordsRead(zDir)
+    val lRead = recordsRead(lDir)
+    // x-major: every file spans the full y extent → no row group can
+    // be skipped, the scan reads everything; z-order: each file is a
+    // y-tight tile → footer stats skip most row groups
+    assert(lRead === 256L * 256L, s"x-major read $lRead")
+    assert(zRead < lRead / 2, s"z-order read $zRead of $lRead")
+  }
+
   test("y-band probe: z-order layout touches strictly fewer files than x-major") {
     val s = spark
     import s.implicits._
