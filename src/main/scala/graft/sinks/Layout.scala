@@ -199,9 +199,12 @@ object Layout {
     * projection — a column-pruned parquet scan; for the signature/
     * skeleton dimensions AQE broadcasts it, for mainnet-scale
     * deployments it is one shuffle on the key the table would be
-    * bucketed by anyway. The localCheckpoint materializes the fresh
-    * rows before the append (the write's plan must not still read the
-    * path it appends to). */
+    * bucketed by anyway. The append's plan may READ the path it
+    * appends to — that is safe by construction: the scan's file
+    * listing is snapshotted at read time, append only ADDS files
+    * (never deletes an input), and Spark's overwrite-into-input guard
+    * applies to overwrite mode only — so the probe + write run as ONE
+    * job instead of paying a materialization action per upsert. */
   def upsertStatic(df: DataFrame, root: String, entity: String,
       keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
     val path = s"$root/static/$entity"
@@ -221,7 +224,7 @@ object Layout {
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
         val fresh = df.join(probe, cond, "left_anti")
         if (existing.columns.toSet == df.columns.toSet) {
-          fresh.localCheckpoint().write.mode("append")
+          fresh.write.mode("append")
             .option("maxRecordsPerFile", maxRecordsPerFile)
             .parquet(path)
         } else {

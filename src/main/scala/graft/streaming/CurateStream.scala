@@ -38,9 +38,12 @@ import graft.ops.TextAnalysis._
   * half-applied batch (keys/bands landed, manifest missing) recomputes
   * bit-identical statuses on retry — a kept doc does not see its own
   * (or a batch-mate's) half-landed index rows and misclassify the
-  * whole batch as corpus duplicates. All four writes are
+  * whole batch as corpus duplicates. All index writes are
   * [[Layout.upsertStatic]] anti-join upserts, so re-landing is a
-  * no-op row-wise; the manifest, keyed by doc_id, lands last.
+  * no-op row-wise; they fan out in PARALLEL (they are mutually
+  * independent; a crash leaves some subset landed, which the replay
+  * probes absorb exactly like the old sequential prefix), and the
+  * manifest, keyed by doc_id, lands last behind a barrier.
   *
   * Versus q143's one-shot batch semantics, sequential ingest is
   * FIRST-ARRIVAL-WINS across batches: an exact-dup group split over
@@ -64,6 +67,20 @@ object CurateStream {
     * dedup (a "franken-doc" stitched from corpus substrings passes
     * both the exact and MinHash layers; only span coverage sees it). */
   val SpanDupFrac = 0.5
+
+  /** Bounded pool for the per-batch index upserts: the four index
+    * entities are mutually independent (each is its own directory and
+    * its own anti-join), so their writes overlap — the per-batch bill
+    * is the slowest upsert, not the sum. Daemon threads; sized to the
+    * entity count, not the data. */
+  private lazy val upsertPool = java.util.concurrent.Executors
+    .newFixedThreadPool(4, (r: Runnable) => {
+      val t = new Thread(r, "graft-curate-upsert")
+      t.setDaemon(true)
+      t
+    })
+  private lazy val upsertEc =
+    scala.concurrent.ExecutionContext.fromExecutor(upsertPool)
 
   private def contentKey(text: Column): Column = md5(text.cast("binary"))
 
@@ -162,8 +179,31 @@ object CurateStream {
       spanGate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = batch0.sparkSession
-    val batch = batch0.localCheckpoint()
-    val ids = batch.select("doc_id").distinct()
+    // ONE materialization of the whole per-doc batch state: content
+    // key, keep-best rank, MinHash signature and the quality stats all
+    // ride a single localCheckpoint (formerly three separate
+    // checkpoints — batch, keyed, sigB — each its own job; the
+    // per-batch bill is per-action overhead × action count, so the
+    // fused frame is the first lever). The window shuffle on `key`
+    // also spreads the signature/tokenize arithmetic across the
+    // cluster, which is what sigsOf's explicit repartition bought.
+    val landed = batch0
+      .withColumn("key", contentKey(col("text")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
+      .withColumn("T", tokens(col("text")))
+      .withColumn("n_toks", size(col("T")).cast("long"))
+      .withColumn("stopword_ratio", round(
+        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+          .cast("double") / col("n_toks"), 6))
+      .select(
+        (batch0.columns.map(col) ++ Seq(col("key"), col("rn"),
+          col("n_toks"), col("stopword_ratio")) ++
+          MinHashCoeffs.indices.map(j =>
+            element_at(col("sig"), j + 1).as(s"h$j"))): _*)
+      .localCheckpoint()
+    val ids = landed.select("doc_id").distinct()
 
     // probes EXCLUDE this batch's own ids — a replayed half-applied
     // batch must not see its own landed rows (bit-stable statuses)
@@ -184,13 +224,9 @@ object CurateStream {
     // keys sit in the sketch, but the id-excluded keyIdx confirm
     // rejects them exactly as it always did.
     val sketch = KeySketch.read(s, root)
-    val keyed = batch.withColumn("key", contentKey(col("text")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)))
-      .localCheckpoint()
+    val keyed = landed
     val exactProbe = sketch match {
-      case Some(sk) => keyed.where(
-        graft.functions.BloomExprs.mightContain(sk.bf)(col("key")))
+      case Some(sk) => keyed.where(sk.mightContain(col("key")))
       case None => keyed
     }
     val dupExactCorpus = exactProbe.join(keyIdx, Seq("key"), "left_semi")
@@ -201,8 +237,10 @@ object CurateStream {
       .join(dupExactBatch, Seq("doc_id"), "left_anti")
 
     // near-dup layer: batch signatures probe the stored band index AND
-    // self-join their own bands (q143's two scorers)
-    val sigB = sigsOf(batch).localCheckpoint()
+    // self-join their own bands (q143's two scorers); the signature
+    // columns are already materialized on the landed frame
+    val sigB = landed.where(col("h0").isNotNull)
+      .select((col("doc_id") +: MinHashCoeffs.indices.map(j => col(s"h$j"))): _*)
     val bsig = sigB.join(b1, Seq("doc_id"), "left_semi")
     def agree(a: DataFrame, aId: String, b: DataFrame, bId: String,
         cand: DataFrame): DataFrame = cand
@@ -233,9 +271,9 @@ object CurateStream {
     // decontamination: stored bench shingles ∪ THIS batch's members'
     // (a batch doc contaminated by a batch-mate bench member is caught
     // in the same ingest, matching q143's full-corpus bench rule)
-    val batchBench = benchShinglesOf(batch)
+    val batchBench = benchShinglesOf(landed)
     val bench = benchIdx.unionByName(batchBench).distinct()
-    val contaminated = batch.join(b2, Seq("doc_id"), "left_semi")
+    val contaminated = landed.join(b2, Seq("doc_id"), "left_semi")
       .where(col("doc_id") % 29 =!= 0)
       .select(col("doc_id"), explode(
         graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
@@ -252,7 +290,7 @@ object CurateStream {
     // fold is a filter of this frame, not a recompute).
     val bSpans: Option[DataFrame] =
       if (!spanGate) None
-      else Some(spanSetOf(batch.join(b2, Seq("doc_id"), "left_semi")
+      else Some(spanSetOf(landed.join(b2, Seq("doc_id"), "left_semi")
         .where(col("doc_id") % 29 =!= 0)).localCheckpoint())
     val spanDup: DataFrame = bSpans match {
       case None => emptyFrame(s, "doc_id bigint")
@@ -268,13 +306,8 @@ object CurateStream {
           .select("doc_id")
     }
 
-    // per-row quality stats ride the manifest for EVERY doc
+    // per-row quality stats already ride the landed frame for EVERY doc
     val withQ = keyed
-      .withColumn("T", tokens(col("text")))
-      .withColumn("n_toks", size(col("T")).cast("long"))
-      .withColumn("stopword_ratio", round(
-        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
-          .cast("double") / col("n_toks"), 6))
     def flag(df: DataFrame, name: String) = df.withColumn(name, lit(1))
     // materialize BEFORE any index write: the manifest's plan reads the
     // stored tables, and the upserts below mutate them — an unmaterial-
@@ -299,31 +332,70 @@ object CurateStream {
           .otherwise("kept").as("status"))
       .localCheckpoint()
 
-    // index first, manifest LAST (the batch's commit marker); the
-    // sketch merge lands BEFORE the keys it covers (superset invariant
-    // — a crash between the two only costs false positives)
+    // one tiny collect off the checkpointed manifest settles which
+    // entities this batch touches at all (and the kept-key count the
+    // sketch merge needs): a batch with no kept docs skips the
+    // keys/bands/spans upserts entirely, a batch with no bench members
+    // skips the bench upsert — deterministic, so a replay makes the
+    // same skip decisions it made the first time
+    val cRow = manifest.agg(
+      sum(when(col("status") === "kept", 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 29 === 0, 1L).otherwise(0L))).head
+    val keptN = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
+    val benchN = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
+
+    // index entities first, manifest LAST (the batch's commit marker).
+    // The four index upserts are mutually independent — each its own
+    // directory, each an idempotent anti-join — so they run in
+    // PARALLEL (the per-batch bill becomes the slowest upsert, not the
+    // sum); the two ordering invariants that matter survive: the
+    // sketch merge lands BEFORE the keys it covers (chained inside one
+    // future — superset invariant; a crash between the two only costs
+    // false positives), and the manifest waits for ALL index writes
+    // (a crash mid-fan-out leaves any SUBSET of entities landed with
+    // no manifest, which the replay's self-excluding probes already
+    // absorb — no worse than the old sequential prefix).
     val kept = manifest.where(col("status") === "kept").select("doc_id")
-    sketch.foreach { sk =>
-      KeySketch.write(s, root, KeySketch.merge(sk,
-        keyed.join(kept, Seq("doc_id"), "left_semi").select("key"), "key"))
-    }
-    Layout.upsertStatic(
-      keyed.join(kept, Seq("doc_id"), "left_semi").select("key", "doc_id"),
-      root, KeysEntity, Seq("key", "doc_id"))
-    Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
-      root, BandsEntity, Seq("doc_id"))
-    Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
-    bSpans.foreach { sp =>
-      Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
-        root, SpansEntity, Seq("sp", "doc_id"))
-    }
+    implicit val ec: scala.concurrent.ExecutionContext = upsertEc
+    import scala.concurrent.{Await, Future}
+    val writes = Seq(
+      Future {
+        if (keptN > 0) {
+          sketch.foreach { sk =>
+            KeySketch.write(s, root, KeySketch.merge(sk,
+              keyed.join(kept, Seq("doc_id"), "left_semi").select("key"),
+              "key", knownCount = keptN))
+          }
+          Layout.upsertStatic(
+            keyed.join(kept, Seq("doc_id"), "left_semi")
+              .select("key", "doc_id"),
+            root, KeysEntity, Seq("key", "doc_id"))
+        }
+      },
+      Future {
+        if (keptN > 0)
+          Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
+            root, BandsEntity, Seq("doc_id"))
+      },
+      Future {
+        if (benchN > 0)
+          Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
+      },
+      Future {
+        bSpans.foreach { sp =>
+          if (keptN > 0)
+            Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
+              root, SpansEntity, Seq("sp", "doc_id"))
+        }
+      })
+    Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
     // a long-lived ingest process calls this once per micro-batch in
     // ONE session: the localCheckpoints above would otherwise stay
-    // pinned in executor storage forever (3-4 blocks per batch ×
+    // pinned in executor storage forever (2-3 blocks per batch ×
     // thousands of batches → eviction churn). Everything they fed has
     // landed; only the returned manifest stays materialized.
-    batch.unpersist(); keyed.unpersist(); sigB.unpersist()
+    landed.unpersist()
     bSpans.foreach(_.unpersist())
     manifest
   }
@@ -356,7 +428,9 @@ object CurateStream {
         // batch callers that read statuses back)
         ingestBatch(b, root).unpersist()
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          Seq(KeysEntity, BandsEntity, BenchEntity, ManifestEntity)
+          // SpansEntity rides the same window: compactStatic is a no-op
+          // None when the store was never armed (spanGate off)
+          Seq(KeysEntity, BandsEntity, BenchEntity, SpansEntity, ManifestEntity)
             .foreach(Layout.compactStatic(spark, root, _))
           // sketch-saturation maintenance rides the same window: once
           // merged items cross capacity, rebuild at 4× from the

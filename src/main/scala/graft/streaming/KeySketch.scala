@@ -73,6 +73,10 @@ object KeySketch {
   final case class Sketch(capacity: Long, items: Long, fpp: Double,
       bf: BloomFilter) {
     def numBits: Long = bf.bitSize()
+    /** The gate predicate — per-row bit test against the broadcast
+      * filter (no false negatives; see object doc). */
+    def mightContain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.BloomExprs.mightContain(bf)(c)
   }
 
   private def copyOf(bf: BloomFilter): BloomFilter = {
@@ -182,9 +186,12 @@ object KeySketch {
     * NEW sketch owning its own bits — the caller's `stored` is left
     * untouched, so a pre-merge Sketch held for later evaluation keeps
     * its pre-merge contents. Caller writes the result BEFORE
-    * upserting the keys it covers. */
-  def merge(stored: Sketch, batchKeys: DataFrame, keyCol: String): Sketch = {
-    val n = batchKeys.count()
+    * upserting the keys it covers. `knownCount >= 0` supplies the
+    * batch-key count when the caller already holds it (the curate
+    * ingest's one manifest collect), eliding the count job. */
+  def merge(stored: Sketch, batchKeys: DataFrame, keyCol: String,
+      knownCount: Long = -1L): Sketch = {
+    val n = if (knownCount >= 0) knownCount else batchKeys.count()
     if (n == 0) return stored
     // identical (expectedItems, fpp) ⇒ identical numBits AND
     // numHashFunctions; building from bitSize() instead re-rounds the
