@@ -66,15 +66,22 @@ object Bench {
   /** The tail-sized stdout line (the harness keeps only ~2000 chars of
     * stdout, so the full per-query map can never parse from there —
     * BenchLineSpec pins that this one always fits AND parses). */
+  /** Locale-pinned 3-dp formatting: the f interpolator is
+    * locale-sensitive — under a comma-decimal default locale (de_DE
+    * etc.) it would emit "1,234" and break the JSON contract
+    * BenchLineSpec pins. */
+  private def dp3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def budgetedLine(results: Seq[(String, Double)], total: Double,
       outFile: String, suffix: String, mapBudget: Int = 1400): String = {
-    val entries = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val entries = results.map { case (k, v) => "\"" + k + "\":" + dp3(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>
       if (used + e.length + 1 <= mapBudget) { kept += e; used += e.length + 1 }
     }
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+    s"""{"metric":"total","value":${dp3(total)},"unit":"sec",""" +
       s""""queries":${kept.mkString("{", ",", "}")},""" +
       s""""queries_total":${results.size},"queries_reported":${kept.size},""" +
       s""""full_map_file":"$outFile",""" + suffix

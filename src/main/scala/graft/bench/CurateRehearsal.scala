@@ -95,14 +95,17 @@ object CurateRehearsal {
       // ScaleLaws family — the rehearsal's job is to prove the gate
       // rides the long-ingest maintenance loop (merge + saturation
       // rebuild at compaction windows) without perturbing the law
+      // sketch variants by shard count: 0 = ungated, 1 = monolith,
+      // 4 = the sharded online gate (per-shard merge + rebuild)
       val variants = Seq(
-        ("none", 0, false, false), (s"every$compactEvery", compactEvery, false, false),
-        ("spans-none", 0, true, false), (s"spans-every$compactEvery", compactEvery, true, false),
-        (s"sketch-every$compactEvery", compactEvery, false, true))
+        ("none", 0, false, 0), (s"every$compactEvery", compactEvery, false, 0),
+        ("spans-none", 0, true, 0), (s"spans-every$compactEvery", compactEvery, true, 0),
+        (s"sketch-every$compactEvery", compactEvery, false, 1),
+        (s"sketch4-every$compactEvery", compactEvery, false, 4))
       val rows = variants.flatMap { case (variant, every, spans, sketch) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
         CurateStream.bootstrap(base, root, withSpans = spans,
-          withSketch = sketch)
+          withSketch = sketch > 0, sketchShards = math.max(sketch, 1))
         (0 until batches).map { b =>
           val batch = batchOf(base, b, batches).localCheckpoint()
           val t0 = System.nanoTime()
@@ -120,7 +123,7 @@ object CurateRehearsal {
           if (every > 0 && (b + 1) % every == 0) {
             val c0 = System.nanoTime()
             Entities.foreach(Layout.compactStatic(spark, root, _))
-            if (sketch)
+            if (sketch > 0)
               Layout.readStatic(spark, root, CurateStream.KeysEntity)
                 .foreach { keys =>
                   graft.streaming.KeySketch.maybeRebuild(

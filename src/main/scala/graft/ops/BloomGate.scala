@@ -66,8 +66,13 @@ object BloomGate {
     val spark = corpusKeys.sparkSession
     import spark.implicits._
     val perShard = math.max(expectedItems / shards, 1L)
+    // route on the CAST key: the probe expression hashes the string
+    // value (UTF8String), so the build must hash the identical string
+    // — routing on the raw column would diverge for non-string keyCols
+    // and give the gate false negatives
     val built = corpusKeys
-      .select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("s"),
+      .select(pmod(xxhash64(col(keyCol).cast("string")), lit(shards))
+          .cast("int").as("s"),
         col(keyCol).cast("string").as("k"))
       .as[(Int, String)]
       .groupByKey(_._1)

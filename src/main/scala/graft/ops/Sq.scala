@@ -46,11 +46,17 @@ object Sq {
   def dimGrid(vectors: DataFrame, vecCol: String): (Seq[Double], Seq[Double], Seq[Double]) = {
     val rows = vectors
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .where(col("x").isNotNull) // null elements must not NPE the grid
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("pos"))
       .collect()
       .map(r => (r.getDouble(1), r.getDouble(2)))
+    // fail loudly at grid-build time: an empty corpus (or an all-null
+    // vector column) would otherwise yield an empty grid under which
+    // encode() emits zero-length codes and every distance ties at 0.0
+    require(rows.nonEmpty,
+      s"SQ grid needs at least one non-null vector in '$vecCol'")
     val mins = rows.map(_._1).toSeq
     val scales = rows.map { case (mn, mx) =>
       if (mx > mn) Levels.toDouble / (mx - mn) else 0.0 }.toSeq

@@ -141,7 +141,8 @@ object CurateStream {
     * the one index linear in corpus TOKENS, not docs (the price every
     * substring-level dedup pays). */
   def bootstrap(corpus: DataFrame, root: String,
-      withSpans: Boolean = false, withSketch: Boolean = false): Unit = {
+      withSpans: Boolean = false, withSketch: Boolean = false,
+      sketchShards: Int = 1): Unit = {
     // sketch BEFORE keys: the superset invariant (KeySketch object doc)
     // holds through every crash window, and ingests auto-detect the
     // sketch's presence — a bootstrap that died between the two leaves
@@ -150,7 +151,7 @@ object CurateStream {
       KeySketch.write(corpus.sparkSession, root,
         KeySketch.build(
           corpus.select(contentKey(col("text")).as("key")), "key",
-          capacity = 0L))
+          capacity = 0L, shards = sketchShards))
     Layout.upsertStatic(
       corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
       root, KeysEntity, Seq("key", "doc_id"))

@@ -111,7 +111,8 @@ class KeySketchSpec extends AnyFunSuite {
     CurateStream.ingestBatch(batchA, root).unpersist()
     // force saturation: shrink the recorded capacity below items
     val sk = KeySketch.read(spark, root).get
-    KeySketch.write(spark, root, sk.copy(capacity = 1L))
+    KeySketch.write(spark, root,
+      KeySketch.Sketch(sk.fpp, sk.shards.map(_.copy(capacity = 1L))))
     val keys = Layout.readStatic(spark, root, CurateStream.KeysEntity).get
     assert(KeySketch.maybeRebuild(spark, root, keys.select("key"), "key"))
     val rebuilt = KeySketch.read(spark, root).get
@@ -147,12 +148,12 @@ class KeySketchSpec extends AnyFunSuite {
     // the fix: merge() builds the batch side from the PERSISTED
     // (capacity, fpp) pair — identical geometry at every capacity
     for (cap <- caps) {
-      val stored = KeySketch.Sketch(cap, 1L, KeySketch.DefaultFpp,
+      val stored = KeySketch.monolithic(cap, 1L, KeySketch.DefaultFpp,
         Seq("ka").toDF("key").stat.bloomFilter("key", cap, KeySketch.DefaultFpp))
       val merged = KeySketch.merge(stored, Seq("kb").toDF("key"), "key")
       assert(merged.items === 2L)
-      assert(merged.bf.mightContainBinary("ka".getBytes("UTF-8")))
-      assert(merged.bf.mightContainBinary("kb".getBytes("UTF-8")))
+      assert(merged.shards.head.bf.mightContainBinary("ka".getBytes("UTF-8")))
+      assert(merged.shards.head.bf.mightContainBinary("kb".getBytes("UTF-8")))
     }
   }
 
@@ -162,14 +163,14 @@ class KeySketchSpec extends AnyFunSuite {
     def bits(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] =
       graft.functions.BloomExprs.serialize(bf)
     val stored = KeySketch.build(Seq("ka").toDF("key"), "key", capacity = 64L)
-    val before = bits(stored.bf)
+    val before = bits(stored.shards.head.bf)
     val merged = KeySketch.merge(stored, Seq("kb").toDF("key"), "key")
     // a caller that held the pre-merge Sketch for later evaluation
     // sees its original contents, not silently-OR'd bits
-    assert(java.util.Arrays.equals(bits(stored.bf), before))
-    assert(!java.util.Arrays.equals(bits(merged.bf), before))
-    assert(merged.bf.mightContainBinary("ka".getBytes("UTF-8")))
-    assert(merged.bf.mightContainBinary("kb".getBytes("UTF-8")))
+    assert(java.util.Arrays.equals(bits(stored.shards.head.bf), before))
+    assert(!java.util.Arrays.equals(bits(merged.shards.head.bf), before))
+    assert(merged.shards.head.bf.mightContainBinary("ka".getBytes("UTF-8")))
+    assert(merged.shards.head.bf.mightContainBinary("kb".getBytes("UTF-8")))
   }
 
   test("torn write: corrupt image is discarded; ingest degrades to ungated") {
@@ -228,5 +229,99 @@ class KeySketchSpec extends AnyFunSuite {
     assert(fs.rename(dst, old))
     assert(KeySketch.read(spark, root).get.items === items)
     assert(fs.exists(dst) && !fs.exists(old))
+  }
+
+  test("sharded gate: no false negatives through routing at S=1/4/16") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 200).map(i => s"key_$i").toDF("key")
+    for (shards <- Seq(1, 4, 16)) {
+      val sk = KeySketch.build(keys, "key", capacity = 0L, shards = shards)
+      assert(sk.shardCount === shards)
+      assert(sk.items === 200L)
+      // every inserted key probes positive under the routed gate — the
+      // exactness precondition (a false negative would silently skip
+      // the confirm join and mis-keep a true duplicate)
+      assert(keys.where(!sk.mightContain(col("key"))).isEmpty)
+    }
+  }
+
+  test("sharded merge: per-shard item accounting, caller's sketch unmutated") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 50).map(i => s"base_$i").toDF("key")
+    val stored = KeySketch.build(base, "key", capacity = 0L, shards = 4)
+    val batch = (0 until 20).map(i => s"fresh_$i").toDF("key")
+    val merged = KeySketch.merge(stored, batch, "key")
+    assert(merged.items === 70L)
+    assert(stored.items === 50L) // copy-on-merge holds shard-wise
+    assert(merged.shards.map(_.capacity) === stored.shards.map(_.capacity))
+    assert(batch.where(!merged.mightContain(col("key"))).isEmpty)
+    assert(base.where(!merged.mightContain(col("key"))).isEmpty)
+  }
+
+  test("sharded ONLINE path: sharded = monolithic = ungated through ingest, crash replay, per-shard rebuild") {
+    val s = spark
+    import s.implicits._
+    val ungatedRoot = graft.Temps.dir("sketch-online-ungated")
+    val monoRoot = graft.Temps.dir("sketch-online-mono")
+    val shardRoot = graft.Temps.dir("sketch-online-sharded")
+    CurateStream.bootstrap(corpus, ungatedRoot)
+    CurateStream.bootstrap(corpus, monoRoot, withSketch = true)
+    CurateStream.bootstrap(corpus, shardRoot, withSketch = true,
+      sketchShards = 4)
+    assert(KeySketch.read(spark, shardRoot).get.shardCount === 4)
+    for (root <- Seq(ungatedRoot, monoRoot, shardRoot))
+      CurateStream.ingestBatch(batchA, root).unpersist()
+    // crash window on the SHARDED root: batchB's sketch merge landed
+    // but its keys upsert (and manifest) died — per-shard superset
+    // must absorb the replay exactly like the monolith does
+    val sk = KeySketch.read(spark, shardRoot).get
+    KeySketch.write(spark, shardRoot, KeySketch.merge(sk,
+      batchB.select(md5(col("text").cast("binary")).as("key")), "key"))
+    for (root <- Seq(ungatedRoot, monoRoot, shardRoot))
+      CurateStream.ingestBatch(batchB, root).unpersist()
+    val expect = manifests(ungatedRoot)
+    assert(manifests(monoRoot) === expect)
+    assert(manifests(shardRoot) === expect)
+    // per-shard saturation: shrink ONLY the shards that actually hold
+    // items; maybeRebuild must rebuild those at 4x (floored at their
+    // key count) and leave the healthy shards' geometry untouched
+    val pre = KeySketch.read(spark, shardRoot).get
+    val satIdx = pre.shards.zipWithIndex
+      .collect { case (sh, i) if sh.items > 0 => i }.toSet
+    assert(satIdx.nonEmpty)
+    KeySketch.write(spark, shardRoot, KeySketch.Sketch(pre.fpp,
+      pre.shards.zipWithIndex.map { case (sh, i) =>
+        if (satIdx(i)) sh.copy(capacity = 0L) else sh
+      }))
+    val keyStore = Layout.readStatic(spark, shardRoot,
+      CurateStream.KeysEntity).get
+    assert(KeySketch.maybeRebuild(spark, shardRoot,
+      keyStore.select("key"), "key"))
+    val rebuilt = KeySketch.read(spark, shardRoot).get
+    rebuilt.shards.zipWithIndex.foreach { case (sh, i) =>
+      // saturated shards rebuild at max(4x capacity, 2x items) — here
+      // capacity was forced to 0, so the 2x-items headroom floor wins
+      if (satIdx(i))
+        assert(sh.capacity === math.max(2 * pre.shards(i).items, 1L))
+      else assert(sh.capacity === pre.shards(i).capacity)
+    }
+    // rebuilt shards carry exact counts and stay supersets of the store
+    assert(rebuilt.items === keyStore.count())
+    assert(keyStore.select("key")
+      .where(!rebuilt.mightContain(col("key"))).isEmpty)
+    assert(!KeySketch.maybeRebuild(spark, shardRoot,
+      keyStore.select("key"), "key"))
+    // post-rebuild ingest on all three roots classifies identically:
+    // doc 7 re-sends kept doc 40's text (corpus dup), doc 45 is novel
+    val batchC = docsDF(Seq(7L -> qtext(8), 45L -> qtext(9)))
+    for (root <- Seq(ungatedRoot, monoRoot, shardRoot))
+      CurateStream.ingestBatch(batchC, root).unpersist()
+    val expect2 = manifests(ungatedRoot)
+    assert(expect2(7L) === "dup_exact_corpus")
+    assert(expect2(45L) === "kept")
+    assert(manifests(monoRoot) === expect2)
+    assert(manifests(shardRoot) === expect2)
   }
 }
