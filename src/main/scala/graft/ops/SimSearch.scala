@@ -285,9 +285,14 @@ object SimSearch {
   }
 
   /** JL plane entry (p, i): splitmix64 of the (plane, dim) pair, top
-    * 53 bits mapped to uniform [0, 1), centered to [-0.5, 0.5). */
-  def jlPlaneComponent(p: Int, i: Int): Double =
-    (splitmix64((p.toLong << 32) + i) >>> 11).toDouble / 9007199254740992.0 - 0.5
+    * 53 bits mapped to uniform [0, 1), centered to [-0.5, 0.5).
+    * `seed` rotates the whole family (a maintained index stores its
+    * family's seed beside the codebook — [[graft.streaming
+    * .SemanticStream]]'s JL sidecar); seed 0 is the historical
+    * family q158/q159's oracles inline. */
+  def jlPlaneComponent(p: Int, i: Int, seed: Long = 0L): Double =
+    (splitmix64(seed + ((p.toLong << 32) + i)) >>> 11)
+      .toDouble / 9007199254740992.0 - 0.5
 
   /** Johnson–Lindenstrauss random projection: d → dOut via the
     * [[jlPlaneComponent]] family (row p of the projection matrix =
@@ -300,10 +305,11 @@ object SimSearch {
     * concentration bounds the cosine distortion (~1/√d′); q158 and
     * JlRehearsal MEASURE the distortion instead of asserting it. */
   def jlProject(vectors: DataFrame, idCol: String, vecCol: String,
-      dOut: Int, dim: Int = LshDim): DataFrame = {
+      dOut: Int, dim: Int = LshDim, seed: Long = 0L): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val comps = (0 until dOut).map { p =>
-      val plane = array((0 until dim).map(i => lit(jlPlaneComponent(p, i))): _*)
+      val plane = array((0 until dim).map(i =>
+        lit(jlPlaneComponent(p, i, seed))): _*)
       dot(v, plane)
     }
     vectors.select(col(idCol).as("id"), array(comps: _*).as("pv"))

@@ -189,6 +189,111 @@ object RetrievalOps {
               |SELECT q_id, rn, doc_id, rrf, lex_rn, dense_rn FROM fr WHERE rn <= 5""".stripMargin),
       "reciprocal-rank fusion of the BM25 and dense-cosine lists: calibration-free hybrid top-k"),
 
+    // q162's hybrid fusion with the dense leg SERVED FROM THE
+    // MAINTAINED INDEX: the lexical leg is unchanged (RRF is
+    // rank-only, so fusion code never cares where a leg's ranks come
+    // from), but the dense leg is [[SemanticStream.queryTopKSq]] over
+    // an index bootstrapped with the SQ sidecar — probed cells scan
+    // as stored uint8 codes, top-10 asymmetric prefilter, exact
+    // re-rank on candidates. This is the ONLINE face of hybrid
+    // search: neither leg rescans the corpus (postings equi-join +
+    // stored-index probe), and the oracle replays grid → codes →
+    // prefilter → re-rank → fusion end to end.
+    "q173_rrf_fusion_served" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"rrf-served-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true)
+        val lex = bm25TopK(s, d, 5)
+          .select(col("q_id"), col("doc_id"), col("rn").as("lex_rn"))
+        val dense = SemanticStream.queryTopKSq(
+            emb.where(col("vec_id") < 5), root, topK = 5, prefilterC = 10)
+          .select(col("q_id"), col("c_id").as("doc_id"),
+            col("rn").as("dense_rn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+          .select(col("q_id"), col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("dense_rn")), lit(0.0)), 6).as("rrf"),
+            coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
+            coalesce(col("dense_rn"), lit(0)).as("dense_rn"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("doc_id"), col("rrf"),
+            col("lex_rn"), col("dense_rn"))
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        s"""WITH $bm25CtesSql,
+           |lex AS (SELECT q_id, doc_id, rn AS lex_rn FROM rk WHERE rn <= 5),
+           |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS crn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id < 5 AND crn <= ${SimSearch.IvfProbe}),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN cells c USING (cell)
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 10),
+           |scx AS (SELECT p.q_id, p.c_id, ${cosSql("q.v", "c.v")} AS cos
+           |        FROM pre p
+           |        JOIN e q ON q.vec_id = p.q_id
+           |        JOIN e c ON c.vec_id = p.c_id),
+           |drk AS (SELECT q_id, c_id, cos,
+           |          row_number() OVER (PARTITION BY q_id
+           |            ORDER BY cos DESC, c_id) AS rn
+           |        FROM scx),
+           |dense AS (SELECT q_id, c_id AS doc_id, rn AS dense_rn
+           |          FROM drk WHERE rn <= 5),
+           |fused AS (SELECT coalesce(l.q_id, de.q_id) AS q_id,
+           |            coalesce(l.doc_id, de.doc_id) AS doc_id,
+           |            round(
+           |              coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rn), CAST(0.0 AS DOUBLE)) +
+           |              coalesce(CAST(1.0 AS DOUBLE) / (60 + de.dense_rn), CAST(0.0 AS DOUBLE)), 6) AS rrf,
+           |            coalesce(l.lex_rn, 0) AS lex_rn,
+           |            coalesce(de.dense_rn, 0) AS dense_rn
+           |          FROM lex l FULL OUTER JOIN dense de
+           |            ON l.q_id = de.q_id AND l.doc_id = de.doc_id),
+           |fr AS (SELECT q_id, doc_id, rrf, lex_rn, dense_rn,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rn
+           |       FROM fused)
+           |SELECT q_id, rn, doc_id, rrf, lex_rn, dense_rn FROM fr WHERE rn <= 5""".stripMargin
+      },
+      "hybrid RRF with the dense leg served from the maintained SQ index: rank-only fusion of two bounded online plans"),
+
     // Unigram-LM corpus scoring — the perplexity-filter shape (CCNet;
     // Wenzek et al. 2020) with the repo's no-transcendentals
     // discipline: a doc's score is its MEAN TOKEN PROBABILITY under

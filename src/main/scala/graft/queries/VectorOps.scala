@@ -855,5 +855,80 @@ object VectorOps {
            |       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
            |FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN h USING (q_id)""".stripMargin
       },
-      "levers composed: IVF index over JL-projected vectors, recall@3 vs full-dim exact, replayed end to end"))
+      "levers composed: IVF index over JL-projected vectors, recall@3 vs full-dim exact, replayed end to end"),
+
+    // q169's scenario served through the JL SIDECAR (bootstrap
+    // withJl): the index stores d′=16 projections of every kept
+    // vector under a splitmix64 plane family named by TWO integers
+    // (dOut, seed) beside the codebook; queries project at serve time
+    // under the same stored family, the probed cells scan as
+    // projected rows (16 dots instead of 64 per candidate), top-10
+    // projected-cosine prefilter, exact full-dim re-rank on
+    // candidates only. The maintained-index face of q158/q159's
+    // measured projection lever. The oracle inlines the plane family
+    // as literals (keccak-golden precedent) and replays ingest keep
+    // decisions → projection → prefilter → re-rank end to end.
+    "q172_semantic_query_jl" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-query-jl-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root,
+          withJl = true, jlDOut = 16)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+          .unpersist()
+        SemanticStream.queryTopKJl(emb.where(col("vec_id") % 10 === 5), root,
+            topK = 3, prefilterC = 10)
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some {
+        val pvSql = (0 until 16).map { p =>
+          val planeList = (0 until SimSearch.LshDim)
+            .map(i => SimSearch.jlPlaneComponent(p, i).toString)
+            .mkString("[CAST(", " AS DOUBLE), CAST(", " AS DOUBLE)]")
+          dotSql("v", planeList)
+        }.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+           |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+           |b1 AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+           |mm1 AS (SELECT a.vec_id FROM b1 a JOIN corp c ON a.cell = c.cell
+           |          AND ${cosSql("a.v", "c.v")} >= 0.3
+           |        UNION ALL
+           |        SELECT a.vec_id FROM b1 a JOIN b1 b ON a.cell = b.cell
+           |          AND b.vec_id < a.vec_id
+           |          AND ${cosSql("a.v", "b.v")} >= 0.3),
+           |kept1 AS (SELECT * FROM b1
+           |          WHERE vec_id NOT IN (SELECT vec_id FROM mm1)),
+           |idx AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+           |p AS (SELECT vec_id, $pvSql AS pv FROM e),
+           |pr AS (SELECT vec_id AS q_id, cid AS cell FROM rt
+           |       WHERE vec_id % 10 = 5 AND rn <= ${SimSearch.IvfProbe}),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          ${cosSql("pq.pv", "pc.pv")} AS pcos
+           |        FROM pr JOIN idx c USING (cell)
+           |        JOIN p pq ON pq.vec_id = pr.q_id
+           |        JOIN p pc ON pc.vec_id = c.vec_id
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 10),
+           |scx AS (SELECT px.q_id, px.c_id, ${cosSql("q.v", "c.v")} AS cos
+           |        FROM pre px
+           |        JOIN e q ON q.vec_id = px.q_id
+           |        JOIN e c ON c.vec_id = px.c_id),
+           |rk AS (SELECT q_id, c_id, cos,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY cos DESC, c_id) AS rn
+           |       FROM scx)
+           |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin
+      },
+      "JL-projected serving from the maintained index: stored d'-dim sidecar prefilter, exact full-dim re-rank on candidates"))
 }

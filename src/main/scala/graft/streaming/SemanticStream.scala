@@ -81,6 +81,19 @@ object SemanticStream {
     * point, preserving the ≤ istep/2 reconstruction bound. */
   val SqGridEntity = "sq_grid"
   val SqCodesEntity = "sq_codes"
+  /** Optional JL sidecar (opt-in at [[bootstrap]]): the splitmix64
+    * plane-family parameters (dOut, seed — the whole projection
+    * matrix is derived from them, so the "stored index" is two
+    * integers plus a version tag) and the d′-dim projected rows —
+    * the dimensionality face [[queryTopKJl]] scans before touching
+    * full vectors. Production 4096-d embeddings pay full-dim storage
+    * and scan everywhere else; the projected sidecar cuts the
+    * prefilter arithmetic d/d′-fold at a measured (~1/√d′) cosine
+    * distortion that the exact re-rank then repairs on the candidate
+    * set. [[rotateJlFamily]] swaps families under the same
+    * ver-tagged roll-forward discipline as [[retrain]]. */
+  val JlMetaEntity = "jl_meta"
+  val JlVecsEntity = "jl_vecs"
 
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
@@ -93,6 +106,8 @@ object SemanticStream {
   private val PqCodesDdl = "id bigint, codes array<int>"
   private val SqGridDdl = "pos int, mn double, sc double, istep double"
   private val SqCodesDdl = "id bigint, codes array<bigint>"
+  private val JlMetaDdl = "dout int, seed bigint, ver string"
+  private val JlVecsDdl = "id bigint, pv array<double>, pn double, ver string"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -172,6 +187,72 @@ object SemanticStream {
       yield (m, j, c)).toDF("m", "j", "c")
   }
 
+  /** The stored JL family as (dOut, seed, ver). */
+  def readJlMeta(s: SparkSession, root: String): Option[(Int, Long, String)] =
+    stored(s, root, JlMetaEntity, JlMetaDdl).collect().headOption
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+
+  /** Content tag of a JL family — the projection matrix is a pure
+    * function of (dOut, seed), so two integers version the whole
+    * sidecar. */
+  def jlVersion(dOut: Int, seed: Long): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$dOut:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def jlMetaFrame(s: SparkSession, dOut: Int, seed: Long): DataFrame = {
+    import s.implicits._
+    Seq((dOut, seed, jlVersion(dOut, seed))).toDF("dout", "seed", "ver")
+  }
+
+  /** Projected rows (id, pv, pn, ver) of a vector frame under family
+    * (dOut, seed) — one zero-shuffle pass, dOut literal-plane dots per
+    * row ([[SimSearch.jlProject]]). */
+  private def jlRows(vectors: DataFrame, idCol: String, vecCol: String,
+      dOut: Int, seed: Long): DataFrame =
+    SimSearch.jlProject(vectors, idCol, vecCol, dOut, seed = seed)
+      .select(col("id"), col("pv"),
+        SimSearch.l2norm(col("pv")).as("pn"),
+        lit(jlVersion(dOut, seed)).as("ver"))
+
+  /** One projection pass over the stored inverted file under family
+    * (dOut, seed), atomically replacing the projected sidecar — the
+    * unit of work a [[rotateJlFamily]] ends with and a torn rotation's
+    * repair repeats. */
+  private def reprojectAll(s: SparkSession, root: String, dOut: Int,
+      seed: Long): Unit =
+    Layout.replaceStatic(
+      jlRows(stored(s, root, CellsEntity, CellsDdl), "id", "v", dOut, seed),
+      root, JlVecsEntity)
+
+  /** Swap the JL plane family (e.g. widen d′ as the corpus grows):
+    * lands the new meta FIRST (its `ver` is the rotation's commit
+    * marker), then the reprojected rows — [[retrain]]'s two-entity
+    * crash contract verbatim: a kill between the swaps leaves rows
+    * tagged with the old family's ver, and the next ingest/serve
+    * detects the mismatch and rolls the rotation forward. */
+  def rotateJlFamily(spark: SparkSession, root: String, dOut: Int,
+      seed: Long, afterMetaSwap: () => Unit = () => ()): String = {
+    require(readJlMeta(spark, root).isDefined,
+      s"no JL sidecar under $root — bootstrap(withJl = true) first")
+    Layout.replaceStatic(jlMetaFrame(spark, dOut, seed), root, JlMetaEntity)
+    afterMetaSwap()
+    reprojectAll(spark, root, dOut, seed)
+    jlVersion(dOut, seed)
+  }
+
+  /** Roll a torn [[rotateJlFamily]] forward if the projected rows'
+    * family tag disagrees with the stored meta (cheap: the check is a
+    * column-pruned `ver` scan). */
+  private def repairJl(s: SparkSession, root: String, dOut: Int,
+      seed: Long): Unit = {
+    val ver = jlVersion(dOut, seed)
+    val torn = !stored(s, root, JlVecsEntity, JlVecsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reprojectAll(s, root, dOut, seed)
+  }
+
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
     * one) and the corpus's cell assignments. Idempotent. `withPq`
@@ -184,7 +265,8 @@ object SemanticStream {
   def bootstrap(corpus: DataFrame, root: String, k: Int = SimSearch.IvfK,
       idCol: String = "vec_id", vecCol: String = "embedding",
       withPq: Boolean = false, pqM: Int = graft.ops.Pq.M,
-      pqKsub: Int = graft.ops.Pq.Ksub, withSq: Boolean = false): Unit = {
+      pqKsub: Int = graft.ops.Pq.Ksub, withSq: Boolean = false,
+      withJl: Boolean = false, jlDOut: Int = 16, jlSeed: Long = 0L): Unit = {
     val s = corpus.sparkSession
     val cb = SimSearch.collectCodebook(
       SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
@@ -213,6 +295,12 @@ object SemanticStream {
         corpus.select(col(idCol).as("id"),
           graft.ops.Sq.encode(col(vecCol), mins, scales).as("codes")),
         root, SqCodesEntity, Seq("id"))
+    }
+    if (withJl) {
+      Layout.upsertStatic(jlMetaFrame(s, jlDOut, jlSeed), root,
+        JlMetaEntity, Seq("dout", "seed"))
+      Layout.upsertStatic(jlRows(corpus, idCol, vecCol, jlDOut, jlSeed),
+        root, JlVecsEntity, Seq("id"))
     }
   }
 
@@ -405,6 +493,70 @@ object SemanticStream {
       .where(col("rn") <= topK)
   }
 
+  /** [[queryTopKSq]]'s dimensionality twin (requires
+    * `bootstrap(withJl = true)`): the probed cells scan as d′-dim
+    * PROJECTED rows first — cosine in the projected space (d′ dots
+    * instead of d) keeps the `prefilterC` best per query, and only
+    * those candidates fetch full vectors for the exact cosine
+    * re-rank. The query projects at serve time under the STORED plane
+    * family (two integers — the matrix re-derives from them), so
+    * index and query always share a family; a torn
+    * [[rotateJlFamily]] is rolled forward first, and the retrain
+    * repair is shared like the other serving faces. JL concentration
+    * bounds the prefilter's cosine distortion at ~1/√d′
+    * (q158 MEASURES it); the exact re-rank repairs ranking on the
+    * candidate set. */
+  def queryTopKJl(queries: DataFrame, root: String, topK: Int,
+      prefilterC: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val (dOut, seed, _) = readJlMeta(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no JL sidecar under $root — bootstrap(withJl = true) first"))
+    val cb = SimSearch.collectCodebook(
+      stored(s, root, CodebookEntity, CodebookDdl))
+    require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
+    val ver = codebookVersion(cb)
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
+    repairJl(s, root, dOut, seed)
+    // assignment + the query's own projection in one pass
+    val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
+      .join(jlRows(queries, idCol, vecCol, dOut, seed)
+        .select(col("id"), col("pv").as("qpv"), col("pn").as("qpn")),
+        Seq("id"))
+      .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
+        col("qpv"), col("qpn"),
+        explode(col("probes").getField("cid")).as("cell"))
+      .localCheckpoint() // bound assignment/projection work to one pass
+    val cellIds = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val pvs = stored(s, root, JlVecsEntity, JlVecsDdl)
+      .select(col("id").as("c_id"), col("pv").as("cpv"), col("pn").as("cpn"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("c_id").asc)
+    val cand = probes.join(cellIds, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .join(pvs, Seq("c_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        round(SimSearch.cosine(col("qpv"), col("cpv"), col("qpn"),
+          col("cpn")), 6).as("pcos"))
+      .withColumn("prn", row_number().over(w1))
+      .where(col("prn") <= prefilterC)
+    val vecs = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand.join(vecs, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= topK)
+  }
+
   /** FAISS-style two-stage serving from the stored index (requires
     * `bootstrap(withPq = true)`): the query's probed cells are scanned
     * as CODES first — the cells read is column-pruned to (id, cell)
@@ -565,6 +717,18 @@ object SemanticStream {
             graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
           .join(kept, Seq("id"), "left_semi"),
         root, SqCodesEntity, Seq("id"))
+    }
+    // JL sidecar (present iff bootstrap(withJl = true)): kept vectors
+    // project ONCE at ingest under the stored plane family (a torn
+    // family rotation is rolled forward first so the fold never lands
+    // rows of a family the meta no longer names)
+    readJlMeta(s, root).foreach { case (dOut, seed, _) =>
+      repairJl(s, root, dOut, seed)
+      Layout.upsertStatic(
+        jlRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
+            dOut, seed)
+          .join(kept, Seq("id"), "left_semi"),
+        root, JlVecsEntity, Seq("id"))
     }
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     // drop the per-batch pinned checkpoints (see CurateStream: a

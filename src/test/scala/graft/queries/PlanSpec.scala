@@ -130,7 +130,13 @@ class PlanSpec extends AnyFunSuite {
     "q163_zorder_layout",
     // the (N_total) model-stats frame is ONE row crossJoined onto the
     // posting-shaped scoring join — q157's exact pattern
-    "q164_unigram_lm")
+    "q164_unigram_lm",
+    // the lexical leg carries q157's 1-row stats crossJoin verbatim;
+    // the SERVED dense leg is all equi-joins into the stored index
+    // (cell probe + codes + candidate re-rank) and the fusion is a
+    // k-row-per-query outer join — the only BNLJ is the bounded
+    // stats frame
+    "q173_rrf_fusion_served")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
