@@ -217,10 +217,12 @@ object Layout {
       case Some(existing) =>
         // NULL-SAFE key equality (<=>): a row with a null key must still
         // match its twin in the table, or every re-run re-appends it and
-        // the idempotency contract silently breaks on degenerate keys
+        // the idempotency contract silently breaks on degenerate keys.
+        // No dedup on the probe side: an anti join tests EXISTENCE, so
+        // duplicate probe rows collapse in its hash relation for free —
+        // a dropDuplicates here would add a whole shuffle per upsert
         val probe = existing
           .select(keys.map(k => col(k).as(s"__k_$k")): _*)
-          .dropDuplicates(keys.map(k => s"__k_$k"))
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
         val fresh = df.join(probe, cond, "left_anti")
         if (existing.columns.toSet == df.columns.toSet) {
@@ -318,9 +320,9 @@ object Layout {
     val all = readStatic(spark, root, entity, recover = true) match {
       case None => incoming
       case Some(existing) =>
+        // existence-only probe — no dedup needed (see upsertStatic)
         val probe = incoming
           .select(keys.map(k => col(k).as(s"__k_$k")): _*)
-          .dropDuplicates(keys.map(k => s"__k_$k"))
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
         incoming.unionByName(existing.join(probe, cond, "left_anti"))
     }

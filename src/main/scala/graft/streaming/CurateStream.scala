@@ -204,7 +204,10 @@ object CurateStream {
           MinHashCoeffs.indices.map(j =>
             element_at(col("sig"), j + 1).as(s"h$j"))): _*)
       .localCheckpoint()
-    val ids = landed.select("doc_id").distinct()
+    // no distinct: the ids frame only ever feeds anti-join probes,
+    // where duplicate rows collapse in the hash relation for free —
+    // a distinct here would be a whole shuffle per batch
+    val ids = landed.select("doc_id")
 
     // probes EXCLUDE this batch's own ids — a replayed half-applied
     // batch must not see its own landed rows (bit-stable statuses)
