@@ -930,5 +930,97 @@ object VectorOps {
            |       FROM scx)
            |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 3""".stripMargin
       },
-      "JL-projected serving from the maintained index: stored d'-dim sidecar prefilter, exact full-dim re-rank on candidates"))
+      "JL-projected serving from the maintained index: stored d'-dim sidecar prefilter, exact full-dim re-rank on candidates"),
+
+    // BLEND-SUSPECT residual gate (SemanticStream `residual`): the
+    // embedding franken-doc — a vector averaged from two stored corpus
+    // vectors in DIFFERENT cells — can land in a cell holding NEITHER
+    // parent, where the probe-local dup cosine structurally never sees
+    // either one. The r9 measure-first harness (FrankenResidualBench,
+    // SCALE_MEASURED_r9 `franken_residual`) separates the populations
+    // cleanly (blends: 98% top-1 stored cosine ≥ 0.60; novel
+    // directions: zero), so the gate flags keepers whose WIDENED-probe
+    // (4-cell) top-1 stored cosine reaches the band as
+    // `blend_suspect`, attributing the top-1 neighbor, and excludes
+    // them from the index fold. Batch = cross-cell blends of
+    // consecutive corpus ids ∪ a novel control slice (vec_id % 10 = 0;
+    // disjoint from corpus, which is % 5 <> 0); the oracle replays
+    // assignment, the p = 1 dup gate, the 4-probe residual top-1, and
+    // the amendment end to end, so both the flags AND the unchanged
+    // dup/kept statuses are hash-checked.
+    "q174_semantic_ingest_residual" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"semantic-residual-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root)
+        val cells = graft.sinks.Layout
+          .readStatic(s, root, SemanticStream.CellsEntity).get
+          .select(col("id"), col("cell"), col("v"))
+        val blends = cells.toDF("a_id", "a_cell", "av")
+          .join(cells.toDF("b_id", "b_cell", "bv"),
+            col("b_id") === col("a_id") + 1 && col("a_cell") =!= col("b_cell"))
+          .select((col("a_id") + lit(2000000L)).as("vec_id"),
+            zip_with(col("av"), col("bv"),
+              (x, y) => (x + y) / lit(2.0)).as("embedding"))
+        val novel = emb.where(col("vec_id") % 10 === 0)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        SemanticStream.ingestVectors(blends.unionByName(novel), root,
+          residual = Some(0.6))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+              |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |rt AS (SELECT e.vec_id, e.v, cid,
+              |         row_number() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |       FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+              |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+              |bat AS (SELECT a.vec_id + 2000000 AS vec_id,
+              |          list_transform(range(1, len(a.v) + 1),
+              |            i -> (CAST(a.v[i] AS DOUBLE) + CAST(b.v[i] AS DOUBLE))
+              |                 / CAST(2.0 AS DOUBLE)) AS v
+              |        FROM corp a JOIN corp b ON b.vec_id = a.vec_id + 1
+              |         AND a.cell <> b.cell
+              |        UNION ALL
+              |        SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE))
+              |        FROM e WHERE vec_id % 10 = 0),
+              |brt AS (SELECT bat.vec_id, bat.v, cid,
+              |          row_number() OVER (PARTITION BY bat.vec_id
+              |            ORDER BY ${cosSql("bat.v", "cv")} DESC, cid) AS rn
+              |        FROM bat CROSS JOIN cent),
+              |bc AS (SELECT vec_id, v, cid AS cell FROM brt WHERE rn = 1),
+              |mm AS (SELECT a.vec_id, c.vec_id AS m_id, 1 AS fc
+              |       FROM bc a JOIN corp c ON a.cell = c.cell
+              |        AND ${cosSql("a.v", "c.v")} >= 0.3
+              |       UNION ALL
+              |       SELECT a.vec_id, b.vec_id AS m_id, 0 AS fc
+              |       FROM bc a JOIN bc b ON a.cell = b.cell
+              |        AND b.vec_id < a.vec_id
+              |        AND ${cosSql("a.v", "b.v")} >= 0.3),
+              |r AS (SELECT vec_id, min(m_id) AS rep_id,
+              |        arg_min(fc, m_id) AS fc FROM mm GROUP BY 1),
+              |man0 AS (SELECT b.vec_id, b.cell,
+              |           CASE WHEN r.rep_id IS NULL THEN 'kept'
+              |                WHEN r.fc = 1 THEN 'dup_corpus'
+              |                ELSE 'dup_batch' END AS status, r.rep_id
+              |         FROM bc b LEFT JOIN r USING (vec_id)),
+              |bpr AS (SELECT vec_id, v, cid AS cell FROM brt WHERE rn <= 4),
+              |sus AS (SELECT vec_id, s_id FROM (
+              |          SELECT a.vec_id, c.vec_id AS s_id,
+              |            row_number() OVER (PARTITION BY a.vec_id
+              |              ORDER BY ${cosSql("a.v", "c.v")} DESC, c.vec_id)
+              |              AS srn
+              |          FROM bpr a JOIN corp c ON a.cell = c.cell
+              |          WHERE ${cosSql("a.v", "c.v")} >= CAST(0.6 AS DOUBLE))
+              |        WHERE srn = 1)
+              |SELECT m.vec_id, m.cell,
+              |  CASE WHEN m.status = 'kept' AND s.s_id IS NOT NULL
+              |       THEN 'blend_suspect' ELSE m.status END AS status,
+              |  CASE WHEN m.status = 'kept' AND s.s_id IS NOT NULL
+              |       THEN s.s_id ELSE m.rep_id END AS rep_id
+              |FROM man0 m LEFT JOIN sus s USING (vec_id)""".stripMargin),
+      "blend-suspect residual gate: widened-probe top-1 band catches cross-cell embedding recompositions the probe-local dup cosine cannot see"))
 }

@@ -384,13 +384,15 @@ object SemanticStream {
   def run(spark: SparkSession, rawDir: String, schema: StructType,
       root: String, checkpoint: String, maxFilesPerTrigger: Int = 1,
       probes: Int = 1, autoThreshold: Double = 0.0,
-      compactEvery: Int = 0, k: Int = SimSearch.IvfK): StreamingQuery =
+      compactEvery: Int = 0, k: Int = SimSearch.IvfK,
+      residual: Option[Double] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(rawDir)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val man = ingestVectors(b, root, probes = probes)
+        val man = ingestVectors(b, root, probes = probes,
+          residual = residual)
         if (autoThreshold > 0)
           retrainIfUnbalanced(spark, root, man, autoThreshold, k)
         man.unpersist()
@@ -631,10 +633,31 @@ object SemanticStream {
     * single assignment cell — the inverted file never fans out);
     * assignment stays the single zero-shuffle kernel pass, which
     * already returns the top-p fold. p = 1 is bit-identical to the
-    * pre-probe behavior. */
+    * pre-probe behavior.
+    *
+    * `residual` arms the BLEND-SUSPECT gate, the measured remedy for
+    * the embedding franken-doc: a vector mixed from two stored corpus
+    * vectors (e.g. a doc stitched from two sources, re-embedded) can
+    * land in a cell holding NEITHER parent, where the probe-local dup
+    * cosine never sees either one. The franken-residual measurement
+    * (SCALE_MEASURED_r9 `franken_residual`;
+    * [[graft.bench.FrankenResidualBench]]) separates the populations
+    * cleanly at sf0.1: cross-cell blends' top-1 stored cosine sits at
+    * p50 0.71 / p99 0.80 with 98% ≥ 0.60, while genuinely novel
+    * directions (decorrelated twists) top out at p99 0.51 with ZERO
+    * rows ≥ 0.60 — so a keeper whose widened-probe (`residualProbes`)
+    * top-1 stored cosine reaches the band is recomposition evidence,
+    * not noise. Such keepers land `blend_suspect` with the top-1
+    * neighbor as `rep_id` attribution and are NOT folded into the
+    * index (same exclusion as dups); every other status is untouched
+    * and `residual = None` is bit-identical to the ungated ingest.
+    * Cost: one extra zero-shuffle assignment pass over the batch plus
+    * a `residualProbes`-cell equi-join — batch-bounded, the corpus is
+    * never rescanned. */
   def ingestVectors(batch0: DataFrame, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, residual: Option[Double] = None,
+      residualProbes: Int = 4): DataFrame = {
     val s = batch0.sparkSession
     val batch = batch0.localCheckpoint()
     val cb = SimSearch.collectCodebook(
@@ -684,14 +707,46 @@ object SemanticStream {
       .groupBy("vec_id")
       .agg(min(col("m_id")).as("rep_id"),
         expr("min_by(fc, m_id)").as("fc"))
-    val manifest = asg.select("vec_id", "cell")
+    val manifest0 = asg.select("vec_id", "cell")
       .join(reps, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("rep_id").isNull, "kept")
           .when(col("fc") === 1, "dup_corpus")
           .otherwise("dup_batch").as("status"),
         col("rep_id"))
-      .localCheckpoint() // materialize before the index writes below
+    // blend-suspect amendment (armed by `residual`): keepers whose
+    // WIDENED-probe top-1 stored cosine reaches the band are flagged
+    // and excluded from the fold — the cross-cell recomposition case
+    // the probe-local dup cosine structurally cannot see. Same join
+    // shape as the dup probe (cell equi-join, batch side fans out
+    // ≤ residualProbes), against the same batch-excluded stored file.
+    val manifest = (residual match {
+      case None => manifest0
+      case Some(lo) =>
+        import org.apache.spark.sql.expressions.Window
+        val pr = SimSearch.ivfAssign(batch, idCol, vecCol, cb,
+            p = residualProbes)
+          .select(col("id").as("vec_id"),
+            explode(col("probes").getField("cid")).as("cell"),
+            col("v").as("av"), col("n").as("an"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("s_id").asc)
+        val sus = pr
+          .join(corpusCells.toDF("s_id", "cell", "sv", "sn"), Seq("cell"))
+          .select(col("vec_id"), col("s_id"),
+            round(SimSearch.cosine(col("av"), col("sv"), col("an"),
+              col("sn")), 6).as("cos"))
+          .where(col("cos") >= lo)
+          .withColumn("srn", row_number().over(w))
+          .where(col("srn") === 1)
+          .select(col("vec_id"), col("s_id"))
+        manifest0.join(sus, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            when(col("status") === "kept" && col("s_id").isNotNull,
+              "blend_suspect").otherwise(col("status")).as("status"),
+            when(col("status") === "kept" && col("s_id").isNotNull,
+              col("s_id")).otherwise(col("rep_id")).as("rep_id"))
+    }).localCheckpoint() // materialize before the index writes below
     val kept = manifest.where(col("status") === "kept")
       .select(col("vec_id").as("id"))
     Layout.upsertStatic(

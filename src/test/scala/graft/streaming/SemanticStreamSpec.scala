@@ -77,4 +77,47 @@ class SemanticStreamSpec extends AnyFunSuite {
       Layout.readStatic(s, root, SemanticStream.ManifestEntity).get.count()
     assert(after === before)
   }
+
+  test("residual gate: a cross-cell blend the dup probe cannot see " +
+      "flips kept -> blend_suspect; novel rows and the fold unchanged") {
+    val s = spark
+    import s.implicits._
+    // k = 3 seed centroids (ids 1..3 = e0, e1, e2); parents 4 and 5
+    // carry a small e2 component so their AVERAGE assigns to cell 3 —
+    // whose only member (e2) is < 0.3 from the blend — while each
+    // parent's own cell is 1 resp. 2: the probe-local dup cosine at
+    // p = 1 structurally never meets either parent.
+    val corpus = df(Seq(
+      1L -> vec(0 -> 1.0), 2L -> vec(1 -> 1.0), 3L -> vec(2 -> 1.0),
+      4L -> vec(0 -> 0.25, 2 -> 0.2, 3 -> 0.95),   // parent A, cell 1
+      5L -> vec(1 -> 0.25, 2 -> 0.2, 4 -> 0.95)))  // parent B, cell 2
+    val blend = (0 until 6).map(i =>
+      (vec(0 -> 0.25, 2 -> 0.2, 3 -> 0.95)(i) +
+       vec(1 -> 0.25, 2 -> 0.2, 4 -> 0.95)(i)) / 2.0)
+    val batch = df(Seq(100L -> blend, 200L -> vec(5 -> 1.0)))
+
+    val ungated = graft.Temps.dir("semantic-residual-off")
+    SemanticStream.bootstrap(corpus, ungated, k = 3)
+    val manOff = SemanticStream.ingestVectors(batch, ungated)
+      .select("vec_id", "status").as[(Long, String)].collect().toMap
+    // the evasive case EXISTS: ungated, the blend lands kept
+    assert(manOff === Map(100L -> "kept", 200L -> "kept"))
+
+    val root = graft.Temps.dir("semantic-residual-on")
+    SemanticStream.bootstrap(corpus, root, k = 3)
+    val man = SemanticStream.ingestVectors(batch, root,
+        residual = Some(0.6), residualProbes = 3)
+      .select("vec_id", "status", "rep_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // widened-probe top-1 reaches parent A (cos ≈ 0.72, ties to B
+    // broken by id): flagged with the parent attributed; the novel
+    // direction (top-1 cosine 0 everywhere) is untouched
+    assert(man === Map(
+      100L -> ("blend_suspect", 4L), 200L -> ("kept", -1L)))
+    // suspects are excluded from the index fold, keepers still land
+    val cells = Layout.readStatic(s, root, SemanticStream.CellsEntity).get
+      .select("id").as[Long].collect().toSet
+    assert(cells === Set(1L, 2L, 3L, 4L, 5L, 200L))
+  }
 }
