@@ -40,6 +40,7 @@ object CurateRehearsal {
 
   private val Entities = Seq(CurateStream.KeysEntity, CurateStream.BandsEntity,
     CurateStream.BenchEntity, CurateStream.SpansEntity,
+    CurateStream.PostingsEntity, CurateStream.DlEntity,
     CurateStream.ManifestEntity)
 
   private def parquetFiles(spark: SparkSession, root: String): Int = {
@@ -97,19 +98,28 @@ object CurateRehearsal {
       // rebuild at compaction windows) without perturbing the law
       // sketch variants by shard count: 0 = ungated, 1 = monolith,
       // 4 = the sharded online gate (per-shard merge + rebuild)
+      // the lex variant measures the q175 inverted-index upkeep: two
+      // more anti-join upserts per batch (postings = one tokenize +
+      // groupBy over KEPT batch texts; dl = a projection of the landed
+      // frame), riding the same parallel fan-out — so the expected
+      // marginal cost is near zero unless the postings upsert becomes
+      // the slowest member of the fan-out
       val variants = Seq(
-        ("none", 0, false, 0), (s"every$compactEvery", compactEvery, false, 0),
-        ("spans-none", 0, true, 0), (s"spans-every$compactEvery", compactEvery, true, 0),
-        (s"sketch-every$compactEvery", compactEvery, false, 1),
-        (s"sketch4-every$compactEvery", compactEvery, false, 4))
-      val rows = variants.flatMap { case (variant, every, spans, sketch) =>
+        ("none", 0, false, 0, false), (s"every$compactEvery", compactEvery, false, 0, false),
+        ("spans-none", 0, true, 0, false), (s"spans-every$compactEvery", compactEvery, true, 0, false),
+        (s"sketch-every$compactEvery", compactEvery, false, 1, false),
+        (s"sketch4-every$compactEvery", compactEvery, false, 4, false),
+        (s"lex-every$compactEvery", compactEvery, false, 0, true))
+      val rows = variants.flatMap { case (variant, every, spans, sketch, lex) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
         CurateStream.bootstrap(base, root, withSpans = spans,
-          withSketch = sketch > 0, sketchShards = math.max(sketch, 1))
+          withSketch = sketch > 0, sketchShards = math.max(sketch, 1),
+          withLex = lex)
         (0 until batches).map { b =>
           val batch = batchOf(base, b, batches).localCheckpoint()
           val t0 = System.nanoTime()
-          val manifest = CurateStream.ingestBatch(batch, root, spanGate = spans)
+          val manifest = CurateStream.ingestBatch(batch, root,
+            spanGate = spans, lexIndex = lex)
           val nMan = manifest.count() // manifest is localCheckpointed: free
           val secs = (System.nanoTime() - t0) / 1e9
           // the harness is a long-lived session too: drop the per-batch
@@ -148,7 +158,7 @@ object CurateRehearsal {
       // the law in two numbers per variant: mean ingest secs over the
       // first and last fifth of the stream
       val fifth = math.max(batches / 5, 1)
-      variants.foreach { case (v, _, _, _) =>
+      variants.foreach { case (v, _, _, _, _) =>
         val vs = rows.filter(_._1 == v)
         val head = vs.take(fifth).map(_._6).sum / fifth
         val tail = vs.takeRight(fifth).map(_._6).sum / fifth

@@ -75,6 +75,66 @@ object RetrievalOps {
       .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
   }
 
+  /** [[bm25TopK]] served from the MAINTAINED lexical inverted index
+    * (CurateStream's `lex_postings`/`lex_dl` entities) instead of
+    * re-tokenizing the corpus: tf comes from the stored posting lists
+    * (query-term equi-join — the only slice of the store any query
+    * touches), df is the counted row-cardinality of that same fetched
+    * slice (stored-implicitly: a term's df IS its posting-list length,
+    * so no mutable per-batch value ever needs upserting), dl/n_docs/
+    * avgdl come from the stored `lex_dl` (one doc-count-sized
+    * aggregate). Identical constants, rounding points and decimal sum
+    * as [[bm25TopK]], so on the same corpus the served scores
+    * hash-match the recomputed ones bit-for-bit — only the query
+    * docs' own token sets are computed at query time.
+    *
+    * Scale shape: the corpus is NEVER rescanned — the plan reads the
+    * posting slice for the query's terms (at 100 TB: bucket postings
+    * by `t` for a pruned fetch), the dl store (slim: 16 bytes/doc),
+    * and nothing else. This closes the one non-index leg the r9
+    * hybrid (q173) had left. */
+  private[queries] def bm25ServedTopK(s: SparkSession, d: String,
+      root: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sinks.Layout
+    import graft.streaming.CurateStream
+    val post = Layout.readStatic(s, root, CurateStream.PostingsEntity)
+      .getOrElse(throw new IllegalStateException(s"no $root postings"))
+    val dl = Layout.readStatic(s, root, CurateStream.DlEntity)
+      .getOrElse(throw new IllegalStateException(s"no $root lex_dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+    val qterms = documents(s, d).where(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct()
+      .localCheckpoint() // tiny; read as broadcast probe + scoring join
+    // ONE fetch of the query-term posting slice, shared by the tf join
+    // and the df count (a second read would rescan the store)
+    val slice = post.join(broadcast(qterms.select("t").distinct()),
+        Seq("t"), "left_semi")
+      .localCheckpoint()
+    val dfreq = slice.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = round((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)), 6)
+    val tfn = round((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qterms.join(slice, Seq("t"))
+      .join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfn, 6).as("term_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("term_score").cast("decimal(30,15)"))
+        .cast("double"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("score"))
+  }
+
   /** Oracle CTE chain ending in `rk(q_id, doc_id, score, rn)` — the
     * SQL replay of [[bm25TopK]], shared by the q157 and q162 oracles. */
   private def bm25CtesSql: String = {
@@ -131,6 +191,61 @@ object RetrievalOps {
       Some(s"""WITH $bm25CtesSql
               |SELECT q_id, rn, doc_id, score FROM rk WHERE rn <= 5""".stripMargin),
       "surrogate-BM25 lexical top-k: query-term posting joins, decimal-summed 6-dp term scores, bounded per-query window"),
+
+    // q157 SERVED FROM THE MAINTAINED INVERTED INDEX: the posting
+    // lists land as stored entities in two incremental phases (even
+    // docs, then the full corpus — the second upsert's anti-join
+    // no-ops the already-landed half, exercising exactly the
+    // per-batch maintenance path), and the query reads ONLY the
+    // stored slice for its terms. Same constants, rounding points and
+    // decimal sum as q157 over identical stored counts, so the served
+    // scores hash-match the recomputed ones — the oracle replays
+    // ingest (documents → postings/lex_dl) → df-from-posting-length →
+    // scoring end to end.
+    "q175_bm25_served" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = graft.Temps.dirFor(s"bm25-idx-$d")
+        val docs = documents(s, d)
+        CurateStream.upsertLex(docs.where(col("doc_id") % 2 === 0), root)
+        CurateStream.upsertLex(docs, root)
+        bm25ServedTopK(s, d, root, 5)
+      },
+      Some {
+        val toksSql = TextOps.toksSql
+        s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+           |postings AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+           |             FROM tk GROUP BY 1, 2),
+           |lex_dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           |           FROM tk GROUP BY 1),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |            round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+           |          FROM lex_dl),
+           |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+           |          FROM postings GROUP BY 1),
+           |qterms AS (SELECT DISTINCT doc_id AS q_id, t FROM tk WHERE doc_id < 5),
+           |scored AS (SELECT q.q_id, p.doc_id,
+           |             round(
+           |               round((CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+           |                     (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)), 6) *
+           |               round((CAST(p.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+           |                     (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / s.avgdl)), 6),
+           |             6) AS term_score
+           |           FROM qterms q
+           |           JOIN postings p ON p.t = q.t
+           |           JOIN dfreq ON dfreq.t = q.t
+           |           JOIN lex_dl dl ON dl.doc_id = p.doc_id
+           |           CROSS JOIN stats s),
+           |agg AS (SELECT q_id, doc_id,
+           |          round(CAST(sum(CAST(term_score AS DECIMAL(30,15))) AS DOUBLE), 6) AS score
+           |        FROM scored GROUP BY 1, 2),
+           |rk AS (SELECT q_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY score DESC, doc_id ASC) AS rn
+           |       FROM agg)
+           |SELECT q_id, rn, doc_id, score FROM rk WHERE rn <= 5""".stripMargin
+      },
+      "BM25 served from the stored inverted index: two-phase incremental posting upserts, query-term slice fetch, df as posting-list length — scores hash-match the q157 recompute"),
 
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
     // 2009) of the lexical BM25 list and the dense cosine list for
@@ -189,16 +304,18 @@ object RetrievalOps {
               |SELECT q_id, rn, doc_id, rrf, lex_rn, dense_rn FROM fr WHERE rn <= 5""".stripMargin),
       "reciprocal-rank fusion of the BM25 and dense-cosine lists: calibration-free hybrid top-k"),
 
-    // q162's hybrid fusion with the dense leg SERVED FROM THE
-    // MAINTAINED INDEX: the lexical leg is unchanged (RRF is
-    // rank-only, so fusion code never cares where a leg's ranks come
-    // from), but the dense leg is [[SemanticStream.queryTopKSq]] over
-    // an index bootstrapped with the SQ sidecar — probed cells scan
-    // as stored uint8 codes, top-10 asymmetric prefilter, exact
-    // re-rank on candidates. This is the ONLINE face of hybrid
-    // search: neither leg rescans the corpus (postings equi-join +
-    // stored-index probe), and the oracle replays grid → codes →
-    // prefilter → re-rank → fusion end to end.
+    // q162's hybrid fusion with BOTH legs SERVED FROM MAINTAINED
+    // INDEXES (RRF is rank-only, so fusion code never cares where a
+    // leg's ranks come from): the dense leg is
+    // [[SemanticStream.queryTopKSq]] over an index bootstrapped with
+    // the SQ sidecar — probed cells scan as stored uint8 codes,
+    // top-10 asymmetric prefilter, exact re-rank on candidates — and
+    // the lexical leg is [[bm25ServedTopK]] over the stored
+    // `lex_postings`/`lex_dl` inverted index (since round 10; the r9
+    // leg re-tokenized the corpus per call). This is the ONLINE face
+    // of hybrid search: neither leg rescans the corpus (stored
+    // posting-slice equi-join + stored-index probe), and the oracle
+    // replays both index builds → probes → fusion end to end.
     "q173_rrf_fusion_served" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -206,7 +323,8 @@ object RetrievalOps {
         val root = graft.Temps.dirFor(s"rrf-served-$d")
         val emb = embeddings(s, d)
         SemanticStream.bootstrap(emb, root, withSq = true)
-        val lex = bm25TopK(s, d, 5)
+        graft.streaming.CurateStream.upsertLex(documents(s, d), root)
+        val lex = bm25ServedTopK(s, d, root, 5)
           .select(col("q_id"), col("doc_id"), col("rn").as("lex_rn"))
         val dense = SemanticStream.queryTopKSq(
             emb.where(col("vec_id") < 5), root, topK = 5, prefilterC = 10)
@@ -292,7 +410,7 @@ object RetrievalOps {
            |       FROM fused)
            |SELECT q_id, rn, doc_id, rrf, lex_rn, dense_rn FROM fr WHERE rn <= 5""".stripMargin
       },
-      "hybrid RRF with the dense leg served from the maintained SQ index: rank-only fusion of two bounded online plans"),
+      "hybrid RRF with both legs served from maintained indexes (SQ dense probe + stored-postings BM25): rank-only fusion of two bounded online plans"),
 
     // Unigram-LM corpus scoring — the perplexity-filter shape (CCNet;
     // Wenzek et al. 2020) with the repo's no-transcendentals

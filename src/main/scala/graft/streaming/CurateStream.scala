@@ -61,6 +61,21 @@ object CurateStream {
   val SpansEntity = "curate_spans"
   val ManifestEntity = "curate_manifest"
 
+  /** Lexical inverted-index entities (the served-BM25 store — q175 and
+    * q173's lexical leg). `lex_postings (t, doc_id, tf)` is the posting
+    * list keyed by (term, doc); `lex_dl (doc_id, dl)` the document
+    * lengths. Both rows are IMMUTABLE facts of a kept doc, so they ride
+    * the same anti-join-upsert + compaction discipline as every other
+    * index entity. df is NOT stored: a term's document frequency is the
+    * row count of its posting list, which every serving plan already
+    * fetches (the query-term equi-join), so storing it would add the
+    * one per-batch MUTABLE value the upsert discipline can't express —
+    * counting the fetched slice is free and always current. Corpus
+    * stats (n_docs, avgdl) are one tiny aggregate over `lex_dl`
+    * (doc-count-sized, never corpus-text-sized). */
+  val PostingsEntity = "lex_postings"
+  val DlEntity = "lex_dl"
+
   /** Span-gate threshold: a doc whose stored-corpus span coverage
     * reaches this fraction of its own distinct spans is
     * `dup_span_corpus` — the online face of q134/q138's span-level
@@ -68,13 +83,13 @@ object CurateStream {
     * both the exact and MinHash layers; only span coverage sees it). */
   val SpanDupFrac = 0.5
 
-  /** Bounded pool for the per-batch index upserts: the four index
-    * entities are mutually independent (each is its own directory and
-    * its own anti-join), so their writes overlap — the per-batch bill
-    * is the slowest upsert, not the sum. Daemon threads; sized to the
-    * entity count, not the data. */
+  /** Bounded pool for the per-batch index upserts: the index entities
+    * are mutually independent (each is its own directory and its own
+    * anti-join), so their writes overlap — the per-batch bill is the
+    * slowest upsert, not the sum. Daemon threads; sized to the entity
+    * count (4 curate + 2 lexical), not the data. */
   private lazy val upsertPool = java.util.concurrent.Executors
-    .newFixedThreadPool(4, (r: Runnable) => {
+    .newFixedThreadPool(6, (r: Runnable) => {
       val t = new Thread(r, "graft-curate-upsert")
       t.setDaemon(true)
       t
@@ -95,6 +110,30 @@ object CurateStream {
       .select(col("doc_id"),
         explode(graft.ops.TextAnalysis.spanHashes(col("TH"), 8)).as("sp"))
       .distinct()
+
+  /** Posting rows (t, doc_id, tf) of a (doc_id, text) frame — the
+    * lexical index's unit of maintenance. tf is a doc-local count, so
+    * the groupBy shuffles batch tokens only, never the store. */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document-length rows (doc_id, dl) of a (doc_id, text) frame. */
+  private[graft] def dlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+
+  /** Fold a (doc_id, text) frame into the lexical inverted index —
+    * anti-join upserts keyed (t, doc_id) / (doc_id), so re-landing any
+    * subset (bootstrap overlap, ingest replay, crash retry) is a
+    * row-wise no-op. Shared by [[bootstrap]]`(withLex)`, the per-batch
+    * ingest fold, and the offline index build (q175). */
+  def upsertLex(docs: DataFrame, root: String): Unit = {
+    Layout.upsertStatic(postingsOf(docs), root, PostingsEntity,
+      Seq("t", "doc_id"))
+    Layout.upsertStatic(dlOf(docs), root, DlEntity, Seq("doc_id"))
+  }
 
   /** MinHash signature frame (doc_id, h0..h3); docs with no shingles
     * (under 4 tokens) have no signature and skip the near-dup layer. */
@@ -139,10 +178,12 @@ object CurateStream {
     * `withSpans` additionally seeds the span index for ingests that
     * run the [[SpanDupFrac]] gate — opt-in because the span store is
     * the one index linear in corpus TOKENS, not docs (the price every
-    * substring-level dedup pays). */
+    * substring-level dedup pays). `withLex` seeds the lexical inverted
+    * index ([[PostingsEntity]]/[[DlEntity]]) for stores that serve
+    * BM25 online — also token-linear, also opt-in. */
   def bootstrap(corpus: DataFrame, root: String,
       withSpans: Boolean = false, withSketch: Boolean = false,
-      sketchShards: Int = 1): Unit = {
+      sketchShards: Int = 1, withLex: Boolean = false): Unit = {
     // sketch BEFORE keys: the superset invariant (KeySketch object doc)
     // holds through every crash window, and ingests auto-detect the
     // sketch's presence — a bootstrap that died between the two leaves
@@ -160,6 +201,7 @@ object CurateStream {
     if (withSpans)
       Layout.upsertStatic(spanSetOf(corpus), root, SpansEntity,
         Seq("sp", "doc_id"))
+    if (withLex) upsertLex(corpus, root)
   }
 
   /** Curate one batch against the stored index: returns (and lands)
@@ -175,9 +217,16 @@ object CurateStream {
     * routing and before contamination; kept docs fold their spans
     * into the index. Off by default: the span store is the one index
     * linear in corpus tokens (pair with `bootstrap(withSpans =
-    * true)`). */
+    * true)`).
+    *
+    * `lexIndex = true` folds kept docs into the lexical inverted index
+    * (the q175 served-BM25 store; pair with `bootstrap(withLex =
+    * true)`). Maintenance only — curation never probes the lexical
+    * store, so statuses are unaffected; the fold is two more
+    * independent anti-join upserts riding the same parallel fan-out
+    * and the same replay argument. */
   def ingestBatch(batch0: DataFrame, root: String,
-      spanGate: Boolean = false): DataFrame = {
+      spanGate: Boolean = false, lexIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = batch0.sparkSession
     // ONE materialization of the whole per-doc batch state: content
@@ -391,6 +440,25 @@ object CurateStream {
             Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
               root, SpansEntity, Seq("sp", "doc_id"))
         }
+      },
+      // lexical fold: postings re-tokenize the kept texts off the
+      // checkpointed landed frame (one pass over kept tokens — cheaper
+      // than carrying the token arrays through the checkpoint for every
+      // batch whether or not the lex layer is armed); dl reuses the
+      // n_toks already materialized on it
+      Future {
+        if (lexIndex && keptN > 0)
+          Layout.upsertStatic(
+            postingsOf(landed.join(kept, Seq("doc_id"), "left_semi")
+              .select("doc_id", "text")),
+            root, PostingsEntity, Seq("t", "doc_id"))
+      },
+      Future {
+        if (lexIndex && keptN > 0)
+          Layout.upsertStatic(
+            landed.join(kept, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("n_toks").as("dl")),
+            root, DlEntity, Seq("doc_id"))
       })
     Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
@@ -434,7 +502,8 @@ object CurateStream {
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           // SpansEntity rides the same window: compactStatic is a no-op
           // None when the store was never armed (spanGate off)
-          Seq(KeysEntity, BandsEntity, BenchEntity, SpansEntity, ManifestEntity)
+          Seq(KeysEntity, BandsEntity, BenchEntity, SpansEntity,
+              PostingsEntity, DlEntity, ManifestEntity)
             .foreach(Layout.compactStatic(spark, root, _))
           // sketch-saturation maintenance rides the same window: once
           // merged items cross capacity, rebuild at 4× from the

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sinks.Layout
+import graft.streaming.CurateStream
+
+/** The served-BM25 contract (q175 / q173's lexical leg): the stored
+  * inverted index is maintained under the same anti-join-upsert
+  * discipline as every curate entity, and serving from it is
+  * BIT-IDENTICAL to recomputing from the corpus — same counts in,
+  * same IEEE sequence, same scores out. */
+class LexServedSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def postingRows(root: String): Set[(String, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Layout.readStatic(s, root, CurateStream.PostingsEntity)
+      .get.as[(String, Long, Long)].collect().toSet
+  }
+
+  private def dlRows(root: String): Set[(Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Layout.readStatic(s, root, CurateStream.DlEntity)
+      .get.as[(Long, Long)].collect().toSet
+  }
+
+  test("served scores are bit-identical to the corpus recompute") {
+    val s = spark
+    import s.implicits._
+    val root = graft.Temps.dir("lex-served-eq")
+    CurateStream.upsertLex(Tables.documents(s, sfDir), root)
+    val served = RetrievalOps.bm25ServedTopK(s, sfDir, root, 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val recomputed = RetrievalOps.bm25TopK(s, sfDir, 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(served.length === 25)
+    // sameElements on the raw tuples: Double equality here IS the
+    // claim — identical stored counts through the identical rounded
+    // IEEE sequence
+    assert(served.sameElements(recomputed))
+  }
+
+  test("ingest maintains the index: kept docs only, replay no-op, compaction row-preserving") {
+    val s = spark
+    import s.implicits._
+    def qtext(k: Int): String = {
+      val stop = Seq("the", "a", "of", "and", "to")
+      (0 until 45).flatMap(i =>
+        if (i % 9 == 0) Seq(stop(i / 9), s"w${k}_$i") else Seq(s"w${k}_$i"))
+        .mkString(" ")
+    }
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'src' AS source",
+          "CAST(length(text) AS INT) AS n_chars")
+    val corpus = docsDF(Seq(1L -> qtext(1), 2L -> qtext(2)))
+    val batch = docsDF(Seq(
+      10L -> qtext(1),              // dup_exact_corpus → NOT folded
+      20L -> qtext(3),              // kept
+      35L -> "just three tokens"))  // low_quality → NOT folded
+    val root = graft.Temps.dir("lex-served-ingest")
+    CurateStream.bootstrap(corpus, root, withLex = true)
+    val manifest = CurateStream.ingestBatch(batch, root, lexIndex = true)
+    val statuses = manifest.select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(statuses(10L) === "dup_exact_corpus")
+    assert(statuses(20L) === "kept")
+    assert(statuses(35L) === "low_quality")
+    manifest.unpersist()
+
+    // the store is exactly the recompute over bootstrap corpus + kept
+    val expectDocs = corpus.unionByName(batch.where(col("doc_id") === 20L))
+    val expectPost = CurateStream.postingsOf(expectDocs)
+      .as[(String, Long, Long)].collect().toSet
+    val expectDl = CurateStream.dlOf(expectDocs)
+      .as[(Long, Long)].collect().toSet
+    assert(postingRows(root) === expectPost)
+    assert(dlRows(root) === expectDl)
+
+    // replay: re-ingesting the applied batch changes nothing row-wise
+    CurateStream.ingestBatch(batch, root, lexIndex = true).unpersist()
+    assert(postingRows(root) === expectPost)
+    assert(dlRows(root) === expectDl)
+
+    // compaction: same rows, fewer files
+    Layout.compactStatic(s, root, CurateStream.PostingsEntity)
+    Layout.compactStatic(s, root, CurateStream.DlEntity)
+    assert(postingRows(root) === expectPost)
+    assert(dlRows(root) === expectDl)
+  }
+}

@@ -131,12 +131,16 @@ class PlanSpec extends AnyFunSuite {
     // the (N_total) model-stats frame is ONE row crossJoined onto the
     // posting-shaped scoring join — q157's exact pattern
     "q164_unigram_lm",
-    // the lexical leg carries q157's 1-row stats crossJoin verbatim;
-    // the SERVED dense leg is all equi-joins into the stored index
-    // (cell probe + codes + candidate re-rank) and the fusion is a
-    // k-row-per-query outer join — the only BNLJ is the bounded
-    // stats frame
-    "q173_rrf_fusion_served")
+    // the lexical leg carries q157's 1-row stats crossJoin (now over
+    // the stored lex_dl aggregate); the SERVED dense leg is all
+    // equi-joins into the stored index (cell probe + codes +
+    // candidate re-rank) and the fusion is a k-row-per-query outer
+    // join — the only BNLJ is the bounded stats frame
+    "q173_rrf_fusion_served",
+    // served BM25: the scoring join is the stored-posting-slice
+    // equi-join; the only BNLJ is q157's 1-row corpus-stats crossJoin
+    // (computed from the stored lex_dl, still one row)
+    "q175_bm25_served")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
