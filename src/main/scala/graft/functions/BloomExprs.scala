@@ -45,6 +45,13 @@ object BloomExprs {
   def mightContain(bf: BloomFilter)(key: Column): Column =
     Bridge.column(BloomMightContainExpr(Bridge.expression(key),
       SketchBytes(serialize(bf))))
+
+  /** [[mightContain]] from already-serialized bits — the per-shard
+    * branch predicate of a shard-local gate (see
+    * [[graft.ops.BloomGate.shardedGate]]); skips a deserialize +
+    * re-serialize round-trip per shard. */
+  def mightContainBytes(bytes: SketchBytes)(key: Column): Column =
+    Bridge.column(BloomMightContainExpr(Bridge.expression(key), bytes))
 }
 
 /** See [[BloomExprs.mightContain]]. String keys probe via their UTF-8
@@ -77,51 +84,5 @@ case class BloomMightContainExpr(child: Expression, bfBytes: SketchBytes)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
-    copy(child = newChild)
-}
-
-/** Sharded probe — the 10^10-key shape [[BloomExprs]]'s header doc and
-  * SCALE.md size out: one monolithic filter at that scale is ~12 GB
-  * (unbroadcastable, and its distributed build merges 12 GB bitsets on
-  * the driver), while S key-hash shards are built GROUPED (each shard's
-  * filter filled on one executor from its own shuffle partition — no
-  * driver-side bitset merge) and probed per row by routing the key to
-  * its shard with the SAME xxhash64-mod the build used. Exactness is
-  * untouched: routing is deterministic, each shard has no false
-  * negatives over its own keys, so the union gate admits every true
-  * dup and the confirm join still decides. */
-case class ShardedBloomProbeExpr(child: Expression, shards: Seq[SketchBytes])
-    extends UnaryExpression {
-
-  override def dataType: DataType = BooleanType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"sharded might_contain needs STRING, got $t")
-  }
-
-  @transient private lazy val bfs: Array[BloomFilter] =
-    shards.map(b => BloomExprs.deserialize(b.bytes)).toArray
-
-  /** Public so generated code can call it via the reference object.
-    * Shard routing = pmod(xxhash64(key), S): the exact semantics of
-    * the build side's `pmod(xxhash64(col), lit(S))` (seed 42). */
-  def test(s: UTF8String): Boolean = {
-    val n = bfs.length
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-      .hash(s, StringType, 42L)
-    bfs((((h % n) + n) % n).toInt).mightContainBinary(s.getBytes)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    test(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("shardedBloomProbe", this,
-      classOf[ShardedBloomProbeExpr].getName)
-    defineCodeGen(ctx, ev, v => s"$ref.test($v)")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): ShardedBloomProbeExpr =
     copy(child = newChild)
 }

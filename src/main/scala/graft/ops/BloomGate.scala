@@ -89,18 +89,36 @@ object BloomGate {
       graft.functions.SketchBytes(built.getOrElse(i, empty)))
   }
 
+  /** Shard-local gate over a built shard set: the rows of `df` whose
+    * `keyCol` the sketch might contain, planned as a UNION of one
+    * branch per shard — branch i filters `pmod(xxhash64(key), S) = i
+    * AND might_contain(shard_i)`, so each branch's task closure
+    * carries ONLY that shard's filter bytes. A single expression
+    * holding all S images would make every task materialize the whole
+    * sketch (at the 10^10-key scale this section sizes, ~12 GB per
+    * executor — exactly the monolith problem sharding exists to
+    * solve); the union shape keeps per-task memory to one shard.
+    * Routing is the build's own hash (no false negatives), and the
+    * branches partition the rows, so the union is duplicate-free. */
+  def shardedGate(df: DataFrame, sk: Seq[graft.functions.SketchBytes],
+      keyCol: String): DataFrame = {
+    val route = pmod(xxhash64(col(keyCol).cast("string")),
+      lit(sk.length)).cast("int")
+    sk.zipWithIndex.map { case (bytes, i) =>
+      df.where(route === i &&
+        BloomExprs.mightContainBytes(bytes)(col(keyCol).cast("string")))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[corpusDupFlag]] probing a sharded sketch — bit-identical
     * output (the gate never decides, the confirm join does); the
-    * sharding only re-shapes WHERE the filter bits live. */
+    * sharding only re-shapes WHERE the filter bits live, and the
+    * [[shardedGate]] union keeps each probe task to one shard image. */
   def shardedCorpusDupFlag(batch: DataFrame, corpusKeys: DataFrame,
       keyCol: String, shards: Int, expectedItems: Long, fpp: Double,
       flagCol: String = "is_dup_corpus"): DataFrame = {
     val sk = buildShards(corpusKeys, keyCol, shards, expectedItems, fpp)
-    val probe = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.ShardedBloomProbeExpr(
-        org.apache.spark.sql.graft.Bridge.expression(col(keyCol)), sk))
-    val candidates = batch
-      .where(probe)
+    val candidates = shardedGate(batch, sk, keyCol)
       .select(col(keyCol))
       .join(corpusKeys.select(col(keyCol)), Seq(keyCol), "left_semi")
       .distinct()

@@ -279,7 +279,7 @@ object CurateStream {
     val sketch = KeySketch.read(s, root)
     val keyed = landed
     val exactProbe = sketch match {
-      case Some(sk) => keyed.where(sk.mightContain(col("key")))
+      case Some(sk) => sk.gate(keyed, "key")
       case None => keyed
     }
     val dupExactCorpus = exactProbe.join(keyIdx, Seq("key"), "left_semi")

@@ -23,12 +23,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * materializes the whole bitset in one place. The sketch therefore
   * holds S key-hash shards (S = 1 is the exact legacy monolith):
   * routing is `pmod(xxhash64(key_string), S)` — the SAME hash the
-  * probe expression ([[graft.functions.ShardedBloomProbeExpr]]) and
-  * the batch-side grouped builds use, so build, merge, rebuild and
+  * gate's per-shard branches ([[Sketch.gate]]) and the batch-side
+  * grouped builds use, so build, merge, rebuild and
   * probe always agree on which shard owns a key. Each shard keeps its
   * OWN (capacity, items) pair: merges update only the shards the
   * batch touches, and saturation REBUILDS only the shards whose
-  * items crossed their capacity — never the whole sketch. Exactness
+  * items crossed their capacity — never the whole sketch. PROBING is
+  * shard-local too ([[Sketch.gate]]): the gate plans one branch per
+  * shard, each carrying only its own filter bytes, so no task ever
+  * materializes the full sketch — the 10^10-key claim holds for
+  * serving memory, not just maintenance locality. Exactness
   * is untouched: routing is deterministic and each shard has no false
   * negatives over its own keys, so the union gate admits every true
   * duplicate and the confirm join still decides (KeySketchSpec pins
@@ -86,9 +90,14 @@ object KeySketch {
 
   /** Header version: "GSK4" — shard count, fpp, then per shard
     * (capacity, items, length-prefixed filter bytes), CRC32 trailer.
-    * A GSK2-era monolithic file fails the magic check and is
-    * discarded like any other invalid image. */
+    * A GSK2-era monolithic image (capacity, items, fpp,
+    * length-prefixed filter bytes) is still READ — as a 1-shard
+    * sketch — so upgrading a live store never silently drops its gate
+    * (the old failure mode: magic mismatch → "corrupt" → deleted →
+    * permanently ungated, because [[maybeRebuild]] is a no-op on an
+    * absent sketch). The next [[write]] persists it as GSK4. */
   private val Magic = 0x47534b34
+  private val Gsk2Magic = 0x47534b32
 
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger(getClass)
@@ -107,17 +116,30 @@ object KeySketch {
     def capacity: Long = shards.map(_.capacity).sum
     def items: Long = shards.map(_.items).sum
     def numBits: Long = shards.map(_.bf.bitSize()).sum
-    /** The gate predicate — per-row bit test against the broadcast
-      * filter(s), routed by the build's own key hash (no false
-      * negatives; see object doc). */
-    def mightContain(c: Column): Column =
+    /** The gate — the rows of `df` whose `keyCol` the sketch might
+      * contain (per-row bit test; no false negatives — see object
+      * doc). For S > 1 the plan is SHARD-LOCAL: a union of S
+      * branches, branch i filtering `pmod(xxhash64(key), S) = i AND
+      * might_contain(shard_i)`, so each branch's task closure carries
+      * ONLY shard i's filter bytes and per-task executor memory is
+      * one shard — never the whole sketch (the property that makes
+      * the 10^10-key sharding hold for PROBING, not just merge/
+      * rebuild locality; a single Column predicate can't express
+      * this, which is why the gate takes the frame). Routing is the
+      * build's own hash, so every key tests against exactly the shard
+      * that owns it; the branches partition the rows, so the union
+      * adds no duplicates and loses none. KeySketchSpec asserts the
+      * one-image-per-branch plan shape. */
+    def gate(df: DataFrame, keyCol: String): DataFrame =
       if (shards.length == 1)
-        graft.functions.BloomExprs.mightContain(shards.head.bf)(c)
-      else org.apache.spark.sql.graft.Bridge.column(
-        graft.functions.ShardedBloomProbeExpr(
-          org.apache.spark.sql.graft.Bridge.expression(c.cast("string")),
-          shards.map(sh => graft.functions.SketchBytes(
-            graft.functions.BloomExprs.serialize(sh.bf)))))
+        df.where(graft.functions.BloomExprs.mightContain(shards.head.bf)(
+          col(keyCol).cast("string")))
+      else
+        shards.zipWithIndex.map { case (sh, i) =>
+          df.where(shardOf(keyCol, shards.length) === i &&
+            graft.functions.BloomExprs.mightContain(sh.bf)(
+              col(keyCol).cast("string")))
+        }.reduce(_ unionByName _)
   }
 
   /** Monolithic constructor — the S = 1 shape most callers and the
@@ -132,11 +154,11 @@ object KeySketch {
     BloomFilter.readFrom(new ByteArrayInputStream(bos.toByteArray))
   }
 
-  /** The build/merge/rebuild/probe routing column — MUST stay the
-    * exact semantics of [[graft.functions.ShardedBloomProbeExpr]]'s
-    * per-row hash: xxhash64 (seed 42) of the key's STRING value. The
-    * cast runs on both sides so a non-string key column can never
-    * route differently than it probes. */
+  /** The build/merge/rebuild/probe routing column: xxhash64 (seed 42)
+    * of the key's STRING value — [[Sketch.gate]]'s branch predicates
+    * use the same column, so a key always tests against the shard the
+    * build put it in. The cast runs on both sides so a non-string key
+    * column can never route differently than it probes. */
   private def shardOf(keyCol: String, shards: Int): Column =
     pmod(xxhash64(col(keyCol).cast("string")), lit(shards)).cast("int")
 
@@ -232,7 +254,23 @@ object KeySketch {
       crc.update(bytes, 0, bytes.length - 8)
       val buf = java.nio.ByteBuffer.wrap(bytes)
       require(buf.getLong(bytes.length - 8) == crc.getValue, "sketch CRC mismatch")
-      require(buf.getInt() == Magic, "sketch magic mismatch")
+      val magic = buf.getInt()
+      if (magic == Gsk2Magic) {
+        // pre-shard image: capacity, items, fpp, one length-prefixed
+        // filter — a valid 1-shard sketch, not corruption. Parse it as
+        // the monolith it is; the next write() re-persists as GSK4.
+        val capacity = buf.getLong()
+        val items = buf.getLong()
+        val fpp = buf.getDouble()
+        val bfLen = buf.getInt()
+        require(bfLen == bytes.length - buf.position() - 8,
+          "sketch length mismatch")
+        val bf = BloomFilter.readFrom(
+          new ByteArrayInputStream(bytes, buf.position(), bfLen))
+        log.info(s"read GSK2 monolithic sketch under $root as 1-shard")
+        return Some(monolithic(capacity, items, fpp, bf))
+      }
+      require(magic == Magic, "sketch magic mismatch")
       val s = buf.getInt()
       require(s >= 1 && s <= (1 << 20), s"implausible shard count $s")
       val fpp = buf.getDouble()

@@ -71,19 +71,29 @@ class BloomGateSpec extends AnyFunSuite {
     }
   }
 
-  test("sharded probe routes like the build: no false negatives, real pruning") {
+  test("sharded gate routes like the build: no false negatives, real pruning, one image per branch") {
     val sk = BloomGate.buildShards(corpus, "key", 8, 1000L, 0.01)
     assert(sk.length === 8)
-    val probe = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.ShardedBloomProbeExpr(
-        org.apache.spark.sql.graft.Bridge.expression(col("key")), sk))
     // every true dup is admitted (per-shard filters have no false
     // negatives and routing is deterministic)
-    assert(batch.where(col("id") < 50).where(!probe).count() === 0L)
+    val dups = batch.where(col("id") < 50)
+    assert(BloomGate.shardedGate(dups, sk, "key").count() === dups.count())
     // and the novel majority is still pruned (same fpp budget as the
     // monolithic sketch, spread over the shards)
-    val cand = batch.where(probe).count()
+    val cand = BloomGate.shardedGate(batch, sk, "key").count()
     assert(cand >= 50L && cand <= 50L + 95L)
+    // shard-locality: every Filter in the gate's plan holds EXACTLY
+    // one shard image (the r9 advice — a single all-images expression
+    // made each task materialize the whole sketch)
+    val perFilter = BloomGate.shardedGate(batch, sk, "key")
+      .queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case e: graft.functions.BloomMightContainExpr => e.bfBytes
+          }
+      }
+    assert(perFilter.size === 8)
+    assert(perFilter.forall(_.size === 1))
   }
 
   test("two probes of the same sketch bits compare equal (plan-level CSE)") {

@@ -160,9 +160,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("sharded bloom gate q166: the routed probe filters ahead of the confirm join") {
-    val p = plan("q166_sharded_bloom_gate").toLowerCase
-    assert(p.contains("shardedbloomprobe"), p)
+  test("sharded bloom gate q166: shard-local probe branches filter ahead of the confirm join") {
+    val p = plan("q166_sharded_bloom_gate")
+    // the gate is a union of 8 branches, each holding ONE shard's
+    // filter image (no all-images expression — the r9 advice), each
+    // routed by the build's own pmod(xxhash64) and probing ahead of
+    // the confirm join
+    assert(!p.contains("ShardedBloomProbe"), p)
+    val lp = p.toLowerCase
+    assert(lp.contains("union"), p)
+    assert("bloommightcontain".r.findAllIn(lp).size >= 8, p)
   }
 
   test("IVF+PQ q150: candidates meet on the cell equi-join, no nested loop") {

@@ -241,9 +241,76 @@ class KeySketchSpec extends AnyFunSuite {
       assert(sk.items === 200L)
       // every inserted key probes positive under the routed gate — the
       // exactness precondition (a false negative would silently skip
-      // the confirm join and mis-keep a true duplicate)
-      assert(keys.where(!sk.mightContain(col("key"))).isEmpty)
+      // the confirm join and mis-keep a true duplicate); the gate
+      // partitions rows across its shard branches, so superset =
+      // count equality
+      assert(sk.gate(keys, "key").count() === keys.count())
     }
+  }
+
+  test("sharded gate plans one filter image per branch, never the whole sketch") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 200).map(i => s"key_$i").toDF("key")
+    val sk = KeySketch.build(keys, "key", capacity = 0L, shards = 16)
+    val plan = sk.gate(keys, "key").queryExecution.analyzed
+    // every Filter condition in the gate's plan references EXACTLY ONE
+    // shard's serialized filter — the task closure of any branch
+    // carries one image, so per-task executor memory is sketch/S (the
+    // r9 advice: a single expression holding all S images made every
+    // executor materialize the entire sketch, defeating the sharding)
+    val perFilter = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case e: graft.functions.BloomMightContainExpr => e.bfBytes
+        }
+    }
+    assert(perFilter.size === 16, "one branch per shard")
+    assert(perFilter.forall(_.size === 1), "a branch must hold exactly one image")
+    // and the branches hold 16 DISTINCT images (not one broadcast copy)
+    assert(perFilter.flatten.distinct.size === 16)
+  }
+
+  test("a GSK2 monolithic image reads back as a 1-shard sketch (no gate loss on upgrade)") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 100).map(i => s"k2_$i").toDF("key")
+    val root = graft.Temps.dir("sketch-gsk2")
+    val built = KeySketch.build(keys, "key", capacity = 0L)
+    // hand-write the pre-shard GSK2 layout: magic, capacity, items,
+    // fpp, length-prefixed filter bytes, CRC32 trailer
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeInt(0x47534b32)
+    d.writeLong(built.capacity)
+    d.writeLong(built.items)
+    d.writeDouble(built.fpp)
+    val bfb = graft.functions.BloomExprs.serialize(built.shards.head.bf)
+    d.writeInt(bfb.length)
+    d.write(bfb)
+    d.flush()
+    val payload = bos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val dir = new java.io.File(s"$root/static")
+    dir.mkdirs()
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "curate_sketch.bin")))
+    out.write(payload)
+    out.writeLong(crc.getValue)
+    out.close()
+    // the upgraded reader must NOT treat it as corrupt: it reads as a
+    // 1-shard sketch with the original counters and a working gate
+    val read = KeySketch.read(spark, root)
+    assert(read.isDefined, "GSK2 image was discarded as corrupt")
+    assert(read.get.shardCount === 1)
+    assert(read.get.items === built.items)
+    assert(read.get.capacity === built.capacity)
+    assert(read.get.gate(keys, "key").count() === keys.count())
+    // and a write() round-trips it forward as GSK4
+    KeySketch.write(spark, root, read.get)
+    val rt = KeySketch.read(spark, root).get
+    assert(rt.shardCount === 1 && rt.items === built.items)
   }
 
   test("sharded merge: per-shard item accounting, caller's sketch unmutated") {
@@ -256,8 +323,8 @@ class KeySketchSpec extends AnyFunSuite {
     assert(merged.items === 70L)
     assert(stored.items === 50L) // copy-on-merge holds shard-wise
     assert(merged.shards.map(_.capacity) === stored.shards.map(_.capacity))
-    assert(batch.where(!merged.mightContain(col("key"))).isEmpty)
-    assert(base.where(!merged.mightContain(col("key"))).isEmpty)
+    assert(merged.gate(batch, "key").count() === batch.count())
+    assert(merged.gate(base, "key").count() === base.count())
   }
 
   test("sharded ONLINE path: sharded = monolithic = ungated through ingest, crash replay, per-shard rebuild") {
@@ -309,8 +376,8 @@ class KeySketchSpec extends AnyFunSuite {
     }
     // rebuilt shards carry exact counts and stay supersets of the store
     assert(rebuilt.items === keyStore.count())
-    assert(keyStore.select("key")
-      .where(!rebuilt.mightContain(col("key"))).isEmpty)
+    assert(rebuilt.gate(keyStore.select("key"), "key").count()
+      === keyStore.count())
     assert(!KeySketch.maybeRebuild(spark, shardRoot,
       keyStore.select("key"), "key"))
     // post-rebuild ingest on all three roots classifies identically:
