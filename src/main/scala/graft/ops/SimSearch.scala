@@ -289,10 +289,20 @@ object SimSearch {
     * `seed` rotates the whole family (a maintained index stores its
     * family's seed beside the codebook — [[graft.streaming
     * .SemanticStream]]'s JL sidecar); seed 0 is the historical
-    * family q158/q159's oracles inline. */
-  def jlPlaneComponent(p: Int, i: Int, seed: Long = 0L): Double =
-    (splitmix64(seed + ((p.toLong << 32) + i)) >>> 11)
+    * family q158/q159's oracles inline.
+    *
+    * The seed is MIXED through splitmix64 before combining with the
+    * (plane, dim) index: the earlier additive form
+    * `splitmix64(seed + ((p<<32)+i))` made nearby-seed families
+    * shifted copies of each other — family s, dim i equals family 0,
+    * dim i+s on the same plane — so "rotated" families were
+    * correlated, not independent. Seed 0 maps to mix 0 (x ^ 0 = x),
+    * keeping the historical family bit-identical. */
+  def jlPlaneComponent(p: Int, i: Int, seed: Long = 0L): Double = {
+    val mixed = if (seed == 0L) 0L else splitmix64(seed)
+    (splitmix64(mixed ^ ((p.toLong << 32) + i)) >>> 11)
       .toDouble / 9007199254740992.0 - 0.5
+  }
 
   /** Johnson–Lindenstrauss random projection: d → dOut via the
     * [[jlPlaneComponent]] family (row p of the projection matrix =

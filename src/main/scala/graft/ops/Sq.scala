@@ -44,19 +44,28 @@ object Sq {
     * degenerate dimensions (max = min) pinned to scale = istep = 0 so
     * every code is 0 and reconstruction is exactly `min`. */
   def dimGrid(vectors: DataFrame, vecCol: String): (Seq[Double], Seq[Double], Seq[Double]) = {
-    val rows = vectors
+    val collected = vectors
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       .where(col("x").isNotNull) // null elements must not NPE the grid
       .groupBy(col("pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("pos"))
       .collect()
-      .map(r => (r.getDouble(1), r.getDouble(2)))
     // fail loudly at grid-build time: an empty corpus (or an all-null
     // vector column) would otherwise yield an empty grid under which
     // encode() emits zero-length codes and every distance ties at 0.0
-    require(rows.nonEmpty,
+    require(collected.nonEmpty,
       s"SQ grid needs at least one non-null vector in '$vecCol'")
+    // and the surviving positions must be DENSE 0..d-1: the null
+    // filter can delete a dimension whose values are all null, after
+    // which positional indexing into mins/scales/isteps would silently
+    // misalign every later dimension in encode/dist — a shifted grid
+    // is worse than the NPE it replaced
+    val poss = collected.map(_.getInt(0))
+    require(poss.sameElements(poss.indices),
+      s"SQ grid positions not dense (a dimension of '$vecCol' is " +
+        s"all-null): got ${poss.take(8).mkString(",")}..")
+    val rows = collected.map(r => (r.getDouble(1), r.getDouble(2)))
     val mins = rows.map(_._1).toSeq
     val scales = rows.map { case (mn, mx) =>
       if (mx > mn) Levels.toDouble / (mx - mn) else 0.0 }.toSeq

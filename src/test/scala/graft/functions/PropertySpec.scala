@@ -302,6 +302,32 @@ class PropertySpec extends AnyFunSuite {
     assert(coss.sum / coss.size < 0.15, s"mean inter-row |cos| = ${coss.sum / coss.size}")
   }
 
+  test("JL rotated families are independent, not shifted copies; seed 0 unchanged") {
+    import graft.ops.SimSearch.jlPlaneComponent
+    // the r9 advice: additive seeding made family s, dim i equal
+    // family 0, dim i+s on the same plane — rotations were sliding
+    // windows of one stream. The mixed seeding must break that
+    // identity for every small seed...
+    for (s <- 1 to 8; p <- 0 until 4) {
+      val rotated = (0 until 56).map(i => jlPlaneComponent(p, i, s.toLong))
+      val shifted = (0 until 56).map(i => jlPlaneComponent(p, i + s))
+      assert(rotated != shifted, s"seed $s plane $p is a shifted copy of seed 0")
+    }
+    // ...and rotated rows must be near-orthogonal to the base family's
+    def row(p: Int, seed: Long) = (0 until 64).map(jlPlaneComponent(p, _, seed))
+    def ndot(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val cross = for (p <- 0 until 8; q <- 0 until 8)
+      yield math.abs(ndot(row(p, 0L), row(q, 7L)))
+    assert(cross.max < 0.5, s"max cross-family |cos| = ${cross.max}")
+    assert(cross.sum / cross.size < 0.15)
+    // seed 0 is the historical family (oracles inline its literals):
+    // the mix special-cases it bit-identically
+    assert(jlPlaneComponent(3, 17) === jlPlaneComponent(3, 17, 0L))
+  }
+
   test("SQ kernels: codes in range, reconstruction ≤ istep/2, dist consistent (random grids)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

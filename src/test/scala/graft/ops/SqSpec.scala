@@ -80,6 +80,27 @@ class SqSpec extends AnyFunSuite {
     assert(two === exact)
   }
 
+  test("an all-null dimension fails the grid loudly instead of shifting it") {
+    // the r9 advice: the null filter deletes an all-null dimension's
+    // rows, after which positional indexing would misalign every later
+    // dimension — the guard must turn that into an error, not a shift
+    val s = spark
+    import s.implicits._
+    val withNullDim = (0 until 10).map { i =>
+      (i.toLong, Seq(Some(i * 1.0), None, Some(i * 2.0)))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Sq.dimGrid(withNullDim, "embedding")
+    }
+    assert(e.getMessage.contains("not dense"))
+    // sparse nulls in a live dimension still build a full grid
+    val sparseNulls = (0 until 10).map { i =>
+      (i.toLong, Seq(Some(i * 1.0), if (i == 3) None else Some(i * 3.0)))
+    }.toDF("vec_id", "embedding")
+    val (mins, scales, isteps) = Sq.dimGrid(sparseNulls, "embedding")
+    assert(mins.size === 2 && scales.size === 2 && isteps.size === 2)
+  }
+
   test("sq top-1 finds the true nearest on a well-separated corpus") {
     // rows are far apart relative to the grid step, so the top-1 of
     // the quantized scan must agree with exact search
