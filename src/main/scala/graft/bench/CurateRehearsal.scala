@@ -110,6 +110,11 @@ object CurateRehearsal {
         (s"sketch-every$compactEvery", compactEvery, false, 1, false),
         (s"sketch4-every$compactEvery", compactEvery, false, 4, false),
         (s"lex-every$compactEvery", compactEvery, false, 0, true))
+        // optional 4th arg: comma-separated variant-name filter for
+        // focused re-measurement (a full 7×50 matrix is ~30 min)
+        .filter { v =>
+          args.lift(3).forall(_.split(',').map(_.trim).contains(v._1))
+        }
       val rows = variants.flatMap { case (variant, every, spans, sketch, lex) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
         CurateStream.bootstrap(base, root, withSpans = spans,

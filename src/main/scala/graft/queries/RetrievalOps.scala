@@ -110,9 +110,20 @@ object RetrievalOps {
       .distinct()
       .localCheckpoint() // tiny; read as broadcast probe + scoring join
     // ONE fetch of the query-term posting slice, shared by the tf join
-    // and the df count (a second read would rescan the store)
-    val slice = post.join(broadcast(qterms.select("t").distinct()),
-        Seq("t"), "left_semi")
+    // and the df count (a second read would rescan the store). The
+    // term set is collected and pushed as a literal In-filter so it
+    // reaches the parquet scan as a row-group predicate (PushedFilters
+    // — with the store range-sorted by `t` at compaction, each file
+    // owns a term range and min/max stats skip the rest; the
+    // directory-partitioned analog at 10^2-bucket scale prunes whole
+    // files). Degenerate huge query vocabularies fall back to the
+    // broadcast semi-join, which is the same slice without pushdown.
+    val termSeq = qterms.select("t").distinct()
+      .collect().map(_.getString(0)).sorted
+    val slice = (if (termSeq.length <= 1000)
+        post.where(col("t").isin(termSeq.toIndexedSeq: _*))
+      else post.join(broadcast(qterms.select("t").distinct()),
+        Seq("t"), "left_semi"))
       .localCheckpoint()
     val dfreq = slice.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val idf = round((col("n_docs").cast("double") - col("df") + lit(0.5)) /

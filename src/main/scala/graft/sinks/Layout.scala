@@ -276,7 +276,8 @@ object Layout {
     * it to the same file count. */
   def compactStatic(spark: org.apache.spark.sql.SparkSession, root: String,
       entity: String, targetBytes: Long = 128L * 1024 * 1024,
-      maxRecordsPerFile: Long = 1000000L): Option[(Int, Int)] =
+      maxRecordsPerFile: Long = 1000000L,
+      sortBy: Seq[String] = Nil): Option[(Int, Int)] =
     readStatic(spark, root, entity, recover = true).map { existing =>
       val fs = hadoopFs(spark, root)
       val dst = new org.apache.hadoop.fs.Path(s"$root/static/$entity")
@@ -294,9 +295,17 @@ object Layout {
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       // repartition (not coalesce): coalesce would glue scan partitions
       // without a shuffle but inherits their skew; the rewrite is the
-      // cost here anyway and a balanced layout is the product
-      overwriteStaticAtomic(existing.repartition(nFiles), root, entity,
-        maxRecordsPerFile)
+      // cost here anyway and a balanced layout is the product.
+      // `sortBy` range-partitions + sorts instead, so each compacted
+      // file owns a key range and its parquet min/max stats prune
+      // pushed equality/In probes (the lex_postings term fetch) —
+      // same shuffle bill, clustered layout as the product.
+      val laidOut =
+        if (sortBy.isEmpty) existing.repartition(nFiles)
+        else existing
+          .repartitionByRange(nFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      overwriteStaticAtomic(laidOut, root, entity, maxRecordsPerFile)
       (before, dataFiles())
     }
 

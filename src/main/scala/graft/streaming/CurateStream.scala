@@ -282,8 +282,20 @@ object CurateStream {
       case Some(sk) => sk.gate(keyed, "key")
       case None => keyed
     }
-    val dupExactCorpus = exactProbe.join(keyIdx, Seq("key"), "left_semi")
+    val dupExactCorpus0 = exactProbe.join(keyIdx, Seq("key"), "left_semi")
       .select("doc_id")
+    // the sharded gate is a UNION of S branch scans, and this frame's
+    // subtree re-evaluates inside every downstream join branch (b1 →
+    // bsig/b2 → near/contamination/span paths) — S× tasks × ~8
+    // re-evaluations turned the free S=4 gate into +2.5 s/batch
+    // (measured, r10 rehearsal). A LAZY checkpoint materializes the
+    // tiny id frame once on first use and caches it, without the
+    // extra eager action the r9 fused-frame work removed; the
+    // monolithic/ungated probes stay uncheckpointed (single cheap
+    // subtree, same as always).
+    val dupExactCorpus =
+      if (sketch.exists(_.shardCount > 1)) dupExactCorpus0.localCheckpoint(false)
+      else dupExactCorpus0
     val dupExactBatch = keyed.where(col("rn") > 1).select("doc_id")
     val b1 = keyed.select("doc_id")
       .join(dupExactCorpus, Seq("doc_id"), "left_anti")
@@ -469,6 +481,7 @@ object CurateStream {
     // landed; only the returned manifest stays materialized.
     landed.unpersist()
     bSpans.foreach(_.unpersist())
+    if (sketch.exists(_.shardCount > 1)) dupExactCorpus.unpersist()
     manifest
   }
 
@@ -503,8 +516,13 @@ object CurateStream {
           // SpansEntity rides the same window: compactStatic is a no-op
           // None when the store was never armed (spanGate off)
           Seq(KeysEntity, BandsEntity, BenchEntity, SpansEntity,
-              PostingsEntity, DlEntity, ManifestEntity)
+              DlEntity, ManifestEntity)
             .foreach(Layout.compactStatic(spark, root, _))
+          // postings compact RANGE-SORTED by term: each file owns a
+          // term range, so the served-BM25 fetch's pushed In(t, …)
+          // prunes row groups/files via min/max stats
+          Layout.compactStatic(spark, root, PostingsEntity,
+            sortBy = Seq("t"))
           // sketch-saturation maintenance rides the same window: once
           // merged items cross capacity, rebuild at 4× from the
           // authoritative key store (fpp is a cost knob, so deferring

@@ -98,6 +98,21 @@ object SemanticStream {
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
 
+  /** The PINNED serving operating point — the ServeSweep-measured
+    * knobs at which the SQ serving path reaches recall@3 ≥ 0.9
+    * against the full-scan gold on BOTH the raw sf0.1 corpus and the
+    * ×4-amplified one (SCALE.md "Serving-recall operating policy";
+    * SCALE_MEASURED_r10 `serve_sweep` has the bracketing rows). The
+    * defaults on [[queryTopKSq]] etc. stay the LATENCY-lean settings;
+    * serving that promises recall uses these. ServePolicySpec
+    * regression-gates the pair: if a knob or kernel change drops the
+    * policy below target recall, the suite goes red. */
+  object ServePolicy {
+    val NProbe = 12
+    val PrefilterC = 128
+    val TargetRecall3 = 0.9
+  }
+
   private val CellsDdl =
     "id bigint, cell bigint, v array<double>, n double, ver string"
   private val CodebookDdl =

@@ -46,6 +46,22 @@ class LexServedSpec extends AnyFunSuite {
     assert(served.sameElements(recomputed))
   }
 
+  test("the query-term fetch reaches the postings scan as a pushed In filter") {
+    // the 100-TB fetch shape: the tiny query vocabulary is collected
+    // and pushed as In(t, ...) so the stored-postings scan prunes at
+    // the row-group level (compaction range-sorts the store by t) —
+    // a broadcast semi-join would read the whole store per query.
+    // Asserted on the fetch frame itself: in the full q175 plan the
+    // slice sits behind a localCheckpoint, which hides its scan.
+    val s = spark
+    val root = graft.Temps.dir("lex-served-push")
+    CurateStream.upsertLex(Tables.documents(s, sfDir), root)
+    val fetch = Layout.readStatic(s, root, CurateStream.PostingsEntity).get
+      .where(col("t").isin("alpha", "beta", "gamma"))
+    val p = fetch.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(t"), p)
+  }
+
   test("ingest maintains the index: kept docs only, replay no-op, compaction row-preserving") {
     val s = spark
     import s.implicits._
