@@ -1022,5 +1022,59 @@ object VectorOps {
               |  CASE WHEN m.status = 'kept' AND s.s_id IS NOT NULL
               |       THEN s.s_id ELSE m.rep_id END AS rep_id
               |FROM man0 m LEFT JOIN sus s USING (vec_id)""".stripMargin),
-      "blend-suspect residual gate: widened-probe top-1 band catches cross-cell embedding recompositions the probe-local dup cosine cannot see"))
+      "blend-suspect residual gate: widened-probe top-1 band catches cross-cell embedding recompositions the probe-local dup cosine cannot see"),
+
+    // LATE-INTERACTION (multi-vector) retrieval: MaxSim re-rank in the
+    // ColBERT style — a document is a SET of sub-vectors and the score
+    // is Σ_qpos max_cpos cos(q[qpos], c[cpos]): every query slot picks
+    // its best-aligned document slot. Pooled single-vector retrieval
+    // (q30) collapses that alignment; MaxSim keeps it, at T× the
+    // vectors, so production runs it as a RE-RANK over a bounded
+    // pooled-prefilter candidate set — exactly this plan: pooled
+    // top-C candidates (q30's sanctioned broadcast-query scan), then a
+    // candidate-semi-joined slice explosion and all-equi-join
+    // max/sum cascade (C·T² cosine rows per query, corpus never
+    // touched past the prefilter). The multi-vector view slices the
+    // 64-dim embedding into 8×8-dim sub-vectors (deterministic stand-in
+    // for an encoder's token vectors — see LateInteraction's object
+    // doc); scores sum the per-slot 6dp maxima through DECIMAL(20,6),
+    // so both engines produce bit-identical doubles.
+    "q176_maxsim_topk" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        graft.ops.LateInteraction.maxSimTopK(
+          emb.where(col("vec_id") < 4), emb, "vec_id", "embedding",
+          k = 3, prefilterC = 16)
+      },
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |pre0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |           ${cosSql("q.v", "c.v")} AS cos
+           |         FROM q JOIN e c ON q.vec_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY cos DESC, c_id) AS prn FROM pre0)
+           |        WHERE prn <= 16),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+      },
+      "late-interaction MaxSim re-rank: pooled top-C prefilter, candidate-bounded multi-vector max/sum cascade"))
 }

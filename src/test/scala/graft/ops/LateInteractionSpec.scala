@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Late-interaction MaxSim contract ([[LateInteraction]]): slicing
+  * reconstructs the vector, an exact duplicate scores the per-slot
+  * maximum on every slot (maxsim = slices), scores are bounded by the
+  * slot count, and a corpus-covering prefilter makes the bounded
+  * re-rank identical to the unbounded one. */
+class LateInteractionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val Dim = 64
+
+  /** Deterministic synthetic vectors: component j of vector i from the
+    * same LCG family the LSH planes use — nothing special about the
+    * values beyond being fixed and non-degenerate. */
+  private def comp(i: Int, j: Int): Double =
+    SimSearch.planeComponent(i * 7 + 1, j)
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 24).map { i =>
+      (i.toLong, (0 until Dim).map(j => comp(i, j)))
+    } :+ (100L, (0 until Dim).map(j => comp(3, j))) // 100 duplicates 3
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("multiVec slices reconstruct the original vector in pos order") {
+    val s = spark
+    import s.implicits._
+    val back = LateInteraction.multiVec(vecs, "vec_id", "embedding")
+      .groupBy(col("id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("sv")))
+        .cast("array<struct<pos:int,sv:array<double>>>"))
+        .getField("sv")).as("rebuilt"))
+    val orig = vecs.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val mismatches = back.join(orig, Seq("id"))
+      .where(col("rebuilt") =!= col("v")).count()
+    assert(mismatches === 0)
+    // and each id yields exactly Slices sub-vectors of Dim/Slices dims
+    val shapes = LateInteraction.multiVec(vecs, "vec_id", "embedding")
+      .groupBy(col("id")).agg(count(lit(1)).as("n"),
+        min(size(col("sv"))).as("w1"), max(size(col("sv"))).as("w2"))
+      .where(col("n") =!= LateInteraction.Slices ||
+        col("w1") =!= Dim / LateInteraction.Slices ||
+        col("w2") =!= Dim / LateInteraction.Slices)
+    assert(shapes.count() === 0)
+  }
+
+  test("an exact duplicate scores maxsim = Slices and ranks first") {
+    val top = LateInteraction.maxSimTopK(
+      vecs.where(col("vec_id") === 3), vecs, "vec_id", "embedding",
+      k = 3, prefilterC = 8).orderBy(col("rn")).collect()
+    assert(top.head.getLong(2) === 100L) // the duplicate of 3
+    assert(math.abs(top.head.getDouble(3) - LateInteraction.Slices) < 1e-9)
+    // every score is bounded by the slot count (each slot cos ≤ 1)
+    assert(top.forall(_.getDouble(3) <= LateInteraction.Slices + 1e-9))
+  }
+
+  test("corpus-covering prefilter ≡ unbounded MaxSim (the bound only prunes)") {
+    val q = vecs.where(col("vec_id") < 4)
+    val bounded = LateInteraction.maxSimTopK(
+      q, vecs, "vec_id", "embedding", k = 5, prefilterC = 1000)
+    val viaSmallC = LateInteraction.maxSimTopK(
+      q, vecs, "vec_id", "embedding", k = 5, prefilterC = 25)
+    // C = corpus size: both candidate sets cover everything, so the
+    // re-ranked top-5 must agree row for row
+    assert(bounded.exceptAll(viaSmallC).count() === 0)
+    assert(viaSmallC.exceptAll(bounded).count() === 0)
+  }
+}

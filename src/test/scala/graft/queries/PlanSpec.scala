@@ -140,7 +140,12 @@ class PlanSpec extends AnyFunSuite {
     // served BM25: the scoring join is the stored-posting-slice
     // equi-join; the only BNLJ is q157's 1-row corpus-stats crossJoin
     // (computed from the stored lex_dl, still one row)
-    "q175_bm25_served")
+    "q175_bm25_served",
+    // the pooled prefilter is q30's sanctioned ≤4-row broadcast-query
+    // exact scan (the oracle-checkable candidate generator); the MaxSim
+    // re-rank itself — slice explosion, slot cosines, max/sum — is
+    // candidate-semi-joined equi-joins only
+    "q176_maxsim_topk")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
