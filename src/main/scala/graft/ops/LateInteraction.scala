@@ -70,15 +70,29 @@ object LateInteraction {
       slices: Int = Slices, dim: Int = SimSearch.LshDim): DataFrame = {
     val pre = SimSearch.bruteForceTopK(queries, corpus, idCol, vecCol, prefilterC)
       .select(col("q_id"), col("c_id"))
-    val qm = multiVec(queries, idCol, vecCol, slices, dim)
+    maxSimRerank(pre, queries, corpus, idCol, vecCol, idCol, vecCol,
+      k, slices, dim)
+  }
+
+  /** The MaxSim cascade over an externally-generated candidate set:
+    * `pre` is `(q_id, c_id)` from ANY first stage — [[maxSimTopK]]
+    * feeds it the exact pooled scan, the maintained-index face
+    * ([[graft.streaming.SemanticStream.queryTopKMaxSim]]) feeds it the
+    * stored-index SQ prefilter — and the re-rank is identical either
+    * way: slice both sides, equi-join pairs × slots, max per
+    * (pair, qpos), decimal-exact sum, per-query top-k. */
+  def maxSimRerank(pre: DataFrame, queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
+      k: Int, slices: Int = Slices, dim: Int = SimSearch.LshDim): DataFrame = {
+    val qm = multiVec(queries, qIdCol, qVecCol, slices, dim)
       .select(col("id").as("q_id"), col("pos").as("qpos"),
         col("sv").as("qv"), col("sn").as("qn"))
     // slice only the candidates: at corpus scale the semi-join keeps the
     // T× slice blow-up (and everything after it) off non-candidates
     val candIds = pre.select(col("c_id")).distinct()
     val cm = multiVec(
-      corpus.join(candIds, col(idCol) === candIds("c_id"), "left_semi"),
-      idCol, vecCol, slices, dim)
+      corpus.join(candIds, col(cIdCol) === candIds("c_id"), "left_semi"),
+      cIdCol, cVecCol, slices, dim)
       .select(col("id").as("c_id"), col("pos").as("cpos"),
         col("sv").as("cv"), col("sn").as("cn"))
     val pairCos = pre

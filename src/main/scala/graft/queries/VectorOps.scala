@@ -1076,5 +1076,91 @@ object VectorOps {
            |      FROM sc)
            |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
       },
-      "late-interaction MaxSim re-rank: pooled top-C prefilter, candidate-bounded multi-vector max/sum cascade"))
+      "late-interaction MaxSim re-rank: pooled top-C prefilter, candidate-bounded multi-vector max/sum cascade"),
+
+    // q176 SERVED FROM THE MAINTAINED INDEX at the PINNED policy
+    // knobs: the candidate stage is SemanticStream.sqCandidates —
+    // probe assignment (nProbe = ServePolicy.NProbe = 12) → stored
+    // cells → asymmetric SQ distance over stored codes → top-C
+    // (C = ServePolicy.PrefilterC = 128) — and the MaxSim cascade
+    // re-ranks THOSE pairs, reading corpus vectors from the stored
+    // cells entity (the only full-vector IO is the candidate slice;
+    // the corpus is never rescanned). This is the production
+    // late-interaction cascade: ANN first stage from the maintained
+    // index, multi-vector re-rank second — q176's brute prefilter
+    // swapped out with nothing downstream changing. The oracle
+    // replays bootstrap (seed codebook → cells → SQ grid → codes) →
+    // policy-knob probes → asymmetric prefilter → slice cascade →
+    // decimal-summed MaxSim top-k end to end.
+    "q177_maxsim_served" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-served-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true)
+        SemanticStream.queryTopKMaxSim(
+          emb.where(col("vec_id") < 4), root, topK = 3)
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS crn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id < 4 AND crn <= 12),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN cells c USING (cell)
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 128),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+      },
+      "late-interaction MaxSim served from the maintained index: SQ candidate stage at the pinned policy knobs, stored-vector slice re-rank"))
 }

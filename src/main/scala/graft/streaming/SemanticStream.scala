@@ -470,6 +470,31 @@ object SemanticStream {
       nProbe: Int = SimSearch.IvfProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = queries.sparkSession
+    val cand = sqCandidates(queries, root, prefilterC, idCol, vecCol, nProbe)
+    val vecs = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand.join(vecs, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= topK)
+  }
+
+  /** [[queryTopKSq]]'s candidate stage as a reusable face: probe
+    * assignment → stored-cell equi-join → asymmetric SQ distance over
+    * stored codes → per-query top-`prefilterC`. Returns
+    * `(q_id, qv, qn, c_id)` — the bounded candidate pairs every
+    * downstream re-ranker (exact cosine in [[queryTopKSq]], MaxSim in
+    * [[queryTopKMaxSim]]) starts from. Carries the torn-retrain
+    * repair, so candidates always come from one codebook version. */
+  def sqCandidates(queries: DataFrame, root: String, prefilterC: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
     val (mins, _, isteps) = readGrid(s, root).getOrElse(
       throw new IllegalStateException(
         s"no SQ grid under $root — bootstrap(withSq = true) first"))
@@ -490,7 +515,7 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("codes"))
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("sdist").asc, col("c_id").asc)
-    val cand = probes.join(cellIds, Seq("cell"))
+    probes.join(cellIds, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .join(codes, Seq("c_id"))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
@@ -498,16 +523,33 @@ object SemanticStream {
           .as("sdist"))
       .withColumn("prn", row_number().over(w1))
       .where(col("prn") <= prefilterC)
-    val vecs = stored(s, root, CellsEntity, CellsDdl)
-      .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
-    val w2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    cand.join(vecs, Seq("c_id"))
-      .select(col("q_id"), col("c_id"),
-        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
-          .as("cos"))
-      .withColumn("rn", row_number().over(w2))
-      .where(col("rn") <= topK)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"))
+  }
+
+  /** Late-interaction serving face: [[sqCandidates]] at the pinned
+    * [[ServePolicy]] knobs generates the bounded candidate pairs, and
+    * [[graft.ops.LateInteraction.maxSimRerank]] scores them with the
+    * multi-vector Σ max slot-cosine cascade — ANN-from-the-stored-index
+    * first stage, MaxSim second stage, the production late-interaction
+    * cascade (q176's brute prefilter swapped for the maintained index,
+    * nothing downstream changed). The corpus side of the re-rank reads
+    * the STORED vectors (cells entity), so the only full-vector IO is
+    * the candidate slice — the corpus is never rescanned. */
+  def queryTopKMaxSim(queries: DataFrame, root: String, topK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      prefilterC: Int = ServePolicy.PrefilterC,
+      nProbe: Int = ServePolicy.NProbe,
+      slices: Int = graft.ops.LateInteraction.Slices,
+      dim: Int = SimSearch.LshDim): DataFrame = {
+    val s = queries.sparkSession
+    val pre = sqCandidates(queries, root, prefilterC, idCol, vecCol, nProbe)
+      .select(col("q_id"), col("c_id"))
+    val corpus = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id"), col("v"))
+    graft.ops.LateInteraction.maxSimRerank(
+      pre, queries.select(col(idCol), col(vecCol)), corpus,
+      qIdCol = idCol, qVecCol = vecCol, cIdCol = "id", cVecCol = "v",
+      k = topK, slices = slices, dim = dim)
   }
 
   /** [[queryTopKSq]]'s dimensionality twin (requires

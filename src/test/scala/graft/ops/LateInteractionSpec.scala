@@ -74,4 +74,21 @@ class LateInteractionSpec extends AnyFunSuite {
     assert(bounded.exceptAll(viaSmallC).count() === 0)
     assert(viaSmallC.exceptAll(bounded).count() === 0)
   }
+
+  test("served face at covering knobs ≡ brute MaxSim (index only bounds, never reorders)") {
+    import graft.streaming.SemanticStream
+    val root = graft.Temps.dir("maxsim-served-spec")
+    SemanticStream.bootstrap(vecs, root, withSq = true)
+    val q = vecs.where(col("vec_id") < 4)
+    // full probe (nProbe = IvfK) + corpus-covering C: the SQ candidate
+    // stage admits every non-self pair, so the served cascade must
+    // reproduce the brute one row for row — the maintained index is a
+    // pure candidate bound on the same deterministic re-rank
+    val served = SemanticStream.queryTopKMaxSim(q, root, topK = 5,
+      prefilterC = 100, nProbe = SimSearch.IvfK)
+    val brute = LateInteraction.maxSimTopK(
+      q, vecs, "vec_id", "embedding", k = 5, prefilterC = 100)
+    assert(served.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(served).count() === 0)
+  }
 }
