@@ -534,7 +534,15 @@ object SemanticStream {
     * cascade (q176's brute prefilter swapped for the maintained index,
     * nothing downstream changed). The corpus side of the re-rank reads
     * the STORED vectors (cells entity), so the only full-vector IO is
-    * the candidate slice — the corpus is never rescanned. */
+    * the candidate slice — the corpus is never rescanned.
+    *
+    * Recall caveat: [[ServePolicy]]'s ≥0.9@3 target is a POOLED-face
+    * property and does NOT transfer here — against the covering-gold
+    * MaxSim, recall is bounded by how well the pooled stage-1 ordering
+    * predicts the multi-vector one (`maxsim_serve`, SCALE.md): on
+    * corpora where the two decorrelate, recall ≈ C/n. Measure the C
+    * ladder against the covering gold on your corpus (MaxSimBench)
+    * before trusting a bounded budget. */
   def queryTopKMaxSim(queries: DataFrame, root: String, topK: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       prefilterC: Int = ServePolicy.PrefilterC,
