@@ -2021,5 +2021,86 @@ object TextOps {
            |SELECT doc_id, source, n_toks, status FROM m1
            |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin
       },
-      "online curation with the span layer armed: franken-docs recomposed from corpus substrings land dup_span_corpus"))
+      "online curation with the span layer armed: franken-docs recomposed from corpus substrings land dup_span_corpus"),
+
+    // DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR; Xie et al.,
+    // NeurIPS 2023) with hashed n-gram features: candidate documents
+    // are scored by how much more likely their tokens are under a
+    // TARGET domain's hashed-unigram distribution than under the raw
+    // pool's, and the top importance quartile is selected. Features
+    // are tokens char-fold-hashed into B = 256 buckets (the paper's
+    // hashed n-gram trick — fixed-width distributions regardless of
+    // vocab); both distributions are add-1-smoothed bucket counts;
+    // a doc's weight is Σ_tokens llr(bucket(token)). Here the target
+    // domain is doc_id % 7 = 0 (a deterministic stand-in for "the
+    // Wikipedia-like corpus you want more of") and candidates are the
+    // rest. Determinism across engines: the log's INPUT is one IEEE
+    // division of two exactly-representable integer products
+    // ((ct_t+1)·(n_r+B) vs (ct_r+1)·(n_t+B) — both < 2^53), so both
+    // engines log the identical double; the per-BUCKET llr is rounded
+    // to 6dp (256 values, boundary collisions vanishingly unlikely)
+    // and per-doc sums go through DECIMAL(30,15), order-free. Scale
+    // shape: the model is TWO B-row broadcast aggregates; scoring is
+    // the token→bucket equi-join against the broadcast llr table +
+    // one per-doc aggregate (posting-shaped, never doc × vocab); the
+    // only global step is the doc-level ntile, q164's convention.
+    "q178_dsir_select" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 256
+        val docs = documents(s, d)
+        val toks = docs.select(col("doc_id"),
+            explode(tokens(col("text"))).as("t"))
+          .select(col("doc_id"),
+            pmod(tokenHash(col("t")), lit(B.toLong)).as("b"))
+          .localCheckpoint() // read 3×: target model, raw model, scoring
+        val isTgt = col("doc_id") % 7 === 0
+        val tgt = toks.where(isTgt)
+          .groupBy(col("b")).agg(count(lit(1)).as("ct_t"))
+        val raw = toks.where(!isTgt)
+          .groupBy(col("b")).agg(count(lit(1)).as("ct_r"))
+        val nt = toks.where(isTgt).agg(count(lit(1)).as("n_t"))
+        val nr = toks.where(!isTgt).agg(count(lit(1)).as("n_r"))
+        val llr = tgt.join(raw, Seq("b"), "full_outer")
+          .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
+            coalesce(col("ct_r"), lit(0L)).as("ct_r"))
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("b"),
+            round(log(
+              ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
+                ((col("ct_r") + 1) * (col("n_t") + B)).cast("double")), 6)
+              .as("llr"))
+        val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
+        toks.where(!isTgt)
+          .join(broadcast(llr), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("llr").cast("decimal(30,15)")).cast("double").as("weight"))
+          .withColumn("quartile", ntile(4).over(w))
+          .select(col("doc_id"), col("n_toks"), col("weight"),
+            col("quartile"), (col("quartile") === 1).as("selected"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+              |tb AS MATERIALIZED (SELECT doc_id, ${tokHashSql("t")} % 256 AS b FROM tk),
+              |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_t FROM tb
+              |        WHERE doc_id % 7 = 0 GROUP BY 1),
+              |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_r FROM tb
+              |        WHERE doc_id % 7 <> 0 GROUP BY 1),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM tb WHERE doc_id % 7 = 0),
+              |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM tb WHERE doc_id % 7 <> 0),
+              |llr AS (SELECT coalesce(t.b, r.b) AS b,
+              |          round(ln(CAST((coalesce(ct_t, 0) + 1) * (n_r + 256) AS DOUBLE) /
+              |                   CAST((coalesce(ct_r, 0) + 1) * (n_t + 256) AS DOUBLE)), 6) AS llr
+              |        FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b
+              |        CROSS JOIN nt CROSS JOIN nr),
+              |sc AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+              |         CAST(sum(CAST(l.llr AS DECIMAL(30,15))) AS DOUBLE) AS weight
+              |       FROM tb JOIN llr l USING (b)
+              |       WHERE tb.doc_id % 7 <> 0 GROUP BY 1),
+              |r AS (SELECT doc_id, n_toks, weight,
+              |        ntile(4) OVER (ORDER BY weight DESC, doc_id ASC) AS quartile
+              |      FROM sc)
+              |SELECT doc_id, n_toks, weight, quartile,
+              |  quartile = 1 AS selected FROM r""".stripMargin),
+      "DSIR-style importance selection: hashed-unigram target/raw LLR weights, top-quartile keep"))
 }

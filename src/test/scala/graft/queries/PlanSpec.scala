@@ -145,7 +145,11 @@ class PlanSpec extends AnyFunSuite {
     // exact scan (the oracle-checkable candidate generator); the MaxSim
     // re-rank itself — slice explosion, slot cosines, max/sum — is
     // candidate-semi-joined equi-joins only
-    "q176_maxsim_topk")
+    "q176_maxsim_topk",
+    // the two token-total frames (n_t, n_r) are ONE-row aggregates
+    // crossJoined onto the B-row llr table — q157's bounded stats-frame
+    // shape; the scoring join itself is the token→bucket equi-join
+    "q178_dsir_select")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
