@@ -2102,5 +2102,87 @@ object TextOps {
               |      FROM sc)
               |SELECT doc_id, n_toks, weight, quartile,
               |  quartile = 1 AS selected FROM r""".stripMargin),
-      "DSIR-style importance selection: hashed-unigram target/raw LLR weights, top-quartile keep"))
+      "DSIR-style importance selection: hashed-unigram target/raw LLR weights, top-quartile keep"),
+
+    // q178 SERVED FROM THE MAINTAINED INVERTED INDEX: both the model
+    // (target/raw bucket distributions) and the per-doc scoring read
+    // the STORED `lex_postings (t, doc_id, tf)` — bucket counts are
+    // Σ tf grouped by hash(t) % B, a B-row aggregate over postings
+    // rows, and a doc's weight is Σ_terms tf · llr(bucket(term)) —
+    // so selection never re-tokenizes a document: the same ingest
+    // upkeep that serves BM25 (q175) serves importance selection for
+    // free. The two-phase upsert (even docs, then all) exercises the
+    // incremental maintenance path exactly like q175. Numerically the
+    // same chain as q178 (Σ tf·llr over 6dp llr values through exact
+    // decimals ≡ the per-occurrence sum), so the weights — and the
+    // selection — hash-match the recomputed ones; the oracle replays
+    // ingest → postings → bucket model → posting-shaped scoring.
+    "q179_dsir_served" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.sinks.Layout
+        import graft.streaming.CurateStream
+        val B = 256
+        val root = graft.Temps.dirFor(s"dsir-served-$d")
+        val docs = documents(s, d)
+        CurateStream.upsertLex(docs.where(col("doc_id") % 2 === 0), root)
+        CurateStream.upsertLex(docs, root)
+        val post = Layout.readStatic(s, root, CurateStream.PostingsEntity)
+          .getOrElse(throw new IllegalStateException(s"no $root postings"))
+          .select(col("doc_id"),
+            pmod(tokenHash(col("t")), lit(B.toLong)).as("b"), col("tf"))
+          .localCheckpoint() // read 3×: target model, raw model, scoring
+        val isTgt = col("doc_id") % 7 === 0
+        val tgt = post.where(isTgt)
+          .groupBy(col("b")).agg(sum(col("tf")).as("ct_t"))
+        val raw = post.where(!isTgt)
+          .groupBy(col("b")).agg(sum(col("tf")).as("ct_r"))
+        val nt = post.where(isTgt).agg(sum(col("tf")).as("n_t"))
+        val nr = post.where(!isTgt).agg(sum(col("tf")).as("n_r"))
+        val llr = tgt.join(raw, Seq("b"), "full_outer")
+          .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
+            coalesce(col("ct_r"), lit(0L)).as("ct_r"))
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .select(col("b"),
+            round(log(
+              ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
+                ((col("ct_r") + 1) * (col("n_t") + B)).cast("double")), 6)
+              .as("llr"))
+        val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
+        post.where(!isTgt)
+          .join(broadcast(llr), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_toks"),
+            sum(col("llr").cast("decimal(10,6)") * col("tf"))
+              .cast("double").as("weight"))
+          .withColumn("quartile", ntile(4).over(w))
+          .select(col("doc_id"), col("n_toks"), col("weight"),
+            col("quartile"), (col("quartile") === 1).as("selected"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+              |postings AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+              |             FROM tk GROUP BY 1, 2),
+              |pb AS MATERIALIZED (SELECT doc_id, ${tokHashSql("t")} % 256 AS b, tf
+              |      FROM postings),
+              |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS ct_t FROM pb
+              |        WHERE doc_id % 7 = 0 GROUP BY 1),
+              |raw AS (SELECT b, CAST(sum(tf) AS BIGINT) AS ct_r FROM pb
+              |        WHERE doc_id % 7 <> 0 GROUP BY 1),
+              |nt AS (SELECT CAST(sum(tf) AS BIGINT) AS n_t FROM pb WHERE doc_id % 7 = 0),
+              |nr AS (SELECT CAST(sum(tf) AS BIGINT) AS n_r FROM pb WHERE doc_id % 7 <> 0),
+              |llr AS (SELECT coalesce(t.b, r.b) AS b,
+              |          round(ln(CAST((coalesce(ct_t, 0) + 1) * (n_r + 256) AS DOUBLE) /
+              |                   CAST((coalesce(ct_r, 0) + 1) * (n_t + 256) AS DOUBLE)), 6) AS llr
+              |        FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b
+              |        CROSS JOIN nt CROSS JOIN nr),
+              |sc AS (SELECT pb.doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+              |         CAST(sum(CAST(l.llr AS DECIMAL(10,6)) * tf) AS DOUBLE) AS weight
+              |       FROM pb JOIN llr l USING (b)
+              |       WHERE pb.doc_id % 7 <> 0 GROUP BY 1),
+              |r AS (SELECT doc_id, n_toks, weight,
+              |        ntile(4) OVER (ORDER BY weight DESC, doc_id ASC) AS quartile
+              |      FROM sc)
+              |SELECT doc_id, n_toks, weight, quartile,
+              |  quartile = 1 AS selected FROM r""".stripMargin),
+      "DSIR selection served from the stored inverted index: bucket model and per-doc scoring both read lex_postings, no re-tokenization"))
 }

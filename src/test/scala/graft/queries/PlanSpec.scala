@@ -149,7 +149,10 @@ class PlanSpec extends AnyFunSuite {
     // the two token-total frames (n_t, n_r) are ONE-row aggregates
     // crossJoined onto the B-row llr table — q157's bounded stats-frame
     // shape; the scoring join itself is the token→bucket equi-join
-    "q178_dsir_select")
+    "q178_dsir_select",
+    // q178's stats-frame shape over the STORED postings — same two
+    // 1-row crossJoins, scoring is the posting→bucket equi-join
+    "q179_dsir_served")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
