@@ -110,5 +110,92 @@ object ShardOps {
               |       CAST(sum(same_prev) AS BIGINT) AS adj_same,
               |       CAST(max(run_len) AS BIGINT) AS max_run
               |FROM runs GROUP BY 1""".stripMargin),
-      "interleave quality of the sharded order: adjacent same-source pairs + longest same-source run per shard"))
+      "interleave quality of the sharded order: adjacent same-source pairs + longest same-source run per shard"),
+
+    // TEMPERATURE-SCALED SOURCE MIXING (the multilingual-pretraining
+    // sampler: XLM-R / mT5 draw from source s with probability
+    // ∝ p_s^α, α < 1, so small sources are upsampled relative to
+    // proportional). α = 1/2 here, which makes the weights sqrt(n_s)
+    // — IEEE sqrt is correctly rounded in BOTH engines, so unlike a
+    // general pow the weights are bit-identical. Allocation of the
+    // K = 100 budget is the largest-remainder (Hamilton) method:
+    // base_s = floor(K·w_s/W), leftover +1s by remainder rank. W
+    // folds the per-source weights IN SOURCE ORDER (the shared
+    // sequential-fold discipline — an unordered double sum would be
+    // engine-dependent); every downstream number is an integer or a
+    // rank of identical doubles, so the OUTPUT has no float columns
+    // at all. The pool is deterministically skewed first (survival
+    // h % (idx+2) = 0 — source s keeps ~25/(s+2) docs) because
+    // temperature flattening is invisible on the uniform raw table;
+    // per-source picks are by hash rank (q152's order). A quota can
+    // exceed a tiny source's pool — selection then exhausts the
+    // source (sampling without replacement), the real-world behavior.
+    // Scale shape: two source-cardinality aggregates + two 1-row
+    // stats crossJoins + one per-source window — never a global sort
+    // of docs.
+    "q180_temperature_mix" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 100
+        val pool = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            substring(col("source"), 4, 10).cast("int").as("idx"),
+            graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+              .as("h"))
+          .where(pmod(col("h"), col("idx") + 2) === 0)
+        val srcs = pool.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast("double")))
+        val tot = srcs.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("source"), col("w"))))
+              .getField("w"),
+            lit(0.0), (acc, x) => acc + x).as("wsum"))
+        val a0 = srcs.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            floor(lit(K) * col("w") / col("wsum")).cast("long").as("base"),
+            (lit(K) * col("w") / col("wsum") -
+              floor(lit(K) * col("w") / col("wsum"))).as("rem"))
+        val lo = a0.agg((lit(K) - sum(col("base"))).as("leftover"))
+        val wr = Window.orderBy(col("rem").desc, col("source").asc)
+        val alloc = a0.crossJoin(broadcast(lo))
+          .withColumn("rr", row_number().over(wr))
+          .select(col("source"), col("n_docs"),
+            (col("base") + when(col("rr") <= col("leftover"), 1L)
+              .otherwise(0L)).as("quota"))
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        pool.join(broadcast(alloc), Seq("source"))
+          .withColumn("rn", row_number().over(ws))
+          .where(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("n_docs"),
+            col("quota"), col("rn"))
+      },
+      Some(s"""WITH pool AS (SELECT doc_id, source,
+              |    CAST(substr(source, 4) AS INT) AS idx,
+              |    ${TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |p2 AS (SELECT * FROM pool WHERE h % (idx + 2) = 0),
+              |srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |           sqrt(CAST(count(*) AS DOUBLE)) AS w
+              |         FROM p2 GROUP BY 1),
+              |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              |          list(w ORDER BY source)), (a, x) -> a + x) AS wsum
+              |        FROM srcs),
+              |a0 AS (SELECT source, n_docs,
+              |         CAST(floor(100 * w / wsum) AS BIGINT) AS base,
+              |         100 * w / wsum - floor(100 * w / wsum) AS rem
+              |       FROM srcs CROSS JOIN tot),
+              |lo AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM a0),
+              |al AS (SELECT source, n_docs,
+              |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+              |           source ASC) <= leftover THEN 1 ELSE 0 END AS quota
+              |       FROM a0 CROSS JOIN lo),
+              |sel AS (SELECT p.doc_id, p.source, al.n_docs, al.quota,
+              |          row_number() OVER (PARTITION BY p.source
+              |            ORDER BY p.h ASC, p.doc_id ASC) AS rn
+              |        FROM p2 p JOIN al USING (source))
+              |SELECT doc_id, source, n_docs, CAST(quota AS BIGINT) AS quota, rn
+              |FROM sel WHERE rn <= quota""".stripMargin),
+      "temperature-scaled source mixing: sqrt-weighted largest-remainder quotas, hash-rank picks per source"))
 }

@@ -152,7 +152,12 @@ class PlanSpec extends AnyFunSuite {
     "q178_dsir_select",
     // q178's stats-frame shape over the STORED postings — same two
     // 1-row crossJoins, scoring is the posting→bucket equi-join
-    "q179_dsir_served")
+    "q179_dsir_served",
+    // the weight-total and leftover frames are ONE-row aggregates
+    // crossJoined onto the source-cardinality allocation table —
+    // q157's bounded stats-frame shape; doc selection is the source
+    // equi-join + per-source window
+    "q180_temperature_mix")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
