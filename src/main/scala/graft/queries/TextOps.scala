@@ -367,6 +367,43 @@ object TextOps {
           .otherwise("kept").as("status"))
   }
 
+  /** q178/q181's shared DSIR weight chain: hashed-unigram bucket
+    * counts for the target (doc_id % 7 = 0) vs raw pools, add-1
+    * smoothed LLR per bucket (6dp — the log's input is one IEEE
+    * division of exact < 2^53 integer products, see q178's doc), and
+    * per-raw-doc `(doc_id, n_toks, weight)` via the token→bucket
+    * equi-join + decimal-exact sum. */
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        pmod(tokenHash(col("t")), lit(B.toLong)).as("b"))
+      .localCheckpoint() // read 3×: target model, raw model, scoring
+    val isTgt = col("doc_id") % 7 === 0
+    val tgt = toks.where(isTgt)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct_t"))
+    val raw = toks.where(!isTgt)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct_r"))
+    val nt = toks.where(isTgt).agg(count(lit(1)).as("n_t"))
+    val nr = toks.where(!isTgt).agg(count(lit(1)).as("n_r"))
+    val llr = tgt.join(raw, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
+        coalesce(col("ct_r"), lit(0L)).as("ct_r"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("b"),
+        round(log(
+          ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
+            ((col("ct_r") + 1) * (col("n_t") + B)).cast("double")), 6)
+          .as("llr"))
+    toks.where(!isTgt)
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("llr").cast("decimal(30,15)")).cast("double").as("weight"))
+  }
+
   def defs: Map[String, Q] = Map(
     // Per-source winsorization: clamp a quality signal to its source's
     // [P5, P95] band — the outlier-robust normalization step ahead of
@@ -2047,35 +2084,8 @@ object TextOps {
     "q178_dsir_select" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val B = 256
-        val docs = documents(s, d)
-        val toks = docs.select(col("doc_id"),
-            explode(tokens(col("text"))).as("t"))
-          .select(col("doc_id"),
-            pmod(tokenHash(col("t")), lit(B.toLong)).as("b"))
-          .localCheckpoint() // read 3×: target model, raw model, scoring
-        val isTgt = col("doc_id") % 7 === 0
-        val tgt = toks.where(isTgt)
-          .groupBy(col("b")).agg(count(lit(1)).as("ct_t"))
-        val raw = toks.where(!isTgt)
-          .groupBy(col("b")).agg(count(lit(1)).as("ct_r"))
-        val nt = toks.where(isTgt).agg(count(lit(1)).as("n_t"))
-        val nr = toks.where(!isTgt).agg(count(lit(1)).as("n_r"))
-        val llr = tgt.join(raw, Seq("b"), "full_outer")
-          .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
-            coalesce(col("ct_r"), lit(0L)).as("ct_r"))
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-          .select(col("b"),
-            round(log(
-              ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
-                ((col("ct_r") + 1) * (col("n_t") + B)).cast("double")), 6)
-              .as("llr"))
         val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
-        toks.where(!isTgt)
-          .join(broadcast(llr), Seq("b"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_toks"),
-            sum(col("llr").cast("decimal(30,15)")).cast("double").as("weight"))
+        dsirWeights(s, d)
           .withColumn("quartile", ntile(4).over(w))
           .select(col("doc_id"), col("n_toks"), col("weight"),
             col("quartile"), (col("quartile") === 1).as("selected"))
@@ -2184,5 +2194,61 @@ object TextOps {
               |      FROM sc)
               |SELECT doc_id, n_toks, weight, quartile,
               |  quartile = 1 AS selected FROM r""".stripMargin),
-      "DSIR selection served from the stored inverted index: bucket model and per-doc scoring both read lex_postings, no re-tokenization"))
+      "DSIR selection served from the stored inverted index: bucket model and per-doc scoring both read lex_postings, no re-tokenization"),
+
+    // DSIR's actual RESAMPLING step (q178 ranks; the paper SAMPLES
+    // without replacement ∝ exp(llr weight)): the Gumbel-top-k trick
+    // — top-K by (weight + G_d) where G_d is standard Gumbel noise —
+    // draws exactly that sample, and seeding the noise from the
+    // doc-id hash makes the draw REPRODUCIBLE: u_d = (h_d + 1) /
+    // (P + 1) ∈ (0,1) exactly representable, G_d = −ln(−ln u_d).
+    // Determinism with two chained transcendentals: the inner ln's
+    // input is an exact double, its result rounds to 9dp (|ln u| ≥
+    // 1/(P+1) ≈ 1e-9, so 9dp never collapses to zero), the outer ln
+    // sees that exact 9dp double and rounds to 6dp — both engines
+    // agree at each rounding gate. score = weight + g is one IEEE add
+    // of identical doubles. Scale shape: q178's chain + one per-doc
+    // expression; the only global step is the doc-level top-K rank.
+    "q181_dsir_resample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 100
+        val u = (tokenHash(col("doc_id").cast("string")) + 1)
+          .cast("double") / lit((HashMod + 1).toDouble)
+        val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+        dsirWeights(s, d)
+          .withColumn("g", round(-log(-round(log(u), 9)), 6))
+          .withColumn("score", col("weight") + col("g"))
+          .withColumn("rnk", row_number().over(w))
+          .select(col("doc_id"), col("n_toks"), col("weight"), col("g"),
+            col("score"), col("rnk"), (col("rnk") <= K).as("selected"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+              |tb AS MATERIALIZED (SELECT doc_id, ${tokHashSql("t")} % 256 AS b FROM tk),
+              |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_t FROM tb
+              |        WHERE doc_id % 7 = 0 GROUP BY 1),
+              |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_r FROM tb
+              |        WHERE doc_id % 7 <> 0 GROUP BY 1),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM tb WHERE doc_id % 7 = 0),
+              |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM tb WHERE doc_id % 7 <> 0),
+              |llr AS (SELECT coalesce(t.b, r.b) AS b,
+              |          round(ln(CAST((coalesce(ct_t, 0) + 1) * (n_r + 256) AS DOUBLE) /
+              |                   CAST((coalesce(ct_r, 0) + 1) * (n_t + 256) AS DOUBLE)), 6) AS llr
+              |        FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b
+              |        CROSS JOIN nt CROSS JOIN nr),
+              |sc AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+              |         CAST(sum(CAST(l.llr AS DECIMAL(30,15))) AS DOUBLE) AS weight
+              |       FROM tb JOIN llr l USING (b)
+              |       WHERE tb.doc_id % 7 <> 0 GROUP BY 1),
+              |gn AS (SELECT doc_id, n_toks, weight,
+              |         round(-ln(-round(ln(
+              |           (${tokHashSql("CAST(doc_id AS VARCHAR)")} + 1) /
+              |             CAST(${HashMod + 1} AS DOUBLE)), 9)), 6) AS g
+              |       FROM sc),
+              |r AS (SELECT doc_id, n_toks, weight, g, weight + g AS score,
+              |        row_number() OVER (ORDER BY weight + g DESC, doc_id ASC) AS rnk
+              |      FROM gn)
+              |SELECT doc_id, n_toks, weight, g, score, rnk,
+              |  rnk <= 100 AS selected FROM r""".stripMargin),
+      "DSIR Gumbel-top-k resampling: hash-seeded Gumbel noise over the LLR weights draws a reproducible without-replacement sample"))
 }

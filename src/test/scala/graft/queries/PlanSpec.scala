@@ -153,6 +153,9 @@ class PlanSpec extends AnyFunSuite {
     // q178's stats-frame shape over the STORED postings — same two
     // 1-row crossJoins, scoring is the posting→bucket equi-join
     "q179_dsir_served",
+    // q178's chain (same two 1-row stats crossJoins) + a per-doc
+    // Gumbel expression; the top-K rank is the only global step
+    "q181_dsir_resample",
     // the weight-total and leftover frames are ONE-row aggregates
     // crossJoined onto the source-cardinality allocation table —
     // q157's bounded stats-frame shape; doc selection is the source
