@@ -2250,5 +2250,50 @@ object TextOps {
               |      FROM gn)
               |SELECT doc_id, n_toks, weight, g, score, rnk,
               |  rnk <= 100 AS selected FROM r""".stripMargin),
-      "DSIR Gumbel-top-k resampling: hash-seeded Gumbel noise over the LLR weights draws a reproducible without-replacement sample"))
+      "DSIR Gumbel-top-k resampling: hash-seeded Gumbel noise over the LLR weights draws a reproducible without-replacement sample"),
+
+    // STRIDE-OVERLAP CHUNKING — the RAG indexing splitter: windows of
+    // W = 64 tokens starting every S = 48 (16-token overlap so no
+    // boundary sentence is ever cut from BOTH neighbors), each chunk
+    // carrying retrieval provenance (doc, ordinal, 1-based token
+    // start, actual length — the tail chunk is partial by design) and
+    // a cross-engine fingerprint (the char-fold hash of the re-joined
+    // window) instead of the window text itself, so the output stays
+    // narrow and the chunk CONTENT is still hash-pinned. Scale shape:
+    // one generator expression per doc (explode of ⌈len/S⌉ window
+    // indexes + a bounded slice each) — zero joins, zero shuffles
+    // beyond the scan; the chunk table partitions however its
+    // consumer wants because provenance is self-contained.
+    "q182_chunk_stride" -> Q(
+      (s, d) => {
+        val W = 64
+        val S = 48
+        val docs = documents(s, d)
+        val T = tokens(col("text"))
+        docs.select(col("doc_id"), T.as("T"))
+          .where(size(col("T")) >= 1)
+          .select(col("doc_id"), col("T"),
+            explode(sequence(lit(0L),
+              greatest(floor((size(col("T")) - 1).cast("double") / S)
+                .cast("long"), lit(0L)))).as("k"))
+          .select(col("doc_id"), col("k").as("chunk_idx"),
+            (col("k") * S + 1).as("start_tok"),
+            slice(col("T"), (col("k") * S + 1).cast("int"), lit(W)).as("ctoks"))
+          .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+            size(col("ctoks")).cast("long").as("n_ctoks"),
+            tokenHash(array_join(col("ctoks"), " ")).as("fp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |ks AS (SELECT doc_id, T,
+              |         unnest(range(0, (len(T) - 1) // 48 + 1)) AS k
+              |       FROM t WHERE len(T) >= 1),
+              |ch AS (SELECT doc_id, k AS chunk_idx,
+              |         k * 48 + 1 AS start_tok,
+              |         list_slice(T, k * 48 + 1, k * 48 + 64) AS ctoks
+              |       FROM ks)
+              |SELECT doc_id, chunk_idx, start_tok,
+              |  CAST(len(ctoks) AS BIGINT) AS n_ctoks,
+              |  ${tokHashSql("array_to_string(ctoks, ' ')")} AS fp
+              |FROM ch""".stripMargin),
+      "stride-overlap chunking for retrieval indexing: 64-token windows every 48, provenance + content fingerprint per chunk"))
 }

@@ -1162,5 +1162,135 @@ object VectorOps {
            |      FROM sc)
            |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
       },
-      "late-interaction MaxSim served from the maintained index: SQ candidate stage at the pinned policy knobs, stored-vector slice re-rank"))
+      "late-interaction MaxSim served from the maintained index: SQ candidate stage at the pinned policy knobs, stored-vector slice re-rank"),
+
+    // RETRIEVAL-QUALITY METRICS of the served dense path — the
+    // evaluation op every retrieval deployment runs: per query,
+    // recall@10 hits, MRR (reciprocal served-rank of the exact top-1)
+    // and nDCG@10 (binary relevance = membership in the exact top-10)
+    // of queryTopKSq AT THE PINNED POLICY KNOBS against the full-scan
+    // gold. The DCG discounts 1/log2(i+1), i = 1..10, are computed
+    // ONCE in Scala and embedded as round-tripping literals in BOTH
+    // the Spark plan and the oracle SQL (the keccak-golden precedent)
+    // — no runtime transcendental, so cross-engine agreement is by
+    // construction; per-query DCG sums the literal terms through
+    // DECIMAL, and nDCG/MRR are single IEEE divisions of identical
+    // doubles rounded to 6dp. Scale shape: gold is the sanctioned
+    // ≤8-row broadcast-query exact scan (the measurement baseline,
+    // q127's pattern); the served leg is the bounded stored-index
+    // plan; metrics are k-row-per-query joins + one aggregate.
+    "q183_retrieval_metrics" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"retr-metrics-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true)
+        val q = emb.where(col("vec_id") < 8)
+        val gold = SimSearch.bruteForceTopK(q, emb, "vec_id", "embedding",
+            k = 10)
+          .select(col("q_id"), col("c_id"), col("rn").as("grn"))
+          .localCheckpoint() // read twice: join + top-1 slice
+        val top1 = gold.where(col("grn") === 1)
+          .select(col("q_id"), col("c_id").as("t1"))
+        val served = SemanticStream.queryTopKSq(q, root, topK = 10,
+            prefilterC = SemanticStream.ServePolicy.PrefilterC,
+            nProbe = SemanticStream.ServePolicy.NProbe)
+          .select(col("q_id"), col("c_id"), col("rn").as("srn"))
+        val terms = (1 to 10).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val idcg = terms.sum.toDouble
+        val termArr = array(terms.map(t => lit(t.toDouble)): _*)
+        served.join(gold, Seq("q_id", "c_id"), "left_outer")
+          .join(broadcast(top1), Seq("q_id"))
+          .groupBy(col("q_id"))
+          .agg(
+            sum(when(col("grn").isNotNull, 1L).otherwise(0L)).as("hits10"),
+            max(when(col("c_id") === col("t1"),
+              round(lit(1.0) / col("srn"), 6)).otherwise(lit(0.0))).as("rr"),
+            round(
+              sum(when(col("grn").isNotNull,
+                element_at(termArr, col("srn").cast("int")))
+                .otherwise(lit(0.0)).cast("decimal(20,6)")).cast("double") /
+                lit(idcg), 6).as("ndcg"))
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        val terms = (1 to 10).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val idcg = terms.sum.toDouble
+        val termList = terms.map(t => s"CAST(${t.toDouble} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+           |g0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |         ${cosSql("q.v", "c.v")} AS cos
+           |       FROM q JOIN e c ON q.vec_id <> c.vec_id),
+           |gold AS (SELECT q_id, c_id, grn FROM (
+           |           SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY cos DESC, c_id) AS grn FROM g0)
+           |         WHERE grn <= 10),
+           |top1 AS (SELECT q_id, c_id AS t1 FROM gold WHERE grn = 1),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS crn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id < 8 AND crn <= 12),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN cells c USING (cell)
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 128),
+           |scx AS (SELECT p.q_id, p.c_id, ${cosSql("qq.v", "cc.v")} AS cos
+           |        FROM pre p
+           |        JOIN e qq ON qq.vec_id = p.q_id
+           |        JOIN e cc ON cc.vec_id = p.c_id),
+           |served AS (SELECT q_id, c_id, srn FROM (
+           |             SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, c_id) AS srn FROM scx)
+           |           WHERE srn <= 10),
+           |terms(tl) AS (SELECT $termList),
+           |j AS (SELECT s.q_id, s.c_id, s.srn, g.grn, t.t1
+           |      FROM served s
+           |      LEFT JOIN gold g ON g.q_id = s.q_id AND g.c_id = s.c_id
+           |      JOIN top1 t ON t.q_id = s.q_id)
+           |SELECT j.q_id,
+           |  CAST(sum(CASE WHEN grn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+           |  max(CASE WHEN c_id = t1 THEN round(CAST(1.0 AS DOUBLE) / srn, 6)
+           |      ELSE CAST(0.0 AS DOUBLE) END) AS rr,
+           |  round(CAST(sum(CAST(CASE WHEN grn IS NOT NULL THEN tl[srn]
+           |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(20,6))) AS DOUBLE) /
+           |    CAST($idcg AS DOUBLE), 6) AS ndcg
+           |FROM j CROSS JOIN terms
+           |GROUP BY 1""".stripMargin
+      },
+      "retrieval metrics of the policy-knob served path vs full-scan gold: recall@10, MRR, nDCG@10 with literal-embedded discounts"))
 }

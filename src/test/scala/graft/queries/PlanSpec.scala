@@ -156,6 +156,10 @@ class PlanSpec extends AnyFunSuite {
     // q178's chain (same two 1-row stats crossJoins) + a per-doc
     // Gumbel expression; the top-K rank is the only global step
     "q181_dsir_resample",
+    // gold is q127's sanctioned exact-baseline broadcast-query scan
+    // (measurement by design); the served leg is all equi-joins into
+    // the stored index and the metric join is k rows per query
+    "q183_retrieval_metrics",
     // the weight-total and leftover frames are ONE-row aggregates
     // crossJoined onto the source-cardinality allocation table —
     // q157's bounded stats-frame shape; doc selection is the source
