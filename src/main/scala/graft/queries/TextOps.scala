@@ -2256,7 +2256,9 @@ object TextOps {
     // W = 64 tokens starting every S = 48 (16-token overlap so no
     // boundary sentence is ever cut from BOTH neighbors), each chunk
     // carrying retrieval provenance (doc, ordinal, 1-based token
-    // start, actual length — the tail chunk is partial by design) and
+    // start, actual length — the window count is ⌈(len−W)/S⌉+1, so
+    // the LAST window reaches the doc end and no window is ever fully
+    // contained in its predecessor; only the tail may be partial) and
     // a cross-engine fingerprint (the char-fold hash of the re-joined
     // window) instead of the window text itself, so the output stays
     // narrow and the chunk CONTENT is still hash-pinned. Scale shape:
@@ -2274,7 +2276,7 @@ object TextOps {
           .where(size(col("T")) >= 1)
           .select(col("doc_id"), col("T"),
             explode(sequence(lit(0L),
-              greatest(floor((size(col("T")) - 1).cast("double") / S)
+              greatest(ceil((size(col("T")) - W).cast("double") / S)
                 .cast("long"), lit(0L)))).as("k"))
           .select(col("doc_id"), col("k").as("chunk_idx"),
             (col("k") * S + 1).as("start_tok"),
@@ -2285,7 +2287,8 @@ object TextOps {
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
               |ks AS (SELECT doc_id, T,
-              |         unnest(range(0, (len(T) - 1) // 48 + 1)) AS k
+              |         unnest(range(0, greatest(CAST(ceil((len(T) - 64) /
+              |           CAST(48 AS DOUBLE)) AS BIGINT), 0) + 1)) AS k
               |       FROM t WHERE len(T) >= 1),
               |ch AS (SELECT doc_id, k AS chunk_idx,
               |         k * 48 + 1 AS start_tok,

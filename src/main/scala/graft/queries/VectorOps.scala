@@ -1292,5 +1292,101 @@ object VectorOps {
            |FROM j CROSS JOIN terms
            |GROUP BY 1""".stripMargin
       },
-      "retrieval metrics of the policy-knob served path vs full-scan gold: recall@10, MRR, nDCG@10 with literal-embedded discounts"))
+      "retrieval metrics of the policy-knob served path vs full-scan gold: recall@10, MRR, nDCG@10 with literal-embedded discounts"),
+
+    // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
+    // generator (DPR/ANCE style): for each anchor, the positive is
+    // its served top-1 and the hard negatives are the next-ranked
+    // served candidates that are NOT near-duplicates (cos below the
+    // q135 dup band — a near-dup labeled "negative" would poison the
+    // contrastive loss, which is why mining filters the band out).
+    // Mining from the MAINTAINED index at the pinned policy knobs is
+    // the production shape (ANCE refreshes negatives from the serving
+    // index between epochs): the corpus is never rescanned, and each
+    // anchor costs one bounded served top-k. margin = pos_cos −
+    // neg_cos (two 6dp doubles, one IEEE subtract — deterministic) is
+    // the curriculum knob a trainer sorts by. Oracle replays
+    // bootstrap → policy probes → prefilter → re-rank → pair
+    // assembly end to end.
+    "q184_hard_negatives" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"hard-negs-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true)
+        val served = SemanticStream.queryTopKSq(
+            emb.where(col("vec_id") < 8), root, topK = 8,
+            prefilterC = SemanticStream.ServePolicy.PrefilterC,
+            nProbe = SemanticStream.ServePolicy.NProbe)
+          .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+          .localCheckpoint() // read twice: positive slice + negative slice
+        val pos = served.where(col("rn") === 1)
+          .select(col("q_id"), col("c_id").as("pos_id"),
+            col("cos").as("pos_cos"))
+        served.where(col("rn") >= 2 &&
+            col("cos") < SemanticStream.DupThreshold)
+          .select(col("q_id"), col("c_id").as("neg_id"),
+            col("cos").as("neg_cos"), col("rn").as("neg_rank"))
+          .join(broadcast(pos), Seq("q_id"))
+          .select(col("q_id"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), col("neg_cos"), col("neg_rank"),
+            round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS crn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id < 8 AND crn <= 12),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN cells c USING (cell)
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= 128),
+           |scx AS (SELECT p.q_id, p.c_id, ${cosSql("qq.v", "cc.v")} AS cos
+           |        FROM pre p
+           |        JOIN e qq ON qq.vec_id = p.q_id
+           |        JOIN e cc ON cc.vec_id = p.c_id),
+           |served AS (SELECT q_id, c_id, cos, rn FROM (
+           |             SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
+           |               ORDER BY cos DESC, c_id) AS rn FROM scx)
+           |           WHERE rn <= 8),
+           |p1 AS (SELECT q_id, c_id AS pos_id, cos AS pos_cos
+           |       FROM served WHERE rn = 1)
+           |SELECT n.q_id, p1.pos_id, p1.pos_cos,
+           |  n.c_id AS neg_id, n.cos AS neg_cos, n.rn AS neg_rank,
+           |  round(p1.pos_cos - n.cos, 6) AS margin
+           |FROM served n JOIN p1 USING (q_id)
+           |WHERE n.rn >= 2 AND n.cos < CAST(0.3 AS DOUBLE)""".stripMargin
+      },
+      "contrastive hard-negative mining from the served index: top-1 positive, dup-band-filtered next ranks as negatives with 6dp margins"))
 }
