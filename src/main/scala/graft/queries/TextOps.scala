@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis._
 import Tables._
@@ -403,6 +403,19 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"),
         sum(col("llr").cast("decimal(30,15)")).cast("double").as("weight"))
   }
+
+  /** Greedy left-to-right NON-OVERLAPPING application of one BPE merge
+    * (a,b) → ab over a symbol array — a left fold, so a run "a a a a"
+    * merges twice (a separator-encoded string replace() would consume
+    * the shared boundary and merge once). q186 applies it per round;
+    * the DuckDB oracle replays the identical fold with list_reduce
+    * over singleton lists. BpeSpec pins the run semantics. */
+  def bpeApplyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
 
   def defs: Map[String, Q] = Map(
     // Per-source winsorization: clamp a quality signal to its source's
@@ -2298,5 +2311,148 @@ object TextOps {
               |  CAST(len(ctoks) AS BIGINT) AS n_ctoks,
               |  ${tokHashSql("array_to_string(ctoks, ' ')")} AS fp
               |FROM ch""".stripMargin),
-      "stride-overlap chunking for retrieval indexing: 64-token windows every 48, provenance + content fingerprint per chunk"))
+      "stride-overlap chunking for retrieval indexing: 64-token windows every 48, provenance + content fingerprint per chunk"),
+
+    // BPE MERGE LEARNING (tokenizer vocabulary induction, the
+    // Sennrich-BPE shape every pretraining pipeline runs once per
+    // corpus): learn the first 4 merge rules from the word-frequency
+    // dictionary. The 100-TB discipline is WHERE the iteration runs:
+    // the corpus is touched exactly once (one token explode + groupBy
+    // into the dict, whose cardinality is the VOCABULARY, not the
+    // corpus); every merge round is then a pair-count aggregate over
+    // dict rows weighted by freq, a 1-row argmax collect (sanctioned
+    // bounded collect — the merge rule IS driver state, like the PQ
+    // codebook), and a fold-apply over dict rows. Greedy left-to-right
+    // non-overlapping application is a left fold, NOT a string
+    // replace — a separator-encoded replace() silently skips
+    // shared-boundary overlaps ("a a a a" would merge once, not
+    // twice); the fold gets runs right, and the oracle replays the
+    // identical fold with DuckDB's list_reduce over singleton lists.
+    // Ties break (count desc, pair asc) — both engines compare the
+    // same integer counts and ASCII pair keys.
+    "q186_bpe_merges" -> Q(
+      (s, d) => {
+        val R = 4
+        var cur = documents(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+          .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+            col("freq"))
+          .localCheckpoint()
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (r <- 1 to R) {
+          val pairCol = when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => concat(element_at(col("syms"), i), lit(" "),
+                element_at(col("syms"), i + 1))))
+            .otherwise(array().cast("array<string>"))
+          val best = cur.select(col("freq"), explode(pairCol).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair").asc)
+            .limit(1).collect()
+          val parts = best(0).getString(0).split(' ')
+          val (a, b, cnt) = (parts(0), parts(1), best(0).getLong(1))
+          merges += ((r.toLong, a, b, cnt))
+          cur = cur.select(bpeApplyMerge(col("syms"), a, b).as("syms"),
+            col("freq")).localCheckpoint()
+        }
+        import s.implicits._
+        merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+      },
+      Some {
+        def round(i: Int, dPrev: String): String =
+          s"""p$i AS (SELECT pair, sum(freq) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(syms)),
+             |      j -> syms[j] || ' ' || syms[j+1])) AS pair, freq
+             |    FROM $dPrev) s$i GROUP BY 1),
+             |m$i AS (SELECT string_split(pair, ' ')[1] AS a,
+             |          string_split(pair, ' ')[2] AS b,
+             |          replace(pair, ' ', '') AS ab, cnt
+             |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+             |d$i AS (SELECT list_reduce(list_transform(syms, x -> [x]),
+             |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+             |            THEN list_append(acc[1:len(acc)-1], ab)
+             |            ELSE list_append(acc, x[1]) END) AS syms, freq
+             |        FROM $dPrev CROSS JOIN m$i)""".stripMargin
+        s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+           |d0 AS (SELECT string_split(w, '') AS syms,
+           |         CAST(count(*) AS BIGINT) AS freq
+           |       FROM toks
+           |       WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) >= 2
+           |       GROUP BY w),
+           |${round(1, "d0")},
+           |${round(2, "d1")},
+           |${round(3, "d2")},
+           |${round(4, "d3")}
+           |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
+           |       CAST(cnt AS BIGINT) AS pair_count FROM m1
+           |UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
+           |UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
+           |UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m4""".stripMargin
+      },
+      "BPE merge learning: corpus-once word dict, vocab-bounded pair counts, fold-applied greedy merges"),
+
+    // LEAKAGE-SAFE EVAL SPLIT: a train/test split that hashes the
+    // near-dup CLUSTER, not the document — the q82 doc-level split
+    // leaks whenever two near-duplicates land on opposite sides (the
+    // eval set then contains paraphrases of training docs and the
+    // benchmark is contaminated). Splitting by the q101 canonical id
+    // puts every cluster wholly on one side by construction; the
+    // output MEASURES the repair: n_moved = docs whose doc-level split
+    // disagrees with their cluster's split — exactly the docs a naive
+    // split would have leaked across the boundary (up to hash
+    // coin-flips on singleton-free clusters). Scale shape: q101's
+    // banded-LSH + pointer-jumping CC (never all-pairs), then one
+    // hash, one groupBy — the split itself adds nothing beyond the
+    // clustering the dedup pipeline already maintains.
+    "q187_leakage_split" -> Q(
+      (s, d) => {
+        val pairs = bandPairs(s, d)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(pairs)
+          .toDF("doc_id", "canonical")
+        val assigned = documents(s, d).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical"), col("doc_id")).as("canonical"))
+        val hC = graft.functions.EvmExprs.tokenHash(
+          col("canonical").cast("string"))
+        val hD = graft.functions.EvmExprs.tokenHash(
+          col("doc_id").cast("string"))
+        assigned
+          .withColumn("split",
+            when(pmod(hC, lit(10L)) < 9, lit("train")).otherwise(lit("test")))
+          .withColumn("naive",
+            when(pmod(hD, lit(10L)) < 9, lit("train")).otherwise(lit("test")))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canonical")).as("n_clusters"),
+            sum(when(col("split") =!= col("naive"), 1L).otherwise(0L))
+              .as("n_moved"))
+      },
+      Some(s"""WITH RECURSIVE ${bandPairsCtesSql()},
+              |pairs AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |        UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+              |comp AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY 1),
+              |assigned AS (
+              |  SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |lab AS (SELECT doc_id, canonical,
+              |          CASE WHEN ${tokHashSql("CAST(canonical AS VARCHAR)")} % 10 < 9
+              |            THEN 'train' ELSE 'test' END AS split,
+              |          CASE WHEN ${tokHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 9
+              |            THEN 'train' ELSE 'test' END AS naive
+              |        FROM assigned)
+              |SELECT split, count(*) AS n_docs,
+              |       CAST(count(DISTINCT canonical) AS BIGINT) AS n_clusters,
+              |       CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END)
+              |         AS BIGINT) AS n_moved
+              |FROM lab GROUP BY 1""".stripMargin),
+      "leakage-safe eval split: hash the near-dup cluster, not the doc; measured repair vs the naive split"))
 }
