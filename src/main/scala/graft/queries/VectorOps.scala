@@ -1388,5 +1388,89 @@ object VectorOps {
            |FROM served n JOIN p1 USING (q_id)
            |WHERE n.rn >= 2 AND n.cos < CAST(0.3 AS DOUBLE)""".stripMargin
       },
-      "contrastive hard-negative mining from the served index: top-1 positive, dup-band-filtered next ranks as negatives with 6dp margins"))
+      "contrastive hard-negative mining from the served index: top-1 positive, dup-band-filtered next ranks as negatives with 6dp margins"),
+
+    // FILTERED ANN SERVING (the FAISS-IDSelector / vector-DB
+    // metadata-predicate face): top-k restricted to candidates whose
+    // label passes a predicate, served from the maintained SQ index at
+    // the pinned policy knobs. The load-bearing choice is WHERE the
+    // filter sits: the eligible-id set semi-joins onto the probed cell
+    // rows BEFORE the asymmetric prefilter window, so the whole
+    // prefilterC budget lands on eligible rows — post-filtering an
+    // unfiltered top-k instead would keep ~selectivity·C survivors
+    // (here ~10%) and starve the re-rank. FilteredAnnSpec pins
+    // containment (every hit passes the predicate) and exactness at
+    // covering knobs (probe all cells ⇒ identical to the brute-force
+    // filtered gold). Scale shape: the filter is an equi-semi-join on
+    // the candidate id (a dimension predicate resolved to ids), which
+    // PRUNES code rows — it never adds a scan, and the plan is the
+    // q169 serving plan plus one hash semi-join.
+    "q188_filtered_ann" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"filtered-ann-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true)
+        val q = emb.where(col("vec_id") < 8)
+        val allowed = emb.where(col("label") === 3)
+          .select(col("vec_id").as("id"))
+        SemanticStream.queryTopKSq(q, root, topK = 5,
+            prefilterC = SemanticStream.ServePolicy.PrefilterC,
+            nProbe = SemanticStream.ServePolicy.NProbe,
+            allowed = Some(allowed))
+          .select(col("q_id"), col("rn"), col("c_id"), col("cos"))
+      },
+      Some {
+        val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
+        s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+           |         ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+           |rt AS (SELECT e.vec_id, e.v, cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS crn
+           |       FROM e CROSS JOIN cent),
+           |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |alw AS (SELECT vec_id FROM e WHERE label = 3),
+           |pr AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM rt
+           |       WHERE vec_id < 8 AND crn <= ${graft.streaming.SemanticStream.ServePolicy.NProbe}),
+           |sc0 AS (SELECT pr.q_id, c.vec_id AS c_id,
+           |          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |            list_transform(range(1, len(pr.qv) + 1), i ->
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon) *
+           |              (CAST(pr.qv[i] AS DOUBLE) - $recon))),
+           |            (acc, x) -> acc + x), 6) AS sdist
+           |        FROM pr JOIN cells c USING (cell)
+           |        JOIN alw ON alw.vec_id = c.vec_id
+           |        JOIN cd ON cd.vec_id = c.vec_id
+           |        CROSS JOIN prm
+           |        WHERE pr.q_id <> c.vec_id),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id,
+           |            row_number() OVER (PARTITION BY q_id ORDER BY sdist ASC, c_id ASC) AS prn
+           |          FROM sc0) WHERE prn <= ${graft.streaming.SemanticStream.ServePolicy.PrefilterC}),
+           |scx AS (SELECT p.q_id, p.c_id, ${cosSql("qq.v", "cc.v")} AS cos
+           |        FROM pre p
+           |        JOIN e qq ON qq.vec_id = p.q_id
+           |        JOIN e cc ON cc.vec_id = p.c_id),
+           |rk AS (SELECT q_id, c_id, cos,
+           |         row_number() OVER (PARTITION BY q_id
+           |           ORDER BY cos DESC, c_id) AS rn
+           |       FROM scx)
+           |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 5""".stripMargin
+      },
+      "metadata-filtered ANN serving: eligible-id semi-join BEFORE the prefilter window, full candidate budget on eligible rows"))
 }

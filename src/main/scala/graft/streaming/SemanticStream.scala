@@ -467,10 +467,12 @@ object SemanticStream {
     * torn-retrain repair. */
   def queryTopKSq(queries: DataFrame, root: String, topK: Int,
       prefilterC: Int, idCol: String = "vec_id", vecCol: String = "embedding",
-      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+      nProbe: Int = SimSearch.IvfProbe,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = queries.sparkSession
-    val cand = sqCandidates(queries, root, prefilterC, idCol, vecCol, nProbe)
+    val cand = sqCandidates(queries, root, prefilterC, idCol, vecCol, nProbe,
+      allowed)
     val vecs = stored(s, root, CellsEntity, CellsDdl)
       .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
     val w2 = Window.partitionBy(col("q_id"))
@@ -489,10 +491,23 @@ object SemanticStream {
     * `(q_id, qv, qn, c_id)` — the bounded candidate pairs every
     * downstream re-ranker (exact cosine in [[queryTopKSq]], MaxSim in
     * [[queryTopKMaxSim]]) starts from. Carries the torn-retrain
-    * repair, so candidates always come from one codebook version. */
+    * repair, so candidates always come from one codebook version.
+    *
+    * `allowed` is the FILTERED-search face (FAISS-IDSelector shape):
+    * a 1-column (`id`) frame of eligible candidate ids, semi-joined
+    * onto the probed cell rows BEFORE the SQ distance and the
+    * per-query top-`prefilterC` window — so the whole candidate
+    * budget lands on eligible rows. Filtering AFTER the prefilter
+    * (the tempting post-filter of an unfiltered top-k) starves the
+    * re-rank at selectivity s to ~s·prefilterC survivors and recall
+    * collapses; pre-filtering keeps the budget intact at the cost of
+    * scanning the same probed cells (the semi-join prunes code rows,
+    * never adds any). At 100 TB the allowed set is a dimension
+    * predicate resolved to ids — an equi-join, not a scan. */
   def sqCandidates(queries: DataFrame, root: String, prefilterC: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nProbe: Int = SimSearch.IvfProbe): DataFrame = {
+      nProbe: Int = SimSearch.IvfProbe,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = queries.sparkSession
     val (mins, _, isteps) = readGrid(s, root).getOrElse(
@@ -509,8 +524,14 @@ object SemanticStream {
       .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
         explode(col("probes").getField("cid")).as("cell"))
       .localCheckpoint() // bound assignment work to one pass
-    val cellIds = stored(s, root, CellsEntity, CellsDdl)
+    val cellIds0 = stored(s, root, CellsEntity, CellsDdl)
       .select(col("id").as("c_id"), col("cell"))
+    val cellIds = allowed match {
+      case Some(ok) =>
+        cellIds0.join(ok.select(col("id").as("c_id")), Seq("c_id"),
+          "left_semi")
+      case None => cellIds0
+    }
     val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
       .select(col("id").as("c_id"), col("codes"))
     val w1 = Window.partitionBy(col("q_id"))
