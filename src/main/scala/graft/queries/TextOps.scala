@@ -417,6 +417,74 @@ object TextOps {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** The q186 learn loop: corpus → word-frequency dict (touched once),
+    * then `rounds` iterations of pair-count argmax + fold-apply over
+    * the VOCAB-bounded dict. Returns the merge table and the dict
+    * state after every round (index 0 = the char-split baseline) so
+    * q186 reads the rules and q189 reads the compression trajectory
+    * off the same pass. */
+  private def bpeLearn(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
+    var cur = documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val dicts = Seq.newBuilder[DataFrame]
+    dicts += cur
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairCol = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = cur.select(col("freq"), explode(pairCol).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      val parts = best(0).getString(0).split(' ')
+      merges += ((r.toLong, parts(0), parts(1), best(0).getLong(1)))
+      cur = cur.select(bpeApplyMerge(col("syms"), parts(0), parts(1))
+        .as("syms"), col("freq")).localCheckpoint()
+      dicts += cur
+    }
+    (merges.result(), dicts.result())
+  }
+
+  /** The q186/q189 oracle's shared CTE round: pair counts over the
+    * previous dict, the argmax merge, and the fold-applied next dict. */
+  private def bpeRoundSql(i: Int, dPrev: String): String =
+    s"""p$i AS (SELECT pair, sum(freq) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(syms)),
+       |      j -> syms[j] || ' ' || syms[j+1])) AS pair, freq
+       |    FROM $dPrev) s$i GROUP BY 1),
+       |m$i AS (SELECT string_split(pair, ' ')[1] AS a,
+       |          string_split(pair, ' ')[2] AS b,
+       |          replace(pair, ' ', '') AS ab, cnt
+       |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |d$i AS (SELECT list_reduce(list_transform(syms, x -> [x]),
+       |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+       |            THEN list_append(acc[1:len(acc)-1], ab)
+       |            ELSE list_append(acc, x[1]) END) AS syms, freq
+       |        FROM $dPrev CROSS JOIN m$i)""".stripMargin
+
+  /** d0 + four [[bpeRoundSql]] rounds — everything up to the final
+    * SELECT, shared verbatim by the q186 and q189 oracles. */
+  private def bpeChainSql: String =
+    s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+       |d0 AS (SELECT string_split(w, '') AS syms,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |       FROM toks
+       |       WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) >= 2
+       |       GROUP BY w),
+       |${bpeRoundSql(1, "d0")},
+       |${bpeRoundSql(2, "d1")},
+       |${bpeRoundSql(3, "d2")},
+       |${bpeRoundSql(4, "d3")}""".stripMargin
+
   def defs: Map[String, Q] = Map(
     // Per-source winsorization: clamp a quality signal to its source's
     // [P5, P95] band — the outlier-robust normalization step ahead of
@@ -2332,66 +2400,54 @@ object TextOps {
     // same integer counts and ASCII pair keys.
     "q186_bpe_merges" -> Q(
       (s, d) => {
-        val R = 4
-        var cur = documents(s, d)
-          .select(explode(tokens(col("text"))).as("w"))
-          .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-          .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
-            col("freq"))
-          .localCheckpoint()
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        for (r <- 1 to R) {
-          val pairCol = when(size(col("syms")) >= 2,
-            transform(sequence(lit(1), size(col("syms")) - 1),
-              i => concat(element_at(col("syms"), i), lit(" "),
-                element_at(col("syms"), i + 1))))
-            .otherwise(array().cast("array<string>"))
-          val best = cur.select(col("freq"), explode(pairCol).as("pair"))
-            .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair").asc)
-            .limit(1).collect()
-          val parts = best(0).getString(0).split(' ')
-          val (a, b, cnt) = (parts(0), parts(1), best(0).getLong(1))
-          merges += ((r.toLong, a, b, cnt))
-          cur = cur.select(bpeApplyMerge(col("syms"), a, b).as("syms"),
-            col("freq")).localCheckpoint()
-        }
+        val (merges, _) = bpeLearn(s, d, rounds = 4)
         import s.implicits._
-        merges.result().toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+        merges.toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+      },
+      Some(s"""$bpeChainSql
+              |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
+              |       CAST(cnt AS BIGINT) AS pair_count FROM m1
+              |UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
+              |UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
+              |UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m4""".stripMargin),
+      "BPE merge learning: corpus-once word dict, vocab-bounded pair counts, fold-applied greedy merges"),
+
+    // BPE ENCODE TRAJECTORY — the other half of L44: what the learned
+    // rules BUY. After each merge round, the corpus-weighted symbol
+    // count (Σ freq·|syms| over the dict = total tokens the model
+    // would see for the alpha-word stream) and the symbol vocabulary
+    // size. This is also the production ENCODE shape at 100 TB: you
+    // never fold merges over raw text — you encode the VOCAB once
+    // (these dict rows) and the corpus tokenizes by a word→pieces
+    // equi-join, so the trajectory's cost is the vocab's, not the
+    // corpus's. Compression is measured, not asserted: each round
+    // saves exactly pair_count occurrences (total_syms drops by q186's
+    // cnt — the two queries cross-check), and vocab grows by ≤ 1.
+    "q189_bpe_encode" -> Q(
+      (s, d) => {
+        val (_, dicts) = bpeLearn(s, d, rounds = 4)
+        dicts.zipWithIndex.map { case (df, r) =>
+          df.select(col("freq"), explode(col("syms")).as("sym"))
+            .agg(sum(col("freq")).as("total_syms"),
+              countDistinct(col("sym")).as("n_vocab"))
+            .select(lit(r.toLong).as("merge_rank"), col("total_syms"),
+              col("n_vocab"))
+        }.reduce(_ unionByName _)
       },
       Some {
-        def round(i: Int, dPrev: String): String =
-          s"""p$i AS (SELECT pair, sum(freq) AS cnt FROM (
-             |    SELECT unnest(list_transform(range(1, len(syms)),
-             |      j -> syms[j] || ' ' || syms[j+1])) AS pair, freq
-             |    FROM $dPrev) s$i GROUP BY 1),
-             |m$i AS (SELECT string_split(pair, ' ')[1] AS a,
-             |          string_split(pair, ' ')[2] AS b,
-             |          replace(pair, ' ', '') AS ab, cnt
-             |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-             |d$i AS (SELECT list_reduce(list_transform(syms, x -> [x]),
-             |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
-             |            THEN list_append(acc[1:len(acc)-1], ab)
-             |            ELSE list_append(acc, x[1]) END) AS syms, freq
-             |        FROM $dPrev CROSS JOIN m$i)""".stripMargin
-        s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
-           |d0 AS (SELECT string_split(w, '') AS syms,
-           |         CAST(count(*) AS BIGINT) AS freq
-           |       FROM toks
-           |       WHERE regexp_matches(w, '^[a-z]+${"$"}') AND len(w) >= 2
-           |       GROUP BY w),
-           |${round(1, "d0")},
-           |${round(2, "d1")},
-           |${round(3, "d2")},
-           |${round(4, "d3")}
-           |SELECT CAST(1 AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b,
-           |       CAST(cnt AS BIGINT) AS pair_count FROM m1
-           |UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
-           |UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
-           |UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m4""".stripMargin
+        def row(r: Int): String =
+          s"""SELECT CAST($r AS BIGINT) AS merge_rank,
+             |  CAST(sum(freq) AS BIGINT) AS total_syms,
+             |  CAST(count(DISTINCT s.sym) AS BIGINT) AS n_vocab
+             |FROM d$r, unnest(d$r.syms) AS s(sym)""".stripMargin
+        s"""$bpeChainSql
+           |${row(0)}
+           |UNION ALL ${row(1)}
+           |UNION ALL ${row(2)}
+           |UNION ALL ${row(3)}
+           |UNION ALL ${row(4)}""".stripMargin
       },
-      "BPE merge learning: corpus-once word dict, vocab-bounded pair counts, fold-applied greedy merges"),
+      "BPE encode trajectory: corpus-weighted symbol totals + vocab size per merge round"),
 
     // LEAKAGE-SAFE EVAL SPLIT: a train/test split that hashes the
     // near-dup CLUSTER, not the document — the q82 doc-level split

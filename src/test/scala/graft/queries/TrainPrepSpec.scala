@@ -53,6 +53,31 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe encode trajectory drops by exactly each merge's pair count") {
+    val merges = Registry.all("q186_bpe_merges").fn(spark, sfDir)
+      .orderBy(col("merge_rank")).collect()
+    val traj = Registry.all("q189_bpe_encode").fn(spark, sfDir)
+      .orderBy(col("merge_rank")).collect()
+    assert(traj.length === 5)
+    // each greedy merge removes one symbol per applied occurrence.
+    // For a ≠ b occurrences cannot overlap (the next start would need
+    // a = b), so applied == counted exactly; for a == b runs overlap
+    // and applied < counted is legal.
+    (0 until 4).foreach { r =>
+      val drop = traj(r).getLong(1) - traj(r + 1).getLong(1)
+      val (a, b) = (merges(r).getString(1), merges(r).getString(2))
+      if (a != b)
+        assert(drop === merges(r).getLong(3),
+          s"round ${r + 1}: total_syms dropped $drop, " +
+            s"pair_count was ${merges(r).getLong(3)}")
+      else
+        assert(drop > 0 && drop <= merges(r).getLong(3),
+          s"round ${r + 1}: drop $drop outside (0, pair_count]")
+      val vGrow = traj(r + 1).getLong(2) - traj(r).getLong(2)
+      assert(vGrow <= 1, s"vocab grew $vGrow in one round")
+    }
+  }
+
   // ---- q185: the epoch orders decorrelate ----
 
   test("epoch reshuffle produces near-independent within-shard orders") {
