@@ -666,6 +666,61 @@ object ScaleLaws {
     (nCand, confirmed)
   }
 
+  /** q186's learn loop under corpus growth. The shared mutated
+    * amplifier suffixes every token (its near-dup discipline), which
+    * the alpha-word filter would DROP — so this family re-replicates
+    * the unmutated copy-0 docs instead: corpus ×factor at CONSTANT
+    * vocabulary, the clean bound for the claim under test (the dict
+    * build is the only corpus-linear stage; the four merge rounds are
+    * vocab-bounded and should cost the same at every n). Returns
+    * (final-round corpus-weighted symbol total, final vocab size):
+    * the total must scale ×factor, the vocab must NOT. */
+  def bpeLearnLaw(docs: DataFrame, factor: Int): (Long, Long) = {
+    val s = docs.sparkSession
+    val base =
+      if (factor <= 1) docs.select(col("text"))
+      else docs.where(pmod(col("doc_id"), lit(factor.toLong)) === 0)
+        .crossJoin(broadcast(s.range(0, factor).toDF("copy")))
+        .select(col("text"))
+    val (_, dicts) = graft.queries.TextOps.bpeLearnOf(base, rounds = 4)
+    val row = dicts.last
+      .select(col("freq"), explode(col("syms")).as("sym"))
+      .agg(sum(col("freq")), countDistinct(col("sym"))).collect()(0)
+    dicts.foreach(_.unpersist(true))
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** q188's filtered serving under corpus growth, pre-filter vs
+    * post-filter: a fresh SQ index over the amplified corpus, ~n/97
+    * queries, label-3 eligibility (~10% selectivity — the amplifier
+    * preserves labels). Returns (rows served by the PRE-filter face,
+    * rows surviving a POST-filter of the unfiltered serve) at the same
+    * prefilterC: the first must track topK·queries at every n, the
+    * second collapses toward selectivity·C per query — the starvation
+    * law FilteredAnnSpec pins at one scale, measured across the
+    * ladder. Timed cost includes the bootstrap (index build), like
+    * every index-building family here. */
+  def filteredAnn(emb: DataFrame, factor: Int): (Long, Long) = {
+    import graft.streaming.SemanticStream
+    val root = graft.Temps.dir(s"scalelaws-fann-f$factor")
+    SemanticStream.bootstrap(emb, root, withSq = true)
+    val queries = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+      .localCheckpoint()
+    val allowed = emb.where(col("label") === 3)
+      .select(col("vec_id").as("id")).localCheckpoint()
+    val pre = SemanticStream.queryTopKSq(queries, root, topK = 3,
+      prefilterC = SemanticStream.ServePolicy.PrefilterC,
+      nProbe = SemanticStream.ServePolicy.NProbe,
+      allowed = Some(allowed)).count()
+    val post = SemanticStream.queryTopKSq(queries, root, topK = 3,
+        prefilterC = SemanticStream.ServePolicy.PrefilterC,
+        nProbe = SemanticStream.ServePolicy.NProbe)
+      .join(allowed.withColumnRenamed("id", "c_id"), Seq("c_id"), "left_semi")
+      .count()
+    queries.unpersist(true); allowed.unpersist(true)
+    (pre, post)
+  }
+
   def exactSemiJoin(docs: DataFrame): (Long, Long) = {
     val k = docs.select(col("doc_id"), md5(col("text")).as("key"))
     val corpus = k.where(col("doc_id") % 5 =!= 0).select("key").localCheckpoint()
@@ -753,7 +808,11 @@ object ScaleLaws {
         ("zorder_skip_q163", true, (df, _) => zorderSkip(df)),
         ("unigram_lm_q164", true, (df, _) => unigramLm(df)),
         ("containment_q170", true, (df, _) => containment(df)),
-        ("seq_layout_q171", true, (df, _) => seqLayout(df)))
+        ("seq_layout_q171", true, (df, _) => seqLayout(df)),
+        // round-10 families: BPE learn cost vs corpus growth (vocab
+        // must stay flat), and filtered-ANN pre- vs post-filter fill
+        ("bpe_learn_q186", true, (df, f) => bpeLearnLaw(df, f)),
+        ("filtered_ann_q188", false, (df, f) => filteredAnn(df, f)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock

@@ -424,8 +424,16 @@ object TextOps {
     * q186 reads the rules and q189 reads the compression trajectory
     * off the same pass. */
   private def bpeLearn(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Long, String, String, Long)], Seq[DataFrame]) =
+    bpeLearnOf(documents(s, d), rounds)
+
+  /** [[bpeLearn]] over an arbitrary (text) frame —
+    * [[graft.bench.ScaleLaws]] feeds it amplified corpora to measure
+    * that only the dict build scales with the corpus while the merge
+    * rounds stay vocab-bounded. */
+  def bpeLearnOf(docs: DataFrame, rounds: Int)
       : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
-    var cur = documents(s, d)
+    var cur = docs
       .select(explode(tokens(col("text"))).as("w"))
       .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
