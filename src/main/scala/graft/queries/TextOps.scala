@@ -2518,5 +2518,138 @@ object TextOps {
               |       CAST(sum(CASE WHEN split <> naive THEN 1 ELSE 0 END)
               |         AS BIGINT) AS n_moved
               |FROM lab GROUP BY 1""".stripMargin),
-      "leakage-safe eval split: hash the near-dup cluster, not the doc; measured repair vs the naive split"))
+      "leakage-safe eval split: hash the near-dup cluster, not the doc; measured repair vs the naive split"),
+
+    // ONLINE SPLIT ASSIGNMENT — q187's streaming face: when a batch
+    // of new documents arrives, each doc that LSH-matches the corpus
+    // inherits its matched cluster's split (the corpus splits are
+    // frozen — eval membership can't be rewritten under a running
+    // benchmark), and novel docs hash their own id (they found a new
+    // singleton cluster). The q133 incremental discipline: the batch
+    // probes the corpus's band index, it never re-clusters the corpus.
+    // The output measures what online assignment can and cannot give:
+    // n_overridden = matched docs whose inherited split differs from
+    // their own-hash split (the leaks prevented), and n_conflicted =
+    // batch docs matching ≥ 2 corpus clusters whose splits DISAGREE —
+    // the residual a full re-cluster would merge but a frozen corpus
+    // cannot (the doc takes its min-canonical's side; the conflict
+    // count is the honest price of online assignment, measured).
+    "q190_split_assign" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val sig = docs
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("sig",
+            graft.functions.EvmExprs.minHashSigFromText(col("text")))
+          .where(col("sig").isNotNull)
+          .select(col("doc_id") +: MinHashCoeffs.indices.map(j =>
+            element_at(col("sig"), j + 1).as(s"h$j")): _*)
+          .localCheckpoint() // batch + corpus bands + both scorers
+        def bandsOf(df: DataFrame) =
+          df.select(col("doc_id"), lit(0).as("band"),
+              col("h0").as("x"), col("h1").as("y"))
+            .unionByName(df.select(col("doc_id"), lit(1).as("band"),
+              col("h2").as("x"), col("h3").as("y")))
+        val corpusSig = sig.where(col("doc_id") % 5 =!= 0)
+        val batchSig = sig.where(col("doc_id") % 5 === 0)
+        val cpairs = bandPairsOf(docs.where(col("doc_id") % 5 =!= 0))
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(cpairs)
+          .toDF("c_id", "canonical")
+        val cand = bandsOf(batchSig).toDF("b_id", "band", "x", "y")
+          .join(bandsOf(corpusSig).toDF("c_id", "band", "x", "y"),
+            Seq("band", "x", "y"))
+          .select("b_id", "c_id").distinct()
+        val splitOf = (c: Column) => when(
+          pmod(graft.functions.EvmExprs.tokenHash(c.cast("string")),
+            lit(10L)) < 9, lit("train")).otherwise(lit("test"))
+        val matchedPairs = cand
+          .join(batchSig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
+          .join(corpusSig.toDF("c_id", "c0", "c1", "c2", "c3"), "c_id")
+          .where(((when(col("b0") === col("c0"), 1).otherwise(0) +
+            when(col("b1") === col("c1"), 1).otherwise(0) +
+            when(col("b2") === col("c2"), 1).otherwise(0) +
+            when(col("b3") === col("c3"), 1).otherwise(0)).cast("double") / 4)
+            >= 0.5)
+          .join(comp, Seq("c_id"), "left")
+          .select(col("b_id"),
+            coalesce(col("canonical"), col("c_id")).as("ccan"))
+          .withColumn("msplit", splitOf(col("ccan")))
+        val att = matchedPairs.groupBy(col("b_id"))
+          .agg(min(col("ccan")).as("attach"),
+            countDistinct(col("msplit")).as("nsp"))
+          .withColumnRenamed("b_id", "doc_id")
+        docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))
+          .join(att, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("attach").isNotNull.as("matched"),
+            splitOf(coalesce(col("attach"), col("doc_id"))).as("split"),
+            splitOf(col("doc_id")).as("own"),
+            coalesce(col("nsp"), lit(0L)).as("nsp"))
+          .groupBy(col("split"), col("matched"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("split") =!= col("own"), 1L).otherwise(0L))
+              .as("n_overridden"),
+            sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_conflicted"))
+      },
+      Some {
+        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+        }.mkString(", ")
+        def agree(l: String, r: String) =
+          s"""(CASE WHEN $l.h0 = $r.h0 THEN 1 ELSE 0 END +
+             |  CASE WHEN $l.h1 = $r.h1 THEN 1 ELSE 0 END +
+             |  CASE WHEN $l.h2 = $r.h2 THEN 1 ELSE 0 END +
+             |  CASE WHEN $l.h3 = $r.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5""".stripMargin
+        def sp(x: String) =
+          s"CASE WHEN ${tokHashSql(s"CAST($x AS VARCHAR)")} % 10 < 9 " +
+            "THEN 'train' ELSE 'test' END"
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+           |sg AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+           |bd AS (
+           |  SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM sg
+           |  UNION ALL SELECT doc_id, 1, h2, h3 FROM sg),
+           |ccand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |          FROM bd a JOIN bd b
+           |            ON a.band = b.band AND a.x = b.x AND a.y = b.y
+           |               AND a.doc_id < b.doc_id
+           |          WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 <> 0),
+           |cp AS (SELECT a_id, b_id FROM ccand
+           |       JOIN sg sa ON sa.doc_id = a_id
+           |       JOIN sg sb ON sb.doc_id = b_id
+           |       WHERE ${agree("sa", "sb")}),
+           |sym AS (SELECT a_id AS src, b_id AS dst FROM cp
+           |        UNION SELECT b_id, a_id FROM cp),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM sym
+           |  UNION
+           |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+           |comp AS (SELECT id AS c_id, min(r) AS canonical FROM reach GROUP BY 1),
+           |bcand AS (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+           |          FROM bd b JOIN bd c
+           |            ON b.band = c.band AND b.x = c.x AND b.y = c.y
+           |          WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+           |bdup AS (SELECT b_id, coalesce(comp.canonical, bcand.c_id) AS ccan
+           |         FROM bcand
+           |         JOIN sg sb ON sb.doc_id = b_id
+           |         JOIN sg sc ON sc.doc_id = bcand.c_id
+           |         LEFT JOIN comp ON comp.c_id = bcand.c_id
+           |         WHERE ${agree("sb", "sc")}),
+           |att AS (SELECT b_id AS doc_id, min(ccan) AS attach,
+           |          count(DISTINCT ${sp("ccan")}) AS nsp
+           |        FROM bdup GROUP BY 1),
+           |lab AS (SELECT d.doc_id, att.attach IS NOT NULL AS matched,
+           |          ${sp("coalesce(att.attach, d.doc_id)")} AS split,
+           |          ${sp("d.doc_id")} AS own,
+           |          coalesce(att.nsp, 0) AS nsp
+           |        FROM documents d LEFT JOIN att USING (doc_id)
+           |        WHERE d.doc_id % 5 = 0)
+           |SELECT split, matched, count(*) AS n_docs,
+           |       CAST(sum(CASE WHEN split <> own THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_overridden,
+           |       CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_conflicted
+           |FROM lab GROUP BY 1, 2""".stripMargin
+      },
+      "online split assignment: batch docs inherit their LSH-matched corpus cluster's split; measured overrides and conflicts"))
 }

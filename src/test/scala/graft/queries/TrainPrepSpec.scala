@@ -127,4 +127,23 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(q187.getLong(0) === nDocs)
     assert(q187.getLong(1) === nMoved)
   }
+
+  // ---- q190: online assignment agrees with the incremental dedup ----
+
+  test("online split assignment matches q133's dup verdicts, zero conflicts here") {
+    val nDup = Registry.all("q133_incremental_dedup").fn(spark, sfDir)
+      .where(col("dup_in_corpus")).count()
+    val q190 = Registry.all("q190_split_assign").fn(spark, sfDir)
+      .localCheckpoint()
+    // "matched" is the same batch↔corpus band-probe + agreement
+    // verdict q133 registers — the two queries must count identically
+    val matched = q190.where(col("matched"))
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(matched === nDup,
+      s"q190 matched $matched docs, q133 flagged $nDup dups")
+    // on this corpus no batch doc straddles corpus clusters with
+    // different splits, so the online assignment is fully leak-free
+    val confl = q190.agg(sum(col("n_conflicted"))).collect()(0).getLong(0)
+    assert(confl === 0L, s"$confl conflicted docs — the corpus changed")
+  }
 }
