@@ -2651,5 +2651,69 @@ object TextOps {
            |         AS BIGINT) AS n_conflicted
            |FROM lab GROUP BY 1, 2""".stripMargin
       },
-      "online split assignment: batch docs inherit their LSH-matched corpus cluster's split; measured overrides and conflicts"))
+      "online split assignment: batch docs inherit their LSH-matched corpus cluster's split; measured overrides and conflicts"),
+
+    // REPETITION ALLOCATION under a token budget — the
+    // data-constrained scaling recipe: when the corpus is smaller
+    // than the training budget, REPEAT data instead of lowering the
+    // bar, preferring high-quality docs for the extra epochs (top
+    // type-token-ratio quintile ×4, next ×2, rest ×1), then fill the
+    // budget best-first with the repeat-weighted token mass (q108's
+    // running-window discipline — the cumulative sum and the decile
+    // share one window ordering, so the plan pays ONE sort exchange).
+    // Every output number is an integer; the only float is the 6dp
+    // TTR ordering key, a single IEEE division both engines compute
+    // identically. Scale note: the global ntile/running-sum is the
+    // operator's honest semantic (a budget is global); at 100 TB the
+    // same allocation runs per-source under the q167/q108 partition
+    // discipline and the window shuffles by source instead.
+    "q191_repeat_allocation" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 50000L
+        val T = tokens(col("text"))
+        val w = Window.orderBy(col("ttr").desc, col("doc_id").asc)
+        val wcum = Window.orderBy(col("ttr").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .select(col("doc_id"), size(T).cast("long").as("n_toks"),
+            size(array_distinct(T)).cast("long").as("n_types"))
+          .where(col("n_toks") > 0)
+          .withColumn("ttr",
+            round(col("n_types").cast("double") / col("n_toks"), 6))
+          .withColumn("dc", ntile(10).over(w))
+          .withColumn("repeats",
+            when(col("dc") <= 2, 4L).when(col("dc") <= 4, 2L).otherwise(1L))
+          .withColumn("cum", sum(col("repeats") * col("n_toks")).over(wcum))
+          .where(col("cum") <= B)
+          .groupBy(col("repeats"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("raw_toks"),
+            sum(col("repeats") * col("n_toks")).as("eff_toks"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |    CAST(len(T) AS BIGINT) AS n_toks,
+              |    CAST(len(list_distinct(T)) AS BIGINT) AS n_types
+              |  FROM (SELECT doc_id, $toksSql AS T FROM documents) t0
+              |  WHERE len(T) > 0),
+              |r AS (SELECT doc_id, n_toks,
+              |        round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr
+              |      FROM b),
+              |dd AS (SELECT doc_id, n_toks, ttr,
+              |         ntile(10) OVER (ORDER BY ttr DESC, doc_id ASC) AS dc
+              |       FROM r),
+              |rp AS (SELECT doc_id, n_toks, ttr,
+              |         CASE WHEN dc <= 2 THEN 4 WHEN dc <= 4 THEN 2
+              |              ELSE 1 END AS repeats
+              |       FROM dd),
+              |cm AS (SELECT doc_id, n_toks, repeats,
+              |         sum(repeats * n_toks) OVER (ORDER BY ttr DESC,
+              |           doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+              |       FROM rp)
+              |SELECT CAST(repeats AS BIGINT) AS repeats,
+              |       count(*) AS n_docs,
+              |       CAST(sum(n_toks) AS BIGINT) AS raw_toks,
+              |       CAST(sum(repeats * n_toks) AS BIGINT) AS eff_toks
+              |FROM cm WHERE cum <= 50000 GROUP BY 1""".stripMargin),
+      "repetition allocation under a token budget: quality-quintile repeat factors, best-first budget fill"))
 }

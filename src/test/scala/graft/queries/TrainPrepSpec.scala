@@ -146,4 +146,34 @@ class TrainPrepSpec extends AnyFunSuite {
     val confl = q190.agg(sum(col("n_conflicted"))).collect()(0).getLong(0)
     assert(confl === 0L, s"$confl conflicted docs — the corpus changed")
   }
+
+  // ---- q191: repetition allocation invariants ----
+
+  test("repeat allocation stays within budget with exact tier arithmetic") {
+    val rows = Registry.all("q191_repeat_allocation").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rep, raw, eff) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(Set(1L, 2L, 4L).contains(rep), s"unexpected tier $rep")
+      assert(eff === rep * raw,
+        s"tier $rep: eff_toks $eff != repeats x raw_toks ${rep * raw}")
+    }
+    val total = rows.map(_.getLong(3)).sum
+    assert(total <= 50000L, s"budget exceeded: $total")
+    // valid outcomes: the whole corpus fits (sf0.001 — the budget is
+    // not binding), or the fill stops at most one 4x-repeated doc
+    // short of the cap (the cumulative sum jumps in repeats*n_toks
+    // steps)
+    val corpusDocs = graft.queries.Tables.documents(spark, sfDir)
+      .where(size(graft.ops.TextAnalysis.tokens(col("text"))) > 0).count()
+    val keptDocs = rows.map(_.getLong(1)).sum
+    if (keptDocs < corpusDocs) {
+      val maxTok = graft.queries.Tables.documents(spark, sfDir)
+        .select(max(size(graft.ops.TextAnalysis.tokens(col("text")))))
+        .collect()(0).getInt(0).toLong
+      assert(total >= 50000L - 4 * maxTok,
+        s"budget underfilled: $total with max doc $maxTok toks")
+    }
+  }
 }
