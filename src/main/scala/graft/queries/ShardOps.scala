@@ -242,6 +242,7 @@ object ShardOps {
           .withColumn("succ", lead(col("doc_id"), 1).over(w))
           .where(col("succ").isNotNull)
           .select(col("epoch"), col("shard"), col("doc_id"), col("succ"))
+          .localCheckpoint() // both sides of the epoch-pair self-join
         val a = ord.select(col("epoch").as("epoch_a"), col("shard"),
           col("doc_id"), col("succ").as("succ_a"))
         val b = ord.select(col("epoch").as("epoch_b"), col("shard"),
