@@ -87,15 +87,19 @@ object LateInteraction {
     val qm = multiVec(queries, qIdCol, qVecCol, slices, dim)
       .select(col("id").as("q_id"), col("pos").as("qpos"),
         col("sv").as("qv"), col("sn").as("qn"))
+    // pre is bounded (nQ × prefilterC pairs by contract) and read twice
+    // below (candidate ids + the pair join) — checkpoint so the first
+    // stage (a full prefilter scan in the brute face) runs once
+    val preC = pre.localCheckpoint()
     // slice only the candidates: at corpus scale the semi-join keeps the
     // T× slice blow-up (and everything after it) off non-candidates
-    val candIds = pre.select(col("c_id")).distinct()
+    val candIds = preC.select(col("c_id")).distinct()
     val cm = multiVec(
       corpus.join(candIds, col(cIdCol) === candIds("c_id"), "left_semi"),
       cIdCol, cVecCol, slices, dim)
       .select(col("id").as("c_id"), col("pos").as("cpos"),
         col("sv").as("cv"), col("sn").as("cn"))
-    val pairCos = pre
+    val pairCos = preC
       .join(broadcast(qm), Seq("q_id"))
       .join(cm, Seq("c_id"))
       .select(col("q_id"), col("c_id"), col("qpos"),

@@ -146,6 +146,7 @@ object ShardOps {
         val srcs = pool.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("w", sqrt(col("n_docs").cast("double")))
+          .localCheckpoint() // per-source rows, read by tot/a0/lo/alloc
         val tot = srcs.agg(
           aggregate(
             sort_array(collect_list(struct(col("source"), col("w"))))
