@@ -37,17 +37,19 @@ object VectorOps {
     * formulation the Spark fold kernel is spec-pinned against), mem_r
     * explodes members by dimension, mean_r takes the order-independent
     * DECIMAL(30,15)-sum mean rounded to 6dp, cent_r keeps previous
-    * centroids for empty cells. */
-  private def kmeansCentsSql(rounds: Int, k: Int): String = {
+    * centroids for empty cells. `src` is the training-set CTE
+    * (columns vec_id, v) — "e" for corpus-trained oracles, any
+    * accumulated-index CTE for retrain-shaped ones. */
+  private def kmeansCentsSql(rounds: Int, k: Int, src: String = "e"): String = {
     val sb = new StringBuilder(
-      s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k)")
+      s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM $src ORDER BY vec_id LIMIT $k)")
     for (r <- 1 to rounds) {
       val p = s"cent${r - 1}"
       sb.append(s""",
-         |asg$r AS (SELECT e.vec_id, e.v, cid,
-         |            row_number() OVER (PARTITION BY e.vec_id
-         |              ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
-         |          FROM e CROSS JOIN $p),
+         |asg$r AS (SELECT $src.vec_id, $src.v, cid,
+         |            row_number() OVER (PARTITION BY $src.vec_id
+         |              ORDER BY ${cosSql(s"$src.v", "cv")} DESC, cid) AS rn
+         |          FROM $src CROSS JOIN $p),
          |mem$r AS (SELECT cid AS cell,
          |            unnest(range(1, len(v) + 1)) AS pos,
          |            unnest(v) AS x
@@ -1472,5 +1474,62 @@ object VectorOps {
            |       FROM scx)
            |SELECT q_id, rn, c_id, cos FROM rk WHERE rn <= 5""".stripMargin
       },
-      "metadata-filtered ANN serving: eligible-id semi-join BEFORE the prefilter window, full candidate budget on eligible rows"))
+      "metadata-filtered ANN serving: eligible-id semi-join BEFORE the prefilter window, full candidate budget on eligible rows"),
+
+    // INDEX-HEALTH AUDIT of the maintained IVF index: retrain
+    // PRESSURE. The per-batch trigger (retrainIfUnbalanced) sees only
+    // the current batch's assignment skew; the operator question that
+    // sets retrain CADENCE is index-wide — "if retrain ran today, how
+    // much of the inverted file would reassign?" This fits the
+    // codebook retrain would install (the same deterministic Lloyd
+    // trainer over the accumulated cells) and counts per stored cell
+    // the vectors whose argmin moves — read-only, the store is never
+    // mutated and the corpus never rescanned: the trainer is linear
+    // per round and the final check is ONE zero-shuffle assignment
+    // pass + a per-cell aggregate. Scenario: q154's store (bootstrap
+    // on the corpus, one ingested batch folded in under the frozen
+    // seed codebook). The oracle replays bootstrap → ingest keep
+    // decisions → the 3-round k-means (kmeansCentsSql over the
+    // accumulated file) → the final assignment, so the pressure
+    // numbers are engine-exact, not asserted.
+    "q192_index_drift" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"index-drift-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb.where(col("vec_id") % 5 =!= 0), root)
+        SemanticStream.ingestVectors(emb.where(col("vec_id") % 10 === 0), root)
+          .unpersist()
+        SemanticStream.retrainPressure(s, root)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+              |         WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+              |rt AS (SELECT e.vec_id, e.v, cid,
+              |         row_number() OVER (PARTITION BY e.vec_id
+              |           ORDER BY ${cosSql("e.v", "cv")} DESC, cid) AS rn
+              |       FROM e CROSS JOIN cent),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM rt WHERE rn = 1),
+              |corp AS (SELECT * FROM cells WHERE vec_id % 5 <> 0),
+              |b1 AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+              |mm1 AS (SELECT a.vec_id FROM b1 a JOIN corp c ON a.cell = c.cell
+              |          AND ${cosSql("a.v", "c.v")} >= 0.3
+              |        UNION ALL
+              |        SELECT a.vec_id FROM b1 a JOIN b1 b ON a.cell = b.cell
+              |          AND b.vec_id < a.vec_id
+              |          AND ${cosSql("a.v", "b.v")} >= 0.3),
+              |kept1 AS (SELECT * FROM b1
+              |          WHERE vec_id NOT IN (SELECT vec_id FROM mm1)),
+              |idx AS (SELECT * FROM corp UNION ALL SELECT * FROM kept1),
+              |tr AS (SELECT vec_id, v FROM idx),
+              |${kmeansCentsSql(3, SimSearch.IvfK, src = "tr")},
+              |fin AS (SELECT i.vec_id, i.cell, cid AS new_cell,
+              |          row_number() OVER (PARTITION BY i.vec_id
+              |            ORDER BY ${cosSql("i.v", "cv")} DESC, cid) AS rn
+              |        FROM idx i CROSS JOIN cent3)
+              |SELECT cell, count(*) AS n_stored,
+              |       CAST(sum(CASE WHEN new_cell <> cell THEN 1 ELSE 0 END)
+              |         AS BIGINT) AS n_moved
+              |FROM fin WHERE rn = 1 GROUP BY 1""".stripMargin),
+      "retrain-pressure audit of the maintained IVF index: would-be reassignment counts per stored cell under the re-fitted codebook"))
 }

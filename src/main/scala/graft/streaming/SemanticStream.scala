@@ -384,6 +384,34 @@ object SemanticStream {
       Some(retrain(spark, root, k, rounds))
     else None
 
+  /** READ-ONLY retrain-pressure audit of the maintained index: fit the
+    * codebook [[retrain]] WOULD install (same trainer, same rounds,
+    * over the accumulated inverted file) and count, per stored cell,
+    * how many vectors would move to a different cell under it. The
+    * per-batch imbalance trigger ([[retrainIfUnbalanced]]) only sees
+    * the CURRENT batch's skew; this is the index-wide health face —
+    * "if we retrained today, what fraction of the file reassigns" —
+    * the number an operator trends to set retrain cadence BEFORE
+    * recall decays (the round-7 rehearsal's drift law, SCALE.md).
+    * Cost: the linear-per-round trainer plus ONE zero-shuffle
+    * assignment pass over the stored cells and a per-cell aggregate —
+    * the store is never mutated and the corpus never rescanned.
+    * Output: (cell, n_stored, n_moved). */
+  def retrainPressure(spark: SparkSession, root: String,
+      k: Int = SimSearch.IvfK, rounds: Int = 3): DataFrame = {
+    val cells = stored(spark, root, CellsEntity, CellsDdl)
+    require(!cells.isEmpty, s"no inverted file under $root — bootstrap first")
+    val cb = SimSearch.trainCodebook(cells, "id", "v", k, rounds)
+    cells.select(col("cell"),
+        element_at(graft.functions.VectorExprs.nearestCells(
+          col("v").cast("array<double>"), cb, 1), 1)
+          .getField("cid").as("new_cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_stored"),
+        sum(when(col("new_cell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+  }
+
   /** The Structured Streaming driver — [[CurateStream.run]]'s
     * vector-side twin: watch `rawDir` for embedding batches (parquet),
     * dedup each micro-batch against the stored index. Restart-safe for
