@@ -2715,5 +2715,55 @@ object TextOps {
               |       CAST(sum(n_toks) AS BIGINT) AS raw_toks,
               |       CAST(sum(repeats * n_toks) AS BIGINT) AS eff_toks
               |FROM cm WHERE cum <= 50000 GROUP BY 1""".stripMargin),
-      "repetition allocation under a token budget: quality-quintile repeat factors, best-first budget fill"))
+      "repetition allocation under a token budget: quality-quintile repeat factors, best-first budget fill"),
+
+    // CROSS-SOURCE OVERLAP MATRIX — the CCNet/dump-dedup diagnostic:
+    // which source pairs duplicate each other, and how much? Web
+    // corpora assemble from dumps/sources that overlap heavily
+    // (re-crawls, mirrors, syndication); before picking a dedup ORDER
+    // (which source's copy survives) a pipeline audits the pairwise
+    // overlap mass. Pairs come from the SAME banded MinHash machinery
+    // as the dedup itself (q28's bandPairs — candidates meet in band
+    // buckets, never all-pairs), so the audit costs one extra
+    // source-attribution join (broadcastable: (doc_id, source) two
+    // columns) + a #sources²-bounded aggregate. Source pairs are
+    // normalized (src_a ≤ src_b, doc sides swapped to match) so each
+    // unordered pair is ONE matrix row; n_docs_a/b count the distinct
+    // docs involved per side — mass vs spread (many pairs from few
+    // docs = a few hub dups; many docs = systemic overlap).
+    "q193_source_overlap" -> Q(
+      (s, d) => {
+        val pairs = bandPairs(s, d).select(col("a_id"), col("b_id"))
+        val srcs = documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(srcs.toDF("a_id", "src_x")), Seq("a_id"))
+          .join(broadcast(srcs.toDF("b_id", "src_y")), Seq("b_id"))
+          .select(
+            least(col("src_x"), col("src_y")).as("src_a"),
+            greatest(col("src_x"), col("src_y")).as("src_b"),
+            when(col("src_x") <= col("src_y"), col("a_id"))
+              .otherwise(col("b_id")).as("da"),
+            when(col("src_x") <= col("src_y"), col("b_id"))
+              .otherwise(col("a_id")).as("db"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("da")).as("n_docs_a"),
+            countDistinct(col("db")).as("n_docs_b"))
+      },
+      Some(s"""WITH ${bandPairsCtesSql()},
+              |pp AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
+              |src AS (SELECT doc_id, source FROM documents),
+              |j AS (SELECT least(sa.source, sb.source) AS src_a,
+              |             greatest(sa.source, sb.source) AS src_b,
+              |             CASE WHEN sa.source <= sb.source THEN a_id
+              |                  ELSE b_id END AS da,
+              |             CASE WHEN sa.source <= sb.source THEN b_id
+              |                  ELSE a_id END AS db
+              |      FROM pp JOIN src sa ON sa.doc_id = a_id
+              |      JOIN src sb ON sb.doc_id = b_id)
+              |SELECT src_a, src_b, count(*) AS n_pairs,
+              |       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+              |       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+              |FROM j GROUP BY 1, 2""".stripMargin),
+      "cross-source overlap matrix: banded near-dup pairs attributed to normalized source pairs — the dump-dedup audit"))
 }
