@@ -2765,5 +2765,63 @@ object TextOps {
               |       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
               |       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
               |FROM j GROUP BY 1, 2""".stripMargin),
-      "cross-source overlap matrix: banded near-dup pairs attributed to normalized source pairs — the dump-dedup audit"))
+      "cross-source overlap matrix: banded near-dup pairs attributed to normalized source pairs — the dump-dedup audit"),
+
+    // CORPUS DATASHEET — the per-source data card every released
+    // training set ships (Datasheets for Datasets / the Pile paper's
+    // per-component tables): docs, token mass, quality level, exact-dup
+    // mass, short-doc mass, benchmark membership. One corpus pass
+    // computes every per-doc ingredient (content key, token stats,
+    // 6dp type-token ratio), ONE hash exchange on the content key
+    // resolves keep-first exact dups (min doc_id per key — the q23
+    // rule), and the output is a #sources-row aggregate. The TTR mean
+    // goes through a DECIMAL(20,6) sum before one IEEE division
+    // (order-independent, engine-exact); empty-token docs are excluded
+    // from the mean (count(ttr) denominator) but counted as short.
+    "q194_corpus_datasheet" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = documents(s, d)
+          .withColumn("key", md5(col("text").cast("binary")))
+          .withColumn("T", tokens(col("text")))
+          .withColumn("n_toks", size(col("T")).cast("long"))
+          .withColumn("n_types", size(array_distinct(col("T"))).cast("long"))
+          .withColumn("ttr", when(col("n_toks") > 0L,
+            round(col("n_types").cast("double") / col("n_toks"), 6)))
+          .withColumn("mn",
+            min(col("doc_id")).over(Window.partitionBy(col("key"))))
+        base.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks_total"),
+          round(sum(col("ttr").cast("decimal(20,6)")).cast("double") /
+            count(col("ttr")), 6).as("mean_ttr"),
+          sum(when(col("doc_id") > col("mn"), 1L).otherwise(0L))
+            .as("n_exact_dup"),
+          sum(when(col("n_toks") < 40L, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("doc_id") % 29 === 0, 1L).otherwise(0L)).as("n_bench"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS T
+              |          FROM documents),
+              |b AS (SELECT doc_id, source, md5(text) AS key,
+              |        CAST(len(T) AS BIGINT) AS n_toks,
+              |        CAST(len(list_distinct(T)) AS BIGINT) AS n_types
+              |      FROM t),
+              |r AS (SELECT doc_id, source, key, n_toks,
+              |        CASE WHEN n_toks > 0
+              |             THEN round(CAST(n_types AS DOUBLE) / n_toks, 6)
+              |        END AS ttr,
+              |        min(doc_id) OVER (PARTITION BY key) AS mn
+              |      FROM b)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
+              |  round(CAST(sum(CAST(ttr AS DECIMAL(20,6))) AS DOUBLE)
+              |        / count(ttr), 6) AS mean_ttr,
+              |  CAST(sum(CASE WHEN doc_id > mn THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_exact_dup,
+              |  CAST(sum(CASE WHEN n_toks < 40 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_short,
+              |  CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_bench
+              |FROM r GROUP BY 1""".stripMargin),
+      "corpus datasheet: per-source docs / token mass / mean TTR / exact-dup / short / bench counts in one pass"))
 }
