@@ -256,4 +256,38 @@ class RetrainSpec extends AnyFunSuite {
     assert(narrow.nonEmpty)
     assert(narrow.groupBy(_._1).forall(_._2.size <= 1))
   }
+
+  test("retrainPressure: predicts the retrain exactly, mutates nothing, zero after") {
+    val root = graft.Temps.dir("retrain-pressure")
+    SemanticStream.bootstrap(corpus, root, k = 2)
+    val before = cellsState(root)
+    val p1 = SemanticStream.retrainPressure(spark, root, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // conservation: every stored vector counted exactly once
+    assert(p1.values.map(_._1).sum === before.size.toLong)
+    // the drift fixture: both seeds sit in cluster A, so the audit
+    // must report pressure (retrain WOULD move cluster B)
+    assert(p1.values.map(_._2).sum > 0L)
+    // read-only: the audit never touches the store
+    assert(cellsState(root) === before)
+
+    // the audit IS the retrain's prediction: per old cell, n_moved
+    // equals the ids whose assignment actually changes when retrain
+    // runs with the same trainer knobs
+    SemanticStream.retrain(spark, root, k = 2)
+    val after = cellsState(root).map(c => c._1 -> c._2).toMap
+    val movedByOldCell = before.toSeq
+      .filter { case (id, cell, _) => after(id) != cell }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    p1.foreach { case (cell, (_, nMoved)) =>
+      assert(movedByOldCell.getOrElse(cell, 0L) === nMoved,
+        s"cell $cell: audit predicted $nMoved moves")
+    }
+
+    // immediately after the retrain it predicted, pressure is zero:
+    // the audit fits the same codebook retrain installs
+    val p2 = SemanticStream.retrainPressure(spark, root, k = 2).collect()
+    assert(p2.map(_.getLong(1)).sum === before.size.toLong)
+    assert(p2.forall(_.getLong(2) === 0L))
+  }
 }
