@@ -480,5 +480,83 @@ object RetrievalOps {
            |       decile = 1 AS flagged
            |FROM dec""".stripMargin
       },
-      "unigram-LM mean-token-probability scoring: the perplexity-filter shape without transcendentals"))
+      "unigram-LM mean-token-probability scoring: the perplexity-filter shape without transcendentals"),
+
+    // BIGRAM-LM transition scoring — q164's conditional upgrade and
+    // the reason pipelines run n-gram LMs at all: word salad has
+    // plausible UNIGRAMS but improbable TRANSITIONS, so the quality
+    // signal is P(w_i | w_{i-1}), not P(w_i). Same no-transcendental
+    // discipline as q164: per-position add-1-smoothed conditional
+    // p = (c(w1,w2)+1)/(c(w1)+V) — integer counts, ONE IEEE division,
+    // 6dp — then the doc mean through a DECIMAL(30,15) sum and one
+    // division at full precision, decile-ranked (rank-relative flag,
+    // q164's reasoning). Bigrams come from one pass over the token
+    // array (zip_with of the two slices — no window, no per-doc
+    // sort); the model tables are posting-shaped groupBys and the
+    // scoring join is the same shape the corpus already pays for
+    // BM25 — never all-pairs, vocab² never materialized (only
+    // OBSERVED bigrams have rows).
+    "q195_bigram_lm" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val bi = docs
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokens(col("text")).as("T"))
+          .where(size(col("T")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("T"), lit(1), size(col("T")) - 1),
+            slice(col("T"), lit(2), size(col("T")) - 1),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint() // read 3×: bigram model, context model, scoring
+        val c12 = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val v = docs
+          .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t")).as("vocab"))
+        bi.join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"), round(
+            (col("c12") + 1L).cast("double") / (col("c1") + col("vocab")), 6)
+            .as("p"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("p").cast("decimal(30,15)")).cast("double") /
+              count(lit(1))).as("mean_p2"))
+          .withColumn("decile", ntile(10).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("mean_p2").asc, col("doc_id").asc)))
+          .select(col("doc_id"), col("n_bigrams"), col("mean_p2"),
+            col("decile"), (col("decile") === 1).as("flagged"))
+      },
+      Some {
+        val toksSql = TextOps.toksSql
+        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+           |bi AS (SELECT doc_id, T[i] AS w1, T[i + 1] AS w2
+           |       FROM (SELECT doc_id, T, unnest(range(1, len(T))) AS i
+           |             FROM t WHERE len(T) >= 2)),
+           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           |        FROM bi GROUP BY 1, 2),
+           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+           |       FROM bi GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+           |      FROM (SELECT unnest(T) AS tok FROM t)),
+           |sc AS (SELECT bi.doc_id,
+           |         round(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vocab), 6) AS p
+           |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+           |       CROSS JOIN v),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |          CAST(sum(CAST(p AS DECIMAL(30,15))) AS DOUBLE)
+           |            / count(*) AS mean_p2
+           |        FROM sc GROUP BY 1),
+           |dec AS (SELECT doc_id, n_bigrams, mean_p2,
+           |          ntile(10) OVER (ORDER BY mean_p2 ASC, doc_id ASC) AS decile
+           |        FROM agg)
+           |SELECT doc_id, n_bigrams, mean_p2, decile,
+           |       decile = 1 AS flagged
+           |FROM dec""".stripMargin
+      },
+      "bigram-LM transition-probability scoring: add-1-smoothed conditionals, the n-gram quality filter without transcendentals"))
 }
