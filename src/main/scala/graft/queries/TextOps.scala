@@ -367,6 +367,94 @@ object TextOps {
           .otherwise("kept").as("status"))
   }
 
+  /** Shared CTE chain replaying [[graft.streaming.CurateStream]]'s
+    * two-micro-batch scenario (bootstrap corpus = doc_id % 5 ≠ 0,
+    * batch 1 = % 10 = 0, batch 2 = % 10 = 5, phase 2 probing
+    * corpus ∪ phase-1 kept): ends with per-phase manifests m1/m2
+    * (doc_id, source, n_toks, status) and kept1/kept2. q144 selects
+    * the manifest union; q196 aggregates it into the online
+    * datasheet. */
+  private def curateStreamCtesSql: String = {
+    val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
+    }.mkString(", ")
+    val agreeSql =
+      """(CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+        |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+        |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+        |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5""".stripMargin
+    // one phase of the sequential chain: batch residue `m` (mod
+    // 10), probing index relation idx$p; bench$p = the shingle set
+    // as of this phase (corpus + every batch ingested so far,
+    // including this one)
+    def phase(p: Int, m: Int, benchPred: String): String =
+      s"""b$p AS (SELECT d.doc_id, d.source, d.n_chars, k.key
+         |        FROM documents d JOIN keys k USING (doc_id)
+         |        WHERE d.doc_id % 10 = $m),
+         |r$p AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key
+         |          ORDER BY n_chars DESC, doc_id) AS rn FROM b$p),
+         |dec$p AS (SELECT b.doc_id FROM b$p b SEMI JOIN
+         |            (SELECT DISTINCT k.key FROM keys k
+         |             SEMI JOIN idx$p USING (doc_id)) ck USING (key)),
+         |b1$p AS (SELECT doc_id FROM r$p WHERE rn = 1
+         |           AND doc_id NOT IN (SELECT doc_id FROM dec$p)),
+         |bsig$p AS (SELECT sig.* FROM sig SEMI JOIN b1$p USING (doc_id)),
+         |csig$p AS (SELECT sig.* FROM sig SEMI JOIN idx$p USING (doc_id)),
+         |bb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM bsig$p
+         |         UNION ALL SELECT doc_id, 1, h2, h3 FROM bsig$p),
+         |cb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM csig$p
+         |         UNION ALL SELECT doc_id, 1, h2, h3 FROM csig$p),
+         |dnc$p AS (SELECT DISTINCT b_id AS doc_id FROM
+         |            (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+         |             FROM bb$p b JOIN cb$p c
+         |               ON b.band = c.band AND b.x = c.x AND b.y = c.y) cc
+         |          JOIN bsig$p sa ON sa.doc_id = b_id
+         |          JOIN csig$p sb ON sb.doc_id = c_id
+         |          WHERE $agreeSql),
+         |dnb$p AS (SELECT DISTINCT b_id AS doc_id FROM
+         |            (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |             FROM bb$p a JOIN bb$p b
+         |               ON a.band = b.band AND a.x = b.x AND a.y = b.y
+         |                  AND a.doc_id < b.doc_id) cc
+         |          JOIN bsig$p sa ON sa.doc_id = a_id
+         |          JOIN bsig$p sb ON sb.doc_id = b_id
+         |          WHERE $agreeSql),
+         |b2$p AS (SELECT doc_id FROM b1$p
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dnc$p)
+         |           AND doc_id NOT IN (SELECT doc_id FROM dnb$p)),
+         |bench$p AS (SELECT DISTINCT sh FROM shing
+         |            WHERE doc_id % 29 = 0 AND ($benchPred)),
+         |cont$p AS (SELECT DISTINCT s2.doc_id FROM
+         |             (SELECT s.* FROM shing s SEMI JOIN b2$p USING (doc_id)
+         |              WHERE s.doc_id % 29 <> 0) s2
+         |           SEMI JOIN bench$p USING (sh)),
+         |m$p AS (SELECT b.doc_id, b.source, q.n_toks,
+         |          CASE WHEN b.doc_id IN (SELECT doc_id FROM dec$p) THEN 'dup_exact_corpus'
+         |               WHEN r.rn > 1 THEN 'dup_exact_batch'
+         |               WHEN b.doc_id IN (SELECT doc_id FROM dnc$p) THEN 'dup_near_corpus'
+         |               WHEN b.doc_id IN (SELECT doc_id FROM dnb$p) THEN 'dup_near_batch'
+         |               WHEN b.doc_id % 29 = 0 THEN 'bench_member'
+         |               WHEN b.doc_id IN (SELECT doc_id FROM cont$p) THEN 'contaminated'
+         |               WHEN q.n_toks < 40 OR q.stopword_ratio < 0.03 THEN 'low_quality'
+         |               ELSE 'kept' END AS status
+         |        FROM b$p b JOIN r$p r USING (doc_id) JOIN q USING (doc_id)),
+         |kept$p AS (SELECT doc_id FROM m$p WHERE status = 'kept')""".stripMargin
+    s"""t AS (SELECT doc_id, $toksSql AS T FROM documents),
+       |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
+       |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
+       |keys AS (SELECT doc_id, md5(text) AS key FROM documents),
+       |shing AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
+       |q AS (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
+       |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+       |              / len(T), 6) AS stopword_ratio
+       |      FROM t),
+       |idx1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+       |${phase(1, 0, "doc_id % 10 <> 5")},
+       |idx2 AS (SELECT doc_id FROM idx1
+       |         UNION ALL SELECT doc_id FROM kept1),
+       |${phase(2, 5, "TRUE")}""".stripMargin
+  }
+
   /** q178/q181's shared DSIR weight chain: hashed-unigram bucket
     * counts for the target (doc_id % 7 = 0) vs raw pools, add-1
     * smoothed LLR per bucket (6dp — the log's input is one IEEE
@@ -1911,88 +1999,9 @@ object TextOps {
         graft.sinks.Layout.readStatic(s, root, CurateStream.ManifestEntity)
           .get
       },
-      Some {
-        val sigExprs = MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
-          s"list_min(list_transform(H, h -> (h * $a + $b) % $MinHashP)) AS h$j"
-        }.mkString(", ")
-        val agreeSql =
-          """(CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-            |               CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-            |               CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-            |               CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0 >= 0.5""".stripMargin
-        // one phase of the sequential chain: batch residue `m` (mod
-        // 10), probing index relation idx$p; bench$p = the shingle set
-        // as of this phase (corpus + every batch ingested so far,
-        // including this one)
-        def phase(p: Int, m: Int, benchPred: String): String =
-          s"""b$p AS (SELECT d.doc_id, d.source, d.n_chars, k.key
-             |        FROM documents d JOIN keys k USING (doc_id)
-             |        WHERE d.doc_id % 10 = $m),
-             |r$p AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key
-             |          ORDER BY n_chars DESC, doc_id) AS rn FROM b$p),
-             |dec$p AS (SELECT b.doc_id FROM b$p b SEMI JOIN
-             |            (SELECT DISTINCT k.key FROM keys k
-             |             SEMI JOIN idx$p USING (doc_id)) ck USING (key)),
-             |b1$p AS (SELECT doc_id FROM r$p WHERE rn = 1
-             |           AND doc_id NOT IN (SELECT doc_id FROM dec$p)),
-             |bsig$p AS (SELECT sig.* FROM sig SEMI JOIN b1$p USING (doc_id)),
-             |csig$p AS (SELECT sig.* FROM sig SEMI JOIN idx$p USING (doc_id)),
-             |bb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM bsig$p
-             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM bsig$p),
-             |cb$p AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM csig$p
-             |         UNION ALL SELECT doc_id, 1, h2, h3 FROM csig$p),
-             |dnc$p AS (SELECT DISTINCT b_id AS doc_id FROM
-             |            (SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
-             |             FROM bb$p b JOIN cb$p c
-             |               ON b.band = c.band AND b.x = c.x AND b.y = c.y) cc
-             |          JOIN bsig$p sa ON sa.doc_id = b_id
-             |          JOIN csig$p sb ON sb.doc_id = c_id
-             |          WHERE $agreeSql),
-             |dnb$p AS (SELECT DISTINCT b_id AS doc_id FROM
-             |            (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             |             FROM bb$p a JOIN bb$p b
-             |               ON a.band = b.band AND a.x = b.x AND a.y = b.y
-             |                  AND a.doc_id < b.doc_id) cc
-             |          JOIN bsig$p sa ON sa.doc_id = a_id
-             |          JOIN bsig$p sb ON sb.doc_id = b_id
-             |          WHERE $agreeSql),
-             |b2$p AS (SELECT doc_id FROM b1$p
-             |         WHERE doc_id NOT IN (SELECT doc_id FROM dnc$p)
-             |           AND doc_id NOT IN (SELECT doc_id FROM dnb$p)),
-             |bench$p AS (SELECT DISTINCT sh FROM shing
-             |            WHERE doc_id % 29 = 0 AND ($benchPred)),
-             |cont$p AS (SELECT DISTINCT s2.doc_id FROM
-             |             (SELECT s.* FROM shing s SEMI JOIN b2$p USING (doc_id)
-             |              WHERE s.doc_id % 29 <> 0) s2
-             |           SEMI JOIN bench$p USING (sh)),
-             |m$p AS (SELECT b.doc_id, b.source, q.n_toks,
-             |          CASE WHEN b.doc_id IN (SELECT doc_id FROM dec$p) THEN 'dup_exact_corpus'
-             |               WHEN r.rn > 1 THEN 'dup_exact_batch'
-             |               WHEN b.doc_id IN (SELECT doc_id FROM dnc$p) THEN 'dup_near_corpus'
-             |               WHEN b.doc_id IN (SELECT doc_id FROM dnb$p) THEN 'dup_near_batch'
-             |               WHEN b.doc_id % 29 = 0 THEN 'bench_member'
-             |               WHEN b.doc_id IN (SELECT doc_id FROM cont$p) THEN 'contaminated'
-             |               WHEN q.n_toks < 40 OR q.stopword_ratio < 0.03 THEN 'low_quality'
-             |               ELSE 'kept' END AS status
-             |        FROM b$p b JOIN r$p r USING (doc_id) JOIN q USING (doc_id)),
-             |kept$p AS (SELECT doc_id FROM m$p WHERE status = 'kept')""".stripMargin
-        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
-           |hh AS (SELECT doc_id, list_transform(list_distinct(${shinglesSql("T")}), s -> ${tokHashSql("s")}) AS H FROM t),
-           |sig AS (SELECT doc_id, $sigExprs FROM hh WHERE len(H) > 0),
-           |keys AS (SELECT doc_id, md5(text) AS key FROM documents),
-           |shing AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
-           |q AS (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
-           |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
-           |              / len(T), 6) AS stopword_ratio
-           |      FROM t),
-           |idx1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
-           |${phase(1, 0, "doc_id % 10 <> 5")},
-           |idx2 AS (SELECT doc_id FROM idx1
-           |         UNION ALL SELECT doc_id FROM kept1),
-           |${phase(2, 5, "TRUE")}
-           |SELECT doc_id, source, n_toks, status FROM m1
-           |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin
-      },
+      Some(s"""WITH $curateStreamCtesSql
+              |SELECT doc_id, source, n_toks, status FROM m1
+              |UNION ALL SELECT doc_id, source, n_toks, status FROM m2""".stripMargin),
       "online curation over a maintained index: two sequential micro-batches, phase-2 probes include phase-1's kept docs"),
 
     // The SPAN LAYER armed (q134/q138's substring discipline, online):
@@ -2823,5 +2832,40 @@ object TextOps {
               |  CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_bench
               |FROM r GROUP BY 1""".stripMargin),
-      "corpus datasheet: per-source docs / token mass / mean TTR / exact-dup / short / bench counts in one pass"))
+      "corpus datasheet: per-source docs / token mass / mean TTR / exact-dup / short / bench counts in one pass"),
+
+    // q194's ONLINE face: the data card served from the MAINTAINED
+    // curate store. The per-batch manifests (doc_id, source, n_toks,
+    // status — written LAST per ingest as the commit marker) already
+    // ARE the datasheet's rows for everything that flowed through the
+    // pipeline, so the card is one aggregate over the stored manifest
+    // entity: per (source, status) doc and token-mass counts. The
+    // corpus is never rescanned and no per-doc work repeats — at
+    // 100 TB the datasheet of a month of ingest costs a scan of the
+    // manifest rows (one small projection per ingested doc), not of
+    // the corpus. Scenario = q144's two-micro-batch program (own
+    // store root — idempotent re-landing, replay-safe); the oracle
+    // replays both curate phases (the shared CTE chain) and
+    // aggregates the manifest union the same way.
+    "q196_datasheet_online" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = graft.Temps.dirFor(s"datasheet-online-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
+        graft.sinks.Layout.readStatic(s, root, CurateStream.ManifestEntity)
+          .get
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_toks_total"))
+      },
+      Some(s"""WITH $curateStreamCtesSql,
+              |man AS (SELECT source, n_toks, status FROM m1
+              |        UNION ALL SELECT source, n_toks, status FROM m2)
+              |SELECT source, status, count(*) AS n_docs,
+              |       CAST(sum(n_toks) AS BIGINT) AS n_toks_total
+              |FROM man GROUP BY 1, 2""".stripMargin),
+      "online datasheet: per-(source, status) doc/token card aggregated from the stored curate manifest — no corpus rescan"))
 }
