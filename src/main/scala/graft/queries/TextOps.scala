@@ -2867,5 +2867,71 @@ object TextOps {
               |SELECT source, status, count(*) AS n_docs,
               |       CAST(sum(n_toks) AS BIGINT) AS n_toks_total
               |FROM man GROUP BY 1, 2""".stripMargin),
-      "online datasheet: per-(source, status) doc/token card aggregated from the stored curate manifest — no corpus rescan"))
+      "online datasheet: per-(source, status) doc/token card aggregated from the stored curate manifest — no corpus rescan"),
+
+    // TOKENIZER FERTILITY per source — the standard tokenizer-quality
+    // audit (symbols emitted per word; multilingual/tokenizer papers
+    // report it per language/source to expose under-served sources):
+    // learn the q186 merge table, apply it to a word dict WITH
+    // identity, and join the corpus against the dict. The shape is
+    // the scale point: per-word fold work happens ONCE per distinct
+    // word in the vocab-bounded dict (never per occurrence), and the
+    // corpus pays one token explode + one dict equi-join — the same
+    // posting-shaped join as BM25 scoring. Words outside the learner's
+    // charter ([a-z]+, len ≥ 2) count as one symbol each (the fold
+    // never touches them), via the left join's coalesce. The oracle
+    // replays the merge chain (shared bpeChainSql m1–m4), folds the
+    // rules over its own identity dict, and re-joins — fertility is
+    // an exact-integer ratio through one IEEE division at 6dp.
+    "q197_tokenizer_fertility" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val (merges, _) = bpeLearnOf(docs, 4)
+        var dict = docs.select(explode(tokens(col("text"))).as("w"))
+          .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .distinct()
+          .select(col("w"),
+            filter(split(col("w"), ""), x => length(x) > 0).as("syms"))
+        merges.foreach { case (_, a, b, _) =>
+          dict = dict.select(col("w"),
+            bpeApplyMerge(col("syms"), a, b).as("syms"))
+        }
+        val dictN = dict
+          .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+          .localCheckpoint() // vocab-bounded; the corpus joins it once
+        docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+          .join(broadcast(dictN), Seq("w"), "left")
+          .select(col("source"), coalesce(col("n_syms"), lit(1L)).as("ns"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ns")).as("n_symbols"))
+          .withColumn("fertility", round(
+            col("n_symbols").cast("double") / col("n_words"), 6))
+      },
+      Some {
+        def wFold(i: Int): String =
+          s"""wd$i AS (SELECT w, list_reduce(list_transform(syms, x -> [x]),
+             |          (acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b
+             |            THEN list_append(acc[1:len(acc)-1], ab)
+             |            ELSE list_append(acc, x[1]) END) AS syms
+             |        FROM wd${i - 1} CROSS JOIN m$i)""".stripMargin
+        s"""$bpeChainSql,
+           |wd0 AS (SELECT w, string_split(w, '') AS syms
+           |        FROM (SELECT DISTINCT w FROM toks
+           |              WHERE regexp_matches(w, '^[a-z]+${"$"}')
+           |                AND len(w) >= 2) z),
+           |${wFold(1)},
+           |${wFold(2)},
+           |${wFold(3)},
+           |${wFold(4)},
+           |tk AS (SELECT source, unnest($toksSql) AS w FROM documents),
+           |ns AS (SELECT tk.source,
+           |         coalesce(len(wd4.syms), 1) AS ns
+           |       FROM tk LEFT JOIN wd4 USING (w))
+           |SELECT source, count(*) AS n_words,
+           |       CAST(sum(ns) AS BIGINT) AS n_symbols,
+           |       round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS fertility
+           |FROM ns GROUP BY 1""".stripMargin
+      },
+      "tokenizer fertility per source: learned merges folded once over the identity dict, corpus pays one posting-shaped join"))
 }
