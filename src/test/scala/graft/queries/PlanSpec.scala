@@ -164,7 +164,11 @@ class PlanSpec extends AnyFunSuite {
     // crossJoined onto the source-cardinality allocation table —
     // q157's bounded stats-frame shape; doc selection is the source
     // equi-join + per-source window
-    "q180_temperature_mix")
+    "q180_temperature_mix",
+    // the vocab-size frame is ONE row crossJoined onto the scoring
+    // join — q164's exact stats-frame shape; the bigram model joins
+    // (c12 on (w1,w2), c1 on w1) are posting-shaped equi-joins
+    "q195_bigram_lm")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
