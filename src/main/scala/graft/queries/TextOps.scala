@@ -2933,5 +2933,143 @@ object TextOps {
            |       round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS fertility
            |FROM ns GROUP BY 1""".stripMargin
       },
-      "tokenizer fertility per source: learned merges folded once over the identity dict, corpus pays one posting-shaped join"))
+      "tokenizer fertility per source: learned merges folded once over the identity dict, corpus pays one posting-shaped join"),
+
+    // INTRA-DOCUMENT REPETITION — the Gopher-rules repetition filter
+    // (Rae et al.: duplicate-n-gram fraction and top-n-gram mass are
+    // the strongest single quality signals for scraped text; loopy
+    // boilerplate and listicles repeat internally long before they
+    // duplicate across docs, so the cross-doc layers never see them).
+    // Two signals per doc: the fraction of trigram OCCURRENCES that
+    // are repeats of an earlier trigram in the same doc
+    // ((n_tri − n_distinct)/n_tri), and the mass of the single most
+    // frequent bigram (max count / n_bi) — both exact-integer ratios
+    // at 6dp, thresholds 0.2 documented as the flag rule (the knob a
+    // deployment tunes; the fractions ship so retuning needs no
+    // recompute). Shape: two n-gram explodes + hash-partitioned
+    // per-(doc, gram) and per-doc aggregates — linear in corpus
+    // tokens, the same explode discipline the shingle layer already
+    // pays; no joins beyond the two tiny per-doc stat frames meeting
+    // on doc_id.
+    "q198_intra_repetition" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("T"))
+          .where(size(col("T")) >= 3)
+        val tri = docs.select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("T")) - 2),
+            i => concat_ws(" ", element_at(col("T"), i),
+              element_at(col("T"), i + 1), element_at(col("T"), i + 2))))
+            .as("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tri"),
+            countDistinct(col("g")).as("n_dist_tri"))
+        val bi = docs.select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("T")) - 1),
+            i => concat_ws(" ", element_at(col("T"), i),
+              element_at(col("T"), i + 1)))).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+        tri.join(bi, Seq("doc_id"))
+          .select(col("doc_id"),
+            round((col("n_tri") - col("n_dist_tri")).cast("double") /
+              col("n_tri"), 6).as("dup_tri_frac"),
+            round(col("top_bi").cast("double") / col("n_bi"), 6)
+              .as("top_bi_frac"))
+          .withColumn("flagged",
+            col("dup_tri_frac") > 0.2 || col("top_bi_frac") > 0.2)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
+              |d AS (SELECT doc_id, T FROM t WHERE len(T) >= 3),
+              |tri AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+              |          CAST(count(DISTINCT g) AS BIGINT) AS n_dist_tri
+              |        FROM (SELECT doc_id,
+              |                unnest(list_transform(range(1, len(T) - 1),
+              |                  i -> T[i] || ' ' || T[i+1] || ' ' || T[i+2])) AS g
+              |              FROM d) z GROUP BY 1),
+              |bic AS (SELECT doc_id, g, count(*) AS c
+              |        FROM (SELECT doc_id,
+              |                unnest(list_transform(range(1, len(T)),
+              |                  i -> T[i] || ' ' || T[i+1])) AS g
+              |              FROM d) z GROUP BY 1, 2),
+              |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+              |         CAST(max(c) AS BIGINT) AS top_bi
+              |       FROM bic GROUP BY 1)
+              |SELECT tri.doc_id,
+              |  round(CAST(n_tri - n_dist_tri AS DOUBLE) / n_tri, 6)
+              |    AS dup_tri_frac,
+              |  round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bi_frac,
+              |  (round(CAST(n_tri - n_dist_tri AS DOUBLE) / n_tri, 6)
+              |     > CAST(0.2 AS DOUBLE)
+              |   OR round(CAST(top_bi AS DOUBLE) / n_bi, 6)
+              |     > CAST(0.2 AS DOUBLE)) AS flagged
+              |FROM tri JOIN bi USING (doc_id)""".stripMargin),
+      "Gopher-rules intra-doc repetition: duplicate-trigram fraction + top-bigram mass, exact-integer ratios at 6dp"),
+
+    // SOURCE-PRECEDENCE DEDUP POLICY — when near-dups cluster, WHICH
+    // copy survives is a policy, not an accident: keep-first-id
+    // (q101/q141's rule) is arbitrary across sources, while real
+    // pipelines keep the copy from the most-trusted source (CCNet
+    // keeps the best-perplexity dump; curated editions beat crawls).
+    // Winner per q101 cluster = lowest source index (src0 most
+    // trusted — the deterministic stand-in for a configured
+    // precedence list), doc_id tiebreak. `rescued` marks winners the
+    // id-rule would have dropped — the measurable effect of the
+    // policy. Cost over q101: one per-cluster window (same partition
+    // key the cluster-size agg already uses) — the clustering itself
+    // is reused, never recomputed per policy change.
+    "q199_precedence_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = bandPairs(s, d)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(pairs)
+          .toDF("doc_id", "canonical")
+        val assigned = documents(s, d)
+          .select(col("doc_id"), col("source"),
+            substring(col("source"), 4, 10).cast("int").as("prio"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("prio"),
+            coalesce(col("canonical"), col("doc_id")).as("canonical"))
+        val byCluster = Window.partitionBy(col("canonical"))
+        val w = byCluster.orderBy(col("prio").asc, col("doc_id").asc)
+        assigned
+          .withColumn("rn", row_number().over(w))
+          .withColumn("min_id", min(col("doc_id")).over(byCluster))
+          .withColumn("winner_id", min(when(col("rn") === 1, col("doc_id")))
+            .over(byCluster))
+          .select(col("doc_id"), col("source"), col("canonical"),
+            col("winner_id"),
+            (col("doc_id") === col("winner_id")).as("kept"),
+            (col("doc_id") === col("winner_id") &&
+              col("doc_id") =!= col("min_id")).as("rescued"))
+      },
+      Some(s"""WITH RECURSIVE ${bandPairsCtesSql()},
+              |pairs AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |        UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+              |comp AS (SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY 1),
+              |assigned AS (
+              |  SELECT d.doc_id, d.source,
+              |         CAST(substr(d.source, 4) AS INT) AS prio,
+              |         coalesce(c.canonical, d.doc_id) AS canonical
+              |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+              |rk AS (SELECT doc_id, source, canonical,
+              |         row_number() OVER (PARTITION BY canonical
+              |           ORDER BY prio ASC, doc_id ASC) AS rn,
+              |         min(doc_id) OVER (PARTITION BY canonical) AS min_id
+              |       FROM assigned),
+              |win AS (SELECT canonical, doc_id AS winner_id FROM rk WHERE rn = 1)
+              |SELECT rk.doc_id, rk.source, rk.canonical, win.winner_id,
+              |       rk.doc_id = win.winner_id AS kept,
+              |       (rk.doc_id = win.winner_id AND rk.doc_id <> rk.min_id)
+              |         AS rescued
+              |FROM rk JOIN win USING (canonical)""".stripMargin),
+      "source-precedence dedup: cluster winners by configured source trust, not lowest id — rescued rows measure the policy"))
 }
