@@ -3071,5 +3071,60 @@ object TextOps {
               |       (rk.doc_id = win.winner_id AND rk.doc_id <> rk.min_id)
               |         AS rescued
               |FROM rk JOIN win USING (canonical)""".stripMargin),
-      "source-precedence dedup: cluster winners by configured source trust, not lowest id — rescued rows measure the policy"))
+      "source-precedence dedup: cluster winners by configured source trust, not lowest id — rescued rows measure the policy"),
+
+    // EXPORT CERTIFICATION — the release checksum: did a re-export /
+    // replica / downstream copy land IDENTICAL rows? Per shard of
+    // the q168 training manifest: row count, token mass, and a
+    // BIT-XOR checksum of the row fingerprint
+    // tokenHash(doc_id:seq:n_toks). XOR is the scale-right fold:
+    // order- and partition-independent (no global sort, no single
+    // reducer, no overflow — unlike a modular SUM it needs no
+    // wide-decimal carry), so the certificate distributes and two
+    // exports compare by #shards tiny rows. The fingerprint covers
+    // the doc's identity AND its position AND its token count, so a
+    // swapped order, a dropped doc, or a re-tokenization all flip
+    // the checksum. The oracle replays the full curate → budget →
+    // shard/order chain and folds the same XOR.
+    "q200_export_checksum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val curated = curateStages(s, d).last._2
+          .where(col("cum_toks") <= CurateTokenBudget)
+          .select(col("doc_id"), col("source"), col("n_toks"))
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val fp = graft.functions.EvmExprs.tokenHash(concat(
+          col("doc_id").cast("string"), lit(":"),
+          col("seq").cast("string"), lit(":"),
+          col("n_toks").cast("string")))
+        curated.withColumn("h", h)
+          .withColumn("shard", pmod(col("h"), lit(ShardOps.NumShards.toLong)))
+          .withColumn("seq", row_number().over(w))
+          .withColumn("fp", fp)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("sum_toks"),
+            expr("bit_xor(fp)").as("checksum"))
+      },
+      Some(s"""WITH $curateCtesSql,
+              |exp AS (SELECT doc_id, source, n_toks FROM packed
+              |        WHERE cum_toks <= $CurateTokenBudget),
+              |shx AS (SELECT doc_id, source, n_toks,
+              |          ${tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+              |        FROM exp),
+              |ord AS (SELECT h % ${ShardOps.NumShards} AS shard,
+              |          row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
+              |            ORDER BY h, doc_id) AS seq,
+              |          doc_id, n_toks
+              |        FROM shx),
+              |fp AS (SELECT shard, n_toks,
+              |         ${tokHashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fp
+              |       FROM ord)
+              |SELECT shard, count(*) AS n_docs,
+              |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+              |       bit_xor(fp) AS checksum
+              |FROM fp GROUP BY 1""".stripMargin),
+      "export certification: per-shard row count, token mass and order-independent XOR fingerprint of the training manifest"))
 }
