@@ -192,6 +192,71 @@ object RetrievalOps {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** q195/q201's shared bigram transition-score chain: per doc, the
+    * mean add-1-smoothed conditional p = (c(w1,w2)+1)/(c(w1)+V) over
+    * its transitions — integer counts, one IEEE division 6dp-rounded
+    * per position, DECIMAL(30,15) sum, one full-precision division
+    * (q164's determinism argument). Returns (doc_id, source,
+    * n_bigrams, mean_p2). Scale shape: bigrams come from one
+    * zip_with pass over the token array (no window, no per-doc
+    * sort); the model tables are posting-shaped groupBys; the
+    * scoring join is the bigram equi-join — never doc × vocab², only
+    * OBSERVED bigrams have rows. */
+  private def bigramDocScores(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bi = docs
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("T"))
+      .where(size(col("T")) >= 2)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(col("T"), lit(1), size(col("T")) - 1),
+        slice(col("T"), lit(2), size(col("T")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // read 3×: bigram model, context model, scoring
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("source"), round(
+        (col("c12") + 1L).cast("double") / (col("c1") + col("vocab")), 6)
+        .as("p"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("mean_p2"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bigramDocScores]] — terminal CTE
+    * `bsc (doc_id, source, n_bigrams, mean_p2)`. */
+  private def bigramScoreCtesSql: String = {
+    val toksSql = TextOps.toksSql
+    s"""t AS (SELECT doc_id, source, $toksSql AS T FROM documents),
+       |bi AS (SELECT doc_id, source, T[i] AS w1, T[i + 1] AS w2
+       |       FROM (SELECT doc_id, source, T, unnest(range(1, len(T))) AS i
+       |             FROM t WHERE len(T) >= 2)),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |        FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM bi GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+       |      FROM (SELECT unnest(T) AS tok FROM t)),
+       |sc AS (SELECT bi.doc_id, bi.source,
+       |         round(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vocab), 6) AS p
+       |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |       CROSS JOIN v),
+       |bsc AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |          CAST(sum(CAST(p AS DECIMAL(30,15))) AS DOUBLE)
+       |            / count(*) AS mean_p2
+       |        FROM sc GROUP BY 1, 2)""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     // five queries = the token sets of docs 0–4; rank the whole corpus
     // by the surrogate-BM25 score, top-5 per query (self-matches are
@@ -497,66 +562,85 @@ object RetrievalOps {
     // BM25 — never all-pairs, vocab² never materialized (only
     // OBSERVED bigrams have rows).
     "q195_bigram_lm" -> Q(
-      (s, d) => {
-        val docs = documents(s, d)
-        val bi = docs
-          .select(col("doc_id"),
-            graft.ops.TextAnalysis.tokens(col("text")).as("T"))
-          .where(size(col("T")) >= 2)
-          .select(col("doc_id"), explode(zip_with(
-            slice(col("T"), lit(1), size(col("T")) - 1),
-            slice(col("T"), lit(2), size(col("T")) - 1),
-            (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .localCheckpoint() // read 3×: bigram model, context model, scoring
-        val c12 = bi.groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("c12"))
-        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val v = docs
-          .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
-          .agg(countDistinct(col("t")).as("vocab"))
-        bi.join(c12, Seq("w1", "w2"))
-          .join(c1, Seq("w1"))
-          .crossJoin(broadcast(v))
-          .select(col("doc_id"), round(
-            (col("c12") + 1L).cast("double") / (col("c1") + col("vocab")), 6)
-            .as("p"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("p").cast("decimal(30,15)")).cast("double") /
-              count(lit(1))).as("mean_p2"))
+      (s, d) =>
+        bigramDocScores(s, d)
           .withColumn("decile", ntile(10).over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("mean_p2").asc, col("doc_id").asc)))
           .select(col("doc_id"), col("n_bigrams"), col("mean_p2"),
-            col("decile"), (col("decile") === 1).as("flagged"))
-      },
-      Some {
-        val toksSql = TextOps.toksSql
-        s"""WITH t AS (SELECT doc_id, $toksSql AS T FROM documents),
-           |bi AS (SELECT doc_id, T[i] AS w1, T[i + 1] AS w2
-           |       FROM (SELECT doc_id, T, unnest(range(1, len(T))) AS i
-           |             FROM t WHERE len(T) >= 2)),
-           |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-           |        FROM bi GROUP BY 1, 2),
-           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-           |       FROM bi GROUP BY 1),
-           |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
-           |      FROM (SELECT unnest(T) AS tok FROM t)),
-           |sc AS (SELECT bi.doc_id,
-           |         round(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.vocab), 6) AS p
-           |       FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-           |       CROSS JOIN v),
-           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |          CAST(sum(CAST(p AS DECIMAL(30,15))) AS DOUBLE)
-           |            / count(*) AS mean_p2
-           |        FROM sc GROUP BY 1),
+            col("decile"), (col("decile") === 1).as("flagged")),
+      Some(
+        s"""WITH $bigramScoreCtesSql,
            |dec AS (SELECT doc_id, n_bigrams, mean_p2,
            |          ntile(10) OVER (ORDER BY mean_p2 ASC, doc_id ASC) AS decile
-           |        FROM agg)
+           |        FROM bsc)
            |SELECT doc_id, n_bigrams, mean_p2, decile,
            |       decile = 1 AS flagged
-           |FROM dec""".stripMargin
+           |FROM dec""".stripMargin),
+      "bigram-LM transition-probability scoring: add-1-smoothed conditionals, the n-gram quality filter without transcendentals"),
+
+    // PERPLEXITY BUCKETS — CCNet's head/middle/tail banding: per
+    // SOURCE, split docs into probability tertiles under the learned
+    // LM (here q195's bigram transition score — monotone inverse of
+    // perplexity, same no-transcendental discipline), so each source
+    // contributes its own best/typical/worst thirds and downstream
+    // mixing can sample bands, not absolute thresholds that drift
+    // with domain. The scale move: the tertile CUTOFFS come from a
+    // histogram over the BOUNDED 6dp score domain (bucket =
+    // floor(mean_p2·1e6), ≤1e6 cells/source), cumulated per source —
+    // the corpus pays one aggregate, and the only sort is over the
+    // score DOMAIN, never a per-source global sort of corpus rows
+    // (ntile over 100 TB of docs would single-task each source).
+    // Docs in the boundary bucket share its band (deterministic
+    // tie-sharing; band sizes are n/3 ± boundary-bucket mass).
+    "q201_perplexity_buckets" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = bigramDocScores(s, d)
+          .withColumn("bucket",
+            floor(col("mean_p2") * lit(1000000.0)).cast("long"))
+          .localCheckpoint() // read 3×: histogram, per-source n, labeling
+        val hist = b.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = b.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val cum = hist.withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket").asc)))
+        val cuts = cum.join(broadcast(n), Seq("source"))
+          .groupBy(col("source"))
+          .agg(
+            min(when(col("cum") >= expr("(n + 2) div 3"), col("bucket")))
+              .as("b1"),
+            min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("bucket")))
+              .as("b2"))
+        b.join(broadcast(cuts), Seq("source"))
+          .select(col("doc_id"), col("source"), col("mean_p2"), col("bucket"),
+            when(col("bucket") <= col("b1"), "tail")
+              .when(col("bucket") <= col("b2"), "middle")
+              .otherwise("head").as("band"))
       },
-      "bigram-LM transition-probability scoring: add-1-smoothed conditionals, the n-gram quality filter without transcendentals"))
+      Some(
+        s"""WITH $bigramScoreCtesSql,
+           |bk AS (SELECT doc_id, source, mean_p2,
+           |         CAST(floor(mean_p2 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+           |           AS bucket
+           |       FROM bsc),
+           |hist AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |         FROM bk GROUP BY 1, 2),
+           |nn AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           |       FROM bk GROUP BY 1),
+           |cum AS (SELECT source, bucket,
+           |          sum(cnt) OVER (PARTITION BY source
+           |            ORDER BY bucket ASC) AS cum
+           |        FROM hist),
+           |cuts AS (SELECT cum.source,
+           |           min(CASE WHEN cum >= (n + 2) // 3 THEN bucket END) AS b1,
+           |           min(CASE WHEN cum >= (2 * n + 2) // 3 THEN bucket END)
+           |             AS b2
+           |         FROM cum JOIN nn USING (source) GROUP BY 1)
+           |SELECT doc_id, bk.source AS source, mean_p2, bucket,
+           |       CASE WHEN bucket <= b1 THEN 'tail'
+           |            WHEN bucket <= b2 THEN 'middle'
+           |            ELSE 'head' END AS band
+           |FROM bk JOIN cuts USING (source)""".stripMargin),
+      "CCNet head/middle/tail perplexity banding per source: tertile cutoffs from a bounded score-domain histogram, no per-source corpus sort"))
 }

@@ -168,7 +168,11 @@ class PlanSpec extends AnyFunSuite {
     // the vocab-size frame is ONE row crossJoined onto the scoring
     // join — q164's exact stats-frame shape; the bigram model joins
     // (c12 on (w1,w2), c1 on w1) are posting-shaped equi-joins
-    "q195_bigram_lm")
+    "q195_bigram_lm",
+    // q195's shared score chain (same 1-row vocab crossJoin); the
+    // banding itself is histogram aggregates + two broadcast joins
+    // over the tiny per-source cutoff frames
+    "q201_perplexity_buckets")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
