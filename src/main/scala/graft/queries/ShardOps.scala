@@ -278,5 +278,71 @@ object ShardOps {
            |  AND a.succ IS NOT NULL AND b.succ IS NOT NULL
            |GROUP BY 1, 2, 3""".stripMargin
       },
-      "multi-epoch deterministic reshuffle: epoch-keyed within-shard order, measured successor decorrelation"))
+      "multi-epoch deterministic reshuffle: epoch-keyed within-shard order, measured successor decorrelation"),
+
+    // EXACT-QUOTA STRATIFIED SAMPLE — downsample each source to an
+    // EXACT deterministic quota (here ceil(n/4), integer math — the
+    // 25% is a documented knob): the k docs with the smallest
+    // (tokenHash(doc_id), doc_id), i.e. a seeded uniform sample that
+    // any replica reproduces bit-for-bit. The scale move is HOW the
+    // k-smallest are found: a per-source `row_number() ≤ k` would
+    // sort corpus rows inside single-task source partitions. Instead:
+    // histogram the hash domain (bucket = h div 2^20, ≤954 cells per
+    // source — tokenHash < 1e9+7), cumulate per source, find the
+    // boundary bucket b* where the running count first reaches k,
+    // take every row below b* filter-only, and rank ONLY inside b*
+    // (expected corpus/954 rows) for the remainder. Bucket is
+    // monotone in h, so the union is exactly the k lexicographic
+    // smallest — the oracle states the spec independently as the
+    // plain window it would be at toy scale.
+    "q202_exact_sample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val base = documents(s, d)
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("bucket", expr("h div 1048576"))
+          .localCheckpoint() // read 3×: histogram, below-cut, boundary rank
+        val hist = base.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val quota = base.groupBy(col("source"))
+          .agg(expr("(count(1) + 3) div 4").as("k"))
+        val cum = hist.withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("source")).orderBy(col("bucket").asc)))
+          .join(broadcast(quota), Seq("source"))
+        val bstar = cum.where(col("cum") >= col("k"))
+          .groupBy(col("source")).agg(min(col("bucket")).as("bstar"))
+        // one row per source: the boundary bucket and how many of its
+        // rows complete the quota (cum first reaches k at b*, so the
+        // rows below it number cum - cnt < k and take ≥ 1)
+        val cut = cum.join(broadcast(bstar), Seq("source"))
+          .where(col("bucket") === col("bstar"))
+          .select(col("source"), col("bstar"),
+            (col("k") - (col("cum") - col("cnt"))).as("take"))
+        val below = base.join(broadcast(cut), Seq("source"))
+          .where(col("bucket") < col("bstar"))
+          .select(col("doc_id"), col("source"), col("h"))
+        val boundary = base.join(broadcast(cut), Seq("source"))
+          .where(col("bucket") === col("bstar"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("source"))
+            .orderBy(col("h").asc, col("doc_id").asc)))
+          .where(col("rn") <= col("take"))
+          .select(col("doc_id"), col("source"), col("h"))
+        below.unionByName(boundary)
+      },
+      Some(
+        s"""WITH b AS (SELECT doc_id, source,
+           |    ${TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents),
+           |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           |      FROM b GROUP BY 1)
+           |SELECT doc_id, source, h FROM (
+           |  SELECT b.doc_id, b.source, b.h,
+           |    row_number() OVER (PARTITION BY b.source
+           |      ORDER BY b.h, b.doc_id) AS rn,
+           |    (n.n + 3) // 4 AS k
+           |  FROM b JOIN n USING (source))
+           |WHERE rn <= k""".stripMargin),
+      "exact-quota stratified sample: k-smallest-by-hash per source via histogram cutoff + boundary-bucket-only rank, no per-source corpus sort"))
 }
