@@ -3126,5 +3126,63 @@ object TextOps {
               |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
               |       bit_xor(fp) AS checksum
               |FROM fp GROUP BY 1""".stripMargin),
-      "export certification: per-shard row count, token mass and order-independent XOR fingerprint of the training manifest"))
+      "export certification: per-shard row count, token mass and order-independent XOR fingerprint of the training manifest"),
+
+    // ONLINE CERTIFICATE — q200's release checksum maintained
+    // INCREMENTALLY by the curate stream: each ingest lands one
+    // immutable delta row per shard (count, token mass, XOR of
+    // tokenHash(doc_id:n_toks) over the batch's KEPT docs) and the
+    // served certificate is a tiny fold over the deltas — XOR and sum
+    // are associative + commutative, so maintained ≡ from-scratch by
+    // algebra, and this query PINS it: it runs q196's two-micro-batch
+    // scenario with the cert layer armed, reads the served
+    // certificate, recomputes the same certificate from the stored
+    // lex_dl entity (the store's kept-doc token lengths), and emits
+    // per-shard equality. At 100 TB certifying a month of ingest
+    // costs a scan of #batches × 8 delta rows, not of the corpus.
+    // The oracle replays bootstrap ∪ kept₁ ∪ kept₂ and folds the
+    // XOR itself — consistent must come out TRUE row for row.
+    "q203_cert_online" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = graft.Temps.dirFor(s"cert-online-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
+          withLex = true, withCert = true)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
+          lexIndex = true, certIndex = true)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root,
+          lexIndex = true, certIndex = true)
+        val served = CurateStream.certificate(s, root).get
+        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+        val fp = graft.functions.EvmExprs.tokenHash(concat(
+          col("doc_id").cast("string"), lit(":"), col("dl").cast("string")))
+        val recomputed = graft.sinks.Layout
+          .readStatic(s, root, CurateStream.DlEntity).get
+          .withColumn("shard", pmod(h, lit(CurateStream.CertShards.toLong)))
+          .withColumn("fp", fp)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("r_docs"), sum(col("dl")).as("r_toks"),
+            expr("bit_xor(fp)").as("r_sum"))
+        served.join(recomputed, Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("sum_toks"),
+            col("checksum"),
+            (col("n_docs") === col("r_docs") &&
+              col("sum_toks") === col("r_toks") &&
+              col("checksum") === col("r_sum")).as("consistent"))
+      },
+      Some(s"""WITH $curateStreamCtesSql,
+              |allk AS (SELECT doc_id FROM idx1
+              |         UNION ALL SELECT doc_id FROM kept1
+              |         UNION ALL SELECT doc_id FROM kept2),
+              |cf AS (SELECT k.doc_id, q.n_toks,
+              |         ${tokHashSql("CAST(k.doc_id AS VARCHAR)")} %
+              |           ${graft.streaming.CurateStream.CertShards} AS shard,
+              |         ${tokHashSql("CAST(k.doc_id AS VARCHAR) || ':' || CAST(q.n_toks AS VARCHAR)")} AS fp
+              |       FROM allk k JOIN q USING (doc_id))
+              |SELECT shard, count(*) AS n_docs,
+              |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+              |       bit_xor(fp) AS checksum, TRUE AS consistent
+              |FROM cf GROUP BY 1""".stripMargin),
+      "online export certificate: per-batch XOR deltas folded into the served checksum, pinned equal to the from-scratch recompute"))
 }

@@ -76,6 +76,68 @@ object CurateStream {
   val PostingsEntity = "lex_postings"
   val DlEntity = "lex_dl"
 
+  /** Export-certificate entity (q200's release checksum maintained
+    * ONLINE — q203): `curate_cert (bkey, shard, n_docs, sum_toks,
+    * xor_fp)` holds one IMMUTABLE delta row per (ingest batch ×
+    * shard) — count, token mass and BIT-XOR of the set fingerprint
+    * tokenHash(doc_id:n_toks) over the batch's KEPT docs. XOR and sum
+    * are associative + commutative, so the SERVED certificate is a
+    * tiny fold over the delta rows ([[certificate]]) — #batches ×
+    * [[CertShards]] rows, never a corpus rescan — and the entity
+    * stays inside the anti-join-upsert discipline (the one mutable
+    * per-batch value the discipline can't express is exactly what the
+    * delta decomposition removes). `bkey` = XOR of the batch's shard
+    * checksums: deterministic on replay (statuses are bit-stable), so
+    * a re-landed batch's delta is the SAME row and the anti-join
+    * absorbs it. Kept docs are first-arrival-wins across batches, so
+    * deltas are disjoint sets and the fold certifies the store. */
+  val CertEntity = "curate_cert"
+  val CertShards = 8
+
+  /** Per-shard certificate delta of a kept-doc frame (doc_id,
+    * n_toks): fingerprint covers identity + token count (q200's set
+    * face — no seq, which is what makes the certificate incrementally
+    * maintainable under append-only keeps). */
+  private def certDeltaOf(kept: DataFrame): DataFrame = {
+    val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+    val fp = graft.functions.EvmExprs.tokenHash(concat(
+      col("doc_id").cast("string"), lit(":"), col("n_toks").cast("string")))
+    kept.withColumn("shard", pmod(h, lit(CertShards.toLong)))
+      .withColumn("fp", fp)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"),
+        expr("bit_xor(fp)").as("xor_fp"))
+  }
+
+  /** Land one batch's certificate delta rows: ≤ [[CertShards]] rows
+    * collected (the cRow precedent — bounded by the shard count, not
+    * the data), keyed by the batch checksum for replay-idempotent
+    * upsert. */
+  private def upsertCert(kept: DataFrame, root: String): Unit = {
+    val s = kept.sparkSession
+    val rows = certDeltaOf(kept).collect()
+    if (rows.nonEmpty) {
+      val bkey = rows.map(_.getLong(3)).reduce(_ ^ _)
+      import s.implicits._
+      val delta = rows.toSeq
+        .map(r => (bkey, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toDF("bkey", "shard", "n_docs", "sum_toks", "xor_fp")
+      Layout.upsertStatic(delta, root, CertEntity, Seq("bkey", "shard"))
+    }
+  }
+
+  /** The SERVED export certificate: per-shard (n_docs, sum_toks,
+    * checksum) folded from the stored delta rows — order- and
+    * partition-independent, so it equals the from-scratch q200-style
+    * recompute over the store's kept docs (q203 pins the equality). */
+  def certificate(s: SparkSession, root: String): Option[DataFrame] =
+    Layout.readStatic(s, root, CertEntity).map(_
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_toks")).as("sum_toks"),
+        expr("bit_xor(xor_fp)").as("checksum")))
+
   /** Span-gate threshold: a doc whose stored-corpus span coverage
     * reaches this fraction of its own distinct spans is
     * `dup_span_corpus` — the online face of q134/q138's span-level
@@ -87,9 +149,9 @@ object CurateStream {
     * are mutually independent (each is its own directory and its own
     * anti-join), so their writes overlap — the per-batch bill is the
     * slowest upsert, not the sum. Daemon threads; sized to the entity
-    * count (4 curate + 2 lexical), not the data. */
+    * count (4 curate + 2 lexical + 1 certificate), not the data. */
   private lazy val upsertPool = java.util.concurrent.Executors
-    .newFixedThreadPool(6, (r: Runnable) => {
+    .newFixedThreadPool(7, (r: Runnable) => {
       val t = new Thread(r, "graft-curate-upsert")
       t.setDaemon(true)
       t
@@ -183,7 +245,8 @@ object CurateStream {
     * BM25 online — also token-linear, also opt-in. */
   def bootstrap(corpus: DataFrame, root: String,
       withSpans: Boolean = false, withSketch: Boolean = false,
-      sketchShards: Int = 1, withLex: Boolean = false): Unit = {
+      sketchShards: Int = 1, withLex: Boolean = false,
+      withCert: Boolean = false): Unit = {
     // sketch BEFORE keys: the superset invariant (KeySketch object doc)
     // holds through every crash window, and ingests auto-detect the
     // sketch's presence — a bootstrap that died between the two leaves
@@ -202,6 +265,8 @@ object CurateStream {
       Layout.upsertStatic(spanSetOf(corpus), root, SpansEntity,
         Seq("sp", "doc_id"))
     if (withLex) upsertLex(corpus, root)
+    if (withCert) upsertCert(corpus.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks")), root)
   }
 
   /** Curate one batch against the stored index: returns (and lands)
@@ -226,7 +291,8 @@ object CurateStream {
     * independent anti-join upserts riding the same parallel fan-out
     * and the same replay argument. */
   def ingestBatch(batch0: DataFrame, root: String,
-      spanGate: Boolean = false, lexIndex: Boolean = false): DataFrame = {
+      spanGate: Boolean = false, lexIndex: Boolean = false,
+      certIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = batch0.sparkSession
     // ONE materialization of the whole per-doc batch state: content
@@ -471,6 +537,14 @@ object CurateStream {
             landed.join(kept, Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("n_toks").as("dl")),
             root, DlEntity, Seq("doc_id"))
+      },
+      // certificate delta (opt-in): one agg over the batch's kept rows
+      // off the checkpointed landed frame; statuses are bit-stable so a
+      // replay lands the identical (bkey, shard) rows — a no-op upsert
+      Future {
+        if (certIndex && keptN > 0)
+          upsertCert(landed.join(kept, Seq("doc_id"), "left_semi")
+            .select("doc_id", "n_toks"), root)
       })
     Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
@@ -516,7 +590,7 @@ object CurateStream {
           // SpansEntity rides the same window: compactStatic is a no-op
           // None when the store was never armed (spanGate off)
           Seq(KeysEntity, BandsEntity, BenchEntity, SpansEntity,
-              DlEntity, ManifestEntity)
+              DlEntity, ManifestEntity, CertEntity)
             .foreach(Layout.compactStatic(spark, root, _))
           // postings compact RANGE-SORTED by term: each file owns a
           // term range, so the served-BM25 fetch's pushed In(t, …)

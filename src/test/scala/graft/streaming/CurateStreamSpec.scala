@@ -146,4 +146,57 @@ class CurateStreamSpec extends AnyFunSuite {
       assert(n === 1, s"$e should be compacted to one file, saw $n")
     }
   }
+
+  test("cert layer: maintained certificate ≡ kept-set recompute, replay no-op") {
+    val s = spark
+    import s.implicits._
+    val t1 = qtext(1)
+    val corpus = docsDF(Seq(1L -> t1, 2L -> qtext(2), 29L -> qtext(6)))
+    val batchA = docsDF(Seq(0L -> t1, 40L -> qtext(8))) // 0 dup, 40 kept
+    val batchB = docsDF(Seq(15L -> qtext(3), 35L -> "just three tokens"))
+    val root = graft.Temps.dir("curate-cert-root")
+    CurateStream.bootstrap(corpus, root, withCert = true)
+    CurateStream.ingestBatch(batchA, root, certIndex = true)
+    CurateStream.ingestBatch(batchB, root, certIndex = true)
+
+    def certMap = CurateStream.certificate(s, root).get
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (sh, n, tk, x) => sh -> ((n, tk, x)) }.toMap
+    // from-scratch recompute over the store's kept docs (bootstrap ∪
+    // kept batch docs), same fingerprint algebra
+    val keptDocs = corpus.unionByName(batchA.where($"doc_id" === 40L))
+      .unionByName(batchB.where($"doc_id" === 15L))
+    val fp = graft.functions.EvmExprs.tokenHash(org.apache.spark.sql.functions
+      .concat($"doc_id".cast("string"),
+        org.apache.spark.sql.functions.lit(":"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens($"text")).cast("string")))
+    val h = graft.functions.EvmExprs.tokenHash($"doc_id".cast("string"))
+    val want = keptDocs
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n_toks"),
+        org.apache.spark.sql.functions
+          .pmod(h, org.apache.spark.sql.functions
+            .lit(CurateStream.CertShards.toLong)).as("shard"),
+        fp.as("fp"))
+      .groupBy($"shard")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"n_toks").as("tk"),
+        org.apache.spark.sql.functions.expr("bit_xor(fp)").as("x"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (sh, n, tk, x) => sh -> ((n, tk, x)) }.toMap
+    val before = certMap
+    assert(before === want)
+    // replay: re-ingesting an applied batch lands the identical delta
+    // rows — the anti-join absorbs them and the certificate is unchanged
+    CurateStream.ingestBatch(batchB, root, certIndex = true)
+    assert(certMap === before)
+    val deltaRows = Layout.readStatic(s, root, CurateStream.CertEntity)
+      .get.count()
+    CurateStream.ingestBatch(batchA, root, certIndex = true)
+    assert(Layout.readStatic(s, root, CurateStream.CertEntity).get.count()
+      === deltaRows)
+  }
 }
