@@ -642,6 +642,37 @@ object ScaleLaws {
     (docs.count(), spreadPpm)
   }
 
+  /** q202's selection law, the NAIVE twin: the ceil(n/4)-per-source
+    * k-smallest-by-(sampleHash, doc_id) via a per-source row_number —
+    * every corpus row is sorted inside #sources window partitions
+    * (one task each). candidates := rows the rank touches (all of
+    * them), pairs := selected rows. */
+  def sampleWindow(docs: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      graft.queries.ShardOps.sampleHash.as("h"))
+    val quota = base.groupBy(col("source"))
+      .agg(expr("(count(1) + 3) div 4").as("k"))
+    val sel = base.join(broadcast(quota), Seq("source"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)))
+      .where(col("rn") <= col("k"))
+    (docs.count(), sel.count())
+  }
+
+  /** q202's selection law, the SHIPPED twin: histogram cutoff +
+    * boundary-bucket-only rank. candidates := boundary-bucket rows
+    * (the only rows any sort touches — law: ~n/1024, three orders
+    * below the window twin's n), pairs := selected rows (EQUAL to
+    * the window twin's at every n — the exactness pin). */
+  def sampleHistCut(docs: DataFrame): (Long, Long) = {
+    val (sel, boundary) = graft.queries.ShardOps.histCutSample(
+      docs.select(col("doc_id"), col("source"),
+        graft.queries.ShardOps.sampleHash.as("h")))
+    (boundary.count(), sel.count())
+  }
+
   /** q149's Bloom gate vs its ungated twin on the amplified docs
     * (corpus = doc_id % 5 ≠ 0 keys, batch = the rest): candidates :=
     * rows entering the confirm join (gate: sketch positives; ungated:
@@ -812,7 +843,11 @@ object ScaleLaws {
         // round-10 families: BPE learn cost vs corpus growth (vocab
         // must stay flat), and filtered-ANN pre- vs post-filter fill
         ("bpe_learn_q186", true, (df, f) => bpeLearnLaw(df, f)),
-        ("filtered_ann_q188", false, (df, f) => filteredAnn(df, f)))
+        ("filtered_ann_q188", false, (df, f) => filteredAnn(df, f)),
+        // q202's order-statistics twins: same exact selection, sorted
+        // rows n (window) vs ~n/1024 (histogram cutoff)
+        ("sample_window_q202", true, (df, _) => sampleWindow(df)),
+        ("sample_histcut_q202", true, (df, _) => sampleHistCut(df)))
       // one amplified corpus per (factor, kind), shared by every family
       // and unpersisted before the next factor — rebuilding it per
       // family (and stacking 24 localCheckpoints) both wastes wall-clock

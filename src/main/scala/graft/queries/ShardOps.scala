@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import Tables._
 
@@ -283,57 +284,24 @@ object ShardOps {
     // EXACT-QUOTA STRATIFIED SAMPLE — downsample each source to an
     // EXACT deterministic quota (here ceil(n/4), integer math — the
     // 25% is a documented knob): the k docs with the smallest
-    // (tokenHash(doc_id), doc_id), i.e. a seeded uniform sample that
+    // (sampleHash(doc_id), doc_id), i.e. a seeded uniform sample that
     // any replica reproduces bit-for-bit. The scale move is HOW the
     // k-smallest are found: a per-source `row_number() ≤ k` would
     // sort corpus rows inside single-task source partitions. Instead:
-    // histogram the hash domain (bucket = h div 2^20, ≤954 cells per
-    // source — tokenHash < 1e9+7), cumulate per source, find the
+    // histogram the hash domain (bucket = h div 2^21, ≤1024 cells per
+    // source — sampleHash < 2^31), cumulate per source, find the
     // boundary bucket b* where the running count first reaches k,
     // take every row below b* filter-only, and rank ONLY inside b*
-    // (expected corpus/954 rows) for the remainder. Bucket is
+    // (expected corpus/1024 rows) for the remainder. Bucket is
     // monotone in h, so the union is exactly the k lexicographic
     // smallest — the oracle states the spec independently as the
     // plain window it would be at toy scale.
     "q202_exact_sample" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
-        val base = documents(s, d)
-          .select(col("doc_id"), col("source"), h.as("h"))
-          .withColumn("bucket", expr("h div 1048576"))
-          .localCheckpoint() // read 3×: histogram, below-cut, boundary rank
-        val hist = base.groupBy(col("source"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
-        val quota = base.groupBy(col("source"))
-          .agg(expr("(count(1) + 3) div 4").as("k"))
-        val cum = hist.withColumn("cum", sum(col("cnt")).over(
-            Window.partitionBy(col("source")).orderBy(col("bucket").asc)))
-          .join(broadcast(quota), Seq("source"))
-        val bstar = cum.where(col("cum") >= col("k"))
-          .groupBy(col("source")).agg(min(col("bucket")).as("bstar"))
-        // one row per source: the boundary bucket and how many of its
-        // rows complete the quota (cum first reaches k at b*, so the
-        // rows below it number cum - cnt < k and take ≥ 1)
-        val cut = cum.join(broadcast(bstar), Seq("source"))
-          .where(col("bucket") === col("bstar"))
-          .select(col("source"), col("bstar"),
-            (col("k") - (col("cum") - col("cnt"))).as("take"))
-        val below = base.join(broadcast(cut), Seq("source"))
-          .where(col("bucket") < col("bstar"))
-          .select(col("doc_id"), col("source"), col("h"))
-        val boundary = base.join(broadcast(cut), Seq("source"))
-          .where(col("bucket") === col("bstar"))
-          .withColumn("rn", row_number().over(Window
-            .partitionBy(col("source"))
-            .orderBy(col("h").asc, col("doc_id").asc)))
-          .where(col("rn") <= col("take"))
-          .select(col("doc_id"), col("source"), col("h"))
-        below.unionByName(boundary)
-      },
+      (s, d) => histCutSample(documents(s, d)
+        .select(col("doc_id"), col("source"), sampleHash.as("h")))._1,
       Some(
         s"""WITH b AS (SELECT doc_id, source,
-           |    ${TextOps.tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+           |    $SampleHashSql AS h
            |  FROM documents),
            |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
            |      FROM b GROUP BY 1)
@@ -345,4 +313,65 @@ object ShardOps {
            |  FROM b JOIN n USING (source))
            |WHERE rn <= k""".stripMargin),
       "exact-quota stratified sample: k-smallest-by-hash per source via histogram cutoff + boundary-bucket-only rank, no per-source corpus sort"))
+
+  /** The sampling hash: an LCG-style multiplicative mixer
+    * h = ((doc_id mod 2^31)·1103515245 + 12345) mod 2^31 — a
+    * BIJECTION on [0, 2^31) (odd multiplier), so consecutive ids
+    * scatter uniformly across the bucket domain, every intermediate
+    * stays under int64 in BOTH engines (max (2^31)·1103515245 ≈
+    * 2.4e18), and the replay is exact integer arithmetic. tokenHash
+    * is the WRONG tool here: a polynomial string-hash of a short
+    * decimal id never wraps the modulus, so all n ids land in a
+    * lowest sliver of the domain and the histogram degenerates to a
+    * handful of buckets (measured: 4 buckets at n=5k — the boundary
+    * bucket was 80% of the corpus). */
+  private[graft] def sampleHash =
+    expr("((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648")
+  private[graft] val SampleHashSql =
+    "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+  /** q202's selection engine over a (doc_id, source, h) frame: the
+    * ceil(n/4)-per-source k-smallest-by-(h, doc_id) rows WITHOUT a
+    * per-source corpus sort — hash-domain histogram → per-source
+    * cumulate → boundary bucket b* → filter-only below b* + rank only
+    * inside it. Returns (selected, boundary) where `boundary` is the
+    * b*-bucket frame the rank actually touches — the ScaleLaws
+    * `sample_histcut_q202` family measures its sliver size against
+    * the naive window twin. */
+  private[graft] def histCutSample(base0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0
+      .withColumn("bucket", expr("h div 2097152"))
+      .localCheckpoint() // read 3×: histogram, below-cut, boundary rank
+    val hist = base.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val quota = base.groupBy(col("source"))
+      .agg(expr("(count(1) + 3) div 4").as("k"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("bucket").asc)))
+      .join(broadcast(quota), Seq("source"))
+    val bstar = cum.where(col("cum") >= col("k"))
+      .groupBy(col("source")).agg(min(col("bucket")).as("bstar"))
+    // one row per source: the boundary bucket and how many of its
+    // rows complete the quota (cum first reaches k at b*, so the
+    // rows below it number cum - cnt < k and take ≥ 1)
+    val cut = cum.join(broadcast(bstar), Seq("source"))
+      .where(col("bucket") === col("bstar"))
+      .select(col("source"), col("bstar"),
+        (col("k") - (col("cum") - col("cnt"))).as("take"))
+    val below = base.join(broadcast(cut), Seq("source"))
+      .where(col("bucket") < col("bstar"))
+      .select(col("doc_id"), col("source"), col("h"))
+    val boundary = base.join(broadcast(cut), Seq("source"))
+      .where(col("bucket") === col("bstar"))
+    val ranked = boundary
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)))
+      .where(col("rn") <= col("take"))
+      .select(col("doc_id"), col("source"), col("h"))
+    (below.unionByName(ranked),
+      boundary.select(col("doc_id"), col("source"), col("h")))
+  }
 }
