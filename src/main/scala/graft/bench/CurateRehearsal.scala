@@ -104,27 +104,33 @@ object CurateRehearsal {
       // frame), riding the same parallel fan-out — so the expected
       // marginal cost is near zero unless the postings upsert becomes
       // the slowest member of the fan-out
+      // the cert variant measures the q203 certificate upkeep: one
+      // ~8-row agg + upsert per batch riding the parallel fan-out —
+      // expected ≈ lex parity (never the slowest fan-out member)
       val variants = Seq(
-        ("none", 0, false, 0, false), (s"every$compactEvery", compactEvery, false, 0, false),
-        ("spans-none", 0, true, 0, false), (s"spans-every$compactEvery", compactEvery, true, 0, false),
-        (s"sketch-every$compactEvery", compactEvery, false, 1, false),
-        (s"sketch4-every$compactEvery", compactEvery, false, 4, false),
-        (s"lex-every$compactEvery", compactEvery, false, 0, true))
+        ("none", 0, false, 0, false, false),
+        (s"every$compactEvery", compactEvery, false, 0, false, false),
+        ("spans-none", 0, true, 0, false, false),
+        (s"spans-every$compactEvery", compactEvery, true, 0, false, false),
+        (s"sketch-every$compactEvery", compactEvery, false, 1, false, false),
+        (s"sketch4-every$compactEvery", compactEvery, false, 4, false, false),
+        (s"lex-every$compactEvery", compactEvery, false, 0, true, false),
+        (s"cert-every$compactEvery", compactEvery, false, 0, false, true))
         // optional 4th arg: comma-separated variant-name filter for
         // focused re-measurement (a full 7×50 matrix is ~30 min)
         .filter { v =>
           args.lift(3).forall(_.split(',').map(_.trim).contains(v._1))
         }
-      val rows = variants.flatMap { case (variant, every, spans, sketch, lex) =>
+      val rows = variants.flatMap { case (variant, every, spans, sketch, lex, cert) =>
         val root = graft.Temps.dir(s"curate-rehearsal-$variant")
         CurateStream.bootstrap(base, root, withSpans = spans,
           withSketch = sketch > 0, sketchShards = math.max(sketch, 1),
-          withLex = lex)
+          withLex = lex, withCert = cert)
         (0 until batches).map { b =>
           val batch = batchOf(base, b, batches).localCheckpoint()
           val t0 = System.nanoTime()
           val manifest = CurateStream.ingestBatch(batch, root,
-            spanGate = spans, lexIndex = lex)
+            spanGate = spans, lexIndex = lex, certIndex = cert)
           val nMan = manifest.count() // manifest is localCheckpointed: free
           val secs = (System.nanoTime() - t0) / 1e9
           // the harness is a long-lived session too: drop the per-batch
@@ -163,7 +169,7 @@ object CurateRehearsal {
       // the law in two numbers per variant: mean ingest secs over the
       // first and last fifth of the stream
       val fifth = math.max(batches / 5, 1)
-      variants.foreach { case (v, _, _, _, _) =>
+      variants.foreach { case (v, _, _, _, _, _) =>
         val vs = rows.filter(_._1 == v)
         val head = vs.take(fifth).map(_._6).sum / fifth
         val tail = vs.takeRight(fifth).map(_._6).sum / fifth

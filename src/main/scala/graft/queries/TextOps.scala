@@ -3184,5 +3184,65 @@ object TextOps {
               |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
               |       bit_xor(fp) AS checksum, TRUE AS consistent
               |FROM cf GROUP BY 1""".stripMargin),
-      "online export certificate: per-batch XOR deltas folded into the served checksum, pinned equal to the from-scratch recompute"))
+      "online export certificate: per-batch XOR deltas folded into the served checksum, pinned equal to the from-scratch recompute"),
+
+    // SERVED VOCABULARY AUDIT — the corpus-level token census
+    // (vocabulary size, total token mass, heavy-hitter terms with
+    // document frequency) answered from the MAINTAINED lex_postings
+    // index, never from the corpus: the postings rows (t, doc_id, tf)
+    // already ARE the census's raw material, so the audit is two
+    // aggregates over the index — one global (vocab_size, n_tokens),
+    // one per-term for the top-10 by total tf. This is the maintained
+    // EXACT face of the census ladder: q128 measured the
+    // exact-vs-HLL swap on a per-query recompute, q156 bounds heavy
+    // hitters with a CMS sketch — here the ingest already paid for
+    // the postings, so exactness is free at serve time. The per-term
+    // frame is VOCAB-bounded (the top-10 window sorts terms, not
+    // corpus rows); the 1-row census frame rides the sanctioned
+    // stats-crossJoin shape. Scenario = q196's two-micro-batch
+    // program with the lex layer armed; the oracle rebuilds postings
+    // from its replayed kept set (bootstrap ∪ kept₁ ∪ kept₂).
+    "q204_vocab_served" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        import org.apache.spark.sql.expressions.Window
+        val root = graft.Temps.dirFor(s"vocab-served-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
+          withLex = true)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
+          lexIndex = true)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root,
+          lexIndex = true)
+        val po = graft.sinks.Layout
+          .readStatic(s, root, CurateStream.PostingsEntity).get
+        val census = po.agg(countDistinct(col("t")).as("vocab_size"),
+          sum(col("tf")).as("n_tokens"))
+        po.groupBy(col("t"))
+          .agg(sum(col("tf")).as("tf_total"), count(lit(1)).as("df"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("tf_total").desc, col("t").asc)))
+          .where(col("rn") <= 10).drop("rn")
+          .crossJoin(broadcast(census))
+      },
+      Some(s"""WITH $curateStreamCtesSql,
+              |allk AS (SELECT doc_id FROM idx1
+              |         UNION ALL SELECT doc_id FROM kept1
+              |         UNION ALL SELECT doc_id FROM kept2),
+              |pk AS (SELECT tt.doc_id, unnest(tt.T) AS t
+              |       FROM t tt SEMI JOIN allk USING (doc_id)),
+              |po AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf
+              |       FROM pk GROUP BY 1, 2),
+              |census AS (SELECT CAST(count(DISTINCT t) AS BIGINT)
+              |             AS vocab_size,
+              |           CAST(sum(tf) AS BIGINT) AS n_tokens FROM po),
+              |tt2 AS (SELECT t, CAST(sum(tf) AS BIGINT) AS tf_total,
+              |          CAST(count(*) AS BIGINT) AS df
+              |        FROM po GROUP BY 1),
+              |rk AS (SELECT t, tf_total, df, row_number()
+              |         OVER (ORDER BY tf_total DESC, t ASC) AS rn
+              |       FROM tt2)
+              |SELECT t, tf_total, df, vocab_size, n_tokens
+              |FROM rk CROSS JOIN census WHERE rn <= 10""".stripMargin),
+      "served vocabulary audit: vocab size, token mass and heavy-hitter terms aggregated from the maintained postings index — no corpus rescan"))
 }

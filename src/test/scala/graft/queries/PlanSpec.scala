@@ -172,7 +172,11 @@ class PlanSpec extends AnyFunSuite {
     // q195's shared score chain (same 1-row vocab crossJoin); the
     // banding itself is histogram aggregates + two broadcast joins
     // over the tiny per-source cutoff frames
-    "q201_perplexity_buckets")
+    "q201_perplexity_buckets",
+    // the 1-row census frame (vocab_size, n_tokens) crossJoined onto
+    // the 10-row heavy-hitter frame — the sanctioned stats shape;
+    // both sides are aggregates of the stored postings
+    "q204_vocab_served")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
