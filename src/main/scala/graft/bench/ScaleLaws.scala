@@ -667,9 +667,9 @@ object ScaleLaws {
     * below the window twin's n), pairs := selected rows (EQUAL to
     * the window twin's at every n — the exactness pin). */
   def sampleHistCut(docs: DataFrame): (Long, Long) = {
-    val (sel, boundary) = graft.queries.ShardOps.histCutSample(
+    val (sel, boundary) = graft.queries.ShardOps.prefixBudgetSample(
       docs.select(col("doc_id"), col("source"),
-        graft.queries.ShardOps.sampleHash.as("h")))
+        graft.queries.ShardOps.sampleHash.as("h"), lit(1L).as("w")))
     (boundary.count(), sel.count())
   }
 

@@ -297,8 +297,9 @@ object ShardOps {
     // smallest — the oracle states the spec independently as the
     // plain window it would be at toy scale.
     "q202_exact_sample" -> Q(
-      (s, d) => histCutSample(documents(s, d)
-        .select(col("doc_id"), col("source"), sampleHash.as("h")))._1,
+      (s, d) => prefixBudgetSample(documents(s, d)
+        .select(col("doc_id"), col("source"), sampleHash.as("h"),
+          lit(1L).as("w")))._1.drop("w"),
       Some(
         s"""WITH b AS (SELECT doc_id, source,
            |    $SampleHashSql AS h
@@ -312,7 +313,38 @@ object ShardOps {
            |    (n.n + 3) // 4 AS k
            |  FROM b JOIN n USING (source))
            |WHERE rn <= k""".stripMargin),
-      "exact-quota stratified sample: k-smallest-by-hash per source via histogram cutoff + boundary-bucket-only rank, no per-source corpus sort"))
+      "exact-quota stratified sample: k-smallest-by-hash per source via histogram cutoff + boundary-bucket-only rank, no per-source corpus sort"),
+
+    // TOKEN-BUDGET STRATIFIED SAMPLE — q202 with the quota in the
+    // unit that matters: per source, keep the (h, doc_id)-smallest
+    // docs whose RUNNING TOKEN MASS stays within ceil(total/4) — the
+    // downsample a token-budgeted mixture actually takes. Same
+    // prefixBudgetSample engine (the quota is additive, so the
+    // histogram cumulates token mass instead of counts); the oracle
+    // again states the spec as the toy-scale per-source cumulative
+    // window the operator refuses to run at corpus scale.
+    "q205_token_budget_sample" -> Q(
+      (s, d) => prefixBudgetSample(documents(s, d)
+        .select(col("doc_id"), col("source"), sampleHash.as("h"),
+          size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("w")))._1
+        .withColumnRenamed("w", "n_toks"),
+      Some {
+        val toksSql = TextOps.toksSql
+        s"""WITH b AS (SELECT doc_id, source, $SampleHashSql AS h,
+           |    CAST(len($toksSql) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |qq AS (SELECT source,
+           |         CAST((sum(n_toks) + 3) // 4 AS BIGINT) AS q
+           |       FROM b GROUP BY 1),
+           |c AS (SELECT doc_id, source, h, n_toks,
+           |        sum(n_toks) OVER (PARTITION BY source
+           |          ORDER BY h, doc_id) AS cum
+           |      FROM b)
+           |SELECT doc_id, source, h, n_toks
+           |FROM c JOIN qq USING (source) WHERE cum <= q""".stripMargin
+      },
+      "token-budget stratified sample: per-source hash-order prefix within ceil(total_tokens/4), via the same histogram cutoff — no corpus sort"))
 
   /** The sampling hash: an LCG-style multiplicative mixer
     * h = ((doc_id mod 2^31)·1103515245 + 12345) mod 2^31 — a
@@ -330,48 +362,55 @@ object ShardOps {
   private[graft] val SampleHashSql =
     "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
-  /** q202's selection engine over a (doc_id, source, h) frame: the
-    * ceil(n/4)-per-source k-smallest-by-(h, doc_id) rows WITHOUT a
-    * per-source corpus sort — hash-domain histogram → per-source
-    * cumulate → boundary bucket b* → filter-only below b* + rank only
-    * inside it. Returns (selected, boundary) where `boundary` is the
-    * b*-bucket frame the rank actually touches — the ScaleLaws
-    * `sample_histcut_q202` family measures its sliver size against
-    * the naive window twin. */
-  private[graft] def histCutSample(base0: DataFrame)
+  /** q202/q205's selection engine, generalized to ANY additive quota:
+    * over a (doc_id, source, h, w) frame, keep each source's
+    * (h, doc_id)-smallest prefix whose running WEIGHT stays within
+    * quota = ceil(Σw / 4) — w = 1 is q202's count quota (cum ≤ k ≡
+    * the first k rows), w = n_toks is q205's token budget. No
+    * per-source corpus sort: hash-domain histogram of bucket weights
+    * → per-source cumulate → boundary bucket b* (first bucket whose
+    * cumulative weight EXCEEDS the quota) → everything below b*
+    * passes by filter alone; only b*'s sliver pays a within-bucket
+    * running sum against the carried-in offset. A source no bucket
+    * of which exceeds the quota keeps every row (null b* — the
+    * degenerate tiny-source case). Returns (selected, boundary)
+    * where `boundary` is the sliver frame the sort actually touches
+    * — the ScaleLaws `sample_histcut_q202` family measures it
+    * against the naive window twin. */
+  private[graft] def prefixBudgetSample(base0: DataFrame)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    val outCols = Seq(col("doc_id"), col("source"), col("h"), col("w"))
     val base = base0
       .withColumn("bucket", expr("h div 2097152"))
       .localCheckpoint() // read 3×: histogram, below-cut, boundary rank
     val hist = base.groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("wsum"))
     val quota = base.groupBy(col("source"))
-      .agg(expr("(count(1) + 3) div 4").as("k"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      .agg(expr("(sum(w) + 3) div 4").as("q"))
+    val cum = hist.withColumn("cum", sum(col("wsum")).over(
         Window.partitionBy(col("source")).orderBy(col("bucket").asc)))
       .join(broadcast(quota), Seq("source"))
-    val bstar = cum.where(col("cum") >= col("k"))
+    val bstar = cum.where(col("cum") > col("q"))
       .groupBy(col("source")).agg(min(col("bucket")).as("bstar"))
-    // one row per source: the boundary bucket and how many of its
-    // rows complete the quota (cum first reaches k at b*, so the
-    // rows below it number cum - cnt < k and take ≥ 1)
+    // one row per source: the boundary bucket, the weight already
+    // spent below it (cum − wsum ≤ q since b* is the FIRST exceeder),
+    // and the quota the within-bucket running sum must respect
     val cut = cum.join(broadcast(bstar), Seq("source"))
       .where(col("bucket") === col("bstar"))
       .select(col("source"), col("bstar"),
-        (col("k") - (col("cum") - col("cnt"))).as("take"))
-    val below = base.join(broadcast(cut), Seq("source"))
-      .where(col("bucket") < col("bstar"))
-      .select(col("doc_id"), col("source"), col("h"))
-    val boundary = base.join(broadcast(cut), Seq("source"))
-      .where(col("bucket") === col("bstar"))
+        (col("cum") - col("wsum")).as("spent"), col("q"))
+    val withCut = base.join(broadcast(cut), Seq("source"), "left")
+    val below = withCut
+      .where(col("bstar").isNull || col("bucket") < col("bstar"))
+      .select(outCols: _*)
+    val boundary = withCut.where(col("bucket") === col("bstar"))
     val ranked = boundary
-      .withColumn("rn", row_number().over(Window
+      .withColumn("run", sum(col("w")).over(Window
         .partitionBy(col("source"))
         .orderBy(col("h").asc, col("doc_id").asc)))
-      .where(col("rn") <= col("take"))
-      .select(col("doc_id"), col("source"), col("h"))
-    (below.unionByName(ranked),
-      boundary.select(col("doc_id"), col("source"), col("h")))
+      .where(col("spent") + col("run") <= col("q"))
+      .select(outCols: _*)
+    (below.unionByName(ranked), boundary.select(outCols: _*))
   }
 }
