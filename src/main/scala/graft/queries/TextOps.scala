@@ -3244,5 +3244,98 @@ object TextOps {
               |       FROM tt2)
               |SELECT t, tf_total, df, vocab_size, n_tokens
               |FROM rk CROSS JOIN census WHERE rn <= 10""".stripMargin),
-      "served vocabulary audit: vocab size, token mass and heavy-hitter terms aggregated from the maintained postings index — no corpus rescan"))
+      "served vocabulary audit: vocab size, token mass and heavy-hitter terms aggregated from the maintained postings index — no corpus rescan"),
+
+    // SERVED OVERLAP AUDIT — the residual near-dup mass of the
+    // MAINTAINED store, from its own bands index: first-arrival-wins
+    // ingest leaves band-colliding kept pairs behind (bootstrap keeps
+    // everything; later arrivals only dedup against what's stored),
+    // and this is the q193 cross-source matrix over exactly those
+    // survivors — the health metric an operator watches to decide a
+    // retro-dedup pass. The signature arithmetic is NEVER recomputed:
+    // the audit reads 4 longs/doc from curate_bands (the index the
+    // ingest already maintains), self-joins its 2×2 band projection,
+    // and confirms at the same ≥ 0.5 agreement the gate uses; the
+    // only corpus touch is a 2-column (doc_id, source) metadata
+    // projection for attribution. Scenario = q196's two-micro-batch
+    // program; the oracle replays the kept set and re-derives the
+    // signatures it stored.
+    "q206_overlap_served" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = graft.Temps.dirFor(s"overlap-served-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
+        val sig = graft.sinks.Layout
+          .readStatic(s, root, CurateStream.BandsEntity).get
+          .localCheckpoint() // read 4×: two band legs + two agree legs
+        val bands = sig.select(col("doc_id"), lit(0).as("band"),
+            col("h0").as("x"), col("h1").as("y"))
+          .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+            col("h2").as("x"), col("h3").as("y")))
+        val cand = bands.toDF("a_id", "band", "x", "y")
+          .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val agree = cand
+          .join(sig.toDF("a_id", "a0", "a1", "a2", "a3"), "a_id")
+          .join(sig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
+          .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+            when(col("a1") === col("b1"), 1).otherwise(0) +
+            when(col("a2") === col("b2"), 1).otherwise(0) +
+            when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+            >= 0.5)
+          .select("a_id", "b_id")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        agree
+          .join(broadcast(srcs.toDF("a_id", "src_x")), Seq("a_id"))
+          .join(broadcast(srcs.toDF("b_id", "src_y")), Seq("b_id"))
+          .select(
+            least(col("src_x"), col("src_y")).as("src_a"),
+            greatest(col("src_x"), col("src_y")).as("src_b"),
+            when(col("src_x") <= col("src_y"), col("a_id"))
+              .otherwise(col("b_id")).as("da"),
+            when(col("src_x") <= col("src_y"), col("b_id"))
+              .otherwise(col("a_id")).as("db"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("da")).as("n_docs_a"),
+            countDistinct(col("db")).as("n_docs_b"))
+      },
+      Some(s"""WITH $curateStreamCtesSql,
+              |allk AS (SELECT doc_id FROM idx1
+              |         UNION ALL SELECT doc_id FROM kept1
+              |         UNION ALL SELECT doc_id FROM kept2),
+              |ks AS MATERIALIZED (SELECT sig.* FROM sig
+              |                    SEMI JOIN allk USING (doc_id)),
+              |kb AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM ks
+              |       UNION ALL SELECT doc_id, 1, h2, h3 FROM ks),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |         FROM kb a JOIN kb b
+              |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+              |              AND a.doc_id < b.doc_id),
+              |pr AS (SELECT a_id, b_id FROM cand
+              |       JOIN ks sa ON sa.doc_id = a_id
+              |       JOIN ks sb ON sb.doc_id = b_id
+              |       WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+              |              CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+              |              CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+              |              CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0
+              |             >= 0.5),
+              |src AS (SELECT doc_id, source FROM documents),
+              |j AS (SELECT least(sa.source, sb.source) AS src_a,
+              |             greatest(sa.source, sb.source) AS src_b,
+              |             CASE WHEN sa.source <= sb.source THEN a_id
+              |                  ELSE b_id END AS da,
+              |             CASE WHEN sa.source <= sb.source THEN b_id
+              |                  ELSE a_id END AS db
+              |      FROM pr JOIN src sa ON sa.doc_id = a_id
+              |      JOIN src sb ON sb.doc_id = b_id)
+              |SELECT src_a, src_b, count(*) AS n_pairs,
+              |       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+              |       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+              |FROM j GROUP BY 1, 2""".stripMargin),
+      "served overlap audit: residual near-dup mass of the kept store from its own bands index — signatures never recomputed"))
 }
