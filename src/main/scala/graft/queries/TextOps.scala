@@ -3337,5 +3337,66 @@ object TextOps {
               |       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
               |       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
               |FROM j GROUP BY 1, 2""".stripMargin),
-      "served overlap audit: residual near-dup mass of the kept store from its own bands index — signatures never recomputed"))
+      "served overlap audit: residual near-dup mass of the kept store from its own bands index — signatures never recomputed"),
+
+    // SOURCE DIVERGENCE — pairwise distance between per-source
+    // unigram distributions: the mixture-design audit ("are two
+    // sources redundant? did a dump drift?"). The distance is TOTAL
+    // VARIATION, ½·Σ|p − q|, not KL — TV is additive in exact
+    // per-token terms (the repo's no-transcendental discipline; KL's
+    // log would put an engine-dependent transcendental in every
+    // term) and bounded in [0,1]. The missing-token mass needs no
+    // outer join: Σ|p−q| = Σ_shared|p−q| + (1−Σ_shared p) +
+    // (1−Σ_shared q), so the INNER token join plus two shared-mass
+    // sums carry the whole metric. Per-token p is the q164 pattern
+    // (integer counts, one IEEE division, 6dp), sums run over
+    // DECIMAL(30,15), and the final ×0.5 is an exact power-of-two
+    // scaling after one cast. Scale shape: distributions are
+    // VOCAB-bounded posting aggregates; the pair join is vocab ×
+    // |sources|² — never corpus × corpus.
+    "q207_source_divergence" -> Q(
+      (s, d) => {
+        val tk = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("t"))
+          .localCheckpoint() // read 2×: counts + totals
+        val cnt = tk.groupBy(col("source"), col("t"))
+          .agg(count(lit(1)).as("ct"))
+        val tot = tk.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val dist = cnt.join(broadcast(tot), Seq("source"))
+          .select(col("source"), col("t"),
+            round(col("ct").cast("double") / col("n"), 6).as("p"))
+          .localCheckpoint() // both legs of the pair join
+        dist.toDF("src_a", "t", "p_a")
+          .join(dist.toDF("src_b", "t", "p_b"), Seq("t"))
+          .where(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"),
+            sum(abs(col("p_a") - col("p_b")).cast("decimal(30,15)"))
+              .as("s_abs"),
+            sum(col("p_a").cast("decimal(30,15)")).as("s_a"),
+            sum(col("p_b").cast("decimal(30,15)")).as("s_b"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            round((col("s_abs") - col("s_a") - col("s_b") + lit(2))
+              .cast("double") * lit(0.5), 6).as("tv"))
+      },
+      Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS t
+              |           FROM documents),
+              |cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS ct
+              |        FROM tk GROUP BY 1, 2),
+              |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              |        FROM tk GROUP BY 1),
+              |dist AS (SELECT source, t,
+              |           round(CAST(ct AS DOUBLE) / n, 6) AS p
+              |         FROM cnt JOIN tot USING (source)),
+              |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+              |         a.p AS p_a, b.p AS p_b
+              |       FROM dist a JOIN dist b USING (t)
+              |       WHERE a.source < b.source)
+              |SELECT src_a, src_b, count(*) AS n_shared,
+              |       round(CAST(sum(CAST(abs(p_a - p_b) AS DECIMAL(30,15)))
+              |               - sum(CAST(p_a AS DECIMAL(30,15)))
+              |               - sum(CAST(p_b AS DECIMAL(30,15)))
+              |               + 2 AS DOUBLE) * 0.5, 6) AS tv
+              |FROM pr GROUP BY 1, 2""".stripMargin),
+      "pairwise source divergence: total-variation distance between per-source unigram distributions — vocab-bounded, no transcendentals"))
 }
