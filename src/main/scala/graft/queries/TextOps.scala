@@ -172,6 +172,56 @@ object TextOps {
   /** Budget shared by [[curateStages]]' packing window and its oracle. */
   val CurateTokenBudget = 800L
 
+  /** q200/q208's certificate chain at an arbitrary token budget:
+    * per-shard (n_docs, sum_toks, checksum) of the curated manifest
+    * truncated at `budget` — the shard/order/fingerprint algebra of
+    * q200 (see its entry doc), parameterized so q208 can certify two
+    * exports and diff them. */
+  private def exportCert(s: SparkSession, d: String, budget: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val curated = curateStages(s, d).last._2
+      .where(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("source"), col("n_toks"))
+    val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val fp = graft.functions.EvmExprs.tokenHash(concat(
+      col("doc_id").cast("string"), lit(":"),
+      col("seq").cast("string"), lit(":"),
+      col("n_toks").cast("string")))
+    curated.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(ShardOps.NumShards.toLong)))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("fp", fp)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        expr("bit_xor(fp)").as("checksum"))
+  }
+
+  /** DuckDB replay of [[exportCert]] at `budget` — a complete SELECT
+    * (own WITH), composable as a parenthesized subquery. */
+  private def exportCertSql(budget: Long): String =
+    s"""WITH $curateCtesSql,
+       |exp AS (SELECT doc_id, source, n_toks FROM packed
+       |        WHERE cum_toks <= $budget),
+       |shx AS (SELECT doc_id, source, n_toks,
+       |          ${tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
+       |        FROM exp),
+       |ord AS (SELECT h % ${ShardOps.NumShards} AS shard,
+       |          row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
+       |            ORDER BY h, doc_id) AS seq,
+       |          doc_id, n_toks
+       |        FROM shx),
+       |fp AS (SELECT shard, n_toks,
+       |         ${tokHashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fp
+       |       FROM ord)
+       |SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+       |       bit_xor(fp) AS checksum
+       |FROM fp GROUP BY 1""".stripMargin
+
   /** The DuckDB CTE chain mirroring [[curateStages]] stage for stage;
     * ends with `packed` (pre-budget-filter rows carry cum_toks). */
   private def curateCtesSql: String = {
@@ -3087,46 +3137,51 @@ object TextOps {
     // the checksum. The oracle replays the full curate → budget →
     // shard/order chain and folds the same XOR.
     "q200_export_checksum" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val curated = curateStages(s, d).last._2
-          .where(col("cum_toks") <= CurateTokenBudget)
-          .select(col("doc_id"), col("source"), col("n_toks"))
-        val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
-        val w = Window.partitionBy(col("shard"))
-          .orderBy(col("h").asc, col("doc_id").asc)
-        val fp = graft.functions.EvmExprs.tokenHash(concat(
-          col("doc_id").cast("string"), lit(":"),
-          col("seq").cast("string"), lit(":"),
-          col("n_toks").cast("string")))
-        curated.withColumn("h", h)
-          .withColumn("shard", pmod(col("h"), lit(ShardOps.NumShards.toLong)))
-          .withColumn("seq", row_number().over(w))
-          .withColumn("fp", fp)
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_toks")).as("sum_toks"),
-            expr("bit_xor(fp)").as("checksum"))
-      },
-      Some(s"""WITH $curateCtesSql,
-              |exp AS (SELECT doc_id, source, n_toks FROM packed
-              |        WHERE cum_toks <= $CurateTokenBudget),
-              |shx AS (SELECT doc_id, source, n_toks,
-              |          ${tokHashSql("CAST(doc_id AS VARCHAR)")} AS h
-              |        FROM exp),
-              |ord AS (SELECT h % ${ShardOps.NumShards} AS shard,
-              |          row_number() OVER (PARTITION BY h % ${ShardOps.NumShards}
-              |            ORDER BY h, doc_id) AS seq,
-              |          doc_id, n_toks
-              |        FROM shx),
-              |fp AS (SELECT shard, n_toks,
-              |         ${tokHashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fp
-              |       FROM ord)
-              |SELECT shard, count(*) AS n_docs,
-              |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
-              |       bit_xor(fp) AS checksum
-              |FROM fp GROUP BY 1""".stripMargin),
+      (s, d) => exportCert(s, d, CurateTokenBudget),
+      Some(exportCertSql(CurateTokenBudget)),
       "export certification: per-shard row count, token mass and order-independent XOR fingerprint of the training manifest"),
+
+    // EXPORT DIFF — the certificate's point of use: compare TWO
+    // exports by their 8 certificate rows instead of their rows.
+    // Export A is the q200 manifest (budget 800); export B is the
+    // same pipeline at budget 780 — a truncated re-export, the
+    // classic "replica built from a slightly different config"
+    // incident. The diff joins the two certificates on shard and
+    // flags mismatches: a shard whose checksum differs localizes the
+    // divergence (B's missing tail docs shift seq for NOTHING — the
+    // within-shard order is a prefix, so only shards that lost docs
+    // flip), and n_docs/sum_toks deltas say how much. At 100 TB the
+    // compare costs #shards row compares; the two certificates cost
+    // one pass each over their manifests.
+    "q208_export_diff" -> Q(
+      (s, d) => {
+        val a = exportCert(s, d, CurateTokenBudget)
+          .toDF("shard", "n_docs_a", "toks_a", "sum_a")
+        val b = exportCert(s, d, CurateTokenBudget - 20L)
+          .toDF("shard", "n_docs_b", "toks_b", "sum_b")
+        a.join(b, Seq("shard"), "full_outer")
+          .select(col("shard"),
+            coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+            coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+            (coalesce(col("toks_a"), lit(0L)) -
+              coalesce(col("toks_b"), lit(0L))).as("d_toks"),
+            (coalesce(col("sum_a"), lit(-1L)) ===
+              coalesce(col("sum_b"), lit(-1L))).as("cksum_match"))
+      },
+      Some {
+        val a = exportCertSql(CurateTokenBudget)
+        val b = exportCertSql(CurateTokenBudget - 20L)
+        s"""WITH ca AS ($a), cb AS ($b)
+           |SELECT coalesce(ca.shard, cb.shard) AS shard,
+           |       coalesce(ca.n_docs, 0) AS n_docs_a,
+           |       coalesce(cb.n_docs, 0) AS n_docs_b,
+           |       coalesce(ca.sum_toks, 0) - coalesce(cb.sum_toks, 0)
+           |         AS d_toks,
+           |       coalesce(ca.checksum, -1) = coalesce(cb.checksum, -1)
+           |         AS cksum_match
+           |FROM ca FULL OUTER JOIN cb ON ca.shard = cb.shard""".stripMargin
+      },
+      "export diff: two training exports compared by their per-shard certificates — #shards row compares localize the divergence"),
 
     // ONLINE CERTIFICATE — q200's release checksum maintained
     // INCREMENTALLY by the curate stream: each ingest lands one
