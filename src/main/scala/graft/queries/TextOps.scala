@@ -417,6 +417,56 @@ object TextOps {
           .otherwise("kept").as("status"))
   }
 
+  /** q206/q209's shared oracle chain over [[curateStreamCtesSql]]'s
+    * replayed kept set: residual band-colliding pairs (`pr`) among
+    * stored docs, re-deriving the signatures the store holds.
+    * `ks` is MATERIALIZED so DuckDB does not re-inline the whole
+    * signature chain at each of its four references. */
+  private def residualPairsCtesSql: String =
+    """allk AS (SELECT doc_id FROM idx1
+      |         UNION ALL SELECT doc_id FROM kept1
+      |         UNION ALL SELECT doc_id FROM kept2),
+      |ks AS MATERIALIZED (SELECT sig.* FROM sig
+      |                    SEMI JOIN allk USING (doc_id)),
+      |kb AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM ks
+      |       UNION ALL SELECT doc_id, 1, h2, h3 FROM ks),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM kb a JOIN kb b
+      |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
+      |              AND a.doc_id < b.doc_id),
+      |pr AS (SELECT a_id, b_id FROM cand
+      |       JOIN ks sa ON sa.doc_id = a_id
+      |       JOIN ks sb ON sb.doc_id = b_id
+      |       WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
+      |              CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
+      |              CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
+      |              CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0
+      |             >= 0.5)""".stripMargin
+
+  /** Spark face of [[residualPairsCtesSql]]: confirmed band-colliding
+    * pairs from a stored curate_bands frame (doc_id, h0..h3) — the
+    * signature arithmetic is never recomputed. Caller should
+    * localCheckpoint `sig` (read 4×). */
+  private def residualPairsOf(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), lit(0).as("band"),
+        col("h0").as("x"), col("h1").as("y"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
+        col("h2").as("x"), col("h3").as("y")))
+    val cand = bands.toDF("a_id", "band", "x", "y")
+      .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sig.toDF("a_id", "a0", "a1", "a2", "a3"), "a_id")
+      .join(sig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
+      .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+        when(col("a1") === col("b1"), 1).otherwise(0) +
+        when(col("a2") === col("b2"), 1).otherwise(0) +
+        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+        >= 0.5)
+      .select("a_id", "b_id")
+  }
+
   /** Shared CTE chain replaying [[graft.streaming.CurateStream]]'s
     * two-micro-batch scenario (bootstrap corpus = doc_id % 5 ≠ 0,
     * batch 1 = % 10 = 0, batch 2 = % 10 = 5, phase 2 probing
@@ -3326,23 +3376,7 @@ object TextOps {
         val sig = graft.sinks.Layout
           .readStatic(s, root, CurateStream.BandsEntity).get
           .localCheckpoint() // read 4×: two band legs + two agree legs
-        val bands = sig.select(col("doc_id"), lit(0).as("band"),
-            col("h0").as("x"), col("h1").as("y"))
-          .unionByName(sig.select(col("doc_id"), lit(1).as("band"),
-            col("h2").as("x"), col("h3").as("y")))
-        val cand = bands.toDF("a_id", "band", "x", "y")
-          .join(bands.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
-          .where(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val agree = cand
-          .join(sig.toDF("a_id", "a0", "a1", "a2", "a3"), "a_id")
-          .join(sig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
-          .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
-            when(col("a1") === col("b1"), 1).otherwise(0) +
-            when(col("a2") === col("b2"), 1).otherwise(0) +
-            when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
-            >= 0.5)
-          .select("a_id", "b_id")
+        val agree = residualPairsOf(sig)
         val srcs = docs.select(col("doc_id"), col("source"))
         agree
           .join(broadcast(srcs.toDF("a_id", "src_x")), Seq("a_id"))
@@ -3360,25 +3394,7 @@ object TextOps {
             countDistinct(col("db")).as("n_docs_b"))
       },
       Some(s"""WITH $curateStreamCtesSql,
-              |allk AS (SELECT doc_id FROM idx1
-              |         UNION ALL SELECT doc_id FROM kept1
-              |         UNION ALL SELECT doc_id FROM kept2),
-              |ks AS MATERIALIZED (SELECT sig.* FROM sig
-              |                    SEMI JOIN allk USING (doc_id)),
-              |kb AS (SELECT doc_id, 0 AS band, h0 AS x, h1 AS y FROM ks
-              |       UNION ALL SELECT doc_id, 1, h2, h3 FROM ks),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              |         FROM kb a JOIN kb b
-              |           ON a.band = b.band AND a.x = b.x AND a.y = b.y
-              |              AND a.doc_id < b.doc_id),
-              |pr AS (SELECT a_id, b_id FROM cand
-              |       JOIN ks sa ON sa.doc_id = a_id
-              |       JOIN ks sb ON sb.doc_id = b_id
-              |       WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END +
-              |              CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END +
-              |              CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END +
-              |              CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) / 4.0
-              |             >= 0.5),
+              |$residualPairsCtesSql,
               |src AS (SELECT doc_id, source FROM documents),
               |j AS (SELECT least(sa.source, sb.source) AS src_a,
               |             greatest(sa.source, sb.source) AS src_b,
@@ -3393,6 +3409,71 @@ object TextOps {
               |       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
               |FROM j GROUP BY 1, 2""".stripMargin),
       "served overlap audit: residual near-dup mass of the kept store from its own bands index — signatures never recomputed"),
+
+    // RETRO-DEDUP PASS — the ACTION q206's audit schedules: resolve
+    // the store's residual near-dup clusters into a delete list.
+    // Pairs come from the stored bands index (q206's derivation,
+    // signatures never recomputed), connected components give each
+    // cluster its canonical id (the q101 machinery), and the
+    // survivor is picked by SOURCE PRECEDENCE (q199's policy — the
+    // configured trust order, not lowest id). Output is one row per
+    // clustered doc: its cluster, the policy winner, and the delete
+    // flag a K4-style upsert would consume. Everything after the
+    // pair join is cluster-bounded: CC iterates on pair rows, the
+    // precedence window partitions by cluster — the corpus appears
+    // only as the 2-column source projection.
+    "q209_retro_dedup" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        import org.apache.spark.sql.expressions.Window
+        val root = graft.Temps.dirFor(s"retro-dedup-$d")
+        val docs = documents(s, d)
+        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
+        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
+        val sig = graft.sinks.Layout
+          .readStatic(s, root, CurateStream.BandsEntity).get
+          .localCheckpoint() // read 4×: two band legs + two agree legs
+        val pairs = residualPairsOf(sig)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(pairs)
+          .toDF("doc_id", "canonical")
+        val byCluster = Window.partitionBy(col("canonical"))
+        comp
+          .join(broadcast(docs.select(col("doc_id"), col("source"),
+            substring(col("source"), 4, 10).cast("int").as("prio"))),
+            Seq("doc_id"))
+          .withColumn("rn", row_number().over(byCluster
+            .orderBy(col("prio").asc, col("doc_id").asc)))
+          .withColumn("winner_id", min(when(col("rn") === 1, col("doc_id")))
+            .over(byCluster))
+          .select(col("doc_id"), col("source"), col("canonical"),
+            col("winner_id"),
+            (col("doc_id") =!= col("winner_id")).as("delete"))
+      },
+      Some(s"""WITH RECURSIVE $curateStreamCtesSql,
+              |$residualPairsCtesSql,
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM pr
+              |        UNION SELECT b_id, a_id FROM pr),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+              |comp AS (SELECT id AS doc_id, min(r) AS canonical
+              |         FROM reach GROUP BY 1),
+              |aug AS (SELECT c.doc_id, d.source,
+              |          CAST(substr(d.source, 4) AS INT) AS prio, c.canonical
+              |        FROM comp c JOIN documents d USING (doc_id)),
+              |rk AS (SELECT doc_id, source, canonical,
+              |         row_number() OVER (PARTITION BY canonical
+              |           ORDER BY prio ASC, doc_id ASC) AS rn
+              |       FROM aug),
+              |win AS (SELECT canonical, doc_id AS winner_id
+              |        FROM rk WHERE rn = 1)
+              |SELECT rk.doc_id, rk.source, rk.canonical, win.winner_id,
+              |       rk.doc_id <> win.winner_id AS delete
+              |FROM rk JOIN win USING (canonical)""".stripMargin),
+      "retro-dedup action list: stored residual clusters resolved to source-precedence winners + delete flags — the q206 audit's follow-through"),
 
     // SOURCE DIVERGENCE — pairwise distance between per-source
     // unigram distributions: the mixture-design audit ("are two
