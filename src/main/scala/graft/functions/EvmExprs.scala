@@ -45,6 +45,27 @@ object EvmExprs {
     acc
   }
 
+  /** 60-bit composite char-fold hash — the certificate fingerprint
+    * (r10 advice: a single (acc·31+cp) % HashMod fold is ~30 bits,
+    * birthday-weak for an integrity checksum). Two INDEPENDENT folds
+    * over the same codepoints with the spanHashes bases 131/137,
+    * combined as f₁₃₁·HashMod + f₁₃₇ — both folds and the combination
+    * stay under int64, so DuckDB replays the exact arithmetic
+    * ([[graft.ops.TextAnalysis.spanHashes]] precedent). */
+  def tokenHashWideEval(s: UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var b = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      a = (a * 131L + cp) % 1000000007L
+      b = (b * 137L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    a * 1000000007L + b
+  }
+
   private val CoeffA = Array(1299721L, 1299833L, 1300021L, 1300109L)
   private val CoeffB = Array(1299827L, 1299709L, 1300033L, 1300151L)
   private val MinHashP = 2147483647L
@@ -266,6 +287,7 @@ object EvmExprs {
   def skeletonHash(c: Column): Column = Bridge.column(SkeletonHashExpr(Bridge.expression(c)))
   def hexToDec(c: Column): Column = Bridge.column(HexToDecExpr(Bridge.expression(c)))
   def tokenHash(c: Column): Column = Bridge.column(TokenHashExpr(Bridge.expression(c)))
+  def tokenHashWide(c: Column): Column = Bridge.column(TokenHashWideExpr(Bridge.expression(c)))
   def minHashSig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
   def shingleHashes(c: Column): Column = Bridge.column(ShingleHashesExpr(Bridge.expression(c)))
   def shingleHashesFromText(c: Column): Column =
@@ -372,6 +394,20 @@ case class TokenHashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.tokenHashEval($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenHashExpr =
+    copy(child = newChild)
+}
+
+/** STRING → 60-bit composite fingerprint (two-base char fold). */
+case class TokenHashWideExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_hash_wide needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    EvmExprs.tokenHashWideEval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EvmExprs.tokenHashWideEval($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashWideExpr =
     copy(child = newChild)
 }
 

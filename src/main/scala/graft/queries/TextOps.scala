@@ -25,6 +25,16 @@ object TextOps {
   private[queries] def tokHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $HashMod)"
 
+  /** 60-bit composite fingerprint of SQL string expression `s` —
+    * mirrors EvmExprs.tokenHashWide (two independent char folds,
+    * bases 131/137, combined f₁₃₁·HashMod + f₁₃₇; the r10 advice's
+    * widened certificate fingerprint). */
+  private[queries] def tokHashWideSql(s: String): String = {
+    def fold(base: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * $base + b) % $HashMod)"
+    s"(${fold(131)} * $HashMod + ${fold(137)})"
+  }
+
   /** 4-token shingles of list expr `T` — mirrors shingles(_, 4). */
   private[queries] def shinglesSql(T: String): String =
     s"list_transform(range(1, len($T) - 2), i -> $T[i] || ' ' || $T[i+1] || ' ' || $T[i+2] || ' ' || $T[i+3])"
@@ -186,7 +196,11 @@ object TextOps {
     val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    val fp = graft.functions.EvmExprs.tokenHash(concat(
+    // 60-bit composite row fingerprint (r10 advice: the single-fold
+    // ~30-bit hash gives each shard certificate only ~2^-30 collision
+    // odds per divergent export — weak for an artifact whose sole
+    // purpose is detecting divergence)
+    val fp = graft.functions.EvmExprs.tokenHashWide(concat(
       col("doc_id").cast("string"), lit(":"),
       col("seq").cast("string"), lit(":"),
       col("n_toks").cast("string")))
@@ -215,7 +229,7 @@ object TextOps {
        |          doc_id, n_toks
        |        FROM shx),
        |fp AS (SELECT shard, n_toks,
-       |         ${tokHashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fp
+       |         ${tokHashWideSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fp
        |       FROM ord)
        |SELECT shard, count(*) AS n_docs,
        |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
@@ -631,7 +645,8 @@ object TextOps {
     val dicts = Seq.newBuilder[DataFrame]
     dicts += cur
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val pairCol = when(size(col("syms")) >= 2,
         transform(sequence(lit(1), size(col("syms")) - 1),
           i => concat(element_at(col("syms"), i), lit(" "),
@@ -641,11 +656,19 @@ object TextOps {
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(1).collect()
-      val parts = best(0).getString(0).split(' ')
-      merges += ((r.toLong, parts(0), parts(1), best(0).getLong(1)))
-      cur = cur.select(bpeApplyMerge(col("syms"), parts(0), parts(1))
-        .as("syms"), col("freq")).localCheckpoint()
-      dicts += cur
+      if (best.isEmpty) {
+        // no mergeable pair left (empty corpus after the charter
+        // filter, or every word fully merged): the vocabulary is
+        // exhausted — return the merges learned so far instead of
+        // crashing on the empty argmax (r10 advice)
+        exhausted = true
+      } else {
+        val parts = best(0).getString(0).split(' ')
+        merges += ((r.toLong, parts(0), parts(1), best(0).getLong(1)))
+        cur = cur.select(bpeApplyMerge(col("syms"), parts(0), parts(1))
+          .as("syms"), col("freq")).localCheckpoint()
+        dicts += cur
+      }
     }
     (merges.result(), dicts.result())
   }
@@ -2834,8 +2857,13 @@ object TextOps {
     // overlap mass. Pairs come from the SAME banded MinHash machinery
     // as the dedup itself (q28's bandPairs — candidates meet in band
     // buckets, never all-pairs), so the audit costs one extra
-    // source-attribution join (broadcastable: (doc_id, source) two
-    // columns) + a #sources²-bounded aggregate. Source pairs are
+    // source-attribution join + a #sources²-bounded aggregate. The
+    // attribution side is a 2-column (doc_id, source) projection of
+    // the WHOLE corpus — NOT broadcast (at 10^10 docs that hint is a
+    // driver OOM); the pair side hash-joins on doc_id and AQE may
+    // still broadcast the PAIR side when it is the small one. At
+    // 100 TB the attribution projection would be a bucketed table so
+    // both joins co-locate without an exchange. Source pairs are
     // normalized (src_a ≤ src_b, doc sides swapped to match) so each
     // unordered pair is ONE matrix row; n_docs_a/b count the distinct
     // docs involved per side — mass vs spread (many pairs from few
@@ -2845,8 +2873,8 @@ object TextOps {
         val pairs = bandPairs(s, d).select(col("a_id"), col("b_id"))
         val srcs = documents(s, d).select(col("doc_id"), col("source"))
         pairs
-          .join(broadcast(srcs.toDF("a_id", "src_x")), Seq("a_id"))
-          .join(broadcast(srcs.toDF("b_id", "src_y")), Seq("b_id"))
+          .join(srcs.toDF("a_id", "src_x"), Seq("a_id"))
+          .join(srcs.toDF("b_id", "src_y"), Seq("b_id"))
           .select(
             least(col("src_x"), col("src_y")).as("src_a"),
             greatest(col("src_x"), col("src_y")).as("src_b"),
@@ -3176,8 +3204,8 @@ object TextOps {
     // EXPORT CERTIFICATION — the release checksum: did a re-export /
     // replica / downstream copy land IDENTICAL rows? Per shard of
     // the q168 training manifest: row count, token mass, and a
-    // BIT-XOR checksum of the row fingerprint
-    // tokenHash(doc_id:seq:n_toks). XOR is the scale-right fold:
+    // BIT-XOR checksum of the 60-bit row fingerprint
+    // tokenHashWide(doc_id:seq:n_toks). XOR is the scale-right fold:
     // order- and partition-independent (no global sort, no single
     // reducer, no overflow — unlike a modular SUM it needs no
     // wide-decimal carry), so the certificate distributes and two
@@ -3236,7 +3264,7 @@ object TextOps {
     // ONLINE CERTIFICATE — q200's release checksum maintained
     // INCREMENTALLY by the curate stream: each ingest lands one
     // immutable delta row per shard (count, token mass, XOR of
-    // tokenHash(doc_id:n_toks) over the batch's KEPT docs) and the
+    // tokenHashWide(doc_id:n_toks) over the batch's KEPT docs) and the
     // served certificate is a tiny fold over the deltas — XOR and sum
     // are associative + commutative, so maintained ≡ from-scratch by
     // algebra, and this query PINS it: it runs q196's two-micro-batch
@@ -3260,7 +3288,7 @@ object TextOps {
           lexIndex = true, certIndex = true)
         val served = CurateStream.certificate(s, root).get
         val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
-        val fp = graft.functions.EvmExprs.tokenHash(concat(
+        val fp = graft.functions.EvmExprs.tokenHashWide(concat(
           col("doc_id").cast("string"), lit(":"), col("dl").cast("string")))
         val recomputed = graft.sinks.Layout
           .readStatic(s, root, CurateStream.DlEntity).get
@@ -3283,7 +3311,7 @@ object TextOps {
               |cf AS (SELECT k.doc_id, q.n_toks,
               |         ${tokHashSql("CAST(k.doc_id AS VARCHAR)")} %
               |           ${graft.streaming.CurateStream.CertShards} AS shard,
-              |         ${tokHashSql("CAST(k.doc_id AS VARCHAR) || ':' || CAST(q.n_toks AS VARCHAR)")} AS fp
+              |         ${tokHashWideSql("CAST(k.doc_id AS VARCHAR) || ':' || CAST(q.n_toks AS VARCHAR)")} AS fp
               |       FROM allk k JOIN q USING (doc_id))
               |SELECT shard, count(*) AS n_docs,
               |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
@@ -3377,10 +3405,14 @@ object TextOps {
           .readStatic(s, root, CurateStream.BandsEntity).get
           .localCheckpoint() // read 4×: two band legs + two agree legs
         val agree = residualPairsOf(sig)
+        // Attribution side = the WHOLE corpus's (doc_id, source)
+        // projection — never broadcast it (q193's rationale); the
+        // residual-pair side is the small one and AQE may broadcast
+        // THAT at runtime if its post-filter size allows.
         val srcs = docs.select(col("doc_id"), col("source"))
         agree
-          .join(broadcast(srcs.toDF("a_id", "src_x")), Seq("a_id"))
-          .join(broadcast(srcs.toDF("b_id", "src_y")), Seq("b_id"))
+          .join(srcs.toDF("a_id", "src_x"), Seq("a_id"))
+          .join(srcs.toDF("b_id", "src_y"), Seq("b_id"))
           .select(
             least(col("src_x"), col("src_y")).as("src_a"),
             greatest(col("src_x"), col("src_y")).as("src_b"),
@@ -3439,9 +3471,13 @@ object TextOps {
         val comp = graft.analytics.GraphOps.connectedComponents(pairs)
           .toDF("doc_id", "canonical")
         val byCluster = Window.partitionBy(col("canonical"))
-        comp
-          .join(broadcast(docs.select(col("doc_id"), col("source"),
-            substring(col("source"), 4, 10).cast("int").as("prio"))),
+        // Broadcast the CLUSTER-BOUNDED side (comp: one row per doc
+        // that sits in a residual cluster), never the corpus-wide
+        // attribution projection — the clustered fraction shrinks as
+        // the store grows while the corpus projection only grows.
+        broadcast(comp)
+          .join(docs.select(col("doc_id"), col("source"),
+            substring(col("source"), 4, 10).cast("int").as("prio")),
             Seq("doc_id"))
           .withColumn("rn", row_number().over(byCluster
             .orderBy(col("prio").asc, col("doc_id").asc)))
@@ -3483,13 +3519,21 @@ object TextOps {
     // log would put an engine-dependent transcendental in every
     // term) and bounded in [0,1]. The missing-token mass needs no
     // outer join: Σ|p−q| = Σ_shared|p−q| + (1−Σ_shared p) +
-    // (1−Σ_shared q), so the INNER token join plus two shared-mass
-    // sums carry the whole metric. Per-token p is the q164 pattern
-    // (integer counts, one IEEE division, 6dp), sums run over
-    // DECIMAL(30,15), and the final ×0.5 is an exact power-of-two
-    // scaling after one cast. Scale shape: distributions are
-    // VOCAB-bounded posting aggregates; the pair join is vocab ×
-    // |sources|² — never corpus × corpus.
+    // (1−Σ_shared q), so the INNER token join plus the shared-mass
+    // terms carry the whole metric. Every term is computed from the
+    // INTEGER counts, never from pre-rounded probabilities (the r10
+    // advice: a 6dp-rounded p column leaves Σp ≠ 1, and that residual
+    // lands directly in the identity — worst case ~vocab·5e-7, enough
+    // to push tv outside [0,1] at a large vocabulary):
+    // |ct_a/n_a − ct_b/n_b| = |ct_a·n_b − ct_b·n_a| / (n_a·n_b), so
+    // Σ_shared |…| is an exact integer DECIMAL sum (operands cast to
+    // DECIMAL(15,0) so the product width 30 sits well inside both
+    // engines' 38-digit cap while holding n ≤ 10^15 tokens/source —
+    // a petabyte of text), the two missing-mass terms are
+    // (n − Σ_shared ct)/n over exact longs,
+    // and rounding happens ONCE on the final tv. Scale shape:
+    // distributions are VOCAB-bounded posting aggregates; the pair
+    // join is vocab × |sources|² — never corpus × corpus.
     "q207_source_divergence" -> Q(
       (s, d) => {
         val tk = documents(s, d)
@@ -3499,21 +3543,25 @@ object TextOps {
           .agg(count(lit(1)).as("ct"))
         val tot = tk.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val dist = cnt.join(broadcast(tot), Seq("source"))
-          .select(col("source"), col("t"),
-            round(col("ct").cast("double") / col("n"), 6).as("p"))
+          .select(col("source"), col("t"), col("ct"), col("n"))
           .localCheckpoint() // both legs of the pair join
-        dist.toDF("src_a", "t", "p_a")
-          .join(dist.toDF("src_b", "t", "p_b"), Seq("t"))
+        val dec = "decimal(15,0)"
+        dist.toDF("src_a", "t", "ct_a", "n_a")
+          .join(dist.toDF("src_b", "t", "ct_b", "n_b"), Seq("t"))
           .where(col("src_a") < col("src_b"))
           .groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_shared"),
-            sum(abs(col("p_a") - col("p_b")).cast("decimal(30,15)"))
-              .as("s_abs"),
-            sum(col("p_a").cast("decimal(30,15)")).as("s_a"),
-            sum(col("p_b").cast("decimal(30,15)")).as("s_b"))
+            sum(abs(col("ct_a").cast(dec) * col("n_b").cast(dec) -
+              col("ct_b").cast(dec) * col("n_a").cast(dec))).as("s1"),
+            sum(col("ct_a")).as("sca"), sum(col("ct_b")).as("scb"),
+            first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
           .select(col("src_a"), col("src_b"), col("n_shared"),
-            round((col("s_abs") - col("s_a") - col("s_b") + lit(2))
-              .cast("double") * lit(0.5), 6).as("tv"))
+            round((col("s1").cast("double") /
+                (col("n_a").cast("double") * col("n_b").cast("double")) +
+              (col("n_a") - col("sca")).cast("double") /
+                col("n_a").cast("double") +
+              (col("n_b") - col("scb")).cast("double") /
+                col("n_b").cast("double")) * lit(0.5), 6).as("tv"))
       },
       Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS t
               |           FROM documents),
@@ -3521,18 +3569,24 @@ object TextOps {
               |        FROM tk GROUP BY 1, 2),
               |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
               |        FROM tk GROUP BY 1),
-              |dist AS (SELECT source, t,
-              |           round(CAST(ct AS DOUBLE) / n, 6) AS p
+              |dist AS (SELECT source, t, ct, n
               |         FROM cnt JOIN tot USING (source)),
               |pr AS (SELECT a.source AS src_a, b.source AS src_b,
-              |         a.p AS p_a, b.p AS p_b
+              |         a.ct AS ct_a, a.n AS n_a, b.ct AS ct_b, b.n AS n_b
               |       FROM dist a JOIN dist b USING (t)
               |       WHERE a.source < b.source)
               |SELECT src_a, src_b, count(*) AS n_shared,
-              |       round(CAST(sum(CAST(abs(p_a - p_b) AS DECIMAL(30,15)))
-              |               - sum(CAST(p_a AS DECIMAL(30,15)))
-              |               - sum(CAST(p_b AS DECIMAL(30,15)))
-              |               + 2 AS DOUBLE) * 0.5, 6) AS tv
+              |       round((CAST(sum(abs(CAST(ct_a AS DECIMAL(15,0))
+              |                 * CAST(n_b AS DECIMAL(15,0))
+              |               - CAST(ct_b AS DECIMAL(15,0))
+              |                 * CAST(n_a AS DECIMAL(15,0)))) AS DOUBLE)
+              |           / (CAST(any_value(n_a) AS DOUBLE)
+              |              * CAST(any_value(n_b) AS DOUBLE))
+              |         + CAST(any_value(n_a) - sum(ct_a) AS DOUBLE)
+              |           / CAST(any_value(n_a) AS DOUBLE)
+              |         + CAST(any_value(n_b) - sum(ct_b) AS DOUBLE)
+              |           / CAST(any_value(n_b) AS DOUBLE)) * 0.5, 6)
+              |         AS tv
               |FROM pr GROUP BY 1, 2""".stripMargin),
-      "pairwise source divergence: total-variation distance between per-source unigram distributions — vocab-bounded, no transcendentals"))
+      "pairwise source divergence: total-variation distance between per-source unigram distributions — exact integer-count identity, vocab-bounded, no transcendentals"))
 }

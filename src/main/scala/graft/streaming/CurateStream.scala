@@ -80,14 +80,19 @@ object CurateStream {
     * ONLINE — q203): `curate_cert (bkey, shard, n_docs, sum_toks,
     * xor_fp)` holds one IMMUTABLE delta row per (ingest batch ×
     * shard) — count, token mass and BIT-XOR of the set fingerprint
-    * tokenHash(doc_id:n_toks) over the batch's KEPT docs. XOR and sum
+    * tokenHashWide(doc_id:n_toks) over the batch's KEPT docs (the
+    * 60-bit two-fold composite — the r10 advice measured the old
+    * single-fold ~30-bit fp at ~50% bkey birthday collision by ~50k
+    * batches, within a month of ingest; a colliding bkey would make
+    * the anti-join silently DROP the later batch's delta). XOR and sum
     * are associative + commutative, so the SERVED certificate is a
     * tiny fold over the delta rows ([[certificate]]) — #batches ×
     * [[CertShards]] rows, never a corpus rescan — and the entity
     * stays inside the anti-join-upsert discipline (the one mutable
     * per-batch value the discipline can't express is exactly what the
     * delta decomposition removes). `bkey` = XOR of the batch's shard
-    * checksums: deterministic on replay (statuses are bit-stable), so
+    * checksums — now ~60 bits of batch identity (birthday ~2^30
+    * batches): deterministic on replay (statuses are bit-stable), so
     * a re-landed batch's delta is the SAME row and the anti-join
     * absorbs it. Kept docs are first-arrival-wins across batches, so
     * deltas are disjoint sets and the fold certifies the store. */
@@ -100,7 +105,7 @@ object CurateStream {
     * maintainable under append-only keeps). */
   private def certDeltaOf(kept: DataFrame): DataFrame = {
     val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
-    val fp = graft.functions.EvmExprs.tokenHash(concat(
+    val fp = graft.functions.EvmExprs.tokenHashWide(concat(
       col("doc_id").cast("string"), lit(":"), col("n_toks").cast("string")))
     kept.withColumn("shard", pmod(h, lit(CertShards.toLong)))
       .withColumn("fp", fp)

@@ -166,7 +166,7 @@ class CurateStreamSpec extends AnyFunSuite {
     // kept batch docs), same fingerprint algebra
     val keptDocs = corpus.unionByName(batchA.where($"doc_id" === 40L))
       .unionByName(batchB.where($"doc_id" === 15L))
-    val fp = graft.functions.EvmExprs.tokenHash(org.apache.spark.sql.functions
+    val fp = graft.functions.EvmExprs.tokenHashWide(org.apache.spark.sql.functions
       .concat($"doc_id".cast("string"),
         org.apache.spark.sql.functions.lit(":"),
         org.apache.spark.sql.functions.size(
