@@ -47,7 +47,7 @@ object MaxSimBench {
       def ladder(corpus: String, emb: DataFrame): Unit = {
         val n = emb.count()
         val root = graft.Temps.dir(s"maxsim-bench-$corpus")
-        SemanticStream.bootstrap(emb, root, withSq = true)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
         val queries = emb.where(pmod(col("vec_id"), lit(97)) === 0)
           .localCheckpoint()
         val nq = queries.count()
@@ -80,7 +80,9 @@ object MaxSimBench {
         }
 
         serveRecall("served_policy",
-          SemanticStream.queryTopKMaxSim(queries, root, topK = 3))
+          SemanticStream.queryTopKMaxSim(queries, root, topK = 3,
+            prefilterC = SemanticStream.ServePolicy.PrefilterC,
+            nProbe = SemanticStream.ServePolicy.NProbe))
         // the C ladder at full probe: with every cell probed, each
         // miss is the POOLED prefilter ordering disagreeing with the
         // MaxSim re-rank — the candidate-budget law late-interaction
@@ -89,6 +91,15 @@ object MaxSimBench {
           serveRecall(s"served_fullprobe_c$c",
             SemanticStream.queryTopKMaxSim(queries, root, topK = 3,
               prefilterC = c, nProbe = SimSearch.IvfK))
+        // the SLOT stage-1 ladder (r11): same gold, same re-rank — the
+        // only change is WHAT generates candidates. The claim under
+        // measurement: recall@3 ≥ 0.9 at C ≪ n where the pooled
+        // stage-1 measured ≈ C/n, because per-slot probes reach docs
+        // by the signal MaxSim ranks by
+        for (np <- Seq(1, 2, 4); c <- Seq(32, 128))
+          serveRecall(s"slot_np${np}_c$c",
+            SemanticStream.queryTopKMaxSimSlots(queries, root, topK = 3,
+              prefilterC = c, slotNProbe = np))
         gold.unpersist()
         queries.unpersist()
       }

@@ -1100,8 +1100,13 @@ object VectorOps {
         val root = graft.Temps.dirFor(s"maxsim-served-$d")
         val emb = embeddings(s, d)
         SemanticStream.bootstrap(emb, root, withSq = true)
+        // the pooled-policy knobs are passed EXPLICITLY (the method no
+        // longer defaults to them): this query pins the pooled-face
+        // cascade's arithmetic; its recall law is q210's slot face
         SemanticStream.queryTopKMaxSim(
-          emb.where(col("vec_id") < 4), root, topK = 3)
+          emb.where(col("vec_id") < 4), root, topK = 3,
+          prefilterC = SemanticStream.ServePolicy.PrefilterC,
+          nProbe = SemanticStream.ServePolicy.NProbe)
       },
       Some {
         val recon = "(prm.mn[i] + CAST(cd.codes[i] AS DOUBLE) * prm.istep[i])"
@@ -1165,6 +1170,87 @@ object VectorOps {
            |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
       },
       "late-interaction MaxSim served from the maintained index: SQ candidate stage at the pinned policy knobs, stored-vector slice re-rank"),
+
+    // SLOT-LEVEL stage-1 for served late interaction — the PLAID/
+    // ColBERT candidate shape, closing q177's measured recall ceiling:
+    // the pooled SQ prefilter's recall@3 against the covering MaxSim
+    // gold is ≈ C/n when pooled and multi-vector orderings decorrelate
+    // (maxsim_serve, SCALE.md r10 — 0.079 at the policy knobs), so
+    // corpus growth drives any bounded C to zero. Here the INDEX holds
+    // the slot vectors themselves: a frozen slot-space codebook
+    // (seeded like the main one) + one (id, pos, cell) row per kept
+    // doc × slot, and candidates are the UNION of per-query-slot
+    // probes — a doc is reachable whenever ANY slot aligns, which is
+    // the very signal MaxSim ranks by. Matched (doc, slot) pairs score
+    // the exact 6dp slot cosine (fetching only their w-dim slice of
+    // the stored vector), per-(q, doc, qpos) maxima sum decimal-
+    // exactly into the stage-1 estimate, top-C feeds the unchanged
+    // C·T² cascade. Every join past the plan-carried fold is an
+    // equi-join; the r11 maxsim_serve rows measure recall@3 ≥ 0.9 at
+    // C ≪ n where the pooled stage-1 sat at ≈ C/n. The oracle replays
+    // slot slicing → seed slot codebook → assignment → probes → exact
+    // matched-slot scoring → top-C → cascade end to end.
+    "q210_maxsim_slot_served" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-slots-$d")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSlots = true)
+        SemanticStream.queryTopKMaxSimSlots(
+          emb.where(col("vec_id") < 4), root, topK = 3,
+          prefilterC = 16, slotNProbe = 2)
+      },
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn WHERE crn = 1),
+           |qpr AS (SELECT vec_id AS q_id, pos AS qpos, sv AS qv, cid AS cell
+           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |m AS (SELECT q_id, qpos, qv, c_id, cpos
+           |      FROM qpr JOIN scell USING (cell) WHERE q_id <> c_id),
+           |mc0 AS (SELECT m.q_id, m.qpos, m.c_id,
+           |          ${cosSql("m.qv", "slt.sv")} AS cos
+           |        FROM m JOIN slt
+           |          ON slt.vec_id = m.c_id AND slt.pos = m.cpos),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(cos) AS mxc
+           |        FROM mc0 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
+           |        WHERE prn <= 16),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+      },
+      "slot-level late-interaction serving (PLAID shape): per-query-slot probes into the maintained slot index, exact matched-slot stage-1, candidate-bounded MaxSim cascade"),
 
     // RETRIEVAL-QUALITY METRICS of the served dense path — the
     // evaluation op every retrieval deployment runs: per query,

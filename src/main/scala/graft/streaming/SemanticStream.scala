@@ -94,6 +94,30 @@ object SemanticStream {
     * ver-tagged roll-forward discipline as [[retrain]]. */
   val JlMetaEntity = "jl_meta"
   val JlVecsEntity = "jl_vecs"
+  /** Optional SLOT sidecar (opt-in at [[bootstrap]]): the slot-level
+    * coarse quantizer for late-interaction serving — the PLAID/ColBERT
+    * candidate shape. The r10 maxsim_serve law measured the POOLED
+    * stage-1 ([[queryTopKMaxSim]]) at recall@3 ≈ C/n against the
+    * covering MaxSim gold (0.079 at the policy knobs): when pooled and
+    * multi-vector orderings decorrelate, no bounded C short of
+    * covering recovers recall, and corpus growth drives it to zero.
+    * The fix is to index the SLOT vectors themselves: `slot_codebook`
+    * holds K coarse centroids over the w-dim slot space (frozen at
+    * bootstrap, deterministic lowest-(id,pos) seed — the same
+    * replayable discipline as the main seed codebook), and
+    * `slot_cells (id, pos, cell)` one assignment row per kept doc ×
+    * slot — 3 integers/slot, maintained by ingest under the same
+    * anti-join-upsert discipline as the other sidecars.
+    * [[queryTopKMaxSimSlots]] probes PER QUERY SLOT and unions
+    * candidates, so a doc is reachable whenever ANY slot aligns —
+    * exactly the signal MaxSim ranks by and the pooled prefilter
+    * structurally cannot see. */
+  val SlotBookEntity = "slot_codebook"
+  val SlotCellsEntity = "slot_cells"
+  /** Default slot-space cell count (the slot space is w-dim, much
+    * smaller than the vector space, so a modest K keeps cells
+    * selective; bootstrap takes an override like `k`). */
+  val SlotK = 32
 
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
@@ -123,6 +147,9 @@ object SemanticStream {
   private val SqCodesDdl = "id bigint, codes array<bigint>"
   private val JlMetaDdl = "dout int, seed bigint, ver string"
   private val JlVecsDdl = "id bigint, pv array<double>, pn double, ver string"
+  private val SlotBookDdl =
+    "cid bigint, cv array<double>, cn double, slices int"
+  private val SlotCellsDdl = "id bigint, pos int, cell bigint"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -268,6 +295,36 @@ object SemanticStream {
     if (torn) reprojectAll(s, root, dOut, seed)
   }
 
+  /** The stored slot codebook as (codebook, slices): centroids in the
+    * w-dim slot space plus the slice count the sidecar was built at
+    * (the vector dim re-derives as slices·w). */
+  def readSlotBook(s: SparkSession, root: String)
+      : Option[(Seq[(Long, Seq[Double], Double)], Int)] = {
+    val rows = stored(s, root, SlotBookEntity, SlotBookDdl).collect()
+    if (rows.isEmpty) None
+    else Some((rows.map(r => (r.getLong(0), r.getSeq[Double](1),
+      r.getDouble(2))).sortBy(_._1).toSeq, rows.head.getInt(3)))
+  }
+
+  /** Slot rows of a vector frame flattened to one synthetic id
+    * (sid = id·slices + pos) so the fold-assignment kernel can rank
+    * them like any vector frame; decoded back after assignment. */
+  private def slotRows(vectors: DataFrame, idCol: String, vecCol: String,
+      slices: Int, dim: Int): DataFrame =
+    graft.ops.LateInteraction.multiVec(vectors, idCol, vecCol, slices, dim)
+      .select((col("id") * slices + col("pos")).as("sid"), col("sv"))
+
+  /** Slot-cell assignment rows (id, pos, cell) of a vector frame under
+    * a frozen slot codebook — one zero-shuffle fold pass. */
+  private def slotCellRows(vectors: DataFrame, idCol: String,
+      vecCol: String, scb: Seq[(Long, Seq[Double], Double)],
+      slices: Int, dim: Int): DataFrame =
+    SimSearch.ivfAssign(slotRows(vectors, idCol, vecCol, slices, dim),
+        "sid", "sv", scb, p = 1)
+      .select(expr(s"id div $slices").as("id"),
+        pmod(col("id"), lit(slices.toLong)).cast("int").as("pos"),
+        element_at(col("probes"), 1).getField("cid").as("cell"))
+
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
     * one) and the corpus's cell assignments. Idempotent. `withPq`
@@ -281,7 +338,10 @@ object SemanticStream {
       idCol: String = "vec_id", vecCol: String = "embedding",
       withPq: Boolean = false, pqM: Int = graft.ops.Pq.M,
       pqKsub: Int = graft.ops.Pq.Ksub, withSq: Boolean = false,
-      withJl: Boolean = false, jlDOut: Int = 16, jlSeed: Long = 0L): Unit = {
+      withJl: Boolean = false, jlDOut: Int = 16, jlSeed: Long = 0L,
+      withSlots: Boolean = false, slotK: Int = SlotK,
+      slotSlices: Int = graft.ops.LateInteraction.Slices,
+      slotDim: Int = SimSearch.LshDim): Unit = {
     val s = corpus.sparkSession
     val cb = SimSearch.collectCodebook(
       SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
@@ -316,6 +376,22 @@ object SemanticStream {
         JlMetaEntity, Seq("dout", "seed"))
       Layout.upsertStatic(jlRows(corpus, idCol, vecCol, jlDOut, jlSeed),
         root, JlVecsEntity, Seq("id"))
+    }
+    if (withSlots) {
+      // frozen slot-space coarse quantizer: the slotK lowest-(id, pos)
+      // slot vectors seed the centroids (same deterministic,
+      // oracle-replayable discipline as the main seed codebook)
+      val scb = SimSearch.collectCodebook(SimSearch.ivfCentroids(
+        slotRows(corpus, idCol, vecCol, slotSlices, slotDim),
+        "sid", "sv", slotK))
+      import s.implicits._
+      Layout.upsertStatic(
+        scb.map { case (cid, cv, cn) => (cid, cv, cn, slotSlices) }
+          .toDF("cid", "cv", "cn", "slices"),
+        root, SlotBookEntity, Seq("cid"))
+      Layout.upsertStatic(
+        slotCellRows(corpus, idCol, vecCol, scb, slotSlices, slotDim),
+        root, SlotCellsEntity, Seq("id", "pos"))
     }
   }
 
@@ -589,13 +665,17 @@ object SemanticStream {
     * property and does NOT transfer here — against the covering-gold
     * MaxSim, recall is bounded by how well the pooled stage-1 ordering
     * predicts the multi-vector one (`maxsim_serve`, SCALE.md): on
-    * corpora where the two decorrelate, recall ≈ C/n. Measure the C
-    * ladder against the covering gold on your corpus (MaxSimBench)
-    * before trusting a bounded budget. */
+    * corpora where the two decorrelate, recall ≈ C/n. For that reason
+    * `prefilterC`/`nProbe` have NO defaults here (the r10 verdict: the
+    * pooled policy knobs silently adopted a policy that doesn't
+    * transfer) — callers must choose a measured budget, and the
+    * recommended production face is [[queryTopKMaxSimSlots]], whose
+    * slot-level stage-1 probes the signal MaxSim actually ranks by.
+    * Measure the C ladder against the covering gold on your corpus
+    * (MaxSimBench) before trusting a bounded budget. */
   def queryTopKMaxSim(queries: DataFrame, root: String, topK: Int,
+      prefilterC: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      prefilterC: Int = ServePolicy.PrefilterC,
-      nProbe: Int = ServePolicy.NProbe,
       slices: Int = graft.ops.LateInteraction.Slices,
       dim: Int = SimSearch.LshDim): DataFrame = {
     val s = queries.sparkSession
@@ -605,6 +685,90 @@ object SemanticStream {
       .select(col("id"), col("v"))
     graft.ops.LateInteraction.maxSimRerank(
       pre, queries.select(col(idCol), col(vecCol)), corpus,
+      qIdCol = idCol, qVecCol = vecCol, cIdCol = "id", cVecCol = "v",
+      k = topK, slices = slices, dim = dim)
+  }
+
+  /** Slot-level late-interaction serving — the PLAID/ColBERT candidate
+    * shape (Santhanam et al., "PLAID: an efficient engine for late
+    * interaction retrieval", CIKM 2022), built from the machinery the
+    * index already maintains:
+    *
+    *   stage 0 — slice the queries into slot vectors and rank each
+    *     against the FROZEN slot codebook (plan-carried fold, zero
+    *     shuffle, K·w arithmetic per slot); top-`slotNProbe` cells
+    *     per query slot;
+    *   stage 1 — equi-join the probes against the stored
+    *     `slot_cells` rows: a candidate slot matches when it landed
+    *     in a probed cell. Matched (doc, slot) pairs fetch ONLY their
+    *     w-dim slice of the stored vector and score the EXACT 6dp
+    *     slot cosine; per (query, doc, qpos) max → decimal-exact sum
+    *     = the stage-1 MaxSim estimate over matched slots; top-C docs
+    *     per query;
+    *   stage 2 — the unchanged [[graft.ops.LateInteraction
+    *     .maxSimRerank]] C·T² cascade over those C docs.
+    *
+    * Why this survives corpus growth where the pooled stage-1 doesn't:
+    * a doc ranks high under MaxSim exactly when its slots align with
+    * the query's slots, and aligned slots land in the same (or a
+    * probed-adjacent) slot cell — so the candidate union reaches the
+    * docs MaxSim will rank, independent of how the POOLED vectors
+    * relate (`maxsim_serve` measured pooled recall@3 ≈ C/n, slot
+    * stage-1 ≥ 0.9 at C ≪ n — SCALE.md round 11). Cost: per query
+    * slot, `slotNProbe` cells of ~(n·T/K) slot rows; every join past
+    * the fold is an equi-join; the only full-vector IO is the matched
+    * docs' slices and the C re-rank candidates. */
+  def queryTopKMaxSimSlots(queries: DataFrame, root: String, topK: Int,
+      prefilterC: Int, slotNProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val (scb, slices) = readSlotBook(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    val w = scb.head._2.length
+    val dim = slices * w
+    // stage 0: per-query-slot probe lists from the fold kernel
+    val probes = SimSearch.ivfAssign(
+        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+          slices, dim), "sid", "sv", scb, p = slotNProbe)
+      .select(expr(s"id div $slices").as("q_id"),
+        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
+        col("v").as("qv"), col("n").as("qn"),
+        explode(col("probes").getField("cid")).as("cell"))
+      .localCheckpoint() // bound assignment work to one pass
+    // stage 1: probed-cell equi-join against the stored slot index
+    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+      .select(col("id").as("c_id"), col("pos").as("cpos"), col("cell"))
+    val m = probes.join(scells, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+    // matched candidate slots fetch only their slice of the stored
+    // vector (the full-vector row fans out at most `slices` ways)
+    val mk = m.select(col("c_id"), col("cpos")).distinct()
+    val cslots = stored(s, root, CellsEntity, CellsDdl)
+      .select(col("id").as("c_id"), col("v"))
+      .join(mk, Seq("c_id"))
+      .select(col("c_id"), col("cpos"),
+        slice(col("v"), col("cpos") * w + lit(1), lit(w)).as("cv"))
+      .withColumn("cn", SimSearch.l2norm(col("cv")))
+    val s1 = m
+      .join(cslots, Seq("c_id", "cpos"))
+      .select(col("q_id"), col("qpos"), col("c_id"),
+        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+          .as("cos"))
+      .groupBy(col("q_id"), col("c_id"), col("qpos"))
+      .agg(max(col("cos")).as("mx"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("mx").cast("decimal(20,6)")).cast("double").as("s1"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("s1").desc, col("c_id").asc)
+    val pre = s1.withColumn("prn", row_number().over(w1))
+      .where(col("prn") <= prefilterC)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: the unchanged candidate-bounded MaxSim cascade
+    graft.ops.LateInteraction.maxSimRerank(
+      pre, queries.select(col(idCol), col(vecCol)),
+      stored(s, root, CellsEntity, CellsDdl).select(col("id"), col("v")),
       qIdCol = idCol, qVecCol = vecCol, cIdCol = "id", cVecCol = "v",
       k = topK, slices = slices, dim = dim)
   }
@@ -898,6 +1062,17 @@ object SemanticStream {
             dOut, seed)
           .join(kept, Seq("id"), "left_semi"),
         root, JlVecsEntity, Seq("id"))
+    }
+    // slot sidecar (present iff bootstrap(withSlots = true)): kept
+    // vectors' slot assignments fold in under the frozen slot codebook
+    // — 3 integers per (doc, slot), same anti-join discipline
+    readSlotBook(s, root).foreach { case (scb, slices) =>
+      val dim = slices * scb.head._2.length
+      Layout.upsertStatic(
+        slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
+            scb, slices, dim)
+          .join(kept, Seq("id"), "left_semi"),
+        root, SlotCellsEntity, Seq("id", "pos"))
     }
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     // drop the per-batch pinned checkpoints (see CurateStream: a

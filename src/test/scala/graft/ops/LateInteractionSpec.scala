@@ -91,4 +91,64 @@ class LateInteractionSpec extends AnyFunSuite {
     assert(served.exceptAll(brute).count() === 0)
     assert(brute.exceptAll(served).count() === 0)
   }
+
+  test("slot face at covering knobs ≡ brute MaxSim (slot stage-1 only bounds)") {
+    import graft.streaming.SemanticStream
+    val root = graft.Temps.dir("maxsim-slots-spec")
+    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    val q = vecs.where(col("vec_id") < 4)
+    // every slot cell probed (slotNProbe = slotK) + covering C: every
+    // non-self (doc, slot) matches, the stage-1 estimate IS the full
+    // MaxSim, and the re-rank must reproduce the brute result row for
+    // row — the slot index is a pure candidate bound
+    val served = SemanticStream.queryTopKMaxSimSlots(q, root, topK = 5,
+      prefilterC = 100, slotNProbe = 8)
+    val brute = LateInteraction.maxSimTopK(
+      q, vecs, "vec_id", "embedding", k = 5, prefilterC = 100)
+    assert(served.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(served).count() === 0)
+  }
+
+  test("slot stage-1 surfaces an exact duplicate at minimal knobs") {
+    import graft.streaming.SemanticStream
+    val root = graft.Temps.dir("maxsim-slots-dup-spec")
+    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    // vec 100 duplicates vec 3: identical slot vectors land in
+    // identical slot cells, so even at slotNProbe = 1 every slot of
+    // the duplicate matches the query's probes and its stage-1 score
+    // is the maximum — the candidate union reaches it where a pooled
+    // prefilter would have to get lucky
+    val top = SemanticStream.queryTopKMaxSimSlots(
+      vecs.where(col("vec_id") === 3), root, topK = 3,
+      prefilterC = 4, slotNProbe = 1).orderBy(col("rn")).collect()
+    assert(top.head.getLong(2) === 100L)
+    assert(math.abs(top.head.getDouble(3) - LateInteraction.Slices) < 1e-9)
+  }
+
+  test("ingest maintains the slot sidecar: kept docs land slot rows, replay is a no-op") {
+    import graft.streaming.SemanticStream
+    val s = spark
+    import s.implicits._
+    val root = graft.Temps.dir("maxsim-slots-ingest-spec")
+    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    val batch = Seq(
+      (200L, (0 until Dim).map(j => comp(40, j))), // novel — kept
+      (201L, (0 until Dim).map(j => comp(3, j)))   // duplicate of 3
+    ).toDF("vec_id", "embedding")
+    val man = SemanticStream.ingestVectors(batch, root)
+    val kept = man.where(col("status") === "kept")
+      .select("vec_id").as[Long].collect().toSet
+    val slotRows = graft.sinks.Layout
+      .readStatic(s, root, SemanticStream.SlotCellsEntity).get
+    val landed = slotRows.where(col("id") >= 200L)
+      .select("id").distinct().as[Long].collect().toSet
+    assert(landed === kept) // dup docs land no slot rows
+    assert(slotRows.where(col("id") >= 200L).count()
+      === kept.size.toLong * LateInteraction.Slices)
+    val before = slotRows.count()
+    SemanticStream.ingestVectors(batch, root) // replay
+    assert(graft.sinks.Layout
+      .readStatic(s, root, SemanticStream.SlotCellsEntity).get.count()
+      === before)
+  }
 }
