@@ -45,6 +45,18 @@ object SqExprs {
       isteps: Seq[Double]): Column =
     Bridge.column(SqDistExpr(
       Bridge.expression(qv), Bridge.expression(codes), mins, isteps))
+
+  /** Asymmetric SLOT cosine: a w-dim query slot vector vs the `cpos`-th
+    * w-dim slice of a FULL code row, de-quantized in place — the
+    * late-interaction stage-1 scorer (PLAID's decompression stage done
+    * with the SQ sidecar: score every candidate slot near-exactly from
+    * stored byte codes, never fetching the full vector). 6-dp rounded;
+    * sequential index-order folds so DuckDB replays the IEEE
+    * sequence. */
+  def slotCos(qv: Column, codes: Column, cpos: Column,
+      mins: Seq[Double], isteps: Seq[Double], w: Int): Column =
+    Bridge.column(SqSlotCosExpr(Bridge.expression(qv),
+      Bridge.expression(codes), Bridge.expression(cpos), mins, isteps, w))
 }
 
 /** See [[SqExprs.encode]]. */
@@ -131,4 +143,62 @@ case class SqDistExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDistExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** See [[SqExprs.slotCos]]: first = w-dim query slot `array<double>`,
+  * second = FULL code row `array<bigint>`, third = slot index `int`.
+  * Reconstruction reads mins/isteps at the slice offset, so the one
+  * stored code row serves every slot — no per-slot code storage. */
+case class SqSlotCosExpr(first: Expression, second: Expression,
+    third: Expression, mins: Seq[Double], isteps: Seq[Double], w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sq_slot_cos needs (ARRAY<DOUBLE>, ARRAY<BIGINT>, INT), got ($a, $b, $c)")
+    }
+
+  @transient private lazy val mn: Array[Double] = mins.toArray
+  @transient private lazy val st: Array[Double] = isteps.toArray
+
+  /** Public so generated code can call it via the reference object.
+    * Sequential index-order folds from 0.0 (dot, both norms in one
+    * pass), 6-dp rounded — the cosSql IEEE sequence. */
+  def cosSlot(qv: ArrayData, codes: ArrayData, cpos: Int): Double = {
+    val off = cpos * w
+    var dot = 0.0
+    var qq = 0.0
+    var cc = 0.0
+    var i = 0
+    while (i < w) {
+      val recon = mn(off + i) + codes.getLong(off + i).toDouble * st(off + i)
+      val q = qv.getDouble(i)
+      dot += q * recon
+      qq += q * q
+      cc += recon * recon
+      i += 1
+    }
+    PqExprs.round6dp(dot / (math.sqrt(qq) * math.sqrt(cc)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    cosSlot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqSlotCos", this, classOf[SqSlotCosExpr].getName)
+    defineCodeGen(ctx, ev, (a, b, c) => s"$ref.cosSlot($a, $b, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SqSlotCosExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

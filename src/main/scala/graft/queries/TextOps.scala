@@ -481,6 +481,34 @@ object TextOps {
       .select("a_id", "b_id")
   }
 
+  /** The q196 two-micro-batch curate scenario built ONCE per
+    * (JVM, sfDir) with the lex + cert layers armed, and SHARED by the
+    * serve-from-the-store queries (q203/q204/q206/q209) — the r10
+    * bench-hygiene item: five scenario queries each rebuilding an
+    * identical fixture put ~38 s of identical bootstraps in the 179 s
+    * bench, drowning serve-path regressions in fixture-build jitter.
+    * Accounting stays honest: q196 keeps its OWN root and re-lands the
+    * scenario on every invocation (the full fixture bill, reported
+    * under one query), while the four sharers measure exactly their
+    * serve paths. Extra armed layers are additive-only (more entities
+    * in the store, same manifests/bands), so every sharer reads the
+    * same rows it read from its private store. */
+  private val scenarioRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def curateScenarioRoot(s: SparkSession, d: String): String =
+    scenarioRoots.computeIfAbsent(d, _ => {
+      import graft.streaming.CurateStream
+      val root = graft.Temps.dirFor(s"curate-scenario-$d")
+      val docs = documents(s, d)
+      CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
+        withLex = true, withCert = true)
+      CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
+        lexIndex = true, certIndex = true)
+      CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root,
+        lexIndex = true, certIndex = true)
+      root
+    })
+
   /** Shared CTE chain replaying [[graft.streaming.CurateStream]]'s
     * two-micro-batch scenario (bootstrap corpus = doc_id % 5 ≠ 0,
     * batch 1 = % 10 = 0, batch 2 = % 10 = 5, phase 2 probing
@@ -2971,9 +2999,12 @@ object TextOps {
     // corpus is never rescanned and no per-doc work repeats — at
     // 100 TB the datasheet of a month of ingest costs a scan of the
     // manifest rows (one small projection per ingested doc), not of
-    // the corpus. Scenario = q144's two-micro-batch program (own
-    // store root — idempotent re-landing, replay-safe); the oracle
-    // replays both curate phases (the shared CTE chain) and
+    // the corpus. Scenario = q144's two-micro-batch program, kept on
+    // its OWN store root and re-landed per invocation — q196 is the
+    // query that BILLS the scenario's fixture cost in the bench, while
+    // q203/q204/q206/q209 serve from the shared memoized store
+    // (curateScenarioRoot) and measure exactly their serve paths. The
+    // oracle replays both curate phases (the shared CTE chain) and
     // aggregates the manifest union the same way.
     "q196_datasheet_online" -> Q(
       (s, d) => {
@@ -3278,14 +3309,7 @@ object TextOps {
     "q203_cert_online" -> Q(
       (s, d) => {
         import graft.streaming.CurateStream
-        val root = graft.Temps.dirFor(s"cert-online-$d")
-        val docs = documents(s, d)
-        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
-          withLex = true, withCert = true)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
-          lexIndex = true, certIndex = true)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root,
-          lexIndex = true, certIndex = true)
+        val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
         val served = CurateStream.certificate(s, root).get
         val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
         val fp = graft.functions.EvmExprs.tokenHashWide(concat(
@@ -3339,14 +3363,7 @@ object TextOps {
       (s, d) => {
         import graft.streaming.CurateStream
         import org.apache.spark.sql.expressions.Window
-        val root = graft.Temps.dirFor(s"vocab-served-$d")
-        val docs = documents(s, d)
-        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root,
-          withLex = true)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root,
-          lexIndex = true)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root,
-          lexIndex = true)
+        val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
         val po = graft.sinks.Layout
           .readStatic(s, root, CurateStream.PostingsEntity).get
         val census = po.agg(countDistinct(col("t")).as("vocab_size"),
@@ -3396,11 +3413,8 @@ object TextOps {
     "q206_overlap_served" -> Q(
       (s, d) => {
         import graft.streaming.CurateStream
-        val root = graft.Temps.dirFor(s"overlap-served-$d")
+        val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
         val docs = documents(s, d)
-        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
         val sig = graft.sinks.Layout
           .readStatic(s, root, CurateStream.BandsEntity).get
           .localCheckpoint() // read 4×: two band legs + two agree legs
@@ -3458,11 +3472,8 @@ object TextOps {
       (s, d) => {
         import graft.streaming.CurateStream
         import org.apache.spark.sql.expressions.Window
-        val root = graft.Temps.dirFor(s"retro-dedup-$d")
+        val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
         val docs = documents(s, d)
-        CurateStream.bootstrap(docs.where(col("doc_id") % 5 =!= 0), root)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 0), root)
-        CurateStream.ingestBatch(docs.where(col("doc_id") % 10 === 5), root)
         val sig = graft.sinks.Layout
           .readStatic(s, root, CurateStream.BandsEntity).get
           .localCheckpoint() // read 4×: two band legs + two agree legs

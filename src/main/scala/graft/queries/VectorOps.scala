@@ -1179,23 +1179,24 @@ object VectorOps {
     // corpus growth drives any bounded C to zero. Here the INDEX holds
     // the slot vectors themselves: a frozen slot-space codebook
     // (seeded like the main one) + one (id, pos, cell) row per kept
-    // doc × slot, and candidates are the UNION of per-query-slot
-    // probes — a doc is reachable whenever ANY slot aligns, which is
-    // the very signal MaxSim ranks by. Matched (doc, slot) pairs score
-    // the exact 6dp slot cosine (fetching only their w-dim slice of
-    // the stored vector), per-(q, doc, qpos) maxima sum decimal-
-    // exactly into the stage-1 estimate, top-C feeds the unchanged
-    // C·T² cascade. Every join past the plan-carried fold is an
-    // equi-join; the r11 maxsim_serve rows measure recall@3 ≥ 0.9 at
-    // C ≪ n where the pooled stage-1 sat at ≈ C/n. The oracle replays
-    // slot slicing → seed slot codebook → assignment → probes → exact
-    // matched-slot scoring → top-C → cascade end to end.
+    // doc × slot. GATHER = the union of per-query-slot probes (a doc
+    // is reachable whenever ANY slot aligns — the very signal MaxSim
+    // ranks by); SCORE = every gathered candidate's full T×T slot
+    // interaction de-quantized from its stored SQ code row (the
+    // SqSlotCosExpr kernel — near-exact, byte reads, all T terms
+    // present; PLAID's decompression stage on the SQ sidecar), maxima
+    // summed decimal-exactly; top-C feeds the unchanged C·T² cascade.
+    // Every join past the plan-carried fold is an equi-join; the r11
+    // slot_sweep rows measure recall@3 ≥ 0.9 at C ≪ n where the
+    // pooled stage-1 sat at ≈ C/n. The oracle replays slot slicing →
+    // seed slot codebook → assignment → probes → SQ-reconstructed
+    // slot scoring → top-C → cascade end to end.
     "q210_maxsim_slot_served" -> Q(
       (s, d) => {
         import graft.streaming.SemanticStream
         val root = graft.Temps.dirFor(s"maxsim-slots-$d")
         val emb = embeddings(s, d)
-        SemanticStream.bootstrap(emb, root, withSlots = true)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
         SemanticStream.queryTopKMaxSimSlots(
           emb.where(col("vec_id") < 4), root, topK = 3,
           prefilterC = 16, slotNProbe = 2)
@@ -1203,6 +1204,15 @@ object VectorOps {
       Some {
         val slot = "(SELECT unnest(range(0, 8)) AS pos)"
         def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        // de-quantized element i (1..8) of candidate code slice cpos
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
+          s"sqrt(${fold(s"$recon * $recon")})), 6)"
         s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
            |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
            |        FROM e, $slot p),
@@ -1214,16 +1224,35 @@ object VectorOps {
            |        FROM slt CROSS JOIN scb),
            |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
            |          FROM asn WHERE crn = 1),
-           |qpr AS (SELECT vec_id AS q_id, pos AS qpos, sv AS qv, cid AS cell
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
            |        FROM asn WHERE vec_id < 4 AND crn <= 2),
-           |m AS (SELECT q_id, qpos, qv, c_id, cpos
-           |      FROM qpr JOIN scell USING (cell) WHERE q_id <> c_id),
-           |mc0 AS (SELECT m.q_id, m.qpos, m.c_id,
-           |          ${cosSql("m.qv", "slt.sv")} AS cos
-           |        FROM m JOIN slt
-           |          ON slt.vec_id = m.c_id AND slt.pos = m.cpos),
-           |mx1 AS (SELECT q_id, c_id, qpos, max(cos) AS mxc
-           |        FROM mc0 GROUP BY 1, 2, 3),
+           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM cand
+           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
            |s1 AS (SELECT q_id, c_id,
            |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
            |       FROM mx1 GROUP BY 1, 2),

@@ -114,10 +114,15 @@ object SemanticStream {
     * structurally cannot see. */
   val SlotBookEntity = "slot_codebook"
   val SlotCellsEntity = "slot_cells"
-  /** Default slot-space cell count (the slot space is w-dim, much
-    * smaller than the vector space, so a modest K keeps cells
-    * selective; bootstrap takes an override like `k`). */
+  /** Default slot-space cell count and Lloyd's rounds, pinned from the
+    * SlotSweep grid (SCALE.md round 11): with the SQ-code scoring
+    * stage the quantizer only GATHERS — seed and 3-round-trained
+    * codebooks measured indistinguishable (recall@3 = 1.0 across the
+    * grid) — so the default stays the deterministic seed (rounds = 0),
+    * which is also what q210's oracle replays. `slotRounds` remains
+    * the lever for corpora where gather coverage binds. */
   val SlotK = 32
+  val SlotRounds = 0
 
   /** q135's duplicate threshold. */
   val DupThreshold = 0.3
@@ -340,6 +345,7 @@ object SemanticStream {
       pqKsub: Int = graft.ops.Pq.Ksub, withSq: Boolean = false,
       withJl: Boolean = false, jlDOut: Int = 16, jlSeed: Long = 0L,
       withSlots: Boolean = false, slotK: Int = SlotK,
+      slotRounds: Int = SlotRounds,
       slotSlices: Int = graft.ops.LateInteraction.Slices,
       slotDim: Int = SimSearch.LshDim): Unit = {
     val s = corpus.sparkSession
@@ -380,10 +386,18 @@ object SemanticStream {
     if (withSlots) {
       // frozen slot-space coarse quantizer: the slotK lowest-(id, pos)
       // slot vectors seed the centroids (same deterministic,
-      // oracle-replayable discipline as the main seed codebook)
-      val scb = SimSearch.collectCodebook(SimSearch.ivfCentroids(
-        slotRows(corpus, idCol, vecCol, slotSlices, slotDim),
-        "sid", "sv", slotK))
+      // oracle-replayable discipline as the main seed codebook), then
+      // `slotRounds` fixed Lloyd's rounds spread them over the slot
+      // space (trainCodebook — deterministic, decimal means, and the
+      // oracle replays it round for round). Training matters here in a
+      // way it doesn't for the main codebook: probe COVERAGE of the
+      // slot space is the recall ceiling of the slot stage-1, and the
+      // SlotSweep grid measured seed-only cells leaving it low.
+      val sr = slotRows(corpus, idCol, vecCol, slotSlices, slotDim)
+      val scb =
+        if (slotRounds <= 0) SimSearch.collectCodebook(
+          SimSearch.ivfCentroids(sr, "sid", "sv", slotK))
+        else SimSearch.trainCodebook(sr, "sid", "sv", slotK, slotRounds)
       import s.implicits._
       Layout.upsertStatic(
         scb.map { case (cid, cv, cn) => (cid, cv, cn, slotSlices) }
@@ -698,26 +712,31 @@ object SemanticStream {
     *     against the FROZEN slot codebook (plan-carried fold, zero
     *     shuffle, K·w arithmetic per slot); top-`slotNProbe` cells
     *     per query slot;
-    *   stage 1 — equi-join the probes against the stored
-    *     `slot_cells` rows: a candidate slot matches when it landed
-    *     in a probed cell. Matched (doc, slot) pairs fetch ONLY their
-    *     w-dim slice of the stored vector and score the EXACT 6dp
-    *     slot cosine; per (query, doc, qpos) max → decimal-exact sum
-    *     = the stage-1 MaxSim estimate over matched slots; top-C docs
-    *     per query;
+    *   stage 1a (gather) — equi-join the probed cells against the
+    *     stored `slot_cells` rows: a doc is a candidate when ANY of
+    *     its slots landed in ANY probed cell;
+    *   stage 1b (score) — every gathered candidate's full T×T slot
+    *     interaction from its stored SQ CODE row ([[graft.functions
+    *     .SqExprs.slotCos]] de-quantizes the w-dim slice in place —
+    *     near-exact, byte reads, no vector fetch); per (query, doc,
+    *     qpos) max → decimal-exact sum = the stage-1 MaxSim estimate
+    *     with ALL T terms; top-C docs per query;
     *   stage 2 — the unchanged [[graft.ops.LateInteraction
-    *     .maxSimRerank]] C·T² cascade over those C docs.
+    *     .maxSimRerank]] C·T² exact cascade over those C docs.
     *
     * Why this survives corpus growth where the pooled stage-1 doesn't:
     * a doc ranks high under MaxSim exactly when its slots align with
-    * the query's slots, and aligned slots land in the same (or a
-    * probed-adjacent) slot cell — so the candidate union reaches the
-    * docs MaxSim will rank, independent of how the POOLED vectors
-    * relate (`maxsim_serve` measured pooled recall@3 ≈ C/n, slot
-    * stage-1 ≥ 0.9 at C ≪ n — SCALE.md round 11). Cost: per query
-    * slot, `slotNProbe` cells of ~(n·T/K) slot rows; every join past
-    * the fold is an equi-join; the only full-vector IO is the matched
-    * docs' slices and the C re-rank candidates. */
+    * the query's slots, and aligned slots land in probed slot cells —
+    * so the candidate union reaches the docs MaxSim will rank,
+    * independent of how the POOLED vectors relate, and the code-row
+    * scoring orders them by (near-exactly) the metric itself
+    * (`maxsim_serve`/`slot_sweep` measured: pooled recall@3 ≈ C/n;
+    * slot face ≥ 0.9 at C ≪ n — SCALE.md round 11). Cost: gather =
+    * `slotNProbe`/K of the slot index per query slot (3-int rows);
+    * score = |candidates|·T² code-slice kernels (byte reads); the only
+    * full-vector IO is the C re-rank candidates. Requires both the
+    * slot and SQ sidecars (`bootstrap(withSq = true,
+    * withSlots = true)`). */
   def queryTopKMaxSimSlots(queries: DataFrame, root: String, topK: Int,
       prefilterC: Int, slotNProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -728,36 +747,51 @@ object SemanticStream {
         s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
     val w = scb.head._2.length
     val dim = slices * w
-    // stage 0: per-query-slot probe lists from the fold kernel
-    val probes = SimSearch.ivfAssign(
+    val (mins, _, isteps) = readGrid(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no SQ grid under $root — the slot face scores stage-1 from " +
+          "stored codes; bootstrap(withSq = true, withSlots = true)"))
+    // stage 0: per-query-slot probe lists from the fold kernel (K·w
+    // arithmetic per slot, zero shuffle)
+    val asg = SimSearch.ivfAssign(
         slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
           slices, dim), "sid", "sv", scb, p = slotNProbe)
       .select(expr(s"id div $slices").as("q_id"),
         pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
-        col("v").as("qv"), col("n").as("qn"),
-        explode(col("probes").getField("cid")).as("cell"))
-      .localCheckpoint() // bound assignment work to one pass
-    // stage 1: probed-cell equi-join against the stored slot index
+        col("v").as("qv"), col("probes"))
+      .localCheckpoint() // bound assignment to one pass; read 2×
+    // stage 1a (gather): a doc is a candidate when ANY of its slots
+    // sits in ANY query slot's top-`slotNProbe` cells — reachability
+    // by slot alignment, the signal MaxSim ranks by
     val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
-      .select(col("id").as("c_id"), col("pos").as("cpos"), col("cell"))
-    val m = probes.join(scells, Seq("cell"))
+      .select(col("id").as("c_id"), col("cell"))
+    val cand = asg
+      .select(col("q_id"), explode(col("probes").getField("cid")).as("cell"))
+      .distinct()
+      .join(scells, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
-    // matched candidate slots fetch only their slice of the stored
-    // vector (the full-vector row fans out at most `slices` ways)
-    val mk = m.select(col("c_id"), col("cpos")).distinct()
-    val cslots = stored(s, root, CellsEntity, CellsDdl)
-      .select(col("id").as("c_id"), col("v"))
-      .join(mk, Seq("c_id"))
-      .select(col("c_id"), col("cpos"),
-        slice(col("v"), col("cpos") * w + lit(1), lit(w)).as("cv"))
-      .withColumn("cn", SimSearch.l2norm(col("cv")))
-    val s1 = m
-      .join(cslots, Seq("c_id", "cpos"))
-      .select(col("q_id"), col("qpos"), col("c_id"),
-        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
-          .as("cos"))
+      .select(col("q_id"), col("c_id")).distinct()
+    // stage 1b (scoring — PLAID's decompression stage on the SQ
+    // sidecar): every gathered candidate's FULL T×T slot interaction
+    // scored from its stored code row, de-quantized slice-in-place by
+    // the native kernel — near-exact (≤ istep/2 per dim), reads bytes
+    // not vectors, and covers all T query slots so the estimate has
+    // no missing terms. (Matched-slots-only exact scoring measured an
+    // 0.87 recall ceiling — docs strong outside the probed cells
+    // under-rank; centroid-only scoring measured 0.37 — the w-dim
+    // coarse quantizer can't order docs. SlotSweep, SCALE.md r11.)
+    val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
+      .select(col("id").as("c_id"), col("codes"))
+    val s1 = cand.join(codes, Seq("c_id"))
+      .join(asg.select(col("q_id"), col("qpos"), col("qv")), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("qpos"),
+        explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
+        col("qv"), col("codes"))
+      .select(col("q_id"), col("c_id"), col("qpos"),
+        graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
+          col("cpos"), mins, isteps, w).as("sc"))
       .groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("cos")).as("mx"))
+      .agg(max(col("sc")).as("mx"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("mx").cast("decimal(20,6)")).cast("double").as("s1"))
     val w1 = Window.partitionBy(col("q_id"))
@@ -765,7 +799,7 @@ object SemanticStream {
     val pre = s1.withColumn("prn", row_number().over(w1))
       .where(col("prn") <= prefilterC)
       .select(col("q_id"), col("c_id"))
-    // stage 2: the unchanged candidate-bounded MaxSim cascade
+    // stage 2: the unchanged candidate-bounded exact MaxSim cascade
     graft.ops.LateInteraction.maxSimRerank(
       pre, queries.select(col(idCol), col(vecCol)),
       stored(s, root, CellsEntity, CellsDdl).select(col("id"), col("v")),

@@ -95,7 +95,7 @@ class LateInteractionSpec extends AnyFunSuite {
   test("slot face at covering knobs ≡ brute MaxSim (slot stage-1 only bounds)") {
     import graft.streaming.SemanticStream
     val root = graft.Temps.dir("maxsim-slots-spec")
-    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    SemanticStream.bootstrap(vecs, root, withSq = true, withSlots = true, slotK = 8)
     val q = vecs.where(col("vec_id") < 4)
     // every slot cell probed (slotNProbe = slotK) + covering C: every
     // non-self (doc, slot) matches, the stage-1 estimate IS the full
@@ -112,7 +112,7 @@ class LateInteractionSpec extends AnyFunSuite {
   test("slot stage-1 surfaces an exact duplicate at minimal knobs") {
     import graft.streaming.SemanticStream
     val root = graft.Temps.dir("maxsim-slots-dup-spec")
-    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    SemanticStream.bootstrap(vecs, root, withSq = true, withSlots = true, slotK = 8)
     // vec 100 duplicates vec 3: identical slot vectors land in
     // identical slot cells, so even at slotNProbe = 1 every slot of
     // the duplicate matches the query's probes and its stage-1 score
@@ -130,7 +130,7 @@ class LateInteractionSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val root = graft.Temps.dir("maxsim-slots-ingest-spec")
-    SemanticStream.bootstrap(vecs, root, withSlots = true, slotK = 8)
+    SemanticStream.bootstrap(vecs, root, withSq = true, withSlots = true, slotK = 8)
     val batch = Seq(
       (200L, (0 until Dim).map(j => comp(40, j))), // novel — kept
       (201L, (0 until Dim).map(j => comp(3, j)))   // duplicate of 3

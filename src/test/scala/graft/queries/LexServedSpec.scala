@@ -110,4 +110,46 @@ class LexServedSpec extends AnyFunSuite {
     assert(postingRows(root) === expectPost)
     assert(dlRows(root) === expectDl)
   }
+
+  test("range-sorted compaction makes a small term probe skip most files") {
+    // the measured face of the pushed-In pruning claim (LexPruneBench
+    // carries the sf0.1 family row; this pins the mechanism at spec
+    // scale): after compaction range-sorts the postings by t, each
+    // ACTUAL file owns a term range, and a small probe's terms
+    // intersect few of them — the min/max rule parquet prunes
+    // row groups by. The hash-laid baseline (plain repartition of the
+    // SAME rows into the SAME file count) touches every file.
+    val s = spark
+    val root = graft.Temps.dir("lex-prune-spec")
+    CurateStream.upsertLex(Tables.documents(s, sfDir), root)
+
+    def footprint(): (Long, Long) = {
+      val post = Layout.readStatic(s, root, CurateStream.PostingsEntity).get
+      val probe = post.select("t").distinct().orderBy("t").limit(3)
+        .collect().map(_.getString(0)) // 3 lowest terms: one range's worth
+      val r = post.withColumn("fn", input_file_name())
+        .groupBy(col("fn"))
+        .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(exists(array(probe.map(lit): _*),
+            x => x >= col("mn") && x <= col("mx")), 1L).otherwise(0L))
+            .as("touched"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    Layout.compactStatic(s, root, CurateStream.PostingsEntity,
+      targetBytes = 4L * 1024) // force a multi-file layout
+    val (hashTotal, hashTouched) = footprint()
+    assert(hashTotal >= 4, s"need a multi-file layout, got $hashTotal")
+    Layout.compactStatic(s, root, CurateStream.PostingsEntity,
+      targetBytes = 4L * 1024, sortBy = Seq("t"))
+    val (sortTotal, sortTouched) = footprint()
+    assert(sortTotal >= 4, s"need a multi-file layout, got $sortTotal")
+    // hash layout scatters every term everywhere; the sorted layout
+    // confines the 3-term probe to a strict minority of files
+    assert(hashTouched === hashTotal, s"$hashTouched/$hashTotal")
+    assert(sortTouched.toDouble / sortTotal <= 0.5,
+      s"sorted layout touched $sortTouched/$sortTotal")
+  }
 }
