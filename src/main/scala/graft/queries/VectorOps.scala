@@ -1279,7 +1279,112 @@ object VectorOps {
            |      FROM sc)
            |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
       },
-      "slot-level late-interaction serving (PLAID shape): per-query-slot probes into the maintained slot index, exact matched-slot stage-1, candidate-bounded MaxSim cascade"),
+      "slot-level late-interaction serving (PLAID shape): per-query-slot probes into the maintained slot index, SQ-code-scored stage-1, candidate-bounded MaxSim cascade"),
+
+    // METADATA-FILTERED late interaction — q188's filtered-search
+    // contract composed onto the slot face: the eligible-id set
+    // semi-joins the SLOT INDEX before gather, so the whole candidate
+    // and top-C budget lands on eligible docs (post-filtering an
+    // unfiltered top-k starves the re-rank at selectivity s to ~s·C
+    // survivors — q188/FilteredAnnSpec measured the contrast on the
+    // pooled face; the failure mode is identical here). The semi-join
+    // PRUNES slot rows, never adds a scan; everything downstream
+    // (code-row scoring, top-C, the exact cascade) is unchanged and
+    // automatically eligible-only because candidates are. At 100 TB
+    // the allowed set is a dimension predicate resolved to ids — an
+    // equi-join against the slot index, the same shape as the pooled
+    // face's.
+    "q211_filtered_maxsim" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-slots-$d") // q210's store
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
+        val allowed = emb.where(col("label") === 3)
+          .select(col("vec_id").as("id"))
+        SemanticStream.queryTopKMaxSimSlots(
+          emb.where(col("vec_id") < 4), root, topK = 3,
+          prefilterC = 16, slotNProbe = 2, allowed = Some(allowed))
+      },
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
+          s"sqrt(${fold(s"$recon * $recon")})), 6)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+           |ok AS (SELECT vec_id FROM e WHERE label = 3),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn SEMI JOIN ok USING (vec_id) WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
+           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM cand
+           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
+           |        WHERE prn <= 16),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+      },
+      "metadata-filtered late interaction: eligible ids semi-join the slot index BEFORE gather, so the whole candidate budget lands on eligible docs"),
 
     // RETRIEVAL-QUALITY METRICS of the served dense path — the
     // evaluation op every retrieval deployment runs: per query,

@@ -739,7 +739,8 @@ object SemanticStream {
     * withSlots = true)`). */
   def queryTopKMaxSimSlots(queries: DataFrame, root: String, topK: Int,
       prefilterC: Int, slotNProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = queries.sparkSession
     val (scb, slices) = readSlotBook(s, root).getOrElse(
@@ -762,9 +763,20 @@ object SemanticStream {
       .localCheckpoint() // bound assignment to one pass; read 2×
     // stage 1a (gather): a doc is a candidate when ANY of its slots
     // sits in ANY query slot's top-`slotNProbe` cells — reachability
-    // by slot alignment, the signal MaxSim ranks by
-    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+    // by slot alignment, the signal MaxSim ranks by. `allowed` is the
+    // FILTERED-search face (q188's sqCandidates contract): eligible
+    // ids semi-join the slot index BEFORE gather, so the whole
+    // candidate + top-C budget lands on eligible docs — post-filtering
+    // an unfiltered top-k would starve the re-rank at selectivity s to
+    // ~s·C survivors. The semi-join prunes index rows, never adds any.
+    val scells0 = stored(s, root, SlotCellsEntity, SlotCellsDdl)
       .select(col("id").as("c_id"), col("cell"))
+    val scells = allowed match {
+      case Some(ok) =>
+        scells0.join(ok.select(col("id").as("c_id")), Seq("c_id"),
+          "left_semi")
+      case None => scells0
+    }
     val cand = asg
       .select(col("q_id"), explode(col("probes").getField("cid")).as("cell"))
       .distinct()

@@ -125,6 +125,26 @@ class LateInteractionSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(3) - LateInteraction.Slices) < 1e-9)
   }
 
+  test("filtered slot face: covering knobs ≡ brute MaxSim over the eligible corpus only") {
+    import graft.streaming.SemanticStream
+    val root = graft.Temps.dir("maxsim-slots-filtered-spec")
+    SemanticStream.bootstrap(vecs, root, withSq = true, withSlots = true, slotK = 8)
+    val q = vecs.where(col("vec_id") < 4)
+    val allowed = vecs.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"))
+    val served = SemanticStream.queryTopKMaxSimSlots(q, root, topK = 5,
+      prefilterC = 100, slotNProbe = 8, allowed = Some(allowed))
+    // eligibility is a PRE-gather constraint: every result is allowed,
+    // and at covering knobs the face reproduces brute MaxSim computed
+    // over the eligible corpus alone
+    assert(served.where(pmod(col("c_id"), lit(2)) =!= 0).count() === 0)
+    val brute = LateInteraction.maxSimTopK(
+      q, vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      k = 5, prefilterC = 100)
+    assert(served.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(served).count() === 0)
+  }
+
   test("ingest maintains the slot sidecar: kept docs land slot rows, replay is a no-op") {
     import graft.streaming.SemanticStream
     val s = spark
