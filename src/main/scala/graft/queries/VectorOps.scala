@@ -1516,6 +1516,170 @@ object VectorOps {
       },
       "retrieval metrics of the policy-knob served path vs full-scan gold: recall@10, MRR, nDCG@10 with literal-embedded discounts"),
 
+    // q183 FOR THE MULTI-VECTOR FACE — retrieval metrics of the slot
+    // stage-1 cascade (q210) against the COVERING MaxSim gold. This is
+    // the evaluation harness the r10 maxsim_serve lesson demands: a
+    // bounded-C "gold" is unconverged proxy-vs-proxy agreement, so the
+    // gold here admits EVERY pair (prefilterC = n — the re-rank IS
+    // unbounded MaxSim; the sanctioned measurement-baseline BNLJ, like
+    // q183's full-scan gold) and the served leg runs q210's pinned
+    // knobs (C = 16, slotNProbe = 2). Metrics are q183's exactly:
+    // recall@10 hits, MRR of the gold top-1's served rank, nDCG@10
+    // with the DCG discounts embedded as round-tripping literals in
+    // both engines. Scale shape: the gold is measurement-only; the
+    // served leg is the bounded production plan; metrics are
+    // k-row-per-query joins + one aggregate.
+    "q212_maxsim_metrics" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-slots-$d") // q210's store
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
+        val q = emb.where(col("vec_id") < 4)
+        val n = emb.count().toInt
+        val gold = graft.ops.LateInteraction.maxSimTopK(
+            q, emb, "vec_id", "embedding", k = 10, prefilterC = n)
+          .select(col("q_id"), col("c_id"), col("rn").as("grn"))
+          .localCheckpoint() // read twice: join + top-1 slice
+        val top1 = gold.where(col("grn") === 1)
+          .select(col("q_id"), col("c_id").as("t1"))
+        val served = SemanticStream.queryTopKMaxSimSlots(q, root,
+            topK = 10, prefilterC = 16, slotNProbe = 2)
+          .select(col("q_id"), col("c_id"), col("rn").as("srn"))
+        val terms = (1 to 10).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val idcg = terms.sum.toDouble
+        val termArr = array(terms.map(t => lit(t.toDouble)): _*)
+        served.join(gold, Seq("q_id", "c_id"), "left_outer")
+          .join(broadcast(top1), Seq("q_id"))
+          .groupBy(col("q_id"))
+          .agg(
+            sum(when(col("grn").isNotNull, 1L).otherwise(0L)).as("hits10"),
+            max(when(col("c_id") === col("t1"),
+              round(lit(1.0) / col("srn"), 6)).otherwise(lit(0.0))).as("rr"),
+            round(
+              sum(when(col("grn").isNotNull,
+                element_at(termArr, col("srn").cast("int")))
+                .otherwise(lit(0.0)).cast("decimal(20,6)")).cast("double") /
+                lit(idcg), 6).as("ndcg"))
+      },
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
+          s"sqrt(${fold(s"$recon * $recon")})), 6)"
+        val terms = (1 to 10).map(i => BigDecimal(
+          1.0 / (math.log(i + 1.0) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val idcg = terms.sum.toDouble
+        val termList = terms.map(t => s"CAST(${t.toDouble} AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mqg AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |        FROM q, $slot p),
+           |mcg AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |pcg AS (SELECT mqg.q_id, mcg.c_id, mqg.qpos,
+           |          ${cosSql("mqg.sv", "mcg.sv")} AS cos
+           |        FROM mqg JOIN mcg ON mqg.q_id <> mcg.c_id),
+           |mxg AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |        FROM pcg GROUP BY 1, 2, 3),
+           |scg AS (SELECT q_id, c_id,
+           |          CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |        FROM mxg GROUP BY 1, 2),
+           |gold AS (SELECT q_id, c_id, grn FROM (
+           |           SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY maxsim DESC, c_id) AS grn FROM scg)
+           |         WHERE grn <= 10),
+           |top1 AS (SELECT q_id, c_id AS t1 FROM gold WHERE grn = 1),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
+           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM cand
+           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
+           |        WHERE prn <= 16),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc2 AS (SELECT q_id, c_id,
+           |          CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |        FROM mx GROUP BY 1, 2),
+           |served AS (SELECT q_id, c_id, srn FROM (
+           |             SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |               ORDER BY maxsim DESC, c_id) AS srn FROM sc2)
+           |           WHERE srn <= 10),
+           |terms(tl) AS (SELECT $termList),
+           |j AS (SELECT s.q_id, s.c_id, s.srn, g.grn, t.t1
+           |      FROM served s
+           |      LEFT JOIN gold g ON g.q_id = s.q_id AND g.c_id = s.c_id
+           |      JOIN top1 t ON t.q_id = s.q_id)
+           |SELECT j.q_id,
+           |  CAST(sum(CASE WHEN grn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+           |  max(CASE WHEN c_id = t1 THEN round(CAST(1.0 AS DOUBLE) / srn, 6)
+           |      ELSE CAST(0.0 AS DOUBLE) END) AS rr,
+           |  round(CAST(sum(CAST(CASE WHEN grn IS NOT NULL THEN tl[srn]
+           |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(20,6))) AS DOUBLE) /
+           |    CAST($idcg AS DOUBLE), 6) AS ndcg
+           |FROM j CROSS JOIN terms
+           |GROUP BY 1""".stripMargin
+      },
+      "retrieval metrics of the slot-face MaxSim cascade vs the COVERING multi-vector gold: recall@10, MRR, nDCG@10"),
+
     // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
     // generator (DPR/ANCE style): for each anchor, the positive is
     // its served top-1 and the hard negatives are the next-ranked
