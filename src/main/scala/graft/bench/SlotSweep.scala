@@ -82,8 +82,54 @@ object SlotSweep {
       }
 
       grid("raw", rawEmb.localCheckpoint())
-      grid("amplified",
-        ScaleLaws.amplifyEmbeddings(rawEmb, factor).localCheckpoint())
+      val amp = ScaleLaws.amplifyEmbeddings(rawEmb, factor).localCheckpoint()
+      grid("amplified", amp)
+
+      // the K SELECTIVITY ladder — the 100-TB lever: at small K the
+      // per-slot probe union admits most of the corpus (the grid above
+      // measures scoring at its most expensive); production scales K
+      // with n so the gathered fraction np·T/K shrinks. This phase
+      // measures whether RECALL SURVIVES the shrink — gold docs' slots
+      // are aligned with the query's, so they should sit in the
+      // TOP-scored cells even as the probe union stops covering the
+      // corpus — and reports the measured candidate fraction next to
+      // recall (slotGatherCount: the sizing audit).
+      {
+        val n = amp.count()
+        val queries = amp.where(pmod(col("vec_id"), lit(97)) === 0)
+          .localCheckpoint()
+        val nq = queries.count()
+        val gold = LateInteraction.maxSimTopK(queries, amp, "vec_id",
+            "embedding", k = 3, prefilterC = n.toInt)
+          .select("q_id", "c_id").localCheckpoint()
+        val goldN = gold.count()
+        for (slotK <- Seq(64, 128, 256, 512)) {
+          val root = graft.Temps.dir(s"slot-kladder-k$slotK")
+          SemanticStream.bootstrap(amp, root, withSq = true,
+            withSlots = true, slotK = slotK)
+          val nCand = SemanticStream.slotGatherCount(queries, root,
+              slotNProbe = 2)
+            .agg(avg(col("n_cand"))).collect().head.getDouble(0)
+          val (df, secs) = time {
+            val r = SemanticStream.queryTopKMaxSimSlots(queries, root,
+              topK = 3, prefilterC = 32, slotNProbe = 2)
+              .select("q_id", "c_id").localCheckpoint()
+            r.count()
+            r
+          }
+          val hits = gold.join(df, Seq("q_id", "c_id"), "left_semi").count()
+          df.unpersist()
+          println(s"""{"family":"slot_kladder","n":$n,"queries":$nq,""" +
+            s""""gold":$goldN,"slotK":$slotK,"nprobe":2,"c":32,""" +
+            s""""avg_cand":${math.round(nCand)},""" +
+            s""""cand_frac":${math.round(nCand * 10000.0 / n) / 10000.0},""" +
+            s""""hits":$hits,""" +
+            s""""recall3":${math.round(hits * 10000.0 / goldN) / 10000.0},""" +
+            s""""secs":${math.round(secs * 100) / 100.0}}""")
+        }
+        gold.unpersist()
+        queries.unpersist()
+      }
     } finally spark.stop()
   }
 }

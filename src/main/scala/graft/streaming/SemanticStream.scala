@@ -703,6 +703,34 @@ object SemanticStream {
       k = topK, slices = slices, dim = dim)
   }
 
+  /** Per-query gathered-candidate count of the slot stage-1 — the
+    * sizing audit an operator runs before pinning (slotK, slotNProbe,
+    * C): |candidates| is the stage-1 scoring bill (×T² code kernels)
+    * and the fraction gathered is the selectivity the slot codebook's
+    * K buys. Same gather plan as [[queryTopKMaxSimSlots]], stopped
+    * after the distinct — no scoring, no vectors. */
+  def slotGatherCount(queries: DataFrame, root: String,
+      slotNProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = queries.sparkSession
+    val (scb, slices) = readSlotBook(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    val w = scb.head._2.length
+    val dim = slices * w
+    SimSearch.ivfAssign(
+        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+          slices, dim), "sid", "sv", scb, p = slotNProbe)
+      .select(expr(s"id div $slices").as("q_id"),
+        explode(col("probes").getField("cid")).as("cell"))
+      .distinct()
+      .join(stored(s, root, SlotCellsEntity, SlotCellsDdl)
+        .select(col("id").as("c_id"), col("cell")), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+  }
+
   /** Slot-level late-interaction serving — the PLAID/ColBERT candidate
     * shape (Santhanam et al., "PLAID: an efficient engine for late
     * interaction retrieval", CIKM 2022), built from the machinery the
