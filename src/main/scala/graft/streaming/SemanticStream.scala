@@ -512,8 +512,13 @@ object SemanticStream {
     * ([[retrainIfUnbalanced]] on the fresh manifest — the measured
     * batch-level trigger; the stored index is dedup-shielded and
     * would never fire). `compactEvery > 0` compacts the cells +
-    * manifest stores every that many batches, keyed off the stream's
-    * batch id like the curate driver. */
+    * manifest stores AND every armed sidecar (PQ/SQ codes, JL rows,
+    * slot cells — compactStatic is a no-op None for entities the
+    * bootstrap never armed) every that many batches, keyed off the
+    * stream's batch id like the curate driver; without the sidecars
+    * in the window a long-running ingest accumulates one file per
+    * batch per sidecar forever (r11 fix, SemanticStreamSpec pins
+    * row preservation + the file-count drop). */
   def run(spark: SparkSession, rawDir: String, schema: StructType,
       root: String, checkpoint: String, maxFilesPerTrigger: Int = 1,
       probes: Int = 1, autoThreshold: Double = 0.0,
@@ -530,7 +535,8 @@ object SemanticStream {
           retrainIfUnbalanced(spark, root, man, autoThreshold, k)
         man.unpersist()
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
-          Seq(CellsEntity, ManifestEntity)
+          Seq(CellsEntity, ManifestEntity, PqCodesEntity, SqCodesEntity,
+              JlVecsEntity, SlotCellsEntity)
             .foreach(Layout.compactStatic(spark, root, _))
         ()
       }

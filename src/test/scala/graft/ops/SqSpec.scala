@@ -111,4 +111,48 @@ class SqSpec extends AnyFunSuite {
       .select("q_id", "c_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sq === ex)
   }
+
+  test("slotCos == 6dp cosine of the query slot vs the de-quantized code slice") {
+    // the q210 stage-1 kernel: for every (vector, slot) pair, the
+    // slice-in-place kernel must equal the independently reconstructed
+    // slot cosine (recon = mn + code·istep at the slice offset, the
+    // cosSql fold order), including the degenerate constant dimension
+    val s = spark
+    import s.implicits._
+    val (mins, scales, isteps) = Sq.dimGrid(vecs, "embedding")
+    val w = 2 // 4 dims → 2 slots of width 2
+    val rows = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val enc = vecs.select(col("vec_id"),
+        graft.functions.SqExprs.encode(col("embedding"), mins, scales)
+          .as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = for {
+      (qid, qv) <- rows; cpos <- 0 until 2
+    } yield {
+      val qs = qv.slice(0, w) // query slot 0 vs candidate slice cpos
+      val codes = enc(qid)
+      var dot = 0.0; var qq = 0.0; var cc = 0.0
+      for (i <- 0 until w) {
+        val recon = mins(cpos * w + i) + codes(cpos * w + i) * isteps(cpos * w + i)
+        dot += qs(i) * recon; qq += qs(i) * qs(i); cc += recon * recon
+      }
+      (qid, cpos, round6(dot / (math.sqrt(qq) * math.sqrt(cc))))
+    }
+    val got = vecs
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, w).as("qs"),
+        graft.functions.SqExprs.encode(col("embedding"), mins, scales)
+          .as("codes"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(1))).as("cpos"),
+        col("qs"), col("codes"))
+      .select(col("vec_id"), col("cpos"),
+        graft.functions.SqExprs.slotCos(col("qs"), col("codes"),
+          col("cpos"), mins, isteps, w).as("sc"))
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, cp, sc) => (id, cp, sc) }.toSet
+    assert(got === expect.toSet)
+  }
 }

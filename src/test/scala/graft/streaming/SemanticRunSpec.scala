@@ -42,7 +42,12 @@ class SemanticRunSpec extends AnyFunSuite {
     val root = graft.Temps.dir("semantic-run-root")
     val rawDir = graft.Temps.dir("semantic-run-raw")
     val ckpt = graft.Temps.dir("semantic-run-ckpt")
-    SemanticStream.bootstrap(corpus, root)
+    // SQ + slot sidecars armed: the stream's per-batch folds maintain
+    // them and the compaction window must floor them too (r11 — a
+    // long-running ingest otherwise accumulates one file per batch per
+    // sidecar forever); 6-d vectors slice as 3 slots of width 2
+    SemanticStream.bootstrap(corpus, root, withSq = true,
+      withSlots = true, slotK = 4, slotSlices = 3, slotDim = 6)
     val q = SemanticStream.run(s, rawDir, b1.schema, root, ckpt,
       compactEvery = 1)
     b1.coalesce(1).write.mode("append").parquet(rawDir)
@@ -63,13 +68,21 @@ class SemanticRunSpec extends AnyFunSuite {
       70L -> ("kept", -1L)))
 
     val conf = s.sparkContext.hadoopConfiguration
-    Seq(SemanticStream.CellsEntity, SemanticStream.ManifestEntity).foreach { e =>
-      val p = new org.apache.hadoop.fs.Path(s"$root/static/$e")
-      val it = p.getFileSystem(conf).listFiles(p, true)
-      var n = 0
-      while (it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      assert(n === 1, s"$e should be compacted to one file, saw $n")
-    }
+    Seq(SemanticStream.CellsEntity, SemanticStream.ManifestEntity,
+        SemanticStream.SqCodesEntity, SemanticStream.SlotCellsEntity)
+      .foreach { e =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/static/$e")
+        val it = p.getFileSystem(conf).listFiles(p, true)
+        var n = 0
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        assert(n === 1, s"$e should be compacted to one file, saw $n")
+      }
+    // and the compacted sidecars still hold exactly the kept set
+    val keptIds = Set(1L, 2L, 20L, 40L, 70L)
+    assert(Layout.readStatic(s, root, SemanticStream.SqCodesEntity).get
+      .select("id").as[Long].collect().toSet === keptIds)
+    assert(Layout.readStatic(s, root, SemanticStream.SlotCellsEntity).get
+      .select("id").distinct().as[Long].collect().toSet === keptIds)
   }
 }
