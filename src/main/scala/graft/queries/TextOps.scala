@@ -3343,6 +3343,62 @@ object TextOps {
               |FROM cf GROUP BY 1""".stripMargin),
       "online export certificate: per-batch XOR deltas folded into the served checksum, pinned equal to the from-scratch recompute"),
 
+    // INGEST DRIFT from the certificate deltas — the ops-dashboard
+    // number a curation operator trends per batch: "did this batch's
+    // kept docs look different?" The cert entity already stores one
+    // immutable (bkey, shard, n_docs, sum_toks, xor) row per
+    // (batch × shard), so per-batch doc counts, token mass, mean kept
+    // length and its ratio to the store-wide mean are ONE aggregate
+    // over ≤ #batches × 8 stored rows — zero new storage, the corpus
+    // never rescanned, pure serve from the shared scenario store. The
+    // ratio is computed in doubles from the exact integer totals
+    // (products cast to double BEFORE multiplying so no overflow at
+    // 10^15-token batches), rounded once. bkey doubles as the batch
+    // identity (XOR over shards of per-shard XORs = XOR of the
+    // batch's widened fingerprints — associativity), which the oracle
+    // replays per phase from the scenario's kept sets.
+    "q213_ingest_drift" -> Q(
+      (s, d) => {
+        import graft.streaming.CurateStream
+        val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
+        val cert = graft.sinks.Layout
+          .readStatic(s, root, CurateStream.CertEntity).get
+        val perBatch = cert.groupBy(col("bkey"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_toks")).as("sum_toks"))
+        val store = perBatch.agg(sum(col("n_docs")).as("s_docs"),
+          sum(col("sum_toks")).as("s_toks"))
+        perBatch.crossJoin(broadcast(store))
+          .select(col("bkey"), col("n_docs"), col("sum_toks"),
+            round(col("sum_toks").cast("double") /
+              col("n_docs").cast("double"), 6).as("mean_len"),
+            round((col("sum_toks").cast("double") *
+              col("s_docs").cast("double")) /
+              (col("n_docs").cast("double") *
+                col("s_toks").cast("double")), 6).as("rel_len"))
+      },
+      Some(s"""WITH $curateStreamCtesSql,
+              |ph AS (SELECT 'b0' AS phase, doc_id FROM idx1
+              |       UNION ALL SELECT 'b1', doc_id FROM kept1
+              |       UNION ALL SELECT 'b2', doc_id FROM kept2),
+              |fp AS (SELECT ph.phase, k.doc_id, k.n_toks,
+              |         ${tokHashWideSql("CAST(k.doc_id AS VARCHAR) || ':' || CAST(k.n_toks AS VARCHAR)")} AS fp
+              |       FROM ph JOIN q k USING (doc_id)),
+              |pb AS (SELECT bit_xor(fp) AS bkey,
+              |         count(*) AS n_docs,
+              |         CAST(sum(n_toks) AS BIGINT) AS sum_toks
+              |       FROM fp GROUP BY phase),
+              |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS s_docs,
+              |          CAST(sum(sum_toks) AS BIGINT) AS s_toks FROM pb)
+              |SELECT bkey, CAST(n_docs AS BIGINT) AS n_docs, sum_toks,
+              |       round(CAST(sum_toks AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+              |         AS mean_len,
+              |       round((CAST(sum_toks AS DOUBLE) * CAST(s_docs AS DOUBLE)) /
+              |             (CAST(n_docs AS DOUBLE) * CAST(s_toks AS DOUBLE)), 6)
+              |         AS rel_len
+              |FROM pb CROSS JOIN tot""".stripMargin),
+      "per-batch ingest drift served from the certificate deltas: kept docs, token mass, mean length and its store-relative ratio — one scan of ≤ #batches×8 stored rows"),
+
     // SERVED VOCABULARY AUDIT — the corpus-level token census
     // (vocabulary size, total token mass, heavy-hitter terms with
     // document frequency) answered from the MAINTAINED lex_postings
