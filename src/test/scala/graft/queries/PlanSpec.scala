@@ -181,7 +181,11 @@ class PlanSpec extends AnyFunSuite {
     // the 1-row census frame (vocab_size, n_tokens) crossJoined onto
     // the 10-row heavy-hitter frame — the sanctioned stats shape;
     // both sides are aggregates of the stored postings
-    "q204_vocab_served")
+    "q204_vocab_served",
+    // the 1-row store-totals frame crossJoined onto the #batches-row
+    // per-batch aggregate — the sanctioned stats shape; both sides are
+    // aggregates of the ≤ #batches×8 stored cert delta rows
+    "q213_ingest_drift")
 
   test("IVF+SQ q165: candidates meet on the cell equi-join, no nested loop") {
     val p = plan("q165_sq_ivf_topk")
