@@ -171,7 +171,14 @@ case class SqSlotCosExpr(first: Expression, second: Expression,
 
   /** Public so generated code can call it via the reference object.
     * Sequential index-order folds from 0.0 (dot, both norms in one
-    * pass), 6-dp rounded — the cosSql IEEE sequence. */
+    * pass), 6-dp rounded — the cosSql IEEE sequence. Zero-norm slots
+    * (a zero-padded query slot, or a code slice reconstructing to all
+    * zeros on constant-zero dims) score 0.0 instead of NaN: both
+    * engines' max() rank NaN greatest, so an unguarded division would
+    * silently promote degenerate candidates into the stage-1 top-C —
+    * and the oracle replays the same arithmetic, so hashes could
+    * never catch it (the r11 advice finding; the oracle mirrors this
+    * CASE). Sums of squares are exactly 0.0 iff every element is. */
   def cosSlot(qv: ArrayData, codes: ArrayData, cpos: Int): Double = {
     val off = cpos * w
     var dot = 0.0
@@ -186,7 +193,8 @@ case class SqSlotCosExpr(first: Expression, second: Expression,
       cc += recon * recon
       i += 1
     }
-    PqExprs.round6dp(dot / (math.sqrt(qq) * math.sqrt(cc)))
+    if (qq == 0.0 || cc == 0.0) 0.0
+    else PqExprs.round6dp(dot / (math.sqrt(qq) * math.sqrt(cc)))
   }
 
   override def nullSafeEval(a: Any, b: Any, c: Any): Any =

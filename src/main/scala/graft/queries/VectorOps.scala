@@ -1210,9 +1210,15 @@ object VectorOps {
         def fold(terms: String) =
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
             s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
-        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
-          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
-          s"sqrt(${fold(s"$recon * $recon")})), 6)"
+        // zero-norm slots score 0.0, mirroring SqSlotCosExpr's guard —
+        // an unguarded division yields NaN, which max() ranks greatest
+        // in BOTH engines, silently promoting degenerate candidates
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
         s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
            |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
            |        FROM e, $slot p),
@@ -1314,9 +1320,15 @@ object VectorOps {
         def fold(terms: String) =
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
             s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
-        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
-          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
-          s"sqrt(${fold(s"$recon * $recon")})), 6)"
+        // zero-norm slots score 0.0, mirroring SqSlotCosExpr's guard —
+        // an unguarded division yields NaN, which max() ranks greatest
+        // in BOTH engines, silently promoting degenerate candidates
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
         s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
            |ok AS (SELECT vec_id FROM e WHERE label = 3),
            |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
@@ -1572,9 +1584,15 @@ object VectorOps {
         def fold(terms: String) =
           s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
             s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
-        val slotCos = s"round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
-          s"(sqrt(${fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")}) * " +
-          s"sqrt(${fold(s"$recon * $recon")})), 6)"
+        // zero-norm slots score 0.0, mirroring SqSlotCosExpr's guard —
+        // an unguarded division yields NaN, which max() ranks greatest
+        // in BOTH engines, silently promoting degenerate candidates
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
         val terms = (1 to 10).map(i => BigDecimal(
           1.0 / (math.log(i + 1.0) / math.log(2.0)))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP))

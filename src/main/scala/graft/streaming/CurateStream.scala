@@ -95,7 +95,17 @@ object CurateStream {
     * batches): deterministic on replay (statuses are bit-stable), so
     * a re-landed batch's delta is the SAME row and the anti-join
     * absorbs it. Kept docs are first-arrival-wins across batches, so
-    * deltas are disjoint sets and the fold certifies the store. */
+    * deltas are disjoint sets and the fold certifies the store.
+    *
+    * FINGERPRINT-VERSION CONTRACT: the replay anti-join keys on
+    * (bkey, shard), and bkey is a pure function of the fingerprint
+    * hash — so a cert store written under a DIFFERENT fingerprint
+    * function (e.g. the pre-r11 single-fold tokenHash) must be
+    * REBUILT (drop the entity, re-run [[bootstrap]]`(withCert)` over
+    * the kept corpus) before ingesting under this code: a replayed
+    * batch's delta would otherwise re-land under a new bkey as a
+    * duplicate row and the served certificate would silently diverge
+    * from the recompute — the exact failure the widening closed. */
   val CertEntity = "curate_cert"
   val CertShards = 8
 

@@ -155,4 +155,31 @@ class SqSpec extends AnyFunSuite {
       .map { case (id, cp, sc) => (id, cp, sc) }.toSet
     assert(got === expect.toSet)
   }
+
+  test("slotCos zero-norm guard: degenerate slots score 0.0, never NaN") {
+    // a zero-padded query slot (qq = 0) or a code slice reconstructing
+    // to all zeros (cc = 0 — constant-zero dims have mn = istep = 0)
+    // must score 0.0: an unguarded division yields NaN, which max()
+    // ranks GREATEST in both Spark and DuckDB, silently promoting
+    // degenerate candidates into the stage-1 top-C (r11 advice). The
+    // q210/q211/q212 oracles mirror the CASE.
+    val s = spark
+    import s.implicits._
+    val mins = Seq(0.0, 0.0, 1.0, 1.0)
+    val isteps = Seq(0.0, 0.0, 0.1, 0.1)
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(7L, 7L, 3L, 3L)), // zero query slot
+      (2L, Seq(1.0, 2.0), Seq(7L, 7L, 3L, 3L))) // slice 0 recons to zeros
+      .toDF("id", "qs", "codes")
+    val got = df.select(col("id"),
+        graft.functions.SqExprs.slotCos(col("qs"), col("codes"), lit(0),
+          mins, isteps, 2).as("c0"),
+        graft.functions.SqExprs.slotCos(col("qs"), col("codes"), lit(1),
+          mins, isteps, 2).as("c1"))
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) === ((0.0, 0.0)))           // qq = 0 on both slices
+    assert(got(2L)._1 === 0.0)                 // cc = 0 on slice 0
+    assert(!got(2L)._2.isNaN && got(2L)._2 > 0.9) // healthy slice unaffected
+  }
 }
