@@ -102,11 +102,13 @@ object SemanticStream {
     * multi-vector orderings decorrelate, no bounded C short of
     * covering recovers recall, and corpus growth drives it to zero.
     * The fix is to index the SLOT vectors themselves: `slot_codebook`
-    * holds K coarse centroids over the w-dim slot space (frozen at
-    * bootstrap, deterministic lowest-(id,pos) seed — the same
-    * replayable discipline as the main seed codebook), and
-    * `slot_cells (id, pos, cell)` one assignment row per kept doc ×
-    * slot — 3 integers/slot, maintained by ingest under the same
+    * holds K coarse centroids over the w-dim slot space (deterministic
+    * lowest-(id,pos) seed at bootstrap — the same replayable
+    * discipline as the main seed codebook; frozen between ingests,
+    * re-fitted by [[slotRetrain]] under the same two-entity torn-swap
+    * contract as the main book), and `slot_cells (id, pos, cell, ver)`
+    * one assignment row per kept doc × slot — 3 integers + the book's
+    * content-hash tag, maintained by ingest under the same
     * anti-join-upsert discipline as the other sidecars.
     * [[queryTopKMaxSimSlots]] probes PER QUERY SLOT and unions
     * candidates, so a doc is reachable whenever ANY slot aligns —
@@ -154,7 +156,7 @@ object SemanticStream {
   private val JlVecsDdl = "id bigint, pv array<double>, pn double, ver string"
   private val SlotBookDdl =
     "cid bigint, cv array<double>, cn double, slices int"
-  private val SlotCellsDdl = "id bigint, pos int, cell bigint"
+  private val SlotCellsDdl = "id bigint, pos int, cell bigint, ver string"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -319,16 +321,102 @@ object SemanticStream {
     graft.ops.LateInteraction.multiVec(vectors, idCol, vecCol, slices, dim)
       .select((col("id") * slices + col("pos")).as("sid"), col("sv"))
 
-  /** Slot-cell assignment rows (id, pos, cell) of a vector frame under
-    * a frozen slot codebook — one zero-shuffle fold pass. */
+  /** Slot-cell assignment rows (id, pos, cell, ver) of a vector frame
+    * under a frozen slot codebook — one zero-shuffle fold pass. `ver`
+    * is the slot book's content hash ([[codebookVersion]] — the same
+    * derivation as the main codebook's), the consistency tag
+    * [[slotRetrain]]'s torn-swap repair checks. */
   private def slotCellRows(vectors: DataFrame, idCol: String,
       vecCol: String, scb: Seq[(Long, Seq[Double], Double)],
-      slices: Int, dim: Int): DataFrame =
+      slices: Int, dim: Int, ver: String): DataFrame =
     SimSearch.ivfAssign(slotRows(vectors, idCol, vecCol, slices, dim),
         "sid", "sv", scb, p = 1)
       .select(expr(s"id div $slices").as("id"),
         pmod(col("id"), lit(slices.toLong)).cast("int").as("pos"),
-        element_at(col("probes"), 1).getField("cid").as("cell"))
+        element_at(col("probes"), 1).getField("cid").as("cell"),
+        lit(ver).as("ver"))
+
+  /** One slot-assignment pass over the stored inverted file under slot
+    * codebook `scb`, atomically replacing the slot sidecar — the unit
+    * of work a [[slotRetrain]] ends with and a torn retrain's repair
+    * repeats. */
+  private def reassignSlots(s: SparkSession, root: String,
+      scb: Seq[(Long, Seq[Double], Double)], slices: Int,
+      ver: String): Unit = {
+    val dim = slices * scb.head._2.length
+    Layout.replaceStatic(
+      slotCellRows(stored(s, root, CellsEntity, CellsDdl), "id", "v",
+        scb, slices, dim, ver),
+      root, SlotCellsEntity)
+  }
+
+  /** Roll a torn [[slotRetrain]] forward if any stored slot-cell row's
+    * tag disagrees with the live slot book's content hash (cheap: a
+    * column-pruned `ver` scan). Every slot-face read/ingest path calls
+    * this after reading the book, so gather never mixes assignments
+    * from two slot codebooks. */
+  private def repairSlots(s: SparkSession, root: String,
+      scb: Seq[(Long, Seq[Double], Double)], slices: Int): Unit = {
+    val ver = codebookVersion(scb)
+    val torn = !stored(s, root, SlotCellsEntity, SlotCellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignSlots(s, root, scb, slices, ver)
+  }
+
+  /** Re-fit the frozen SLOT codebook to the corpus the index has
+    * accumulated — [[retrain]]'s twin for the late-interaction sidecar
+    * (the r11 verdict's gap: the main book retrains, JL rotates, but
+    * the slot book was frozen at bootstrap forever, so under drift the
+    * gather stage — the slot face's only inexact stage — decayed
+    * silently). Deterministic Lloyd's over the KEPT vectors' slot rows
+    * (`rounds = 0` re-seeds from the lowest-(id, pos) slots), then the
+    * two-entity crash contract verbatim: slot book first (its content
+    * hash is the commit marker), reassigned slot cells second; a kill
+    * between the swaps leaves rows tagged with the old hash and the
+    * next slot-face serve/ingest rolls forward ([[repairSlots]]).
+    * Gather semantics after retrain: past dedup decisions are
+    * untouched (the manifest is historical); only which cells future
+    * probes land in changes. `afterBookSwap` is the crash-injection
+    * seam SlotRetrainSpec kills in. Returns the new content hash. */
+  def slotRetrain(spark: SparkSession, root: String, slotK: Int = SlotK,
+      rounds: Int = 3, afterBookSwap: () => Unit = () => ()): String = {
+    val (oldScb, slices) = readSlotBook(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    val cells = stored(spark, root, CellsEntity, CellsDdl)
+    require(!cells.isEmpty, s"no inverted file under $root — bootstrap first")
+    val dim = slices * oldScb.head._2.length
+    val sr = slotRows(cells, "id", "v", slices, dim)
+    val scb =
+      if (rounds <= 0) SimSearch.collectCodebook(
+        SimSearch.ivfCentroids(sr, "sid", "sv", slotK))
+      else SimSearch.trainCodebook(sr, "sid", "sv", slotK, rounds)
+    val ver = codebookVersion(scb)
+    import spark.implicits._
+    Layout.replaceStatic(
+      scb.map { case (cid, cv, cn) => (cid, cv, cn, slices) }
+        .toDF("cid", "cv", "cn", "slices"),
+      root, SlotBookEntity)
+    afterBookSwap()
+    reassignSlots(spark, root, scb, slices, ver)
+    ver
+  }
+
+  /** Top-cell share of the stored SLOT index — [[cellImbalance]]'s
+    * analog for the slot face, and the drift signal the r11 verdict
+    * asked an operator to be able to SEE: gather coverage is the slot
+    * stage-1's recall ceiling, and a drifting ingest distribution
+    * piles new slots into few cells, collapsing the probe union's
+    * selectivity, long before any serve-side error surfaces. One
+    * aggregate over the 3-int slot rows; uniform would be 1/K. Trend
+    * it the way [[cellImbalance]] is trended to set the
+    * [[slotRetrain]] cadence. */
+  def slotCellImbalance(spark: SparkSession, root: String): Double =
+    stored(spark, root, SlotCellsEntity, SlotCellsDdl)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+      .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+      .getOrElse(0.0)
 
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
@@ -404,7 +492,8 @@ object SemanticStream {
           .toDF("cid", "cv", "cn", "slices"),
         root, SlotBookEntity, Seq("cid"))
       Layout.upsertStatic(
-        slotCellRows(corpus, idCol, vecCol, scb, slotSlices, slotDim),
+        slotCellRows(corpus, idCol, vecCol, scb, slotSlices, slotDim,
+          codebookVersion(scb)),
         root, SlotCellsEntity, Seq("id", "pos"))
     }
   }
@@ -722,6 +811,7 @@ object SemanticStream {
     val (scb, slices) = readSlotBook(s, root).getOrElse(
       throw new IllegalStateException(
         s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    repairSlots(s, root, scb, slices)
     val w = scb.head._2.length
     val dim = slices * w
     SimSearch.ivfAssign(
@@ -780,6 +870,7 @@ object SemanticStream {
     val (scb, slices) = readSlotBook(s, root).getOrElse(
       throw new IllegalStateException(
         s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    repairSlots(s, root, scb, slices)
     val w = scb.head._2.length
     val dim = slices * w
     val (mins, _, isteps) = readGrid(s, root).getOrElse(
@@ -1145,12 +1236,15 @@ object SemanticStream {
     }
     // slot sidecar (present iff bootstrap(withSlots = true)): kept
     // vectors' slot assignments fold in under the frozen slot codebook
-    // — 3 integers per (doc, slot), same anti-join discipline
+    // — 3 integers + a version tag per (doc, slot), same anti-join
+    // discipline; a torn slotRetrain is rolled forward first so the
+    // fold never lands rows of a book the store no longer holds
     readSlotBook(s, root).foreach { case (scb, slices) =>
+      repairSlots(s, root, scb, slices)
       val dim = slices * scb.head._2.length
       Layout.upsertStatic(
         slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
-            scb, slices, dim)
+            scb, slices, dim, codebookVersion(scb))
           .join(kept, Seq("id"), "left_semi"),
         root, SlotCellsEntity, Seq("id", "pos"))
     }

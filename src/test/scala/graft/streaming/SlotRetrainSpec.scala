@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sinks.Layout
+
+/** [[SemanticStream.slotRetrain]] contract — [[RetrainSpec]]'s faces
+  * applied to the late-interaction slot sidecar (the r11 verdict gap:
+  * the main codebook retrains and JL rotates, but the slot book was
+  * frozen at bootstrap forever, with no way to see gather-coverage
+  * decay under drift):
+  *
+  *  1. version bookkeeping — bootstrap tags every slot-cell row with
+  *     the slot book's content hash; slotRetrain lands a new book and
+  *     retags every row, preserving the (id, pos) set;
+  *  2. the drift metric — [[SemanticStream.slotCellImbalance]] reads
+  *     the stored slot index's top-cell share (the gather-selectivity
+  *     face an operator trends to set the retrain cadence);
+  *  3. the crash window — a kill between the book swap and the cells
+  *     swap leaves a detectable tag mismatch, and the next slot-face
+  *     SERVE rolls the retrain forward: its answers are bit-identical
+  *     to a run whose retrain never crashed, and the repair retags the
+  *     store as a side effect.
+  */
+class SlotRetrainSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // 4-dim vectors = 2 slots of width 2; slot space clusters A ≈ (1, 0)
+  // and B ≈ (0, 1). The seed book (vec 1's two slots) sits entirely on
+  // the A side, so a trained retrain MUST move it (new content hash).
+  private def df(rows: Seq[(Long, Seq[Double])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def corpus = df(Seq(
+    1L -> Seq(1.0, 0.0, 1.0, 0.2),
+    2L -> Seq(1.0, 0.1, 0.9, 0.0),
+    3L -> Seq(0.0, 1.0, 0.0, 0.9),
+    4L -> Seq(0.1, 1.0, 0.0, 1.0),
+    5L -> Seq(0.0, 0.9, 0.1, 1.0),
+    6L -> Seq(1.0, 0.0, 0.9, 0.1)))
+
+  private def boot(root: String): Unit =
+    SemanticStream.bootstrap(corpus, root, k = 2, withSq = true,
+      withSlots = true, slotK = 2, slotRounds = 0, slotSlices = 2,
+      slotDim = 4)
+
+  private def bookVer(root: String): String =
+    SemanticStream.codebookVersion(
+      SemanticStream.readSlotBook(spark, root).get._1)
+
+  private def cellsState(root: String): Set[(Long, Int, Long, String)] =
+    Layout.readStatic(spark, root, SemanticStream.SlotCellsEntity).get
+      .select("id", "pos", "cell", "ver").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+  test("bootstrap tags slot cells with the book's hash; retrain retags all") {
+    val root = graft.Temps.dir("slot-retrain-tags")
+    boot(root)
+    val ver0 = bookVer(root)
+    val before = cellsState(root)
+    assert(before.map(c => (c._1, c._2)).size === 12, "6 docs × 2 slots")
+    assert(before.map(_._4) === Set(ver0), "every row carries the seed hash")
+
+    val ver1 = SemanticStream.slotRetrain(spark, root, slotK = 2)
+    assert(ver1 !== ver0, "trained book must differ from the A-side seed")
+    assert(bookVer(root) === ver1)
+    val after = cellsState(root)
+    assert(after.map(c => (c._1, c._2)) === before.map(c => (c._1, c._2)),
+      "(id, pos) set preserved")
+    assert(after.map(_._4) === Set(ver1), "every row retagged")
+  }
+
+  test("slotCellImbalance reads the stored slot index's top-cell share") {
+    val root = graft.Temps.dir("slot-retrain-imbalance")
+    boot(root)
+    val rows = cellsState(root).toSeq.groupBy(_._3).map(_._2.size)
+    val want = rows.max.toDouble / rows.sum
+    assert(SemanticStream.slotCellImbalance(spark, root) === want)
+    assert(want > 0.0 && want <= 1.0)
+    // retrained book separates the A/B slot clusters 6/6
+    SemanticStream.slotRetrain(spark, root, slotK = 2)
+    assert(SemanticStream.slotCellImbalance(spark, root) === 0.5)
+  }
+
+  test("kill between book and cells swap: next slot-face serve rolls forward") {
+    val clean = graft.Temps.dir("slot-retrain-clean")
+    val torn = graft.Temps.dir("slot-retrain-torn")
+    boot(clean); boot(torn)
+    SemanticStream.slotRetrain(spark, clean, slotK = 2)
+    val boom = intercept[RuntimeException] {
+      SemanticStream.slotRetrain(spark, torn, slotK = 2,
+        afterBookSwap = () => throw new RuntimeException("injected kill"))
+    }
+    assert(boom.getMessage === "injected kill")
+    // torn: new book live, cells still tagged with the seed-era hash
+    assert(cellsState(torn).map(_._4) !== Set(bookVer(torn)))
+
+    // the serve path repairs before gathering — answers equal the
+    // clean run's, and the repair retagged the cells as a side effect
+    def answers(root: String) =
+      SemanticStream.queryTopKMaxSimSlots(
+          df(Seq(500L -> Seq(0.0, 1.0, 0.0, 1.0))), root, topK = 3,
+          prefilterC = 16, slotNProbe = 1)
+        .select("q_id", "rn", "c_id", "maxsim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val want = answers(clean)
+    assert(want.nonEmpty && want.forall(_._1 == 500L))
+    // the B-cluster query's served neighbors are B members
+    assert(want.map(_._3).subsetOf(Set(3L, 4L, 5L)), want.toString)
+    assert(answers(torn) === want)
+    assert(cellsState(torn).map(_._4) === Set(bookVer(torn)),
+      "roll-forward retag")
+    assert(cellsState(torn) === cellsState(clean))
+  }
+}
