@@ -42,8 +42,32 @@ object TextOps {
   /** q28's LSH near-dup machinery, shared with cluster assignment
     * (q101): fused one-pass signatures → 2 bands of 2 hashes → band
     * equi-join candidates → signature-agreement score ≥ 0.5. */
-  private def bandPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def bandPairs(s: SparkSession, d: String): DataFrame =
     bandPairsOf(documents(s, d))
+
+  /** q193's attribution-join + overlap-matrix shape over an arbitrary
+    * (a_id, b_id) pair frame and (doc_id, source) attribution frame —
+    * factored out so the 100-TB claim in q193's comment is MEASURED
+    * instead of narrated: [[graft.bench.AttrBucketBench]] runs this
+    * SAME plan against a doc_id-bucketed attribution table
+    * ([[graft.sinks.Bucketing]]) and counts the attribution-side
+    * exchanges that disappear; BucketingSpec pins the plan shape. */
+  private[graft] def sourceOverlapOf(pairs: DataFrame,
+      srcs: DataFrame): DataFrame =
+    pairs
+      .join(srcs.toDF("a_id", "src_x"), Seq("a_id"))
+      .join(srcs.toDF("b_id", "src_y"), Seq("b_id"))
+      .select(
+        least(col("src_x"), col("src_y")).as("src_a"),
+        greatest(col("src_x"), col("src_y")).as("src_b"),
+        when(col("src_x") <= col("src_y"), col("a_id"))
+          .otherwise(col("b_id")).as("da"),
+        when(col("src_x") <= col("src_y"), col("b_id"))
+          .otherwise(col("a_id")).as("db"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
 
   /** [[bandPairs]] over an arbitrary (doc_id, text) frame — the curation
     * pipeline (q141) runs it over exact-dedup SURVIVORS, not the raw
@@ -2897,24 +2921,9 @@ object TextOps {
     // docs involved per side — mass vs spread (many pairs from few
     // docs = a few hub dups; many docs = systemic overlap).
     "q193_source_overlap" -> Q(
-      (s, d) => {
-        val pairs = bandPairs(s, d).select(col("a_id"), col("b_id"))
-        val srcs = documents(s, d).select(col("doc_id"), col("source"))
-        pairs
-          .join(srcs.toDF("a_id", "src_x"), Seq("a_id"))
-          .join(srcs.toDF("b_id", "src_y"), Seq("b_id"))
-          .select(
-            least(col("src_x"), col("src_y")).as("src_a"),
-            greatest(col("src_x"), col("src_y")).as("src_b"),
-            when(col("src_x") <= col("src_y"), col("a_id"))
-              .otherwise(col("b_id")).as("da"),
-            when(col("src_x") <= col("src_y"), col("b_id"))
-              .otherwise(col("a_id")).as("db"))
-          .groupBy(col("src_a"), col("src_b"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("da")).as("n_docs_a"),
-            countDistinct(col("db")).as("n_docs_b"))
-      },
+      (s, d) => sourceOverlapOf(
+        bandPairs(s, d).select(col("a_id"), col("b_id")),
+        documents(s, d).select(col("doc_id"), col("source"))),
       Some(s"""WITH ${bandPairsCtesSql()},
               |pp AS (SELECT a_id, b_id FROM p WHERE est_jaccard >= 0.5),
               |src AS (SELECT doc_id, source FROM documents),
@@ -3308,40 +3317,65 @@ object TextOps {
     // XOR itself — consistent must come out TRUE row for row.
     "q203_cert_online" -> Q(
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         import graft.streaming.CurateStream
         val root = curateScenarioRoot(s, d) // shared fixture; q196 bills the build
         val served = CurateStream.certificate(s, root).get
         val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
         val fp = graft.functions.EvmExprs.tokenHashWide(concat(
           col("doc_id").cast("string"), lit(":"), col("dl").cast("string")))
+        // the POSITION face: seq = per-shard arrival rank. Arrival
+        // order in the scenario is (bootstrap, batch 1, batch 2) with
+        // within-batch rank by doc_id, so the recompute re-derives it
+        // as a (phase, doc_id) window over the stored kept lengths —
+        // phases from the scenario's residue rules (the oracle replays
+        // the same), ranks from the same window the ingest used.
+        val phase = when(col("doc_id") % 5 =!= 0, lit(0))
+          .when(col("doc_id") % 10 === 0, lit(1)).otherwise(lit(2))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("phase"), col("doc_id"))
+        val fps = graft.functions.EvmExprs.tokenHashWide(concat(
+          col("doc_id").cast("string"), lit(":"), col("seq").cast("string"),
+          lit(":"), col("dl").cast("string")))
         val recomputed = graft.sinks.Layout
           .readStatic(s, root, CurateStream.DlEntity).get
           .withColumn("shard", pmod(h, lit(CurateStream.CertShards.toLong)))
+          .withColumn("phase", phase)
+          .withColumn("seq", row_number().over(w).cast("long") - 1L)
           .withColumn("fp", fp)
+          .withColumn("fps", fps)
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("r_docs"), sum(col("dl")).as("r_toks"),
-            expr("bit_xor(fp)").as("r_sum"))
+            expr("bit_xor(fp)").as("r_sum"),
+            expr("bit_xor(fps)").as("r_seq"))
         served.join(recomputed, Seq("shard"))
           .select(col("shard"), col("n_docs"), col("sum_toks"),
-            col("checksum"),
+            col("checksum"), col("seq_checksum"),
             (col("n_docs") === col("r_docs") &&
               col("sum_toks") === col("r_toks") &&
-              col("checksum") === col("r_sum")).as("consistent"))
+              col("checksum") === col("r_sum") &&
+              col("seq_checksum") === col("r_seq")).as("consistent"))
       },
       Some(s"""WITH $curateStreamCtesSql,
-              |allk AS (SELECT doc_id FROM idx1
-              |         UNION ALL SELECT doc_id FROM kept1
-              |         UNION ALL SELECT doc_id FROM kept2),
-              |cf AS (SELECT k.doc_id, q.n_toks,
+              |allk AS (SELECT 0 AS phase, doc_id FROM idx1
+              |         UNION ALL SELECT 1, doc_id FROM kept1
+              |         UNION ALL SELECT 2, doc_id FROM kept2),
+              |cf AS (SELECT k.phase, k.doc_id, q.n_toks,
               |         ${tokHashSql("CAST(k.doc_id AS VARCHAR)")} %
               |           ${graft.streaming.CurateStream.CertShards} AS shard,
               |         ${tokHashWideSql("CAST(k.doc_id AS VARCHAR) || ':' || CAST(q.n_toks AS VARCHAR)")} AS fp
-              |       FROM allk k JOIN q USING (doc_id))
+              |       FROM allk k JOIN q USING (doc_id)),
+              |sq AS (SELECT *, row_number() OVER (PARTITION BY shard
+              |         ORDER BY phase, doc_id) - 1 AS seq FROM cf),
+              |sf AS (SELECT shard, n_toks, fp,
+              |         ${tokHashWideSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq AS VARCHAR) || ':' || CAST(n_toks AS VARCHAR)")} AS fps
+              |       FROM sq)
               |SELECT shard, count(*) AS n_docs,
               |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
-              |       bit_xor(fp) AS checksum, TRUE AS consistent
-              |FROM cf GROUP BY 1""".stripMargin),
-      "online export certificate: per-batch XOR deltas folded into the served checksum, pinned equal to the from-scratch recompute"),
+              |       bit_xor(fp) AS checksum, bit_xor(fps) AS seq_checksum,
+              |       TRUE AS consistent
+              |FROM sf GROUP BY 1""".stripMargin),
+      "online export certificate: per-batch XOR deltas folded into the served membership AND position checksums, pinned equal to the from-scratch recompute"),
 
     // INGEST DRIFT from the certificate deltas — the ops-dashboard
     // number a curation operator trends per batch: "did this batch's

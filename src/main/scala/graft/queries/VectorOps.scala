@@ -26,6 +26,36 @@ object VectorOps {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** Oracle CTE chain for the slot face's CENTROID CUT — the SQL
+    * replay of [[graft.streaming.SemanticStream.queryTopKMaxSimSlots]]
+    * stage 1a′ at the pinned SlotPolicy knobs (q210/q211/q212): `qcn`
+    * = per-(query-slot, cell) centroid cosines (NaN-guarded to 0, the
+    * kernel's mirror), `cch`/`ccs` = the cheap Σ_qpos max interaction
+    * per gathered candidate through the same DECIMAL sum as the code
+    * stage, `cut` = the top-CutC survivors that reach code scoring.
+    * Expects CTEs `slt` (all slot rows), `scb` (slot codebook),
+    * `scell` (slot index rows — q211's arrives pre-filtered, which is
+    * exactly the Spark side's contract), `cand` (gathered candidates).
+    * Emitted pre-stripped: interpolate as a whole `|`-margined line. */
+  private def slotCutCtesSql(qPred: String): String = {
+    val c = cosSql("slt.sv", "cv")
+    s"""qcn AS (SELECT slt.vec_id AS q_id, slt.pos AS qpos, cid AS cell,
+       |          CASE WHEN isnan($c) THEN CAST(0.0 AS DOUBLE)
+       |               ELSE $c END AS qc
+       |        FROM slt CROSS JOIN scb WHERE slt.$qPred),
+       |cch AS (SELECT cand.q_id, cand.c_id, qcn.qpos, max(qcn.qc) AS mq
+       |        FROM cand JOIN scell ON scell.c_id = cand.c_id
+       |        JOIN qcn ON qcn.q_id = cand.q_id AND qcn.cell = scell.cell
+       |        GROUP BY 1, 2, 3),
+       |ccs AS (SELECT q_id, c_id,
+       |          CAST(sum(CAST(mq AS DECIMAL(20,6))) AS DOUBLE) AS ccut
+       |        FROM cch GROUP BY 1, 2),
+       |cut AS (SELECT q_id, c_id FROM (
+       |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY ccut DESC, c_id) AS crn FROM ccs)
+       |        WHERE crn <= ${graft.streaming.SemanticStream.SlotPolicy.CutC}),""".stripMargin
+  }
+
   /** DuckDB expression for LSH plane component i of plane p — the same
     * integer LCG [[SimSearch.planeComponent]] uses. */
   private def planeSql(p: Int, i: String): String =
@@ -1181,7 +1211,11 @@ object VectorOps {
     // (seeded like the main one) + one (id, pos, cell) row per kept
     // doc × slot. GATHER = the union of per-query-slot probes (a doc
     // is reachable whenever ANY slot aligns — the very signal MaxSim
-    // ranks by); SCORE = every gathered candidate's full T×T slot
+    // ranks by); CUT = PLAID's cheap centroid interaction over the
+    // gathered set (Σ max of the per-(query-slot, cell) cosines the
+    // probe fold already computed — top-CutC survive, so the code-
+    // kernel bill is bounded by the policy, not the gather width);
+    // SCORE = every surviving candidate's full T×T slot
     // interaction de-quantized from its stored SQ code row (the
     // SqSlotCosExpr kernel — near-exact, byte reads, all T terms
     // present; PLAID's decompression stage on the SQ sidecar), maxima
@@ -1199,7 +1233,9 @@ object VectorOps {
         SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
         SemanticStream.queryTopKMaxSimSlots(
           emb.where(col("vec_id") < 4), root, topK = 3,
-          prefilterC = 16, slotNProbe = 2)
+          prefilterC = SemanticStream.SlotPolicy.PrefilterC,
+          slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
+          cutC = SemanticStream.SlotPolicy.CutC)
       },
       Some {
         val slot = "(SELECT unnest(range(0, 8)) AS pos)"
@@ -1245,17 +1281,19 @@ object VectorOps {
            |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
            |       FROM e CROSS JOIN prm),
            |qpr AS (SELECT vec_id AS q_id, cid AS cell
-           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |        FROM asn WHERE vec_id < 4
+           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
            |cand AS (SELECT DISTINCT p.q_id, scell.c_id
            |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
            |         JOIN scell USING (cell)
            |         WHERE p.q_id <> scell.c_id),
-           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |${slotCutCtesSql("vec_id < 4")}
+           |sl1 AS (SELECT cut.q_id, cut.c_id, qs.pos AS qpos, cp.cpos,
            |          $slotCos AS sc
-           |        FROM cand
-           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        FROM cut
+           |        JOIN slt qs ON qs.vec_id = cut.q_id
            |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
-           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        JOIN cd ON cd.vec_id = cut.c_id
            |        CROSS JOIN prm),
            |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
            |        FROM sl1 GROUP BY 1, 2, 3),
@@ -1265,7 +1303,7 @@ object VectorOps {
            |pre AS (SELECT q_id, c_id FROM (
            |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
            |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
-           |        WHERE prn <= 16),
+           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
            |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
            |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
            |       FROM q, $slot p),
@@ -1310,7 +1348,9 @@ object VectorOps {
           .select(col("vec_id").as("id"))
         SemanticStream.queryTopKMaxSimSlots(
           emb.where(col("vec_id") < 4), root, topK = 3,
-          prefilterC = 16, slotNProbe = 2, allowed = Some(allowed))
+          prefilterC = SemanticStream.SlotPolicy.PrefilterC,
+          slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
+          cutC = SemanticStream.SlotPolicy.CutC, allowed = Some(allowed))
       },
       Some {
         val slot = "(SELECT unnest(range(0, 8)) AS pos)"
@@ -1356,17 +1396,19 @@ object VectorOps {
            |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
            |       FROM e CROSS JOIN prm),
            |qpr AS (SELECT vec_id AS q_id, cid AS cell
-           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |        FROM asn WHERE vec_id < 4
+           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
            |cand AS (SELECT DISTINCT p.q_id, scell.c_id
            |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
            |         JOIN scell USING (cell)
            |         WHERE p.q_id <> scell.c_id),
-           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |${slotCutCtesSql("vec_id < 4")}
+           |sl1 AS (SELECT cut.q_id, cut.c_id, qs.pos AS qpos, cp.cpos,
            |          $slotCos AS sc
-           |        FROM cand
-           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        FROM cut
+           |        JOIN slt qs ON qs.vec_id = cut.q_id
            |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
-           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        JOIN cd ON cd.vec_id = cut.c_id
            |        CROSS JOIN prm),
            |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
            |        FROM sl1 GROUP BY 1, 2, 3),
@@ -1376,7 +1418,7 @@ object VectorOps {
            |pre AS (SELECT q_id, c_id FROM (
            |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
            |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
-           |        WHERE prn <= 16),
+           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
            |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
            |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
            |       FROM q, $slot p),
@@ -1534,8 +1576,9 @@ object VectorOps {
     // bounded-C "gold" is unconverged proxy-vs-proxy agreement, so the
     // gold here admits EVERY pair (prefilterC = n — the re-rank IS
     // unbounded MaxSim; the sanctioned measurement-baseline BNLJ, like
-    // q183's full-scan gold) and the served leg runs q210's pinned
-    // knobs (C = 16, slotNProbe = 2). Metrics are q183's exactly:
+    // q183's full-scan gold) and the served leg runs the pinned
+    // SlotPolicy knobs (centroid cut armed, q210's serve path
+    // verbatim). Metrics are q183's exactly:
     // recall@10 hits, MRR of the gold top-1's served rank, nDCG@10
     // with the DCG discounts embedded as round-tripping literals in
     // both engines. Scale shape: the gold is measurement-only; the
@@ -1556,7 +1599,9 @@ object VectorOps {
         val top1 = gold.where(col("grn") === 1)
           .select(col("q_id"), col("c_id").as("t1"))
         val served = SemanticStream.queryTopKMaxSimSlots(q, root,
-            topK = 10, prefilterC = 16, slotNProbe = 2)
+            topK = 10, prefilterC = SemanticStream.SlotPolicy.PrefilterC,
+            slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
+            cutC = SemanticStream.SlotPolicy.CutC)
           .select(col("q_id"), col("c_id"), col("rn").as("srn"))
         val terms = (1 to 10).map(i => BigDecimal(
           1.0 / (math.log(i + 1.0) / math.log(2.0)))
@@ -1643,17 +1688,19 @@ object VectorOps {
            |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
            |       FROM e CROSS JOIN prm),
            |qpr AS (SELECT vec_id AS q_id, cid AS cell
-           |        FROM asn WHERE vec_id < 4 AND crn <= 2),
+           |        FROM asn WHERE vec_id < 4
+           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
            |cand AS (SELECT DISTINCT p.q_id, scell.c_id
            |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
            |         JOIN scell USING (cell)
            |         WHERE p.q_id <> scell.c_id),
-           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |${slotCutCtesSql("vec_id < 4")}
+           |sl1 AS (SELECT cut.q_id, cut.c_id, qs.pos AS qpos, cp.cpos,
            |          $slotCos AS sc
-           |        FROM cand
-           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        FROM cut
+           |        JOIN slt qs ON qs.vec_id = cut.q_id
            |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
-           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        JOIN cd ON cd.vec_id = cut.c_id
            |        CROSS JOIN prm),
            |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
            |        FROM sl1 GROUP BY 1, 2, 3),
@@ -1663,7 +1710,7 @@ object VectorOps {
            |pre AS (SELECT q_id, c_id FROM (
            |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
            |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
-           |        WHERE prn <= 16),
+           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
            |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
            |       FROM q, $slot p),
            |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv

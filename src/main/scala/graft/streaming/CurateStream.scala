@@ -78,9 +78,13 @@ object CurateStream {
 
   /** Export-certificate entity (q200's release checksum maintained
     * ONLINE — q203): `curate_cert (bkey, shard, n_docs, sum_toks,
-    * xor_fp)` holds one IMMUTABLE delta row per (ingest batch ×
-    * shard) — count, token mass and BIT-XOR of the set fingerprint
-    * tokenHashWide(doc_id:n_toks) over the batch's KEPT docs (the
+    * xor_fp, xor_fp_seq)` holds one IMMUTABLE delta row per (ingest
+    * batch × shard) — count, token mass, BIT-XOR of the set
+    * fingerprint tokenHashWide(doc_id:n_toks), and BIT-XOR of the
+    * ORDER-covering fingerprint tokenHashWide(doc_id:seq:n_toks)
+    * (seq = arrival rank within the shard; see [[upsertCert]] — the
+    * r11 carried footnote "covers membership+mass, not position" is
+    * closed) over the batch's KEPT docs (the
     * 60-bit two-fold composite — the r10 advice measured the old
     * single-fold ~30-bit fp at ~50% bkey birthday collision by ~50k
     * batches, within a month of ingest; a colliding bkey would make
@@ -109,11 +113,15 @@ object CurateStream {
   val CertEntity = "curate_cert"
   val CertShards = 8
 
-  /** Per-shard certificate delta of a kept-doc frame (doc_id,
-    * n_toks): fingerprint covers identity + token count (q200's set
-    * face — no seq, which is what makes the certificate incrementally
-    * maintainable under append-only keeps). */
-  private def certDeltaOf(kept: DataFrame): DataFrame = {
+  /** Per-shard MEMBERSHIP fingerprints of a kept-doc frame (doc_id,
+    * n_toks): shard, n_docs, sum_toks and the XOR of
+    * tokenHashWide(doc_id:n_toks) — q200's set face, seq-free. The
+    * seq-free XOR is what keys the batch (`bkey`), so the replay
+    * exclusion below is well-defined BEFORE any position is assigned
+    * (seq depends on prior counts, prior counts depend on excluding
+    * the batch's own half-landed row — keying by the membership
+    * fingerprint breaks that cycle). */
+  private def certMembership(kept: DataFrame): DataFrame = {
     val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
     val fp = graft.functions.EvmExprs.tokenHashWide(concat(
       col("doc_id").cast("string"), lit(":"), col("n_toks").cast("string")))
@@ -126,18 +134,52 @@ object CurateStream {
 
   /** Land one batch's certificate delta rows: ≤ [[CertShards]] rows
     * collected (the cRow precedent — bounded by the shard count, not
-    * the data), keyed by the batch checksum for replay-idempotent
-    * upsert. */
+    * the data), keyed by the batch's MEMBERSHIP checksum for
+    * replay-idempotent upsert.
+    *
+    * POSITION COVERAGE (the r11 carried gap closed): each delta row
+    * also carries `xor_fp_seq`, the XOR of
+    * tokenHashWide(doc_id:seq:n_toks) where `seq` is the doc's
+    * ARRIVAL RANK within its shard — per-shard prior kept count (a
+    * sum over the stored delta rows, EXCLUDING this batch's own bkey
+    * so a replay computes identical ranks) plus the doc's
+    * row_number-by-doc_id within the batch's shard slice. Kept docs
+    * are first-arrival-wins and batches replay in order, so seq is
+    * deterministic and the folded `seq_checksum` certifies the
+    * shard-internal sequence the way batch-side q200 does — the
+    * online certificate now covers membership + mass + position. */
   private def upsertCert(kept: DataFrame, root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val s = kept.sparkSession
-    val rows = certDeltaOf(kept).collect()
-    if (rows.nonEmpty) {
-      val bkey = rows.map(_.getLong(3)).reduce(_ ^ _)
+    val memb = certMembership(kept).collect()
+    if (memb.nonEmpty) {
+      val bkey = memb.map(_.getLong(3)).reduce(_ ^ _)
+      val prior: Map[Long, Long] = Layout.readStatic(s, root, CertEntity)
+        .map(_.where(col("bkey") =!= lit(bkey))
+          .groupBy(col("shard")).agg(sum(col("n_docs")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
+      val h = graft.functions.EvmExprs.tokenHash(col("doc_id").cast("string"))
+      val priorCol =
+        if (prior.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(prior), col("shard")), lit(0L))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      val fps = graft.functions.EvmExprs.tokenHashWide(concat(
+        col("doc_id").cast("string"), lit(":"), col("seq").cast("string"),
+        lit(":"), col("n_toks").cast("string")))
+      val seqRows = kept
+        .withColumn("shard", pmod(h, lit(CertShards.toLong)))
+        .withColumn("seq", priorCol + row_number().over(w).cast("long") - 1L)
+        .withColumn("fps", fps)
+        .groupBy(col("shard"))
+        .agg(expr("bit_xor(fps)").as("xor_fp_seq"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       import s.implicits._
-      val delta = rows.toSeq
+      val delta = memb.toSeq
         .map(r => (bkey, r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3)))
-        .toDF("bkey", "shard", "n_docs", "sum_toks", "xor_fp")
+          r.getLong(3), seqRows(r.getLong(0))))
+        .toDF("bkey", "shard", "n_docs", "sum_toks", "xor_fp",
+          "xor_fp_seq")
       Layout.upsertStatic(delta, root, CertEntity, Seq("bkey", "shard"))
     }
   }
@@ -151,7 +193,8 @@ object CurateStream {
       .groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_toks")).as("sum_toks"),
-        expr("bit_xor(xor_fp)").as("checksum")))
+        expr("bit_xor(xor_fp)").as("checksum"),
+        expr("bit_xor(xor_fp_seq)").as("seq_checksum")))
 
   /** Span-gate threshold: a doc whose stored-corpus span coverage
     * reaches this fraction of its own distinct spans is

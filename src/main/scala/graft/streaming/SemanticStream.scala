@@ -144,6 +144,37 @@ object SemanticStream {
     val TargetRecall3 = 0.9
   }
 
+  /** The PINNED slot-face operating point — [[ServePolicy]]'s analog
+    * for [[queryTopKMaxSimSlots]], measured on the JOINT (slotK ×
+    * slotNProbe × centroid-cut) grid ([[graft.bench.SlotPolicyBench]],
+    * `slot_policy` family, SCALE.md round 12) instead of the r11
+    * one-knob ladders. The serve knobs pinned here are corpus-shape
+    * independent; the BOOK knobs scale with the corpus and are pinned
+    * as a rule, not a constant: slotK ≈ √(n·T) trained (rounds = 3 —
+    * [[slotRetrain]]'s trainer; the lowest-(id, pos) seed covers the
+    * slot space too unevenly at K ≥ 128), the same K ≈ √n discipline
+    * as the main IVF book. With the centroid cut armed the stage-1b
+    * code-kernel bill is ≤ CutC·T² per query REGARDLESS of gather
+    * width, and the measured joint surface (slot_policy family, both
+    * geometries × K ∈ {128,256,512} × np ∈ {2,4,8} × cut ∈ {0,128})
+    * reads: on SLOT-ALIGNED geometry (the trained-encoder case) the
+    * pinned point holds recall@3 = 0.96 at K = 512 while scoring
+    * 1.6% of the corpus — the cut costs ≤ 0.02 recall once K
+    * resolves the slot clusters (K/clusters ≥ ~1/2) and halves serve
+    * time; on DECORRELATED geometry the centroid ordering is blind
+    * (recall 0.41–0.70 with the cut, the r11 centroid-only ablation's
+    * 0.37 writ large), so the operating rule is: arm the cut exactly
+    * when the embeddings are slot-aligned — which trained
+    * late-interaction models are by construction — and disarm it
+    * (cutC = 0) for untrained/pooled-sliced vectors. SlotPolicySpec
+    * regression-gates the pinned point on the aligned fixture. */
+  object SlotPolicy {
+    val SlotNProbe = 4
+    val CutC = 128
+    val PrefilterC = 32
+    val TargetRecall3 = 0.9
+  }
+
   private val CellsDdl =
     "id bigint, cell bigint, v array<double>, n double, ver string"
   private val CodebookDdl =
@@ -839,7 +870,23 @@ object SemanticStream {
     *   stage 1a (gather) — equi-join the probed cells against the
     *     stored `slot_cells` rows: a doc is a candidate when ANY of
     *     its slots landed in ANY probed cell;
-    *   stage 1b (score) — every gathered candidate's full T×T slot
+    *   stage 1a′ (centroid cut, armed by `cutC > 0`) — PLAID's cheap
+    *     centroid-interaction stage between gather and code scoring:
+    *     every gathered candidate is scored as Σ_qpos max over its
+    *     slots of cos(query slot, CENTROID of the slot's cell) — the
+    *     per-(query-slot, cell) cosines fall out of the SAME plan-
+    *     carried fold the probes come from (p = K instead of p =
+    *     `slotNProbe`; the kernel computes all K cosines either way),
+    *     so the cut costs equi-joins over precomputed scalars, no
+    *     w-dim arithmetic per pair — and only the top-`cutC` docs per
+    *     query reach the T×T code kernels. This is the 100-TB cost
+    *     lever the r11 verdict priced: measured cand_frac up to 0.87
+    *     at small K means stage 1b would otherwise run ≈ n·T² byte
+    *     kernels per query; with the cut the code-scoring bill is
+    *     cutC·T² regardless of gather width (slot_policy family,
+    *     SCALE.md r12). Zero-norm query slots' NaN cosines are
+    *     guarded to 0 so degenerates never outrank real matches;
+    *   stage 1b (score) — every surviving candidate's full T×T slot
     *     interaction from its stored SQ CODE row ([[graft.functions
     *     .SqExprs.slotCos]] de-quantizes the w-dim slice in place —
     *     near-exact, byte reads, no vector fetch); per (query, doc,
@@ -862,7 +909,7 @@ object SemanticStream {
     * slot and SQ sidecars (`bootstrap(withSq = true,
     * withSlots = true)`). */
   def queryTopKMaxSimSlots(queries: DataFrame, root: String, topK: Int,
-      prefilterC: Int, slotNProbe: Int = 2,
+      prefilterC: Int, slotNProbe: Int = 2, cutC: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -878,10 +925,13 @@ object SemanticStream {
         s"no SQ grid under $root — the slot face scores stage-1 from " +
           "stored codes; bootstrap(withSq = true, withSlots = true)"))
     // stage 0: per-query-slot probe lists from the fold kernel (K·w
-    // arithmetic per slot, zero shuffle)
+    // arithmetic per slot, zero shuffle). The centroid cut needs the
+    // cosines to ALL K cells — the kernel computes them either way, so
+    // arming the cut only widens the kept fold output, never the work.
     val asg = SimSearch.ivfAssign(
         slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-          slices, dim), "sid", "sv", scb, p = slotNProbe)
+          slices, dim), "sid", "sv", scb,
+        p = if (cutC > 0) scb.size else slotNProbe)
       .select(expr(s"id div $slices").as("q_id"),
         pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
         col("v").as("qv"), col("probes"))
@@ -903,11 +953,41 @@ object SemanticStream {
       case None => scells0
     }
     val cand = asg
-      .select(col("q_id"), explode(col("probes").getField("cid")).as("cell"))
+      .select(col("q_id"), explode(
+        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
       .distinct()
       .join(scells, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
+    // stage 1a′ (centroid cut): rank gathered candidates by the cheap
+    // centroid interaction Σ_qpos max_slot cos(query slot, slot-cell
+    // centroid) — every term is a lookup into the (q_id, qpos, cell)
+    // cosines the fold already computed, so the pass is equi-joins +
+    // max/sum over scalars; only the top-cutC reach the code kernels.
+    // The decimal sum keeps the tie-broken ordering engine-exact for
+    // the oracle replay.
+    val pre1 =
+      if (cutC <= 0) cand
+      else {
+        val qcn = asg.select(col("q_id"), col("qpos"),
+            explode(col("probes")).as("pc"))
+          .select(col("q_id"), col("qpos"),
+            col("pc").getField("cid").as("cell"),
+            when(isnan(col("pc").getField("cc")), lit(0.0))
+              .otherwise(col("pc").getField("cc")).as("qc"))
+        val wc = Window.partitionBy(col("q_id"))
+          .orderBy(col("ccut").desc, col("c_id").asc)
+        cand.join(scells, Seq("c_id"))
+          .join(qcn, Seq("q_id", "cell"))
+          .groupBy(col("q_id"), col("c_id"), col("qpos"))
+          .agg(max(col("qc")).as("mq"))
+          .groupBy(col("q_id"), col("c_id"))
+          .agg(sum(col("mq").cast("decimal(20,6)")).cast("double")
+            .as("ccut"))
+          .withColumn("crn", row_number().over(wc))
+          .where(col("crn") <= cutC)
+          .select(col("q_id"), col("c_id"))
+      }
     // stage 1b (scoring — PLAID's decompression stage on the SQ
     // sidecar): every gathered candidate's FULL T×T slot interaction
     // scored from its stored code row, de-quantized slice-in-place by
@@ -919,7 +999,7 @@ object SemanticStream {
     // coarse quantizer can't order docs. SlotSweep, SCALE.md r11.)
     val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
       .select(col("id").as("c_id"), col("codes"))
-    val s1 = cand.join(codes, Seq("c_id"))
+    val s1 = pre1.join(codes, Seq("c_id"))
       .join(asg.select(col("q_id"), col("qpos"), col("qv")), Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("qpos"),
         explode(sequence(lit(0), lit(slices - 1))).as("cpos"),

@@ -41,6 +41,46 @@ class BucketingSpec extends AnyFunSuite {
     assert(agg.count() === 50)
   }
 
+  test("q193's attribution joins against the bucketed projection drop the attribution-side exchanges") {
+    // the r11 verdict's last narrative scale claim, now plan-pinned:
+    // the overlap-matrix audit joins the corpus-cardinality (doc_id,
+    // source) projection twice; against the doc_id-bucketed table the
+    // SAME plan (TextOps.sourceOverlapOf — q193's exact shape) loses
+    // BOTH attribution-side exchanges, because the scan's bucket
+    // partitioning survives the a_id/b_id aliasing. Broadcast is
+    // disabled so the test measures the 10^10-doc regime where
+    // neither side broadcasts (the r10 finding that removed the
+    // hints). AttrBucketBench carries the measured family row.
+    import spark.implicits._
+    val srcs = (1 to 400).map(i => (i.toLong, s"s${i % 5}"))
+      .toDF("doc_id", "source")
+    val pairs = (1 to 399).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    Bucketing.writeBucketed(srcs, "bucketdb.attr_srcs", "doc_id", 8)
+    val oldT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = try spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      catch { case _: Exception => null }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val plain = graft.queries.TextOps.sourceOverlapOf(pairs, srcs)
+      val bucketed = graft.queries.TextOps.sourceOverlapOf(pairs,
+        Bucketing.readBucketed(spark, "bucketdb.attr_srcs"))
+      assert(exchanges(bucketed) === exchanges(plain) - 2,
+        s"plain=${exchanges(plain)} bucketed=${exchanges(bucketed)}:\n" +
+          bucketed.queryExecution.executedPlan.toString)
+      assert(bucketed.collect().toSet === plain.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      if (oldA == null)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      else spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", oldA)
+    }
+  }
+
   test("bucketed write round-trips data exactly") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"x$i")).toDF("k", "s")

@@ -160,33 +160,38 @@ class CurateStreamSpec extends AnyFunSuite {
     CurateStream.ingestBatch(batchB, root, certIndex = true)
 
     def certMap = CurateStream.certificate(s, root).get
-      .as[(Long, Long, Long, Long)].collect()
-      .map { case (sh, n, tk, x) => sh -> ((n, tk, x)) }.toMap
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (sh, n, tk, x, xs) => sh -> ((n, tk, x, xs)) }.toMap
     // from-scratch recompute over the store's kept docs (bootstrap ∪
-    // kept batch docs), same fingerprint algebra
-    val keptDocs = corpus.unionByName(batchA.where($"doc_id" === 40L))
-      .unionByName(batchB.where($"doc_id" === 15L))
-    val fp = graft.functions.EvmExprs.tokenHashWide(org.apache.spark.sql.functions
-      .concat($"doc_id".cast("string"),
-        org.apache.spark.sql.functions.lit(":"),
-        org.apache.spark.sql.functions.size(
-          graft.ops.TextAnalysis.tokens($"text")).cast("string")))
+    // kept batch docs), same fingerprint algebra — including the
+    // POSITION face: seq = per-shard rank in (arrival phase, doc_id)
+    // order, exactly what the incremental prior-count assignment
+    // produces
+    import org.apache.spark.sql.functions._
+    val keptDocs = corpus.withColumn("phase", lit(0))
+      .unionByName(batchA.where($"doc_id" === 40L).withColumn("phase", lit(1)))
+      .unionByName(batchB.where($"doc_id" === 15L).withColumn("phase", lit(2)))
+    val fp = graft.functions.EvmExprs.tokenHashWide(
+      concat($"doc_id".cast("string"), lit(":"),
+        size(graft.ops.TextAnalysis.tokens($"text")).cast("string")))
     val h = graft.functions.EvmExprs.tokenHash($"doc_id".cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"phase", $"doc_id")
+    val fps = graft.functions.EvmExprs.tokenHashWide(
+      concat($"doc_id".cast("string"), lit(":"), $"seq".cast("string"),
+        lit(":"), $"n_toks".cast("string")))
     val want = keptDocs
-      .select($"doc_id",
-        org.apache.spark.sql.functions.size(
-          graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n_toks"),
-        org.apache.spark.sql.functions
-          .pmod(h, org.apache.spark.sql.functions
-            .lit(CurateStream.CertShards.toLong)).as("shard"),
+      .select($"doc_id", $"phase",
+        size(graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n_toks"),
+        pmod(h, lit(CurateStream.CertShards.toLong)).as("shard"),
         fp.as("fp"))
+      .withColumn("seq", row_number().over(w).cast("long") - 1L)
+      .withColumn("fps", fps)
       .groupBy($"shard")
-      .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"),
-        org.apache.spark.sql.functions.sum($"n_toks").as("tk"),
-        org.apache.spark.sql.functions.expr("bit_xor(fp)").as("x"))
-      .as[(Long, Long, Long, Long)].collect()
-      .map { case (sh, n, tk, x) => sh -> ((n, tk, x)) }.toMap
+      .agg(count(lit(1)).as("n"), sum($"n_toks").as("tk"),
+        expr("bit_xor(fp)").as("x"), expr("bit_xor(fps)").as("xs"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (sh, n, tk, x, xs) => sh -> ((n, tk, x, xs)) }.toMap
     val before = certMap
     assert(before === want)
     // replay: re-ingesting an applied batch lands the identical delta
@@ -198,5 +203,49 @@ class CurateStreamSpec extends AnyFunSuite {
     CurateStream.ingestBatch(batchA, root, certIndex = true)
     assert(Layout.readStatic(s, root, CurateStream.CertEntity).get.count()
       === deltaRows)
+  }
+
+  test("cert position face: swapped arrival order flips seq_checksum, not membership") {
+    // the r11 carried footnote ("covers membership+mass, not
+    // position") closed and demonstrated: two stores ingest the SAME
+    // two kept docs in opposite batch orders — the docs are chosen to
+    // share a cert shard, so their arrival ranks swap. Membership
+    // checksums (set face) must agree; seq_checksum (position face)
+    // must differ on exactly that shard.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // find two fresh ids in the same shard (tokenHash is opaque; probe)
+    val pool = (100L to 160L).toDF("doc_id")
+      .select($"doc_id", pmod(
+        graft.functions.EvmExprs.tokenHash($"doc_id".cast("string")),
+        lit(CurateStream.CertShards.toLong)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (idA, idB) = pool.groupBy(_._2).values.find(_.size >= 2)
+      .map(g => (g(0)._1, g(1)._1)).get
+    val corpus = docsDF(Seq(1L -> qtext(1)))
+    val bA = docsDF(Seq(idA -> qtext(7)))
+    val bB = docsDF(Seq(idB -> qtext(9)))
+    def build(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Long)] = {
+      val root = graft.Temps.dir("curate-cert-order")
+      CurateStream.bootstrap(corpus, root, withCert = true)
+      CurateStream.ingestBatch(first, root, certIndex = true)
+      CurateStream.ingestBatch(second, root, certIndex = true)
+      CurateStream.certificate(s, root).get
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (sh, n, tk, x, xs) => sh -> ((n, tk, x, xs)) }.toMap
+    }
+    val ab = build(bA, bB)
+    val ba = build(bB, bA)
+    val shard = pool.find(_._1 == idA).get._2
+    // set face: identical everywhere
+    assert(ab.view.mapValues(v => (v._1, v._2, v._3)).toMap
+      === ba.view.mapValues(v => (v._1, v._2, v._3)).toMap)
+    // position face: differs on the shared shard, agrees elsewhere
+    assert(ab(shard)._4 !== ba(shard)._4,
+      s"seq_checksum blind to arrival order on shard $shard")
+    assert((ab - shard).view.mapValues(_._4).toMap
+      === (ba - shard).view.mapValues(_._4).toMap)
   }
 }

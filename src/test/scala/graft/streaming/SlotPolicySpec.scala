@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.ops.LateInteraction
+
+/** Regression gate for the PINNED slot-face operating point
+  * ([[SemanticStream.SlotPolicy]]): the SlotPolicyBench-measured knobs
+  * at which the slot MaxSim cascade WITH the centroid cut reaches
+  * recall@3 ≥ 0.9 against the covering multi-vector gold on
+  * slot-ALIGNED geometry (measured 0.96 at K = 512 on the n = 8000 /
+  * 1024-topic corpus while scoring 1.6% of the corpus — SCALE.md
+  * round 12, `slot_policy` family). This spec serves a scaled-down
+  * aligned fixture (same K/topic ratio) at EXACTLY the policy knobs —
+  * if a knob default, the cut stage, a kernel or the trainer change
+  * drops the policy below target, the suite goes red instead of the
+  * regression hiding in a bench artifact. The DECORRELATED-geometry
+  * caveat (cut blind there — the documented operating rule) is
+  * measured in the bench, not gated here: the policy's domain is
+  * aligned embeddings. */
+class SlotPolicySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("the pinned slot policy reaches its target recall on aligned geometry") {
+    val emb = graft.bench.ScaleLaws
+      .slotTopicEmbeddings(spark, n = 1000L, topics = 256)
+      .localCheckpoint()
+    val root = graft.Temps.dir("slot-policy-spec")
+    SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true,
+      slotK = 128, slotRounds = 3)
+    val queries = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+      .localCheckpoint()
+    val gold = LateInteraction.maxSimTopK(queries, emb, "vec_id",
+        "embedding", k = 3, prefilterC = 1000)
+      .select("q_id", "c_id").localCheckpoint()
+    val served = SemanticStream.queryTopKMaxSimSlots(queries, root,
+        topK = 3, prefilterC = SemanticStream.SlotPolicy.PrefilterC,
+        slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
+        cutC = SemanticStream.SlotPolicy.CutC)
+      .select("q_id", "c_id")
+    val hits = gold.join(served, Seq("q_id", "c_id"), "left_semi").count()
+    val recall = hits.toDouble / gold.count()
+    assert(recall >= SemanticStream.SlotPolicy.TargetRecall3,
+      s"pinned slot policy (np=${SemanticStream.SlotPolicy.SlotNProbe}, " +
+        s"cutC=${SemanticStream.SlotPolicy.CutC}, " +
+        s"C=${SemanticStream.SlotPolicy.PrefilterC}) " +
+        f"recall@3 = $recall%.4f < ${SemanticStream.SlotPolicy.TargetRecall3}")
+  }
+}
