@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.SimSearch
 import Tables._
@@ -25,6 +26,35 @@ object VectorOps {
 
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  /** Covering MaxSim gold (queries = vec_id < 4, k = 10) over the
+    * embeddings table: prefilterC = n, so the re-rank IS unbounded
+    * MaxSim — the sanctioned measurement baseline (the r10 lesson
+    * that a bounded-C "gold" is unconverged proxy-vs-proxy). */
+  private def maxSimCoveringGold(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val n = emb.count().toInt
+    graft.ops.LateInteraction.maxSimTopK(
+      emb.where(col("vec_id") < 4), emb, "vec_id", "embedding",
+      k = 10, prefilterC = n)
+  }
+
+  /** The covering gold built ONCE per (JVM, sfDir) and SHARED by q212
+    * — the r11 bench-hygiene item (verdict #6): q212 was the
+    * 5th-slowest bench query because its measurement gold re-ran
+    * in-body every invocation. The split mirrors the curate-scenario
+    * precedent exactly: q214 re-computes the gold on EVERY invocation
+    * (the honest full bill, visible under its own name in the bench
+    * artifact), while q212 reads the memoized parquet copy and bills
+    * its served leg + metric joins. */
+  private val maxSimGoldPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maxSimGoldPath(s: SparkSession, d: String): String =
+    maxSimGoldPaths.computeIfAbsent(d, _ => {
+      val p = graft.Temps.dirFor(s"maxsim-gold-$d") + "/gold"
+      maxSimCoveringGold(s, d).coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Oracle CTE chain for the slot face's CENTROID CUT — the SQL
     * replay of [[graft.streaming.SemanticStream.queryTopKMaxSimSlots]]
@@ -1578,7 +1608,10 @@ object VectorOps {
     // unbounded MaxSim; the sanctioned measurement-baseline BNLJ, like
     // q183's full-scan gold) and the served leg runs the pinned
     // SlotPolicy knobs (centroid cut armed, q210's serve path
-    // verbatim). Metrics are q183's exactly:
+    // verbatim). The gold is READ from the per-(JVM, sfDir) memoized
+    // parquet copy — q214 is the query that computes and bills it
+    // (the r12 bench-hygiene split; same accounting as the curate
+    // scenario store). Metrics are q183's exactly:
     // recall@10 hits, MRR of the gold top-1's served rank, nDCG@10
     // with the DCG discounts embedded as round-tripping literals in
     // both engines. Scale shape: the gold is measurement-only; the
@@ -1591,11 +1624,9 @@ object VectorOps {
         val emb = embeddings(s, d)
         SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
         val q = emb.where(col("vec_id") < 4)
-        val n = emb.count().toInt
-        val gold = graft.ops.LateInteraction.maxSimTopK(
-            q, emb, "vec_id", "embedding", k = 10, prefilterC = n)
+        // the memoized covering gold (q214 carries its honest bill)
+        val gold = s.read.parquet(maxSimGoldPath(s, d))
           .select(col("q_id"), col("c_id"), col("rn").as("grn"))
-          .localCheckpoint() // read twice: join + top-1 slice
         val top1 = gold.where(col("grn") === 1)
           .select(col("q_id"), col("c_id").as("t1"))
         val served = SemanticStream.queryTopKMaxSimSlots(q, root,
@@ -1744,6 +1775,43 @@ object VectorOps {
            |GROUP BY 1""".stripMargin
       },
       "retrieval metrics of the slot-face MaxSim cascade vs the COVERING multi-vector gold: recall@10, MRR, nDCG@10"),
+
+    // THE COVERING MAXSIM GOLD as its own registered query — the
+    // bench-hygiene split (r11 verdict #6): q212 was the 5th-slowest
+    // bench query because this measurement baseline re-ran inside it
+    // every invocation. Exactly the curate-scenario accounting: this
+    // query RE-COMPUTES the covering gold per invocation (prefilterC =
+    // n through the sanctioned brute pooled scan — measurement-only
+    // BNLJ, whitelisted; the unbounded-MaxSim baseline every slot-face
+    // recall number is measured against), so its full cost is visible
+    // under one name in the bench artifact, while q212 reads the
+    // memoized copy and bills only its served leg + metric joins.
+    "q214_maxsim_covering_gold" -> Q(
+      (s, d) => maxSimCoveringGold(s, d)
+        .select(col("q_id"), col("rn"), col("c_id"), col("maxsim")),
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mqg AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |        FROM q, $slot p),
+           |mcg AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |pcg AS (SELECT mqg.q_id, mcg.c_id, mqg.qpos,
+           |          ${cosSql("mqg.sv", "mcg.sv")} AS cos
+           |        FROM mqg JOIN mcg ON mqg.q_id <> mcg.c_id),
+           |mxg AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |        FROM pcg GROUP BY 1, 2, 3),
+           |scg AS (SELECT q_id, c_id,
+           |          CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |        FROM mxg GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM scg)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 10""".stripMargin
+      },
+      "the covering (prefilterC = n) MaxSim gold as a first-class query: the measurement baseline q212's metrics read, billed under its own name"),
 
     // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
     // generator (DPR/ANCE style): for each anchor, the positive is

@@ -160,11 +160,13 @@ class PlanSpec extends AnyFunSuite {
     // (measurement by design); the served leg is all equi-joins into
     // the stored index and the metric join is k rows per query
     "q183_retrieval_metrics",
-    // q183 for the multi-vector face: the gold is the COVERING MaxSim
-    // baseline (prefilterC = n through the brute pooled scan — the r10
-    // lesson that bounded golds are proxy-vs-proxy), measurement by
-    // design; the served slot-face leg is all equi-joins
-    "q212_maxsim_metrics",
+    // the COVERING MaxSim baseline (prefilterC = n through the brute
+    // pooled scan — the r10 lesson that bounded golds are
+    // proxy-vs-proxy), measurement by design. Since the r12 bench
+    // split it is its OWN query (q214) billing the gold; q212 reads
+    // the memoized copy and left this list — its plan is parquet +
+    // equi-joins only
+    "q214_maxsim_covering_gold",
     // the weight-total and leftover frames are ONE-row aggregates
     // crossJoined onto the source-cardinality allocation table —
     // q157's bounded stats-frame shape; doc selection is the source
