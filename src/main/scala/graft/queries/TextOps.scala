@@ -3303,18 +3303,22 @@ object TextOps {
 
     // ONLINE CERTIFICATE — q200's release checksum maintained
     // INCREMENTALLY by the curate stream: each ingest lands one
-    // immutable delta row per shard (count, token mass, XOR of
-    // tokenHashWide(doc_id:n_toks) over the batch's KEPT docs) and the
-    // served certificate is a tiny fold over the deltas — XOR and sum
-    // are associative + commutative, so maintained ≡ from-scratch by
-    // algebra, and this query PINS it: it runs q196's two-micro-batch
-    // scenario with the cert layer armed, reads the served
-    // certificate, recomputes the same certificate from the stored
-    // lex_dl entity (the store's kept-doc token lengths), and emits
-    // per-shard equality. At 100 TB certifying a month of ingest
-    // costs a scan of #batches × 8 delta rows, not of the corpus.
-    // The oracle replays bootstrap ∪ kept₁ ∪ kept₂ and folds the
-    // XOR itself — consistent must come out TRUE row for row.
+    // immutable delta row per shard (count, token mass, XOR of the
+    // membership fingerprint tokenHashWide(doc_id:n_toks), and — the
+    // r12 position face — XOR of tokenHashWide(doc_id:seq:n_toks)
+    // with seq the per-shard ARRIVAL RANK from stored prior counts)
+    // and the served certificate is a tiny fold over the deltas —
+    // XOR and sum are associative + commutative, so maintained ≡
+    // from-scratch by algebra, and this query PINS it: it runs
+    // q196's two-micro-batch scenario with the cert layer armed,
+    // reads the served certificate, recomputes BOTH faces from the
+    // stored lex_dl entity (membership directly; position via the
+    // (phase, doc_id) window that reproduces arrival order), and
+    // emits per-shard equality. At 100 TB certifying a month of
+    // ingest costs a scan of #batches × 8 delta rows, not of the
+    // corpus. The oracle replays bootstrap ∪ kept₁ ∪ kept₂ with
+    // phase-ordered seq and folds both XORs itself — consistent
+    // must come out TRUE row for row.
     "q203_cert_online" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
