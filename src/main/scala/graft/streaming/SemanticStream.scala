@@ -654,10 +654,19 @@ object SemanticStream {
         if (autoThreshold > 0)
           retrainIfUnbalanced(spark, root, man, autoThreshold, k)
         man.unpersist()
-        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           Seq(CellsEntity, ManifestEntity, PqCodesEntity, SqCodesEntity,
-              JlVecsEntity, SlotCellsEntity)
+              JlVecsEntity)
             .foreach(Layout.compactStatic(spark, root, _))
+          // slot cells compact RANGE-SORTED by cell (the lex-postings
+          // precedent): each file owns a cell range, so the slot
+          // gather's pushed In(cell, …) prunes files/row groups via
+          // parquet min/max stats instead of scanning the whole slot
+          // index per query batch (slot_gather_prune family measures
+          // the law; the fetch reads ≤ probed-cells' files)
+          Layout.compactStatic(spark, root, SlotCellsEntity,
+            sortBy = Seq("cell"))
+        }
         ()
       }
       .start()
@@ -845,14 +854,21 @@ object SemanticStream {
     repairSlots(s, root, scb, slices)
     val w = scb.head._2.length
     val dim = slices * w
-    SimSearch.ivfAssign(
+    val asg = SimSearch.ivfAssign(
         slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
           slices, dim), "sid", "sv", scb, p = slotNProbe)
       .select(expr(s"id div $slices").as("q_id"),
         explode(col("probes").getField("cid")).as("cell"))
       .distinct()
+      .localCheckpoint() // read twice: probe-literal collect + gather
+    // the same pushed In(cell, …) the serve gather uses — the audit
+    // must price the plan it audits
+    val probeCells = asg.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    asg
       .join(stored(s, root, SlotCellsEntity, SlotCellsDdl)
-        .select(col("id").as("c_id"), col("cell")), Seq("cell"))
+        .select(col("id").as("c_id"), col("cell"))
+        .where(col("cell").isin(probeCells: _*)), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
@@ -952,11 +968,27 @@ object SemanticStream {
           "left_semi")
       case None => scells0
     }
+    // pushed gather (the lex_prune discipline applied to the slot
+    // index): the probe union is BOUNDED (≤ nq·T·slotNProbe cells), so
+    // it collects to literals and reaches the slot-cells scan as a
+    // pushed In(cell, …) — on the cell-sorted compacted layout (the
+    // stream driver's window range-sorts this entity) parquet min/max
+    // stats skip every file holding no probed cell, so the gather
+    // reads the probed SLICE of the index instead of all of it
+    // (`slot_gather_prune` family measures the law; PlanSpec pins the
+    // pushed filter). Semantics-preserving: rows outside the union
+    // cannot meet the gather equi-join anyway. The CUT stage below
+    // still reads the unfiltered rows — it needs every slot of the
+    // gathered candidates, probed or not.
+    val probeCells = asg
+      .select(explode(slice(col("probes"), 1, slotNProbe)
+        .getField("cid")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val cand = asg
       .select(col("q_id"), explode(
         slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
       .distinct()
-      .join(scells, Seq("cell"))
+      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
     // stage 1a′ (centroid cut): rank gathered candidates by the cheap

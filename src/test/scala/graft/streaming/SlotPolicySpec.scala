@@ -48,4 +48,27 @@ class SlotPolicySpec extends AnyFunSuite {
         s"C=${SemanticStream.SlotPolicy.PrefilterC}) " +
         f"recall@3 = $recall%.4f < ${SemanticStream.SlotPolicy.TargetRecall3}")
   }
+
+  test("slot gather: the probe union reaches the slot-cells scan as a pushed In filter") {
+    // the lex_prune discipline on the slot index (r12): the bounded
+    // probe union collects to literals, so the gather's slot-cells
+    // scan carries PushedFilters In(cell, …) — on the cell-sorted
+    // compacted layout that is file/row-group skipping, not a full
+    // index read per query batch (`slot_gather_prune` has the measured
+    // row). Pinned on slotGatherCount, whose gather IS its final plan
+    // (q210's stage 1 executes behind maxSimRerank's candidate
+    // checkpoint and cannot show its scans in the registry plan). One
+    // query at slotK = 8 keeps the union ≤ 8 literals — under the
+    // parquet In-pushdown threshold, so the filter renders verbatim.
+    val emb = graft.bench.ScaleLaws
+      .slotTopicEmbeddings(spark, n = 200L, topics = 32)
+      .localCheckpoint()
+    val root = graft.Temps.dir("slot-push-spec")
+    SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true,
+      slotK = 8, slotRounds = 0)
+    val p = SemanticStream.slotGatherCount(
+        emb.where(col("vec_id") === 0), root, slotNProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("In(cell"), p)
+  }
 }
