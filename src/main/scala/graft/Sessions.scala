@@ -31,6 +31,16 @@ object Sessions {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded literal-probe fetches (lex postings In(t, …), slot
+      // gather In(cell, …)) must reach parquet as MEMBERSHIP
+      // predicates: past the default threshold (10) Spark degrades an
+      // In to a [min, max] range filter, whose row-group pruning is
+      // near-useless for a probe spanning the key space. The probe
+      // unions these plans collect are bounded by construction
+      // (query terms; nq·T·np cells), so raising the cap keeps the
+      // executed pruning equal to the per-value rule the
+      // lex_prune/slot_gather_prune families measure.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       // events.ts is parquet TIMESTAMP(NANOS); read as raw long once,
       // session-wide, instead of mutating conf inside a reader.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

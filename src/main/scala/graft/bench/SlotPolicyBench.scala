@@ -67,14 +67,20 @@ object SlotPolicyBench {
           SemanticStream.bootstrap(emb, root, withSq = true,
             withSlots = true, slotK = slotK, slotRounds = 3)
           for (np <- Seq(2, 4, 8)) {
-            val gstat = SemanticStream.slotGatherCount(queries, root,
+            // per-query gather sizes collected once per (K, np); the
+            // scored bill derives from them PER cut value below (a
+            // hardcoded least(·, 128) would silently decouple the
+            // reported bill from the swept knob — r12 review)
+            val cands = SemanticStream.slotGatherCount(queries, root,
                 slotNProbe = np)
-              .agg(avg(col("n_cand")),
-                avg(least(col("n_cand"), lit(128L))))
-              .collect().head
-            val avgCand = gstat.getDouble(0)
-            val avgCut = gstat.getDouble(1)
+              .select(col("n_cand")).collect().map(_.getLong(0))
+            val avgCand =
+              if (cands.isEmpty) 0.0 else cands.sum.toDouble / cands.length
             for (cut <- Seq(0, 128)) {
+              val scored =
+                if (cut <= 0 || cands.isEmpty) avgCand
+                else cands.map(c => math.min(c, cut.toLong).toDouble)
+                  .sum / cands.length
               val (df, secs) = time {
                 val r = SemanticStream.queryTopKMaxSimSlots(queries, root,
                   topK = 3, prefilterC = 32, slotNProbe = np, cutC = cut)
@@ -85,7 +91,6 @@ object SlotPolicyBench {
               val hits = gold.join(df, Seq("q_id", "c_id"), "left_semi")
                 .count()
               df.unpersist()
-              val scored = if (cut > 0) avgCut else avgCand
               println(s"""{"family":"slot_policy","corpus":"$corpus",""" +
                 s""""n":$n,"queries":$nq,"gold":$goldN,""" +
                 s""""slotK":$slotK,"nprobe":$np,"cut":$cut,"c":32,""" +

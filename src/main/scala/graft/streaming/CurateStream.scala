@@ -189,12 +189,25 @@ object CurateStream {
     * partition-independent, so it equals the from-scratch q200-style
     * recompute over the store's kept docs (q203 pins the equality). */
   def certificate(s: SparkSession, root: String): Option[DataFrame] =
-    Layout.readStatic(s, root, CertEntity).map(_
-      .groupBy(col("shard"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("sum_toks")).as("sum_toks"),
-        expr("bit_xor(xor_fp)").as("checksum"),
-        expr("bit_xor(xor_fp_seq)").as("seq_checksum")))
+    Layout.readStatic(s, root, CertEntity).map { df =>
+      // loud-failure guard (r12 review): a store written before the
+      // position face carries xor_fp_seq = null on its old delta rows
+      // after the schema-widening upsert — bit_xor would silently
+      // SKIP them and serve a seq_checksum omitting every pre-upgrade
+      // batch while the membership face still covers them. The check
+      // is one action over the ≤ #batches × CertShards delta rows.
+      require(df.columns.contains("xor_fp_seq") &&
+        df.where(col("xor_fp_seq").isNull).isEmpty,
+        s"cert store under $root predates position coverage " +
+          "(xor_fp_seq missing or null) — rebuild the certificate " +
+          "entity: drop it and re-run bootstrap(withCert)/the ingests " +
+          "over the kept corpus (see CertEntity's version contract)")
+      df.groupBy(col("shard"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_toks")).as("sum_toks"),
+          expr("bit_xor(xor_fp)").as("checksum"),
+          expr("bit_xor(xor_fp_seq)").as("seq_checksum"))
+    }
 
   /** Span-gate threshold: a doc whose stored-corpus span coverage
     * reaches this fraction of its own distinct spans is

@@ -46,7 +46,13 @@ import graft.sinks.Layout
   * compares the cells' `ver` against the codebook's and ROLLS the
   * torn retrain FORWARD (one reassignment pass — the exact work the
   * crash interrupted) before probing. RetrainSpec kills retrain
-  * between the swaps and pins the repair.
+  * between the swaps and pins the repair. Read-path repairs (here and
+  * on the slot sidecar) ride the store's ONE-WRITER-PER-ROOT
+  * discipline that every [[Layout]] swap already assumes: the process
+  * that detects a torn swap performs the writer's roll-forward, so a
+  * deployment serves and ingests a root from one driver — or
+  * quiesces ingest before serving across a crash window — exactly as
+  * it must for the upsert/compaction swaps themselves.
   *
   * Dedup rule (q135's keep-first, extended with provenance): a batch
   * vector is a duplicate when some same-cell vector scores cosine
@@ -381,17 +387,39 @@ object SemanticStream {
       root, SlotCellsEntity)
   }
 
+  /** Clean-check memo for [[repairSlots]]: once a root's slot cells
+    * verified consistent under book hash `ver`, later calls in this
+    * process skip the check entirely — every path that could
+    * invalidate it (retrain, rotation, repair) lands a NEW book whose
+    * content hash misses the memo, forcing one fresh scan under the
+    * new hash. Ingest folds rows tagged with the live hash, which
+    * preserves a recorded clean state. */
+  private val cleanSlotChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Roll a torn [[slotRetrain]] forward if any stored slot-cell row's
-    * tag disagrees with the live slot book's content hash (cheap: a
-    * column-pruned `ver` scan). Every slot-face read/ingest path calls
-    * this after reading the book, so gather never mixes assignments
-    * from two slot codebooks. */
+    * tag disagrees with the live slot book's content hash. The
+    * not-torn check is metadata-cheap (ver is constant per file, so
+    * parquet min/max stats answer the pushed not-equal without row
+    * reads) and memoized per (root, book hash) besides
+    * ([[cleanSlotChecks]]) — the common case costs nothing. A store
+    * written BEFORE the ver column existed reads without the tag at
+    * all and is treated as torn: the reassignment pass migrates it in
+    * place instead of every slot-face call crashing on the missing
+    * column (r12 review). Every slot-face read/ingest path calls this
+    * after reading the book, so gather never mixes assignments from
+    * two slot codebooks. */
   private def repairSlots(s: SparkSession, root: String,
       scb: Seq[(Long, Seq[Double], Double)], slices: Int): Unit = {
     val ver = codebookVersion(scb)
-    val torn = !stored(s, root, SlotCellsEntity, SlotCellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (ver == cleanSlotChecks.get(root)) return
+    val cells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+    val torn =
+      if (!cells.columns.contains("ver")) true // pre-ver store: migrate
+      else !cells.where(!(col("ver") <=> lit(ver))).isEmpty
     if (torn) reassignSlots(s, root, scb, slices, ver)
+    cleanSlotChecks.put(root, ver)
+    ()
   }
 
   /** Re-fit the frozen SLOT codebook to the corpus the index has

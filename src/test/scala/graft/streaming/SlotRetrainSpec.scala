@@ -88,6 +88,26 @@ class SlotRetrainSpec extends AnyFunSuite {
     assert(SemanticStream.slotCellImbalance(spark, root) === 0.5)
   }
 
+  test("pre-ver slot store migrates in place instead of crashing") {
+    // a store written before the ver column existed (r11 schema) must
+    // not hard-fail every slot-face call on the missing column: the
+    // repair treats it as torn and reassigns in place (r12 review)
+    val s = spark
+    import s.implicits._
+    val root = graft.Temps.dir("slot-retrain-legacy")
+    boot(root)
+    val legacy = cellsState(root).toSeq.map(t => (t._1, t._2, t._3))
+      .toDF("id", "pos", "cell")
+    Layout.replaceStatic(legacy, root, SemanticStream.SlotCellsEntity)
+    val res = SemanticStream.queryTopKMaxSimSlots(
+        df(Seq(500L -> Seq(0.0, 1.0, 0.0, 1.0))), root, topK = 3,
+        prefilterC = 16, slotNProbe = 1)
+      .count()
+    assert(res > 0)
+    assert(cellsState(root).map(_._4) === Set(bookVer(root)),
+      "migration retagged every row")
+  }
+
   test("kill between book and cells swap: next slot-face serve rolls forward") {
     val clean = graft.Temps.dir("slot-retrain-clean")
     val torn = graft.Temps.dir("slot-retrain-torn")

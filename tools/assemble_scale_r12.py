@@ -31,6 +31,13 @@ ingest(slotpolicy_log)  # slot_policy (fresh joint grid, both geometries)
 ingest(slotdrift_log)   # slot_drift (fresh)
 ingest(attr_log)        # attr_bucketed (fresh)
 
+# fail loudly if a fresh log produced no rows — otherwise the carry
+# loop below would silently substitute r11's stale rows while the note
+# claims freshness (r12 review)
+for required in ("slot_policy", "slot_drift", "attr_bucketed"):
+    assert fams.get(required), f"fresh family '{required}' has no rows — " \
+        "did its bench run fail? refusing to carry stale data as fresh"
+
 r11 = json.load(open("/root/repo/SCALE_MEASURED_r11.json"))
 carried = []
 for name, rows in r11["families"].items():
