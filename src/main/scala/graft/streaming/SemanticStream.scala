@@ -236,6 +236,32 @@ object SemanticStream {
     Layout.replaceStatic(reassigned, root, CellsEntity)
   }
 
+  /** Clean-check memo for the MAIN inverted file's torn-retrain check
+    * — the slot memo's twin ([[cleanSlotChecks]]): every serve face
+    * and ingest ran one `ver`-mismatch job per call; once a root
+    * verified consistent under codebook hash `ver`, later calls in
+    * this process skip it. Sound for the same reason: anything that
+    * could invalidate the state ([[retrain]], a concurrent process's
+    * retrain, a repair) lands a NEW codebook whose content hash
+    * misses the memo — and the book is re-read per call — while
+    * ingest folds rows tagged with the live hash. */
+  private val cleanCellChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Roll a torn [[retrain]] forward if needed; memoized per (root,
+    * codebook hash). The not-torn scan is metadata-cheap besides (ver
+    * is constant per file, so parquet stats answer the pushed
+    * not-equal) — the memo removes even the job-launch. */
+  private def repairCells(s: SparkSession, root: String,
+      cb: Seq[(Long, Seq[Double], Double)], ver: String): Unit = {
+    if (ver == cleanCellChecks.get(root)) return
+    val torn = !stored(s, root, CellsEntity, CellsDdl)
+      .where(!(col("ver") <=> lit(ver))).isEmpty
+    if (torn) reassignAll(s, root, cb, ver)
+    cleanCellChecks.put(root, ver)
+    ()
+  }
+
   /** The stored PQ books, as the nested structure the kernel
     * expressions take. */
   def readBooks(s: SparkSession, root: String): Option[Seq[Seq[Seq[Double]]]] = {
@@ -328,15 +354,24 @@ object SemanticStream {
     jlVersion(dOut, seed)
   }
 
+  /** Clean-check memo for the JL family tag — the cell/slot memos'
+    * twin; a rotation lands a new (dOut, seed) whose version misses
+    * the memo, and ingest folds rows tagged with the live family. */
+  private val cleanJlChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Roll a torn [[rotateJlFamily]] forward if the projected rows'
-    * family tag disagrees with the stored meta (cheap: the check is a
-    * column-pruned `ver` scan). */
+    * family tag disagrees with the stored meta (memoized per (root,
+    * family version); the scan itself is column-pruned `ver` only). */
   private def repairJl(s: SparkSession, root: String, dOut: Int,
       seed: Long): Unit = {
     val ver = jlVersion(dOut, seed)
+    if (ver == cleanJlChecks.get(root)) return
     val torn = !stored(s, root, JlVecsEntity, JlVecsDdl)
       .where(!(col("ver") <=> lit(ver))).isEmpty
     if (torn) reprojectAll(s, root, dOut, seed)
+    cleanJlChecks.put(root, ver)
+    ()
   }
 
   /** The stored slot codebook as (codebook, slices): centroids in the
@@ -718,9 +753,7 @@ object SemanticStream {
       stored(s, root, CodebookEntity, CodebookDdl))
     require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
     val ver = codebookVersion(cb)
-    val torn = !stored(s, root, CellsEntity, CellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
-    if (torn) reassignAll(s, root, cb, ver)
+    repairCells(s, root, cb, ver)
     val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
         explode(col("probes").getField("cid")).as("cell"))
@@ -798,9 +831,7 @@ object SemanticStream {
       stored(s, root, CodebookEntity, CodebookDdl))
     require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
     val ver = codebookVersion(cb)
-    val torn = !stored(s, root, CellsEntity, CellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
-    if (torn) reassignAll(s, root, cb, ver)
+    repairCells(s, root, cb, ver)
     val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
         explode(col("probes").getField("cid")).as("cell"))
@@ -1109,9 +1140,7 @@ object SemanticStream {
       stored(s, root, CodebookEntity, CodebookDdl))
     require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
     val ver = codebookVersion(cb)
-    val torn = !stored(s, root, CellsEntity, CellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
-    if (torn) reassignAll(s, root, cb, ver)
+    repairCells(s, root, cb, ver)
     repairJl(s, root, dOut, seed)
     // assignment + the query's own projection in one pass
     val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
@@ -1173,9 +1202,7 @@ object SemanticStream {
       stored(s, root, CodebookEntity, CodebookDdl))
     require(cb.nonEmpty, s"no codebook under $root — bootstrap first")
     val ver = codebookVersion(cb)
-    val torn = !stored(s, root, CellsEntity, CellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
-    if (torn) reassignAll(s, root, cb, ver)
+    repairCells(s, root, cb, ver)
     val probes = SimSearch.ivfAssign(queries, idCol, vecCol, cb, p = nProbe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("n").as("qn"),
         graft.functions.PqExprs.distTable(col("v"), books).as("dtab"),
@@ -1255,12 +1282,9 @@ object SemanticStream {
     val ver = codebookVersion(cb)
     // torn-retrain repair: any cell row not tagged with the live
     // codebook's version was assigned under a different codebook —
-    // finish the interrupted reassignment before probing (the check is
-    // a column-pruned scan of `ver` only; parquet min/max stats prune
-    // the files on a healthy store)
-    val torn = !stored(s, root, CellsEntity, CellsDdl)
-      .where(!(col("ver") <=> lit(ver))).isEmpty
-    if (torn) reassignAll(s, root, cb, ver)
+    // finish the interrupted reassignment before probing (memoized
+    // clean check; see repairCells)
+    repairCells(s, root, cb, ver)
     // zero-shuffle assignment of the batch against the frozen codebook;
     // probe 1 is the assignment cell (what a kept vector is stored
     // under), probes 2..p only widen the match search
