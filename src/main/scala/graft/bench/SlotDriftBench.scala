@@ -76,6 +76,48 @@ object SlotDriftBench {
             f""""secs":${math.round(secs * 100) / 100.0},""" +
             f""""retrain_secs":${math.round(retrainSecs * 100) / 100.0}}""")
         }
+        // the SERVING face after the stream: what drift under a frozen
+        // vs retrained slot book costs at query time. Collapse drift
+        // crowds slots into few cells, so the harm is SELECTIVITY, not
+        // reachability — drifted queries' probes land in the crowded
+        // cells (their aligned neighbors are there, recall holds) but
+        // gather admits a blown-up candidate set; the retrained book
+        // re-spreads the region and restores the gather bill. Queries
+        // = drifted kept vectors; gold = covering MaxSim over the
+        // accumulated store; served = the slot face, cut disarmed
+        // (drift geometry is decorrelated — the pinned policy's
+        // documented disarm case).
+        val corpus = graft.sinks.Layout
+          .readStatic(spark, root, SemanticStream.CellsEntity).get
+          .select(col("id").as("vec_id"), col("v").as("embedding"))
+          .localCheckpoint()
+        val n = corpus.count()
+        val qs = corpus.where(col("vec_id") >= 10000000L &&
+            pmod(col("vec_id"), lit(3)) === 0)
+          .localCheckpoint()
+        val nq = qs.count()
+        if (nq > 0) {
+          val avgCand = SemanticStream.slotGatherCount(qs, root,
+              slotNProbe = 2)
+            .agg(avg(col("n_cand"))).collect().head.getDouble(0)
+          val gold = graft.ops.LateInteraction.maxSimTopK(qs, corpus,
+              "vec_id", "embedding", k = 3, prefilterC = n.toInt)
+            .select("q_id", "c_id").localCheckpoint()
+          val served = SemanticStream.queryTopKMaxSimSlots(qs, root,
+              topK = 3, prefilterC = 32, slotNProbe = 2)
+            .select("q_id", "c_id")
+          val hits = gold.join(served, Seq("q_id", "c_id"), "left_semi")
+            .count()
+          val goldN = gold.count()
+          println(f"""{"family":"slot_drift_serve","retrain":$retrain,""" +
+            f""""slot_k":$slotK,"n":$n,"queries":$nq,"gold":$goldN,""" +
+            f""""avg_cand":${math.round(avgCand)},""" +
+            f""""cand_frac":${math.round(avgCand * 10000.0 / n) / 10000.0},""" +
+            f""""hits":$hits,""" +
+            f""""recall3":${math.round(hits * 10000.0 / goldN) / 10000.0}}""")
+          gold.unpersist()
+        }
+        qs.unpersist(); corpus.unpersist()
       }
     } finally spark.stop()
   }

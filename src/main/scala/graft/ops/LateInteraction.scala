@@ -99,11 +99,21 @@ object LateInteraction {
       cIdCol, cVecCol, slices, dim)
       .select(col("id").as("c_id"), col("pos").as("cpos"),
         col("sv").as("cv"), col("sn").as("cn"))
+    // zero-norm slot guard (the SqSlotCosExpr contract at the exact
+    // stage): SLICING makes all-zero sub-vectors reachable on real
+    // data (e.g. a sparse or domain-collapsed embedding whose live
+    // dims all fall outside one slice — the drift rehearsal produces
+    // them), and under ANSI mode the raw division ERRORS the whole
+    // serve instead of scoring; a zero slot contributes 0, never a
+    // crash or a NaN that max() would rank greatest. The oracles
+    // mirror the CASE (cosSqlZ); norms are exactly 0 iff the slice is.
     val pairCos = preC
       .join(broadcast(qm), Seq("q_id"))
       .join(cm, Seq("c_id"))
       .select(col("q_id"), col("c_id"), col("qpos"),
-        round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+        when(col("qn") === 0 || col("cn") === 0, lit(0.0))
+          .otherwise(round(SimSearch.cosine(col("qv"), col("cv"),
+            col("qn"), col("cn")), 6))
           .as("cos"))
     val slotMax = pairCos.groupBy(col("q_id"), col("c_id"), col("qpos"))
       .agg(max(col("cos")).as("m"))

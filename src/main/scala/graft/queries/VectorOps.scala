@@ -27,6 +27,17 @@ object VectorOps {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** [[cosSql]] with the zero-norm SLOT guard — the SQL mirror of
+    * [[graft.ops.LateInteraction.maxSimRerank]]'s CASE (and the
+    * SqSlotCosExpr contract): an all-zero slice scores 0.0 instead of
+    * erroring under ANSI division or yielding a NaN that max() ranks
+    * greatest. Used at slice-pair sites only; whole-vector cosines
+    * keep the raw fold (a zero-norm WHOLE vector is degenerate input,
+    * not a reachable slicing artifact). */
+  private def cosSqlZ(a: String, b: String): String =
+    s"(CASE WHEN ${dotSql(a, a)} = 0 OR ${dotSql(b, b)} = 0 " +
+      s"THEN CAST(0.0 AS DOUBLE) ELSE ${cosSql(a, b)} END)"
+
   /** Covering MaxSim gold (queries = vec_id < 4, k = 10) over the
     * embeddings table: prefilterC = n, so the re-rank IS unbounded
     * MaxSim — the sanctioned measurement baseline (the r10 lesson
@@ -1126,7 +1137,7 @@ object VectorOps {
            |       FROM e, $slot p
            |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
            |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
            |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
            |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |       FROM pc GROUP BY 1, 2, 3),
@@ -1217,7 +1228,7 @@ object VectorOps {
            |       FROM e, $slot p
            |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
            |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
            |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
            |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |       FROM pc GROUP BY 1, 2, 3),
@@ -1341,7 +1352,7 @@ object VectorOps {
            |       FROM e, $slot p
            |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
            |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
            |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
            |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |       FROM pc GROUP BY 1, 2, 3),
@@ -1456,7 +1467,7 @@ object VectorOps {
            |       FROM e, $slot p
            |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
            |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
            |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
            |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |       FROM pc GROUP BY 1, 2, 3),
@@ -1682,7 +1693,7 @@ object VectorOps {
            |mcg AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
            |        FROM e, $slot p),
            |pcg AS (SELECT mqg.q_id, mcg.c_id, mqg.qpos,
-           |          ${cosSql("mqg.sv", "mcg.sv")} AS cos
+           |          ${cosSqlZ("mqg.sv", "mcg.sv")} AS cos
            |        FROM mqg JOIN mcg ON mqg.q_id <> mcg.c_id),
            |mxg AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |        FROM pcg GROUP BY 1, 2, 3),
@@ -1748,7 +1759,7 @@ object VectorOps {
            |       FROM e, $slot p
            |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
            |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSql("mq.sv", "mc.sv")} AS cos
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
            |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
            |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |       FROM pc GROUP BY 1, 2, 3),
@@ -1799,7 +1810,7 @@ object VectorOps {
            |mcg AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
            |        FROM e, $slot p),
            |pcg AS (SELECT mqg.q_id, mcg.c_id, mqg.qpos,
-           |          ${cosSql("mqg.sv", "mcg.sv")} AS cos
+           |          ${cosSqlZ("mqg.sv", "mcg.sv")} AS cos
            |        FROM mqg JOIN mcg ON mqg.q_id <> mcg.c_id),
            |mxg AS (SELECT q_id, c_id, qpos, max(cos) AS m
            |        FROM pcg GROUP BY 1, 2, 3),
