@@ -179,9 +179,12 @@ object TextOps {
     val s4 = s3
       .withColumn("T", tokens(col("text")))
       .withColumn("n_toks", size(col("T")).cast("long"))
-      .withColumn("stopword_ratio", round(
-        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
-          .cast("double") / col("n_toks"), 6))
+      .withColumn("stopword_ratio",
+        // empty-doc guard (mirrors CurateStream.ingestBatch and the
+        // replay SQL): 0 tokens → ratio 0.0, lands low_quality
+        when(col("n_toks") === 0, lit(0.0)).otherwise(round(
+          size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+            .cast("double") / col("n_toks"), 6)))
       .where(col("n_toks") >= 40L && col("stopword_ratio") >= 0.03)
     // stage 5: PII scrub (q126's injected fixture so the redaction
     // provably fires; chars_removed rides the manifest)
@@ -284,8 +287,9 @@ object TextOps {
        |       ANTI JOIN cont USING (doc_id)),
        |q4 AS (SELECT doc_id, text, source,
        |         CAST(len($toksSql) AS BIGINT) AS n_toks,
-       |         round(CAST(len(list_filter($toksSql, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
-       |               / len($toksSql), 6) AS stopword_ratio
+       |         CASE WHEN len($toksSql) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE round(CAST(len(list_filter($toksSql, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+       |               / len($toksSql), 6) END AS stopword_ratio
        |       FROM s3),
        |s4 AS (SELECT * FROM q4 WHERE n_toks >= 40 AND stopword_ratio >= 0.03),
        |s5 AS (SELECT doc_id, source, n_toks, stopword_ratio,
@@ -434,9 +438,12 @@ object TextOps {
     val withQ = keyed
       .withColumn("T", tokens(col("text")))
       .withColumn("n_toks", size(col("T")).cast("long"))
-      .withColumn("stopword_ratio", round(
-        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
-          .cast("double") / col("n_toks"), 6))
+      .withColumn("stopword_ratio",
+        // empty-doc guard (mirrors CurateStream.ingestBatch and the
+        // replay SQL): 0 tokens → ratio 0.0, lands low_quality
+        when(col("n_toks") === 0, lit(0.0)).otherwise(round(
+          size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+            .cast("double") / col("n_toks"), 6)))
     def flag(df: DataFrame, name: String) =
       df.withColumn(name, lit(1))
     withQ
@@ -611,8 +618,9 @@ object TextOps {
        |keys AS (SELECT doc_id, md5(text) AS key FROM documents),
        |shing AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("T")}, s -> ${tokHashSql("s")}))) AS sh FROM t),
        |q AS (SELECT doc_id, CAST(len(T) AS BIGINT) AS n_toks,
-       |        round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
-       |              / len(T), 6) AS stopword_ratio
+       |        CASE WHEN len(T) = 0 THEN CAST(0.0 AS DOUBLE)
+       |        ELSE round(CAST(len(list_filter(T, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+       |              / len(T), 6) END AS stopword_ratio
        |      FROM t),
        |idx1 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
        |${phase(1, 0, "doc_id % 10 <> 5")},

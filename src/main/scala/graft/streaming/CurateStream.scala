@@ -381,9 +381,14 @@ object CurateStream {
       .withColumn("sig", graft.functions.EvmExprs.minHashSigFromText(col("text")))
       .withColumn("T", tokens(col("text")))
       .withColumn("n_toks", size(col("T")).cast("long"))
-      .withColumn("stopword_ratio", round(
-        size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
-          .cast("double") / col("n_toks"), 6))
+      .withColumn("stopword_ratio",
+        // guarded: an EMPTY doc (n_toks = 0) is routine crawl input
+        // and must land low_quality, not kill the whole micro-batch
+        // with an ANSI division error (r12 sweep — the zero-slot
+        // class at the text layer; the replay SQL mirrors the CASE)
+        when(col("n_toks") === 0, lit(0.0)).otherwise(round(
+          size(filter(col("T"), w => w.isin("the", "a", "of", "and", "to")))
+            .cast("double") / col("n_toks"), 6)))
       .select(
         (batch0.columns.map(col) ++ Seq(col("key"), col("rn"),
           col("n_toks"), col("stopword_ratio")) ++

@@ -205,6 +205,22 @@ class CurateStreamSpec extends AnyFunSuite {
       === deltaRows)
   }
 
+  test("empty doc lands low_quality instead of killing the batch") {
+    // zero tokens → stopword_ratio guard returns 0.0 (under Spark 4's
+    // ANSI default the raw division ERRORS the whole micro-batch —
+    // the r12 zero-denominator sweep; empty docs are routine crawl
+    // input). The doc routes low_quality via n_toks < 40; batch-mates
+    // are untouched.
+    val root = graft.Temps.dir("curate-empty-doc")
+    CurateStream.bootstrap(docsDF(Seq(1L -> qtext(1))), root)
+    val man = CurateStream.ingestBatch(docsDF(Seq(
+      60L -> "   ", 61L -> qtext(5))), root)
+    val got = man.select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(60L) === "low_quality")
+    assert(got(61L) === "kept")
+  }
+
   test("cert position face: swapped arrival order flips seq_checksum, not membership") {
     // the r11 carried footnote ("covers membership+mass, not
     // position") closed and demonstrated: two stores ingest the SAME
