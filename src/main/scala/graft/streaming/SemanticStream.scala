@@ -451,7 +451,15 @@ object SemanticStream {
     val cells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
     val torn =
       if (!cells.columns.contains("ver")) true // pre-ver store: migrate
-      else !cells.where(!(col("ver") <=> lit(ver))).isEmpty
+      else if (!cells.where(!(col("ver") <=> lit(ver))).isEmpty) true
+      // A present slot book over an EMPTY slot_cells entity next to a
+      // NONEMPTY inverted file is the other torn-bootstrap shape: a
+      // crash between the book and cells upserts leaves the mismatch
+      // scan vacuously clean, and memoizing that verdict would serve
+      // zero gather candidates silently for the process lifetime
+      // (r12 advice). Both isEmpty probes are limit-1 scans and only
+      // run when the mismatch scan found nothing.
+      else cells.isEmpty && !stored(s, root, CellsEntity, CellsDdl).isEmpty
     if (torn) reassignSlots(s, root, scb, slices, ver)
     cleanSlotChecks.put(root, ver)
     ()
@@ -1010,7 +1018,10 @@ object SemanticStream {
       .select(expr(s"id div $slices").as("q_id"),
         pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
         col("v").as("qv"), col("probes"))
-      .localCheckpoint() // bound assignment to one pass; read 2×
+      .localCheckpoint() // bound the fold to one pass; read up to 4×
+      // (probe-literal collect, gather, centroid-cut qcn, stage-1b
+      // join) — with cutC armed the fold runs at p = K, so recomputing
+      // it per consumer would quadruple the dominant kernel cost
     // stage 1a (gather): a doc is a candidate when ANY of its slots
     // sits in ANY query slot's top-`slotNProbe` cells — reachability
     // by slot alignment, the signal MaxSim ranks by. `allowed` is the

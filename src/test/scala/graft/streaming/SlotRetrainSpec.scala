@@ -108,6 +108,30 @@ class SlotRetrainSpec extends AnyFunSuite {
       "migration retagged every row")
   }
 
+  test("torn bootstrap (book landed, cells never did) repairs instead of memoizing clean") {
+    // the OTHER torn-bootstrap shape (r12 advice): a crash between the
+    // slot-book and slot-cells upserts leaves a present book over an
+    // empty cells entity — the ver-mismatch scan is vacuously clean,
+    // and memoizing that verdict would serve zero gather candidates
+    // silently for the process lifetime. The repair must treat
+    // book-present + cells-empty + inverted-file-nonempty as torn.
+    val root = graft.Temps.dir("slot-retrain-emptycells")
+    boot(root)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id bigint, pos int, cell bigint, ver string"))
+    Layout.replaceStatic(empty, root, SemanticStream.SlotCellsEntity)
+    val res = SemanticStream.queryTopKMaxSimSlots(
+        df(Seq(500L -> Seq(0.0, 1.0, 0.0, 1.0))), root, topK = 3,
+        prefilterC = 16, slotNProbe = 1)
+      .count()
+    assert(res > 0, "repair must rebuild the slot cells, not serve zero")
+    assert(cellsState(root).map(c => (c._1, c._2)).size === 12,
+      "reassignment rebuilt every (id, pos) row")
+    assert(cellsState(root).map(_._4) === Set(bookVer(root)))
+  }
+
   test("kill between book and cells swap: next slot-face serve rolls forward") {
     val clean = graft.Temps.dir("slot-retrain-clean")
     val torn = graft.Temps.dir("slot-retrain-torn")
