@@ -22,11 +22,15 @@ import graft.streaming.SemanticStream
   *
   * one arm frozen, one arm with [[SemanticStream.slotRetrain]] at the
   * 2/3 mark — the recovery the lifecycle buys (re-spread centroids →
-  * index share falls back toward the trained band). JSON rows, family
-  * `slot_drift`.
+  * index share falls back toward the trained band) — and one arm with
+  * the WIRED trigger ([[SemanticStream.slotRetrainIfUnbalanced]] on
+  * each batch's manifest, the r13 mechanization): its rows carry
+  * `fired` so the artifact shows the trigger firing mid-stream, under
+  * drift, without an operator picking the batch. JSON rows, family
+  * `slot_drift`; `retrain` ∈ frozen | fixed | auto.
   *
   * Usage: `runMain graft.bench.SlotDriftBench [batches=12]
-  * [sfDir=/root/testdata/sf0.1] [slotK=64]`. */
+  * [sfDir=/root/testdata/sf0.1] [slotK=64] [autoThreshold=0.25]`. */
 object SlotDriftBench {
 
   def main(args: Array[String]): Unit = {
@@ -40,13 +44,14 @@ object SlotDriftBench {
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
         .localCheckpoint()
-      for (retrain <- Seq(false, true)) {
-        val root = graft.Temps.dir(s"slot-drift-r$retrain")
+      val autoThreshold = args.lift(3).map(_.toDouble).getOrElse(0.25)
+      for (mode <- Seq("frozen", "fixed", "auto")) {
+        val root = graft.Temps.dir(s"slot-drift-$mode")
         SemanticStream.bootstrap(base, root, withSq = true,
           withSlots = true, slotK = slotK, slotRounds = 3)
         (0 until batches).foreach { b =>
           var retrainSecs = 0.0
-          if (retrain && b == batches * 2 / 3) {
+          if (mode == "fixed" && b == batches * 2 / 3) {
             val t0 = System.nanoTime()
             SemanticStream.slotRetrain(spark, root, slotK)
             retrainSecs = (System.nanoTime() - t0) / 1e9
@@ -56,20 +61,22 @@ object SlotDriftBench {
           val t0 = System.nanoTime()
           val man = SemanticStream.ingestVectors(batch, root)
           val secs = (System.nanoTime() - t0) / 1e9
-          val keptIds = man.where(col("status") === "kept")
-            .select(col("vec_id").as("id"))
-          val batchSlots = graft.sinks.Layout
-            .readStatic(spark, root, SemanticStream.SlotCellsEntity).get
-            .join(keptIds, Seq("id"), "left_semi")
-            .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-            .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
-            .collect().headOption
-            .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
-            .getOrElse(0.0)
+          // read the batch share BEFORE any triggered retrain retags
+          // the store — the row reports the signal the trigger saw
+          val batchSlots = SemanticStream.slotBatchImbalance(spark, root, man)
+          // the wired trigger (same call run() arms): fires on this
+          // batch's kept-slot imbalance, bills into retrain_secs
+          var fired = false
+          if (mode == "auto") {
+            val t1 = System.nanoTime()
+            fired = SemanticStream.slotRetrainIfUnbalanced(spark, root,
+              man, autoThreshold, slotK).nonEmpty
+            retrainSecs = (System.nanoTime() - t1) / 1e9
+          }
           val slotImb = SemanticStream.slotCellImbalance(spark, root)
           man.unpersist(); batch.unpersist()
-          println(f"""{"family":"slot_drift","retrain":$retrain,""" +
-            f""""slot_k":$slotK,"batch":$b,""" +
+          println(f"""{"family":"slot_drift","retrain":"$mode",""" +
+            f""""slot_k":$slotK,"batch":$b,"fired":$fired,""" +
             f""""alpha":${SemanticRehearsal.alphaOf(b, batches)}%.3f,""" +
             f""""slot_imb":$slotImb%.4f,""" +
             f""""batch_slot_imb":$batchSlots%.4f,""" +
@@ -109,7 +116,7 @@ object SlotDriftBench {
           val hits = gold.join(served, Seq("q_id", "c_id"), "left_semi")
             .count()
           val goldN = gold.count()
-          println(f"""{"family":"slot_drift_serve","retrain":$retrain,""" +
+          println(f"""{"family":"slot_drift_serve","retrain":"$mode",""" +
             f""""slot_k":$slotK,"n":$n,"queries":$nq,"gold":$goldN,""" +
             f""""avg_cand":${math.round(avgCand)},""" +
             f""""cand_frac":${math.round(avgCand * 10000.0 / n) / 10000.0},""" +

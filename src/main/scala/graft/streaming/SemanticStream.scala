@@ -520,6 +520,44 @@ object SemanticStream {
       .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
       .getOrElse(0.0)
 
+  /** Top-cell share of ONE ingest's kept SLOT rows —
+    * [[batchImbalance]]'s slot-face analog, and the signal the
+    * mechanized slot-book trigger watches: collapse drift piles the
+    * ARRIVING batch's slots into few cells (measured 0.09 → 0.375,
+    * `slot_drift` family) while the accumulated index's
+    * [[slotCellImbalance]] idles at ~0.02 behind dedup shielding — a
+    * trigger on the index-level metric would never fire. Reads the
+    * batch's own slot rows back from the store: a kept-id semi-join
+    * against the slot index — the batch id set is batch-bounded so
+    * Catalyst broadcasts it, and on the cell-sorted compacted layout
+    * the ingest's fresh (uncompacted) files hold most of the hits. */
+  def slotBatchImbalance(spark: SparkSession, root: String,
+      manifest: DataFrame): Double =
+    stored(spark, root, SlotCellsEntity, SlotCellsDdl)
+      .join(manifest.where(col("status") === "kept")
+        .select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+      .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+      .getOrElse(0.0)
+
+  /** [[retrainIfUnbalanced]]'s slot-face twin — the arming the r12
+    * verdict flagged as missing (metric + retrain + a measured trigger
+    * gap existed; nothing fired the retrain): [[slotRetrain]] when the
+    * batch's kept-slot imbalance crosses `threshold`, else leave the
+    * slot book frozen. No-op on stores without a slot sidecar. The
+    * threshold reads on the BATCH metric's measured scale (balanced
+    * ingest ~0.09 at K = 64, collapse drift 0.375 — `slot_drift`), not
+    * [[slotCellImbalance]]'s dedup-shielded ~0.02 band. Returns the
+    * new book hash when a retrain ran. */
+  def slotRetrainIfUnbalanced(spark: SparkSession, root: String,
+      manifest: DataFrame, threshold: Double, slotK: Int = SlotK,
+      rounds: Int = 3): Option[String] =
+    if (readSlotBook(spark, root).isEmpty) None
+    else if (slotBatchImbalance(spark, root, manifest) >= threshold)
+      Some(slotRetrain(spark, root, slotK, rounds))
+    else None
+
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
     * one) and the corpus's cell assignments. Idempotent. `withPq`
@@ -702,7 +740,11 @@ object SemanticStream {
     * mechanized maintenance policy per batch
     * ([[retrainIfUnbalanced]] on the fresh manifest — the measured
     * batch-level trigger; the stored index is dedup-shielded and
-    * would never fire). `compactEvery > 0` compacts the cells +
+    * would never fire). `slotAutoThreshold > 0` arms the SLOT book's
+    * twin ([[slotRetrainIfUnbalanced]] on the same manifest, at
+    * `slotAutoK` cells) — the r12 gap: the slot face had the metric
+    * and the retrain but nothing arming them. `compactEvery > 0`
+    * compacts the cells +
     * manifest stores AND every armed sidecar (PQ/SQ codes, JL rows,
     * slot cells — compactStatic is a no-op None for entities the
     * bootstrap never armed) every that many batches, keyed off the
@@ -714,7 +756,8 @@ object SemanticStream {
       root: String, checkpoint: String, maxFilesPerTrigger: Int = 1,
       probes: Int = 1, autoThreshold: Double = 0.0,
       compactEvery: Int = 0, k: Int = SimSearch.IvfK,
-      residual: Option[Double] = None): StreamingQuery =
+      residual: Option[Double] = None, slotAutoThreshold: Double = 0.0,
+      slotAutoK: Int = SlotK): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(rawDir)
@@ -724,6 +767,9 @@ object SemanticStream {
           residual = residual)
         if (autoThreshold > 0)
           retrainIfUnbalanced(spark, root, man, autoThreshold, k)
+        if (slotAutoThreshold > 0)
+          slotRetrainIfUnbalanced(spark, root, man, slotAutoThreshold,
+            slotAutoK)
         man.unpersist()
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           Seq(CellsEntity, ManifestEntity, PqCodesEntity, SqCodesEntity,

@@ -108,6 +108,52 @@ class SlotRetrainSpec extends AnyFunSuite {
       "migration retagged every row")
   }
 
+  test("slotRetrainIfUnbalanced: fires on a collapsed batch, stays frozen on a spread one") {
+    // the wired trigger (r12 verdict #3): the metric existed
+    // (slotCellImbalance), the retrain existed (slotRetrain), and the
+    // measured gap said the signal lives at the BATCH face — this case
+    // pins the arming. Batch vectors are anti-aligned with the corpus
+    // clusters (pairwise cosine ≤ 0 with everything) so dedup keeps
+    // them; one vector's slots land in ONE cell (share 1.0 ≥ 0.9 →
+    // retrain, new book hash), two mirror vectors spread 50/50
+    // (share 0.5 < 0.9 → frozen book).
+    val root = graft.Temps.dir("slot-retrain-trigger")
+    boot(root)
+    val ver0 = bookVer(root)
+    val spread = SemanticStream.ingestVectors(
+      df(Seq(101L -> Seq(-1.0, 0.0, -1.0, 0.0),
+             102L -> Seq(0.0, -1.0, 0.0, -1.0))), root)
+    assert(spread.where(col("status") === "kept").count() === 2)
+    assert(SemanticStream.slotBatchImbalance(spark, root, spread) === 0.5)
+    assert(SemanticStream.slotRetrainIfUnbalanced(spark, root, spread,
+      threshold = 0.9, slotK = 2).isEmpty)
+    assert(bookVer(root) === ver0, "balanced batch leaves the book frozen")
+
+    // fresh store for the collapse case (in `root` the mirror vectors
+    // are already indexed and would dedup the drifted arrival away)
+    val root2 = graft.Temps.dir("slot-retrain-trigger2")
+    boot(root2)
+    val collapsed = SemanticStream.ingestVectors(
+      df(Seq(103L -> Seq(-1.0, 0.0, -1.0, 0.0))), root2)
+    assert(collapsed.where(col("status") === "kept").count() === 1)
+    val share = SemanticStream.slotBatchImbalance(spark, root2, collapsed)
+    assert(share === 1.0, s"one vector's slots collapse to one cell: $share")
+    val fired = SemanticStream.slotRetrainIfUnbalanced(spark, root2,
+      collapsed, threshold = 0.9, slotK = 2)
+    assert(fired.nonEmpty, "collapsed batch must fire the retrain")
+    assert(fired.get === bookVer(root2))
+    assert(fired.get !== ver0)
+    assert(cellsState(root2).map(_._4) === Set(fired.get),
+      "the fired retrain retagged the whole slot index")
+    // no slot sidecar → no-op, not a crash
+    val plain = graft.Temps.dir("slot-retrain-trigger-plain")
+    SemanticStream.bootstrap(corpus, plain, k = 2)
+    val man = SemanticStream.ingestVectors(
+      df(Seq(104L -> Seq(-1.0, 0.0, -1.0, 0.0))), plain)
+    assert(SemanticStream.slotRetrainIfUnbalanced(spark, plain, man,
+      threshold = 0.1).isEmpty)
+  }
+
   test("torn bootstrap (book landed, cells never did) repairs instead of memoizing clean") {
     // the OTHER torn-bootstrap shape (r12 advice): a crash between the
     // slot-book and slot-cells upserts leaves a present book over an
