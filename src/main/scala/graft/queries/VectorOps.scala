@@ -1824,6 +1824,112 @@ object VectorOps {
       },
       "the covering (prefilterC = n) MaxSim gold as a first-class query: the measurement baseline q212's metrics read, billed under its own name"),
 
+    // SLOT-ALIGNMENT DIAGNOSTIC — the r12 verdict's #2 ask: the pinned
+    // SlotPolicy's arm/disarm rule for the centroid cut was "trust
+    // that the encoder is trained" while the measured stakes are
+    // recall@3 0.96 (armed on aligned geometry) vs 0.41 (armed on
+    // decorrelated). This query SERVES the number that decides the
+    // knob, from the maintained index: per sampled query, the
+    // RETENTION of the code-scored ordering's top-k (stage 1b's
+    // near-exact interaction) inside the centroid ordering's top-cutC
+    // (stage 1a′'s cheap interaction) over the SAME gathered
+    // candidates — literally what an armed cut does (keep centroid
+    // top-cutC, discard the rest), so the cut is harmless exactly
+    // when this reads ≈ 1. The `slot_align` family measures the
+    // geometry separation at scale; the oracle replays gather →
+    // all-cell centroid cosines → decimal centroid sums → SQ-code
+    // scoring → both rankings → overlap. Cost is sample-bounded: one
+    // gather + one uncut code-scoring pass. cutC here is 16 (not the
+    // pinned 128) so the gate exercises a non-trivial cut at sf0.01
+    // gather sizes; the bench runs the pinned knobs.
+    "q215_slot_alignment" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-slots-$d") // q210's store
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
+        SemanticStream.slotCutAgreement(
+          emb.where(col("vec_id") < 4), root, k = 8,
+          slotNProbe = SemanticStream.SlotPolicy.SlotNProbe, cutC = 16)
+      },
+      Some {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
+           |        FROM asn WHERE vec_id < 4
+           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
+           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |${slotCutCtesSql("vec_id < 4")}
+           |sl1 AS (SELECT cand.q_id, cand.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM cand
+           |        JOIN slt qs ON qs.vec_id = cand.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = cand.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |rc AS (SELECT q_id, c_id FROM (
+           |         SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |           ORDER BY ccut DESC, c_id) AS rn FROM ccs)
+           |       WHERE rn <= 16),
+           |rs AS (SELECT q_id, c_id FROM (
+           |         SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |           ORDER BY s1 DESC, c_id) AS rn FROM s1)
+           |       WHERE rn <= 8),
+           |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+           |       FROM cand GROUP BY 1),
+           |h AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+           |      FROM rc JOIN rs USING (q_id, c_id) GROUP BY 1)
+           |SELECT nc.q_id, nc.n_cand,
+           |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) /
+           |    CAST(least(8, nc.n_cand) AS DOUBLE), 6) AS agree
+           |FROM nc LEFT JOIN h USING (q_id)""".stripMargin
+      },
+      "slot-alignment diagnostic: cut-vs-code agreement@k on a bounded query sample from the maintained slot index — the measured number that arms/disarms SlotPolicy's centroid cut"),
+
     // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
     // generator (DPR/ANCE style): for each anchor, the positive is
     // its served top-1 and the hard negatives are the next-ranked

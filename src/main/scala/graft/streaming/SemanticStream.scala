@@ -170,10 +170,16 @@ object SemanticStream {
     * time; on DECORRELATED geometry the centroid ordering is blind
     * (recall 0.41–0.70 with the cut, the r11 centroid-only ablation's
     * 0.37 writ large), so the operating rule is: arm the cut exactly
-    * when the embeddings are slot-aligned — which trained
-    * late-interaction models are by construction — and disarm it
-    * (cutC = 0) for untrained/pooled-sliced vectors. SlotPolicySpec
-    * regression-gates the pinned point on the aligned fixture. */
+    * when the embeddings are slot-aligned, and disarm it (cutC = 0)
+    * otherwise. Alignment is MEASURED, not trusted (the r13
+    * mechanization of what was an encoder-trust clause):
+    * [[slotCutAgreement]] reads, on a bounded query sample from the
+    * maintained index, the fraction of the code ordering's top-k the
+    * armed cut would RETAIN — it separates the two measured
+    * geometries (`slot_align` family) and q215 oracle-gates it. Arm
+    * when the sampled mean sits in the aligned band (≥ 0.9).
+    * SlotPolicySpec regression-gates the pinned point on the aligned
+    * fixture. */
   object SlotPolicy {
     val SlotNProbe = 4
     val CutC = 128
@@ -1170,6 +1176,122 @@ object SemanticStream {
       stored(s, root, CellsEntity, CellsDdl).select(col("id"), col("v")),
       qIdCol = idCol, qVecCol = vecCol, cIdCol = "id", cVecCol = "v",
       k = topK, slices = slices, dim = dim)
+  }
+
+  /** Slot-alignment DIAGNOSTIC — mechanizes [[SlotPolicy]]'s
+    * arm/disarm rule (the r12 verdict's top serving gap: "arm the cut
+    * exactly when the embeddings are slot-aligned" was manual trust in
+    * the encoder, while the measured stakes on the `slot_policy` grid
+    * are recall@3 0.96 armed-on-aligned vs 0.41–0.70
+    * armed-on-decorrelated). Per sampled query: the RETENTION of the
+    * CODE-SCORED ordering's top-k (stage 1b's near-exact all-T
+    * interaction from stored SQ codes) inside the CENTROID ordering's
+    * top-`cutC` (stage 1a′'s cheap Σ_qpos max centroid interaction)
+    * over the SAME gathered candidate set — that is literally what an
+    * armed cut does to the pipeline: it keeps the centroid top-cutC
+    * and discards the rest, so the cut is harmless exactly when the
+    * code ordering's winners sit inside that keep-set. On slot-aligned
+    * geometry retention reads ≈ 1 (centroids ARE the slot clusters);
+    * on decorrelated geometry the w-dim coarse quantizer cannot order
+    * docs and retention collapses toward cutC/n_cand (the blind-cut
+    * floor) — `slot_align` family rows separate the two measured
+    * corpora. Operating rule: arm the cut when the sampled mean reads
+    * in the aligned band (≥ ~0.9), disarm below it.
+    *
+    * Cost: bounded by the SAMPLE — one gather + one full (uncut)
+    * code-scoring pass over the sample's candidates; that is the
+    * point: the diagnostic prices, on a bounded sample, the exact
+    * ordering the cut would preempt, from the maintained index the
+    * way q212 computes its serve metrics. Run it at bootstrap and
+    * after [[slotRetrain]]; a corpus-wide re-read is never needed.
+    *
+    * Output: one row per sampled query — (q_id, n_cand, agree) with
+    * agree = |top-k_code ∩ top-cutC_centroid| / min(k, n_cand), 6dp
+    * (a gather within cutC is retained whole by construction —
+    * honest: the cut IS harmless there). */
+  def slotCutAgreement(queries: DataFrame, root: String, k: Int,
+      slotNProbe: Int = SlotPolicy.SlotNProbe, cutC: Int = SlotPolicy.CutC,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = queries.sparkSession
+    val (scb, slices) = readSlotBook(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    repairSlots(s, root, scb, slices)
+    val w = scb.head._2.length
+    val dim = slices * w
+    val (mins, _, isteps) = readGrid(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no SQ grid under $root — the diagnostic scores the code " +
+          "ordering; bootstrap(withSq = true, withSlots = true)"))
+    // stage 0 at p = K: the centroid ordering needs all-cell cosines
+    // (same fold the armed serve path runs)
+    val asg = SimSearch.ivfAssign(
+        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+          slices, dim), "sid", "sv", scb, p = scb.size)
+      .select(expr(s"id div $slices").as("q_id"),
+        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
+        col("v").as("qv"), col("probes"))
+      .localCheckpoint() // read 3×: probe literals, gather, both scorers
+    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val probeCells = asg
+      .select(explode(slice(col("probes"), 1, slotNProbe)
+        .getField("cid")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val cand = asg
+      .select(col("q_id"), explode(
+        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
+      .distinct()
+      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .localCheckpoint() // both orderings + the denominator read it
+    // centroid ordering over ALL gathered candidates (stage 1a′ minus
+    // the cut itself)
+    val qcn = asg.select(col("q_id"), col("qpos"),
+        explode(col("probes")).as("pc"))
+      .select(col("q_id"), col("qpos"),
+        col("pc").getField("cid").as("cell"),
+        when(isnan(col("pc").getField("cc")), lit(0.0))
+          .otherwise(col("pc").getField("cc")).as("qc"))
+    val ccut = cand.join(scells, Seq("c_id"))
+      .join(qcn, Seq("q_id", "cell"))
+      .groupBy(col("q_id"), col("c_id"), col("qpos"))
+      .agg(max(col("qc")).as("mq"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("mq").cast("decimal(20,6)")).cast("double").as("ccut"))
+    // code ordering over the same candidates (stage 1b, uncut)
+    val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
+      .select(col("id").as("c_id"), col("codes"))
+    val s1 = cand.join(codes, Seq("c_id"))
+      .join(asg.select(col("q_id"), col("qpos"), col("qv")), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("qpos"),
+        explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
+        col("qv"), col("codes"))
+      .select(col("q_id"), col("c_id"), col("qpos"),
+        graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
+          col("cpos"), mins, isteps, w).as("sc"))
+      .groupBy(col("q_id"), col("c_id"), col("qpos"))
+      .agg(max(col("sc")).as("mx"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("mx").cast("decimal(20,6)")).cast("double").as("s1"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccut").desc, col("c_id").asc)
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("s1").desc, col("c_id").asc)
+    val topC = ccut.withColumn("rn", row_number().over(wC))
+      .where(col("rn") <= cutC).select(col("q_id"), col("c_id"))
+    val topS = s1.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= k).select(col("q_id"), col("c_id"))
+    val hits = topC.join(topS, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_cand"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          least(lit(k.toLong), col("n_cand")).cast("double"), 6)
+          .as("agree"))
   }
 
   /** [[queryTopKSq]]'s dimensionality twin (requires

@@ -71,4 +71,38 @@ class SlotPolicySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("In(cell"), p)
   }
+
+  test("slotCutAgreement separates aligned from decorrelated geometry") {
+    // the r13 mechanization of the arm/disarm rule: the diagnostic
+    // (retention of the code top-k inside the centroid top-cutC) must
+    // read HIGH on the aligned fixture the policy is pinned for and
+    // LOW on hash-noise embeddings with no shared slot structure —
+    // with a cutC small enough relative to the gather that a blind
+    // cut cannot score well by accident (floor ≈ cutC / n_cand).
+    def meanAgree(emb: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val root = graft.Temps.dir(s"slot-align-spec-$tag")
+      SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true,
+        slotK = 128, slotRounds = 3)
+      SemanticStream.slotCutAgreement(
+          emb.where(pmod(col("vec_id"), lit(97)) === 0), root,
+          k = 8, cutC = 64)
+        .agg(avg(col("agree"))).collect().head.getDouble(0)
+    }
+    val aligned = graft.bench.ScaleLaws
+      .slotTopicEmbeddings(spark, n = 1000L, topics = 256)
+      .localCheckpoint()
+    // decorrelated: per-(vec_id, dim) hash noise — no topic structure
+    // for the w-dim centroids to track
+    val dec = spark.range(0, 1000).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(hash(col("vec_id"), i), lit(2001)).cast("double")
+            - lit(1000.0)) / lit(1000.0)).as("embedding"))
+      .localCheckpoint()
+    val a = meanAgree(aligned, "a")
+    val d = meanAgree(dec, "d")
+    assert(a >= 0.9, f"aligned geometry must read in the arm band: $a%.4f")
+    assert(d < a - 0.25,
+      f"decorrelated must read clearly below aligned: $d%.4f vs $a%.4f")
+  }
 }
