@@ -1123,21 +1123,9 @@ object SemanticStream {
     val pre1 =
       if (cutC <= 0) cand
       else {
-        val qcn = asg.select(col("q_id"), col("qpos"),
-            explode(col("probes")).as("pc"))
-          .select(col("q_id"), col("qpos"),
-            col("pc").getField("cid").as("cell"),
-            when(isnan(col("pc").getField("cc")), lit(0.0))
-              .otherwise(col("pc").getField("cc")).as("qc"))
         val wc = Window.partitionBy(col("q_id"))
           .orderBy(col("ccut").desc, col("c_id").asc)
-        cand.join(scells, Seq("c_id"))
-          .join(qcn, Seq("q_id", "cell"))
-          .groupBy(col("q_id"), col("c_id"), col("qpos"))
-          .agg(max(col("qc")).as("mq"))
-          .groupBy(col("q_id"), col("c_id"))
-          .agg(sum(col("mq").cast("decimal(20,6)")).cast("double")
-            .as("ccut"))
+        centroidCutScores(cand, scells, queryCellCosines(asg))
           .withColumn("crn", row_number().over(wc))
           .where(col("crn") <= cutC)
           .select(col("q_id"), col("c_id"))
@@ -1177,6 +1165,100 @@ object SemanticStream {
       qIdCol = idCol, qVecCol = vecCol, cIdCol = "id", cVecCol = "v",
       k = topK, slices = slices, dim = dim)
   }
+
+  /** The per-(query, qpos, cell) centroid cosines off a p = K
+    * assignment fold — the plan-carried scalars stage 1a′ and the
+    * alignment diagnostic rank by (NaN-guarded to 0 so degenerate
+    * query slots never outrank real matches). */
+  private def queryCellCosines(asg: DataFrame): DataFrame =
+    asg.select(col("q_id"), col("qpos"),
+        explode(col("probes")).as("pc"))
+      .select(col("q_id"), col("qpos"),
+        col("pc").getField("cid").as("cell"),
+        when(isnan(col("pc").getField("cc")), lit(0.0))
+          .otherwise(col("pc").getField("cc")).as("qc"))
+
+  /** Stage 1a′'s candidate-keyed interaction as a standalone shape:
+    * per gathered (q_id, c_id), the decimal-exact Σ_qpos max over the
+    * candidate's slot cells of the query-slot × cell-centroid cosine.
+    * Factored out so the serve path ([[queryTopKMaxSimSlots]]), the
+    * alignment diagnostic ([[slotCutAgreement]]) and the forward-
+    * projection bench all execute the IDENTICAL plan — the bench's
+    * exchange count is the production stage's, not a re-creation's.
+    * `scells` is the (c_id, cell) projection of the slot index: pass
+    * the stored entity for the registered path, or the doc_id-bucketed
+    * FORWARD projection ([[writeSlotForward]]) to drop the
+    * corpus-side exchange under this join (the inverted/forward split:
+    * gather reads the cell-sorted projection, this stage reads the
+    * doc-keyed one). */
+  def centroidCutScores(cand: DataFrame, scells: DataFrame,
+      qcn: DataFrame): DataFrame =
+    cand.join(scells, Seq("c_id"))
+      .join(qcn, Seq("q_id", "cell"))
+      .groupBy(col("q_id"), col("c_id"), col("qpos"))
+      .agg(max(col("qc")).as("mq"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("mq").cast("decimal(20,6)")).cast("double").as("ccut"))
+
+  /** Stage 0 + stage 1a as a standalone pair for measurement
+    * harnesses: the gathered candidates and the p = K per-(query,
+    * qpos, cell) centroid cosines, both bounded to one fold pass —
+    * the exact inputs [[centroidCutScores]] consumes on the serve
+    * path, so a bench driving the cut stage measures the production
+    * join, not a re-creation. */
+  def slotGatherFold(queries: DataFrame, root: String,
+      slotNProbe: Int = SlotPolicy.SlotNProbe, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val s = queries.sparkSession
+    val (scb, slices) = readSlotBook(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    repairSlots(s, root, scb, slices)
+    val dim = slices * scb.head._2.length
+    val asg = SimSearch.ivfAssign(
+        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+          slices, dim), "sid", "sv", scb, p = scb.size)
+      .select(expr(s"id div $slices").as("q_id"),
+        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
+        col("v").as("qv"), col("probes"))
+      .localCheckpoint()
+    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val probeCells = asg
+      .select(explode(slice(col("probes"), 1, slotNProbe)
+        .getField("cid")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val cand = asg
+      .select(col("q_id"), explode(
+        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
+      .distinct()
+      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+      .localCheckpoint()
+    (cand, queryCellCosines(asg))
+  }
+
+  /** Land the slot index's FORWARD projection: the (id, cell) rows
+    * bucketed (and sorted) by doc id in the session catalog — the
+    * second physical projection of the `slot_cells` entity SCALE.md's
+    * inverted/forward analysis calls for. The GATHER keeps reading the
+    * cell-sorted inverted layout (pushed In(cell, …) file pruning,
+    * `slot_gather_prune`); the CUT stage's candidate-keyed join reads
+    * THIS layout and loses its corpus-side shuffle exchange (the
+    * `attr_bucketed` machinery applied to the slot face —
+    * `slot_forward` has the measured row, BucketingSpec the plan pin).
+    * Rebuild after [[slotRetrain]]/[[reassignSlots]] the way any
+    * downstream projection refreshes: the bucketed copy carries the
+    * book hash in no column — it is a projection of the repaired
+    * entity, so land it AFTER a serve/ingest call has rolled forward
+    * any torn swap. */
+  def writeSlotForward(spark: SparkSession, root: String, table: String,
+      buckets: Int): Unit =
+    graft.sinks.Bucketing.writeBucketed(
+      stored(spark, root, SlotCellsEntity, SlotCellsDdl)
+        .select(col("id"), col("cell")),
+      table, "id", buckets)
 
   /** Slot-alignment DIAGNOSTIC — mechanizes [[SlotPolicy]]'s
     * arm/disarm rule (the r12 verdict's top serving gap: "arm the cut
@@ -1248,19 +1330,8 @@ object SemanticStream {
       .select(col("q_id"), col("c_id")).distinct()
       .localCheckpoint() // both orderings + the denominator read it
     // centroid ordering over ALL gathered candidates (stage 1a′ minus
-    // the cut itself)
-    val qcn = asg.select(col("q_id"), col("qpos"),
-        explode(col("probes")).as("pc"))
-      .select(col("q_id"), col("qpos"),
-        col("pc").getField("cid").as("cell"),
-        when(isnan(col("pc").getField("cc")), lit(0.0))
-          .otherwise(col("pc").getField("cc")).as("qc"))
-    val ccut = cand.join(scells, Seq("c_id"))
-      .join(qcn, Seq("q_id", "cell"))
-      .groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("qc")).as("mq"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("mq").cast("decimal(20,6)")).cast("double").as("ccut"))
+    // the cut itself — the identical factored plan the serve path runs)
+    val ccut = centroidCutScores(cand, scells, queryCellCosines(asg))
     // code ordering over the same candidates (stage 1b, uncut)
     val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
       .select(col("id").as("c_id"), col("codes"))

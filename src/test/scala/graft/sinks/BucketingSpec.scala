@@ -81,6 +81,55 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("the slot cut stage against the doc_id-bucketed forward projection drops the corpus-side exchange") {
+    // SCALE.md's inverted/forward split for the slot face, plan-pinned
+    // (r12 verdict #4): the GATHER reads the cell-sorted inverted
+    // layout (pushed-In pruning, SlotPolicySpec), while the centroid
+    // CUT's candidate-keyed join reads the doc_id-bucketed FORWARD
+    // copy — against it the IDENTICAL factored plan
+    // (SemanticStream.centroidCutScores, the exact shape the serve
+    // path executes) loses the corpus-side shuffle. Broadcast is
+    // disabled so the test measures the regime where neither side
+    // broadcasts. SlotForwardBench carries the measured family row.
+    import spark.implicits._
+    val scells = (1 to 400).flatMap(i => Seq(0, 1).map(p =>
+        (i.toLong, (i % 16 + p).toLong)))
+      .toDF("id", "cell")
+    val cand = (0 until 4).flatMap(q => (1 to 200).map(c =>
+        (q.toLong, c.toLong)))
+      .toDF("q_id", "c_id")
+    val qcn = (0 until 4).flatMap(q => (0 until 2).flatMap(qp =>
+        (0 until 17).map(cl =>
+          (q.toLong, qp, cl.toLong, (q + qp + cl) / 100.0))))
+      .toDF("q_id", "qpos", "cell", "qc")
+    Bucketing.writeBucketed(scells, "bucketdb.slot_fwd", "id", 8)
+    val oldT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = try spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      catch { case _: Exception => null }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      import graft.streaming.SemanticStream
+      val plain = SemanticStream.centroidCutScores(cand,
+        scells.select(col("id").as("c_id"), col("cell")), qcn)
+      val bucketed = SemanticStream.centroidCutScores(cand,
+        Bucketing.readBucketed(spark, "bucketdb.slot_fwd")
+          .select(col("id").as("c_id"), col("cell")), qcn)
+      assert(exchanges(bucketed) === exchanges(plain) - 1,
+        s"plain=${exchanges(plain)} bucketed=${exchanges(bucketed)}:\n" +
+          bucketed.queryExecution.executedPlan.toString)
+      assert(bucketed.collect().toSet === plain.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldT)
+      if (oldA == null)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      else spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", oldA)
+    }
+  }
+
   test("bucketed write round-trips data exactly") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toLong, s"x$i")).toDF("k", "s")
