@@ -128,4 +128,47 @@ object Multimodal {
       md5(substring(col("payload"), lit(1),
         greatest(lit(1), (length(col("payload")) / factor)).cast("int"))).as("resized_checksum"),
       (length(col("payload")) / factor).cast("long").as("resized_bytes"))
+
+  /** Perceptual hash of every payload as four 16-bit dHash quarters
+    * (q0..q3) — the metric-structured content hash the exact checksums
+    * can't give (small payload change → small Hamming distance). The
+    * hash itself is the fused native expression
+    * [[graft.functions.MediaExprs.dHashQuarters]]; see its scaladoc
+    * for the stubbed-codec stand-in (block-mean byte downsample in
+    * place of decoded pixels — swap the sampling, keep everything
+    * downstream). */
+  def dHashQuarters(media: DataFrame): DataFrame =
+    media
+      .withColumn("QS",
+        graft.functions.MediaExprs.dHashQuarters(col("payload")))
+      .select(col("media_id") +: (0 until 4).map(k =>
+        element_at(col("QS"), k + 1).as(s"q$k")): _*)
+
+  /** Image near-dup pairs by banded perceptual Hamming distance — the
+    * q121 wide-SimHash machinery applied to the media payloads (NEVER
+    * all-pairs): any pair within total Hamming distance 3 agrees
+    * exactly on ≥ 1 of the four 16-bit quarters (pigeonhole), so the
+    * (band, quarter) equi-join over 2¹⁶-value keys finds ALL radius-3
+    * pairs at ~n²/2¹⁶ candidates per band; candidates then re-rank by
+    * the exact 64-bit Hamming distance and keep ≤ `maxHamming`.
+    * EXACT for maxHamming ≤ 3; above 3 the bands are a recall<1
+    * prefilter (PHashBench measures the band/recall law). */
+  def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val qs = dHashQuarters(media).localCheckpoint() // bands + re-rank read it
+    val bands = (0 until 4).map(k =>
+        qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
+      .reduce(_.unionByName(_))
+    val cand = bands.toDF("a_id", "band", "key")
+      .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val hamming = (0 until 4).map(k =>
+        bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
+      .reduce(_ + _).cast("long")
+    cand
+      .join(qs.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3"), "a_id")
+      .join(qs.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"), "b_id")
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** [[MediaExprs.dHashQuartersEval]] contract — the perceptual hash
+  * under q216's banded near-dup dedup:
+  *
+  *  1. structure — monotone payloads pin the comparison layout (all
+  *     bits / no bits), empty payloads hash to zero quarters;
+  *  2. metric — a one-byte change moves ≤ 2 bits (it perturbs one
+  *     grid cell, which participates in ≤ 2 adjacent comparisons),
+  *     the property the banded join's radius budget rides on;
+  *  3. engine parity — the native expression inside a Spark plan
+  *     equals the static eval (codegen path = interpreted path).
+  */
+class MediaExprsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def quarters(bytes: Array[Byte]): Seq[Long] =
+    MediaExprs.dHashQuartersEval(bytes).toLongArray().toSeq
+
+  test("strictly increasing bytes set every comparison bit; decreasing none; empty zero") {
+    // 144 bytes = 2 per grid cell; increasing payload → every cell
+    // mean strictly below its right neighbor → all 64 bits
+    val inc = Array.tabulate(144)(i => i.toByte)
+    assert(quarters(inc) === Seq(65535L, 65535L, 65535L, 65535L))
+    val dec = Array.tabulate(144)(i => (200 - i).toByte)
+    assert(quarters(dec) === Seq(0L, 0L, 0L, 0L))
+    assert(quarters(Array.emptyByteArray) === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("a one-byte change moves at most 2 bits (the near-dup metric property)") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(360)(rnd.nextInt(256).toByte)
+    val q0 = quarters(base)
+    for (pos <- Seq(0, 77, 180, 359)) {
+      val mut = base.clone()
+      mut(pos) = (mut(pos) + 97).toByte
+      val q1 = quarters(mut)
+      val d = (0 until 4).map(k =>
+        java.lang.Long.bitCount(q0(k) ^ q1(k))).sum
+      assert(d <= 2, s"one byte at $pos moved $d bits")
+    }
+  }
+
+  test("the native expression in a plan equals the static eval") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and keeps going",
+      2L -> "", 3L -> "short", 4L -> ("x" * 200))
+    val df = rows.toDF("id", "text")
+      .select(col("id"),
+        MediaExprs.dHashQuarters(col("text").cast("binary")).as("qs"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, t) =>
+      assert(got(id) === quarters(t.getBytes("UTF-8")), s"id $id")
+    }
+    // quarters are 16-bit by construction
+    got.values.flatten.foreach(q => assert(q >= 0L && q <= 65535L))
+  }
+}
