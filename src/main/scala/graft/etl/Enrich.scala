@@ -51,7 +51,11 @@ object Enrich {
   /** §2.7/J4: the Account dimension — UNION DISTINCT over every
     * address-bearing column; contracts (deployed or log-emitting) get
     * is_contract=true (contract_deployment.rs:350-355, log.rs:150-156).
-    * One shuffle (the final groupBy); each input is a pruned projection. */
+    * One shuffle (the final groupBy); each input is a pruned projection.
+    * The reference DDL's `Account.tags` (schema.graphql:3) is dead
+    * schema — nothing in the reference writes or reads it (SURVEY
+    * §2.7 has the resolution) — so the dimension deliberately omits
+    * it rather than carrying an always-null column. */
   def accounts(
       blocks: DataFrame,
       transactions: DataFrame,
