@@ -1930,6 +1930,173 @@ object VectorOps {
       },
       "slot-alignment diagnostic: cut-vs-code agreement@k on a bounded query sample from the maintained slot index — the measured number that arms/disarms SlotPolicy's centroid cut"),
 
+    // AUTO-ARMED SLOT SERVE — the arm/disarm rule EXECUTING itself:
+    // the serve face reads the sampled alignment diagnostic off the
+    // maintained index (memoized per book generation) and arms the
+    // centroid cut only when the sample retention clears the aligned
+    // band (0.9). On the driver corpus the read sits ≈ 0.25
+    // (decorrelated geometry), so the realized branch is UNCUT — the
+    // adaptive face declines the cut exactly where q212's metrics
+    // showed it costing hits. The oracle is the honest composite: it
+    // COMPUTES the diagnostic (sample gather → centroid top-cutC →
+    // code top-k → retention mean) and then FOLLOWS the branch the
+    // number picks — both branches present, selected by the scalar.
+    // The multiply-consumed small CTEs carry MATERIALIZED hints:
+    // DuckDB inlines CTEs by default, and this oracle's diagnostic +
+    // branch structure consumes armD/cand/candD/scell enough times
+    // that re-inlining their fold chains turned a ~40 s replay into
+    // minutes (the decision row alone re-derived the whole diagnostic
+    // per consumer). Semantics unchanged — it is an optimization
+    // fence, and the big fold CTEs (slt/asn) stay inline so the
+    // engine keeps pushing query-id filters into them.
+    "q217_maxsim_auto" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-slots-$d") // q210's store
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
+        SemanticStream.queryTopKMaxSimSlotsAuto(
+          emb.where(col("vec_id") < 4), root, topK = 3)
+      },
+      Some {
+        val np = graft.streaming.SemanticStream.SlotPolicy.SlotNProbe
+        val cutC = graft.streaming.SemanticStream.SlotPolicy.CutC
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
+        val cq = cosSql("slt.sv", "cv")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS MATERIALIZED (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS MATERIALIZED (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS MATERIALIZED (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |dq AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8),
+           |qprD AS (SELECT vec_id AS q_id, cid AS cell FROM asn
+           |         WHERE vec_id IN (SELECT vec_id FROM dq) AND crn <= $np),
+           |candD AS MATERIALIZED (SELECT DISTINCT p.q_id, scell.c_id
+           |          FROM (SELECT DISTINCT q_id, cell FROM qprD) p
+           |          JOIN scell USING (cell)
+           |          WHERE p.q_id <> scell.c_id),
+           |qcnD AS (SELECT slt.vec_id AS q_id, slt.pos AS qpos, cid AS cell,
+           |           CASE WHEN isnan($cq) THEN CAST(0.0 AS DOUBLE)
+           |                ELSE $cq END AS qc
+           |         FROM slt CROSS JOIN scb
+           |         WHERE slt.vec_id IN (SELECT vec_id FROM dq)),
+           |cchD AS (SELECT candD.q_id, candD.c_id, qcnD.qpos, max(qcnD.qc) AS mq
+           |         FROM candD JOIN scell ON scell.c_id = candD.c_id
+           |         JOIN qcnD ON qcnD.q_id = candD.q_id AND qcnD.cell = scell.cell
+           |         GROUP BY 1, 2, 3),
+           |ccsD AS (SELECT q_id, c_id,
+           |           CAST(sum(CAST(mq AS DECIMAL(20,6))) AS DOUBLE) AS ccut
+           |         FROM cchD GROUP BY 1, 2),
+           |rcD AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY ccut DESC, c_id) AS rn FROM ccsD)
+           |        WHERE rn <= $cutC),
+           |sl1D AS (SELECT candD.q_id, candD.c_id, qs.pos AS qpos, cp.cpos,
+           |           $slotCos AS sc
+           |         FROM candD
+           |         JOIN slt qs ON qs.vec_id = candD.q_id
+           |         CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |         JOIN cd ON cd.vec_id = candD.c_id
+           |         CROSS JOIN prm),
+           |mx1D AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |         FROM sl1D GROUP BY 1, 2, 3),
+           |s1D AS (SELECT q_id, c_id,
+           |          CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |        FROM mx1D GROUP BY 1, 2),
+           |rsD AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS rn FROM s1D)
+           |        WHERE rn <= 8),
+           |ncD AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+           |        FROM candD GROUP BY 1),
+           |hD AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+           |       FROM rcD JOIN rsD USING (q_id, c_id) GROUP BY 1),
+           |armD AS MATERIALIZED (SELECT coalesce(avg(round(
+           |           CAST(coalesce(hD.hits, 0) AS DOUBLE) /
+           |           CAST(least(8, ncD.n_cand) AS DOUBLE), 6)), 1.0) >= 0.9
+           |           AS armed
+           |         FROM ncD LEFT JOIN hD USING (q_id)),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
+           |        FROM asn WHERE vec_id < 4 AND crn <= $np),
+           |cand AS MATERIALIZED (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |${slotCutCtesSql("vec_id < 4")}
+           |pre1 AS MATERIALIZED (SELECT cut.q_id, cut.c_id FROM cut
+           |           CROSS JOIN armD WHERE armD.armed
+           |         UNION ALL
+           |         SELECT cand.q_id, cand.c_id FROM cand
+           |           CROSS JOIN armD WHERE NOT armD.armed),
+           |sl1 AS (SELECT pre1.q_id, pre1.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM pre1
+           |        JOIN slt qs ON qs.vec_id = pre1.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = pre1.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
+           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc2 AS (SELECT q_id, c_id,
+           |          CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |        FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc2)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+      },
+      "auto-armed slot serve: the centroid cut armed/disarmed by the sampled alignment diagnostic read off the maintained index — the operating rule executing itself, oracle-replayed including the decision"),
+
     // CONTRASTIVE HARD-NEGATIVE MINING — the embedding-training data
     // generator (DPR/ANCE style): for each anchor, the positive is
     // its served top-1 and the hard negatives are the next-ranked

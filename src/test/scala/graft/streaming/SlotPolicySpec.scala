@@ -79,15 +79,6 @@ class SlotPolicySpec extends AnyFunSuite {
     // LOW on hash-noise embeddings with no shared slot structure —
     // with a cutC small enough relative to the gather that a blind
     // cut cannot score well by accident (floor ≈ cutC / n_cand).
-    def meanAgree(emb: org.apache.spark.sql.DataFrame, tag: String): Double = {
-      val root = graft.Temps.dir(s"slot-align-spec-$tag")
-      SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true,
-        slotK = 128, slotRounds = 3)
-      SemanticStream.slotCutAgreement(
-          emb.where(pmod(col("vec_id"), lit(97)) === 0), root,
-          k = 8, cutC = 64)
-        .agg(avg(col("agree"))).collect().head.getDouble(0)
-    }
     val aligned = graft.bench.ScaleLaws
       .slotTopicEmbeddings(spark, n = 1000L, topics = 256)
       .localCheckpoint()
@@ -99,10 +90,46 @@ class SlotPolicySpec extends AnyFunSuite {
           (pmod(hash(col("vec_id"), i), lit(2001)).cast("double")
             - lit(1000.0)) / lit(1000.0)).as("embedding"))
       .localCheckpoint()
-    val a = meanAgree(aligned, "a")
-    val d = meanAgree(dec, "d")
+    val rootA = graft.Temps.dir("slot-align-spec-a")
+    val rootD = graft.Temps.dir("slot-align-spec-d")
+    SemanticStream.bootstrap(aligned, rootA, withSq = true,
+      withSlots = true, slotK = 128, slotRounds = 3)
+    SemanticStream.bootstrap(dec, rootD, withSq = true,
+      withSlots = true, slotK = 128, slotRounds = 3)
+    def meanAgree(emb: org.apache.spark.sql.DataFrame, root: String): Double =
+      SemanticStream.slotCutAgreement(
+          emb.where(pmod(col("vec_id"), lit(97)) === 0), root,
+          k = 8, cutC = 64)
+        .agg(avg(col("agree"))).collect().head.getDouble(0)
+    val a = meanAgree(aligned, rootA)
+    val d = meanAgree(dec, rootD)
     assert(a >= 0.9, f"aligned geometry must read in the arm band: $a%.4f")
     assert(d < a - 0.25,
       f"decorrelated must read clearly below aligned: $d%.4f vs $a%.4f")
+
+    // the AUTO face follows the diagnostic (r13: the rule executing
+    // itself). First pin the branch decision on the auto face's own
+    // deterministic lowest-8-id sample, then pin the served plumbing
+    // by equality with the explicit calls.
+    assert(SemanticStream.slotAlignmentRead(spark, rootA, cutC = 64) >= 0.9)
+    assert(SemanticStream.slotAlignmentRead(spark, rootD, cutC = 64) < 0.9)
+    def served(emb: org.apache.spark.sql.DataFrame, root: String,
+        cutC: Int): Set[(Long, Long)] =
+      SemanticStream.queryTopKMaxSimSlots(
+          emb.where(col("vec_id") < 3), root, topK = 3,
+          prefilterC = 16, cutC = cutC)
+        .select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def servedAuto(emb: org.apache.spark.sql.DataFrame,
+        root: String): Set[(Long, Long)] =
+      SemanticStream.queryTopKMaxSimSlotsAuto(
+          emb.where(col("vec_id") < 3), root, topK = 3,
+          prefilterC = 16, cutC = 64)
+        .select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedAuto(aligned, rootA) === served(aligned, rootA, cutC = 64),
+      "auto on aligned geometry must serve the armed plan")
+    assert(servedAuto(dec, rootD) === served(dec, rootD, cutC = 0),
+      "auto on decorrelated geometry must serve the uncut plan")
   }
 }
