@@ -153,6 +153,26 @@ object Multimodal {
     * the exact 64-bit Hamming distance and keep ≤ `maxHamming`.
     * EXACT for maxHamming ≤ 3; above 3 the bands are a recall<1
     * prefilter (PHashBench measures the band/recall law). */
+  /** The DEDUP DECISION on top of [[dHashNearDupPairs]] — q135's
+    * keep-first rule applied to the media face: a payload is a
+    * duplicate when some near-dup partner (Hamming ≤ `maxHamming`)
+    * has a SMALLER id; `rep_id` is the least such partner (the kept
+    * representative its provenance points at), null for kept rows.
+    * One aggregate over the bounded pair set — the manifest shape a
+    * training-data pipeline filters media by. */
+  def dHashDedupManifest(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = dHashNearDupPairs(media, maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val reps = pairs // keep-first: b dups to the least smaller-id partner
+      .groupBy(col("b_id").as("media_id"))
+      .agg(min(col("a_id")).as("rep_id"))
+    media.select(col("media_id"))
+      .join(reps, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("rep_id").isNull, "kept").otherwise("dup").as("status"),
+        col("rep_id"))
+  }
+
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val qs = dHashQuarters(media).localCheckpoint() // bands + re-rank read it
     val bands = (0 until 4).map(k =>

@@ -178,6 +178,24 @@ class SlotRetrainSpec extends AnyFunSuite {
     assert(cellsState(root).map(_._4) === Set(bookVer(root)))
   }
 
+  test("writeSlotForward lands the post-retrain assignments (projection refresh)") {
+    // the forward projection is a downstream copy of the slot_cells
+    // entity: landed AFTER a retrain it must carry the NEW book's
+    // assignments row for row (same (id, cell) multiset the cut
+    // stage's plain path would read)
+    val root = graft.Temps.dir("slot-fwd-refresh")
+    boot(root)
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS slotfwddb LOCATION '" +
+      graft.Temps.dir("slot-fwd-db") + "'")
+    SemanticStream.slotRetrain(spark, root, slotK = 2)
+    SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd", 4)
+    val fwd = graft.sinks.Bucketing.readBucketed(spark, "slotfwddb.fwd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val inv = cellsState(root).toSeq.map(c => (c._1, c._3)).sorted
+    assert(fwd === inv)
+  }
+
   test("kill between book and cells swap: next slot-face serve rolls forward") {
     val clean = graft.Temps.dir("slot-retrain-clean")
     val torn = graft.Temps.dir("slot-retrain-torn")
