@@ -46,6 +46,26 @@ class MediaExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup manifest: a one-byte variant dups to its original as representative") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // three distinct payloads + a one-byte variant of the first: the
+    // variant (larger id) must resolve dup → rep 1; originals kept
+    val rows = Seq(
+      1L -> ("alpha document body " * 8),
+      2L -> ("ZZZZ@@@@" * 24),
+      3L -> (('a' to 'z').mkString * 6),
+      9L -> ("alphA document body " + ("alpha document body " * 7)))
+    val media = graft.ops.Multimodal.asMedia(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+    val got = graft.ops.Multimodal.dHashDedupManifest(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got.contains((9L, "dup", 1L)), got.toString)
+    assert(got.filter(_._2 == "kept").map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("the native expression in a plan equals the static eval") {
     val s = spark
     import s.implicits._
