@@ -30,7 +30,10 @@ object PHashBench {
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
+      // same collision cap as q216/q218: variant ids live at
+      // doc_id + m·10⁶, so the base universe excludes that range
       val docs = graft.queries.Tables.documents(spark, sfDir)
+        .where(col("doc_id") < 1000000L)
         .select(col("doc_id"), col("text"))
       val variants = Seq(1, 8, 32, 64).map { m =>
         docs.where(col("doc_id") % 5 === 0)

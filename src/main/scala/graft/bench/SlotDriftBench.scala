@@ -64,13 +64,14 @@ object SlotDriftBench {
           // read the batch share BEFORE any triggered retrain retags
           // the store — the row reports the signal the trigger saw
           val batchSlots = SemanticStream.slotBatchImbalance(spark, root, man)
-          // the wired trigger (same call run() arms): fires on this
-          // batch's kept-slot imbalance, bills into retrain_secs
+          // the wired trigger (same call run() arms), fed the share
+          // already computed above so the aggregation isn't paid (and
+          // billed into retrain_secs) twice per batch
           var fired = false
           if (mode == "auto") {
             val t1 = System.nanoTime()
             fired = SemanticStream.slotRetrainIfUnbalanced(spark, root,
-              man, autoThreshold, slotK).nonEmpty
+              man, autoThreshold, slotK, share = Some(batchSlots)).nonEmpty
             retrainSecs = (System.nanoTime() - t1) / 1e9
           }
           val slotImb = SemanticStream.slotCellImbalance(spark, root)

@@ -144,22 +144,19 @@ object Multimodal {
       .select(col("media_id") +: (0 until 4).map(k =>
         element_at(col("QS"), k + 1).as(s"q$k")): _*)
 
-  /** Image near-dup pairs by banded perceptual Hamming distance — the
-    * q121 wide-SimHash machinery applied to the media payloads (NEVER
-    * all-pairs): any pair within total Hamming distance 3 agrees
-    * exactly on ≥ 1 of the four 16-bit quarters (pigeonhole), so the
-    * (band, quarter) equi-join over 2¹⁶-value keys finds ALL radius-3
-    * pairs at ~n²/2¹⁶ candidates per band; candidates then re-rank by
-    * the exact 64-bit Hamming distance and keep ≤ `maxHamming`.
-    * EXACT for maxHamming ≤ 3; above 3 the bands are a recall<1
-    * prefilter (PHashBench measures the band/recall law). */
   /** The DEDUP DECISION on top of [[dHashNearDupPairs]] — q135's
     * keep-first rule applied to the media face: a payload is a
     * duplicate when some near-dup partner (Hamming ≤ `maxHamming`)
-    * has a SMALLER id; `rep_id` is the least such partner (the kept
-    * representative its provenance points at), null for kept rows.
-    * One aggregate over the bounded pair set — the manifest shape a
-    * training-data pipeline filters media by. */
+    * has a SMALLER id; `rep_id` is the least such partner, null for
+    * kept rows. `rep_id` is PROVENANCE, not a transitive root —
+    * exactly q135's contract: Hamming nearness is not transitive, so
+    * a rep may itself be a dup of a still-smaller id (A–B–C chains
+    * at pairwise distance ≤ t resolve C → B → A); a consumer that
+    * needs every dup mapped to a KEPT canonical follows the rep
+    * links (bounded by chain depth) or runs the connected-components
+    * face (q101's shape) over the pair set. One aggregate over the
+    * bounded pair set — the manifest shape a training-data pipeline
+    * filters media by. */
   def dHashDedupManifest(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val pairs = dHashNearDupPairs(media, maxHamming)
       .select(col("a_id"), col("b_id"))
@@ -173,6 +170,15 @@ object Multimodal {
         col("rep_id"))
   }
 
+  /** Image near-dup pairs by banded perceptual Hamming distance — the
+    * q121 wide-SimHash machinery applied to the media payloads (NEVER
+    * all-pairs): any pair within total Hamming distance 3 agrees
+    * exactly on ≥ 1 of the four 16-bit quarters (pigeonhole), so the
+    * (band, quarter) equi-join over 2¹⁶-value keys finds ALL radius-3
+    * pairs at ~n²/2¹⁶ candidates per band; candidates then re-rank by
+    * the exact 64-bit Hamming distance and keep ≤ `maxHamming`.
+    * EXACT for maxHamming ≤ 3; above 3 the bands are a recall<1
+    * prefilter (PHashBench measures the band/recall law). */
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val qs = dHashQuarters(media).localCheckpoint() // bands + re-rank read it
     val bands = (0 until 4).map(k =>

@@ -12,6 +12,72 @@ import Tables._
   * the binary arithmetic over the same utf-8 payloads. */
 object MediaOps {
 
+  /** Shared DuckDB CTE chain for the dHash near-dup queries (q216 and
+    * q218 replay the identical hash; one definition — r13 review):
+    * injected variant corpus → byte lists → 72 segment sums → integer
+    * cross-multiplied mean comparisons → 4×16-bit quarter packing →
+    * band join → candidate pairs → exact-Hamming `pairs`. Ends with
+    * the `pairs` CTE (a_id, b_id, plus sa/sb quarters available via
+    * qq); callers append their own tail. The base docs are capped to
+    * doc_id < 1000000 in BOTH engines so the injected variant ids
+    * (doc_id + 10⁶) cannot collide with real ids at any scale factor
+    * (vacuous at the current 500-doc tables — hashes unchanged). */
+  private def dHashPairsSql(maxHamming: Int): String = {
+    def qSql(k: Int): String =
+      s"CAST(sum(CASE WHEN (ai//9)//2 = $k THEN " +
+        s"bit * (CAST(1 AS BIGINT) << CAST(((ai//9)%2)*8 + ai%9 AS INT)) " +
+        s"ELSE 0 END) AS BIGINT) AS q$k"
+    val bandUnion = (0 until 4).map(k =>
+      s"SELECT doc_id, $k AS band, q$k AS key FROM qq")
+      .mkString("\n  UNION ALL ")
+    val hammingSql = (0 until 4).map(k =>
+      s"bit_count(xor(sa.q$k, sb.q$k))").mkString(" + ")
+    s"""d0 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id < 1000000),
+       |docs AS (SELECT doc_id, text FROM d0
+       |         UNION ALL
+       |         SELECT doc_id + 1000000, 'Z' || substring(text, 2)
+       |         FROM d0 WHERE doc_id % 7 = 0),
+       |b AS (SELECT doc_id,
+       |        list_transform(string_split(text, ''), c -> ascii(c)) AS B,
+       |        CAST(length(text) AS BIGINT) AS n FROM docs),
+       |seg AS (SELECT doc_id, g.i, (g.i*n)//72 AS lo,
+       |          ((g.i+1)*n)//72 AS hi, B
+       |        FROM b CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g),
+       |sv AS (SELECT doc_id, i,
+       |         CAST(coalesce(list_sum(list_slice(B,
+       |           CAST(lo+1 AS INT), CAST(hi AS INT))), 0) AS BIGINT) AS s,
+       |         hi - lo AS l FROM seg),
+       |cmp AS (SELECT a.doc_id, a.i AS ai,
+       |          CASE WHEN a.s * b2.l < b2.s * a.l THEN 1 ELSE 0 END AS bit
+       |        FROM sv a JOIN sv b2
+       |          ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
+       |        WHERE a.i % 9 < 8),
+       |qq AS (SELECT doc_id, ${(0 until 4).map(qSql).mkString(", ")}
+       |       FROM cmp GROUP BY 1),
+       |bands AS (
+       |  $bandUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key
+       |           AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT a_id, b_id, CAST($hammingSql AS BIGINT) AS hamming
+       |          FROM cand JOIN qq sa ON sa.doc_id = a_id
+       |          JOIN qq sb ON sb.doc_id = b_id
+       |          WHERE $hammingSql <= $maxHamming)""".stripMargin
+  }
+
+  /** The matching Spark-side injected corpus (capped base + one-byte
+    * variants at doc_id + 10⁶ — both engines replay the injection). */
+  private def injectedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d).where(col("doc_id") < 1000000L)
+      .select(col("doc_id"), col("text"))
+    docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+  }
+
   def defs: Map[String, Q] = Map(
     // binary feature extraction (size / checksum / head bytes)
     "q60_media_features" -> Q(
@@ -74,60 +140,11 @@ object MediaOps {
     // integer cross-multiplied comparisons → quarter packing → band
     // join → bit_count re-rank, bit for bit.
     "q216_phash_near_dup" -> Q(
-      (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        val variants = docs.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-        Multimodal.dHashNearDupPairs(
-          Multimodal.asMedia(docs.unionByName(variants), "doc_id", "text"),
-          maxHamming = 3)
-      },
-      Some {
-        // quarter k of comparison cell ai (r = ai/9, c = ai%9 ≤ 7):
-        // k = r/2, bit j = (r%2)*8 + c
-        def qSql(k: Int): String =
-          s"CAST(sum(CASE WHEN (ai//9)//2 = $k THEN " +
-            s"bit * (CAST(1 AS BIGINT) << CAST(((ai//9)%2)*8 + ai%9 AS INT)) " +
-            s"ELSE 0 END) AS BIGINT) AS q$k"
-        val bandUnion = (0 until 4).map(k =>
-          s"SELECT doc_id, $k AS band, q$k AS key FROM qq")
-          .mkString("\n  UNION ALL ")
-        val hammingSql = (0 until 4).map(k =>
-          s"bit_count(xor(sa.q$k, sb.q$k))").mkString(" + ")
-        s"""WITH d0 AS (SELECT doc_id, text FROM documents),
-           |docs AS (SELECT doc_id, text FROM d0
-           |         UNION ALL
-           |         SELECT doc_id + 1000000, 'Z' || substring(text, 2)
-           |         FROM d0 WHERE doc_id % 7 = 0),
-           |b AS (SELECT doc_id,
-           |        list_transform(string_split(text, ''), c -> ascii(c)) AS B,
-           |        CAST(length(text) AS BIGINT) AS n FROM docs),
-           |seg AS (SELECT doc_id, g.i, (g.i*n)//72 AS lo,
-           |          ((g.i+1)*n)//72 AS hi, B
-           |        FROM b CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g),
-           |sv AS (SELECT doc_id, i,
-           |         CAST(coalesce(list_sum(list_slice(B,
-           |           CAST(lo+1 AS INT), CAST(hi AS INT))), 0) AS BIGINT) AS s,
-           |         hi - lo AS l FROM seg),
-           |cmp AS (SELECT a.doc_id, a.i AS ai,
-           |          CASE WHEN a.s * b2.l < b2.s * a.l THEN 1 ELSE 0 END AS bit
-           |        FROM sv a JOIN sv b2
-           |          ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
-           |        WHERE a.i % 9 < 8),
-           |qq AS (SELECT doc_id, ${(0 until 4).map(qSql).mkString(", ")}
-           |       FROM cmp GROUP BY 1),
-           |bands AS (
-           |  $bandUnion),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.key = b.key
-           |           AND a.doc_id < b.doc_id)
-           |SELECT a_id, b_id, CAST($hammingSql AS BIGINT) AS hamming
-           |FROM cand JOIN qq sa ON sa.doc_id = a_id
-           |JOIN qq sb ON sb.doc_id = b_id
-           |WHERE $hammingSql <= 3""".stripMargin
-      },
+      (s, d) => Multimodal.dHashNearDupPairs(
+        Multimodal.asMedia(injectedDocs(s, d), "doc_id", "text"),
+        maxHamming = 3),
+      Some(s"""WITH ${dHashPairsSql(3)}
+              |SELECT a_id, b_id, hamming FROM pairs""".stripMargin),
       "perceptual-hash (dHash) image near-dup pairs: banded 16-bit quarters + exact Hamming re-rank over media payloads - multimodal dedup pillar"),
 
     // THE DEDUP DECISION over q216's pairs — q135's keep-first rule on
@@ -136,64 +153,16 @@ object MediaOps {
     // manifest a pipeline filters media by. Same injected corpus as
     // q216 so every variant resolves to its original.
     "q218_phash_dedup" -> Q(
-      (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        val variants = docs.where(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(lit("Z"), expr("substring(text, 2)")).as("text"))
-        Multimodal.dHashDedupManifest(
-          Multimodal.asMedia(docs.unionByName(variants), "doc_id", "text"),
-          maxHamming = 3)
-      },
-      Some {
-        def qSql(k: Int): String =
-          s"CAST(sum(CASE WHEN (ai//9)//2 = $k THEN " +
-            s"bit * (CAST(1 AS BIGINT) << CAST(((ai//9)%2)*8 + ai%9 AS INT)) " +
-            s"ELSE 0 END) AS BIGINT) AS q$k"
-        val bandUnion = (0 until 4).map(k =>
-          s"SELECT doc_id, $k AS band, q$k AS key FROM qq")
-          .mkString("\n  UNION ALL ")
-        val hammingSql = (0 until 4).map(k =>
-          s"bit_count(xor(sa.q$k, sb.q$k))").mkString(" + ")
-        s"""WITH d0 AS (SELECT doc_id, text FROM documents),
-           |docs AS (SELECT doc_id, text FROM d0
-           |         UNION ALL
-           |         SELECT doc_id + 1000000, 'Z' || substring(text, 2)
-           |         FROM d0 WHERE doc_id % 7 = 0),
-           |b AS (SELECT doc_id,
-           |        list_transform(string_split(text, ''), c -> ascii(c)) AS B,
-           |        CAST(length(text) AS BIGINT) AS n FROM docs),
-           |seg AS (SELECT doc_id, g.i, (g.i*n)//72 AS lo,
-           |          ((g.i+1)*n)//72 AS hi, B
-           |        FROM b CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g),
-           |sv AS (SELECT doc_id, i,
-           |         CAST(coalesce(list_sum(list_slice(B,
-           |           CAST(lo+1 AS INT), CAST(hi AS INT))), 0) AS BIGINT) AS s,
-           |         hi - lo AS l FROM seg),
-           |cmp AS (SELECT a.doc_id, a.i AS ai,
-           |          CASE WHEN a.s * b2.l < b2.s * a.l THEN 1 ELSE 0 END AS bit
-           |        FROM sv a JOIN sv b2
-           |          ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
-           |        WHERE a.i % 9 < 8),
-           |qq AS (SELECT doc_id, ${(0 until 4).map(qSql).mkString(", ")}
-           |       FROM cmp GROUP BY 1),
-           |bands AS (
-           |  $bandUnion),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.key = b.key
-           |           AND a.doc_id < b.doc_id),
-           |pairs AS (SELECT a_id, b_id
-           |          FROM cand JOIN qq sa ON sa.doc_id = a_id
-           |          JOIN qq sb ON sb.doc_id = b_id
-           |          WHERE $hammingSql <= 3),
-           |reps AS (SELECT b_id AS media_id, min(a_id) AS rep_id
-           |         FROM pairs GROUP BY 1)
-           |SELECT docs.doc_id AS media_id,
-           |  CASE WHEN rep_id IS NULL THEN 'kept' ELSE 'dup' END AS status,
-           |  rep_id
-           |FROM docs LEFT JOIN reps ON reps.media_id = docs.doc_id""".stripMargin
-      },
+      (s, d) => Multimodal.dHashDedupManifest(
+        Multimodal.asMedia(injectedDocs(s, d), "doc_id", "text"),
+        maxHamming = 3),
+      Some(s"""WITH ${dHashPairsSql(3)},
+              |reps AS (SELECT b_id AS media_id, min(a_id) AS rep_id
+              |         FROM pairs GROUP BY 1)
+              |SELECT docs.doc_id AS media_id,
+              |  CASE WHEN rep_id IS NULL THEN 'kept' ELSE 'dup' END AS status,
+              |  rep_id
+              |FROM docs LEFT JOIN reps ON reps.media_id = docs.doc_id""".stripMargin),
       "keep-first dedup manifest over perceptual-hash near-dup pairs: dup/kept + representative provenance per media row"),
 
     // resize stub — checksum plumbing oracle-checked

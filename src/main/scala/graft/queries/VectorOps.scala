@@ -2047,7 +2047,8 @@ object VectorOps {
            |           CAST(coalesce(hD.hits, 0) AS DOUBLE) /
            |           CAST(least(8, ncD.n_cand) AS DOUBLE), 6)), 1.0) >= 0.9
            |           AS armed
-           |         FROM ncD LEFT JOIN hD USING (q_id)),
+           |         FROM ncD LEFT JOIN hD USING (q_id)
+           |         WHERE ncD.n_cand > $cutC),
            |qpr AS (SELECT vec_id AS q_id, cid AS cell
            |        FROM asn WHERE vec_id < 4 AND crn <= $np),
            |cand AS MATERIALIZED (SELECT DISTINCT p.q_id, scell.c_id

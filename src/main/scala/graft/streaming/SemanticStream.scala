@@ -538,14 +538,23 @@ object SemanticStream {
     * Catalyst broadcasts it, and on the cell-sorted compacted layout
     * the ingest's fresh (uncompacted) files hold most of the hits. */
   def slotBatchImbalance(spark: SparkSession, root: String,
-      manifest: DataFrame): Double =
-    stored(spark, root, SlotCellsEntity, SlotCellsDdl)
-      .join(manifest.where(col("status") === "kept")
-        .select(col("vec_id").as("id")), Seq("id"), "left_semi")
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
-      .collect().headOption.map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
-      .getOrElse(0.0)
+      manifest: DataFrame): Double = readSlotBook(spark, root) match {
+    case None => 0.0 // no slot sidecar — nothing to trigger on
+    case Some((scb, slices)) =>
+      // every slot-face read path repairs first (the repairSlots
+      // invariant): a torn retrain/bootstrap would otherwise feed the
+      // trigger mixed-book assignments (r13 review). Memoized — the
+      // common clean case costs nothing.
+      repairSlots(spark, root, scb, slices)
+      stored(spark, root, SlotCellsEntity, SlotCellsDdl)
+        .join(manifest.where(col("status") === "kept")
+          .select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg((max(col("n")).cast("double") / sum(col("n"))).as("s"))
+        .collect().headOption
+        .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+        .getOrElse(0.0)
+  }
 
   /** [[retrainIfUnbalanced]]'s slot-face twin — the arming the r12
     * verdict flagged as missing (metric + retrain + a measured trigger
@@ -554,13 +563,16 @@ object SemanticStream {
     * slot book frozen. No-op on stores without a slot sidecar. The
     * threshold reads on the BATCH metric's measured scale (balanced
     * ingest ~0.09 at K = 64, collapse drift 0.375 — `slot_drift`), not
-    * [[slotCellImbalance]]'s dedup-shielded ~0.02 band. Returns the
-    * new book hash when a retrain ran. */
+    * [[slotCellImbalance]]'s dedup-shielded ~0.02 band. A caller that
+    * already computed the batch share (monitoring reads it anyway)
+    * passes it via `share` so the aggregation isn't paid twice.
+    * Returns the new book hash when a retrain ran. */
   def slotRetrainIfUnbalanced(spark: SparkSession, root: String,
       manifest: DataFrame, threshold: Double, slotK: Int = SlotK,
-      rounds: Int = 3): Option[String] =
+      rounds: Int = 3, share: Option[Double] = None): Option[String] =
     if (readSlotBook(spark, root).isEmpty) None
-    else if (slotBatchImbalance(spark, root, manifest) >= threshold)
+    else if (share.getOrElse(slotBatchImbalance(spark, root, manifest))
+        >= threshold)
       Some(slotRetrain(spark, root, slotK, rounds))
     else None
 
@@ -1043,6 +1055,75 @@ object SemanticStream {
     * full-vector IO is the C re-rank candidates. Requires both the
     * slot and SQ sidecars (`bootstrap(withSq = true,
     * withSlots = true)`). */
+  /** Shared stage 0 + stage 1a — ONE implementation consumed by the
+    * serve path ([[queryTopKMaxSimSlots]]), the alignment diagnostic
+    * ([[slotCutAgreement]]) and the measurement harness
+    * ([[slotGatherFold]]), so the three cannot desynchronize (r13
+    * review: plan identity by construction, not by triplication).
+    *
+    * Stage 0: per-query-slot probe lists from the fold kernel (K·w
+    * arithmetic per slot, zero shuffle), checkpointed — the fold is
+    * read up to 4× downstream (probe-literal collect, gather,
+    * centroid-cut qcn, stage-1b join) and at p = K recomputing it per
+    * consumer would quadruple the dominant kernel cost.
+    *
+    * Stage 1a (gather): a doc is a candidate when ANY of its slots
+    * sits in ANY query slot's top-`slotNProbe` cells — reachability
+    * by slot alignment, the signal MaxSim ranks by. `allowed` is the
+    * FILTERED-search face (q188's sqCandidates contract): eligible
+    * ids semi-join the slot index BEFORE gather, so the whole
+    * candidate + top-C budget lands on eligible docs — post-filtering
+    * an unfiltered top-k would starve the re-rank at selectivity s to
+    * ~s·C survivors; the semi-join prunes index rows, never adds any.
+    * The gather is PUSHED (the lex_prune discipline on the slot
+    * index): the probe union is BOUNDED (≤ nq·T·slotNProbe cells), so
+    * it collects to literals and reaches the slot-cells scan as a
+    * pushed In(cell, …) — on the cell-sorted compacted layout parquet
+    * min/max stats skip every file holding no probed cell
+    * (`slot_gather_prune` measures the law; PlanSpec pins the
+    * filter). Semantics-preserving: rows outside the union cannot
+    * meet the gather equi-join anyway. The CUT stage reads the
+    * unfiltered `scells` — it needs every slot of the gathered
+    * candidates, probed or not.
+    *
+    * Returns (asg, scells, cand); `cand` is NOT checkpointed — the
+    * serve path reads it once, callers with multiple consumers
+    * checkpoint it themselves. */
+  private def slotStage01(queries: DataFrame, root: String,
+      idCol: String, vecCol: String, slotNProbe: Int, p: Int,
+      allowed: Option[DataFrame], scb: Seq[(Long, Seq[Double], Double)],
+      slices: Int): (DataFrame, DataFrame, DataFrame) = {
+    val s = queries.sparkSession
+    val dim = slices * scb.head._2.length
+    val asg = SimSearch.ivfAssign(
+        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+          slices, dim), "sid", "sv", scb, p = p)
+      .select(expr(s"id div $slices").as("q_id"),
+        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
+        col("v").as("qv"), col("probes"))
+      .localCheckpoint()
+    val scells0 = stored(s, root, SlotCellsEntity, SlotCellsDdl)
+      .select(col("id").as("c_id"), col("cell"))
+    val scells = allowed match {
+      case Some(ok) =>
+        scells0.join(ok.select(col("id").as("c_id")), Seq("c_id"),
+          "left_semi")
+      case None => scells0
+    }
+    val probeCells = asg
+      .select(explode(slice(col("probes"), 1, slotNProbe)
+        .getField("cid")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val cand = asg
+      .select(col("q_id"), explode(
+        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
+      .distinct()
+      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    (asg, scells, cand)
+  }
+
   def queryTopKMaxSimSlots(queries: DataFrame, root: String, topK: Int,
       prefilterC: Int, slotNProbe: Int = 2, cutC: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -1059,60 +1140,12 @@ object SemanticStream {
       throw new IllegalStateException(
         s"no SQ grid under $root — the slot face scores stage-1 from " +
           "stored codes; bootstrap(withSq = true, withSlots = true)"))
-    // stage 0: per-query-slot probe lists from the fold kernel (K·w
-    // arithmetic per slot, zero shuffle). The centroid cut needs the
-    // cosines to ALL K cells — the kernel computes them either way, so
-    // arming the cut only widens the kept fold output, never the work.
-    val asg = SimSearch.ivfAssign(
-        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-          slices, dim), "sid", "sv", scb,
-        p = if (cutC > 0) scb.size else slotNProbe)
-      .select(expr(s"id div $slices").as("q_id"),
-        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
-        col("v").as("qv"), col("probes"))
-      .localCheckpoint() // bound the fold to one pass; read up to 4×
-      // (probe-literal collect, gather, centroid-cut qcn, stage-1b
-      // join) — with cutC armed the fold runs at p = K, so recomputing
-      // it per consumer would quadruple the dominant kernel cost
-    // stage 1a (gather): a doc is a candidate when ANY of its slots
-    // sits in ANY query slot's top-`slotNProbe` cells — reachability
-    // by slot alignment, the signal MaxSim ranks by. `allowed` is the
-    // FILTERED-search face (q188's sqCandidates contract): eligible
-    // ids semi-join the slot index BEFORE gather, so the whole
-    // candidate + top-C budget lands on eligible docs — post-filtering
-    // an unfiltered top-k would starve the re-rank at selectivity s to
-    // ~s·C survivors. The semi-join prunes index rows, never adds any.
-    val scells0 = stored(s, root, SlotCellsEntity, SlotCellsDdl)
-      .select(col("id").as("c_id"), col("cell"))
-    val scells = allowed match {
-      case Some(ok) =>
-        scells0.join(ok.select(col("id").as("c_id")), Seq("c_id"),
-          "left_semi")
-      case None => scells0
-    }
-    // pushed gather (the lex_prune discipline applied to the slot
-    // index): the probe union is BOUNDED (≤ nq·T·slotNProbe cells), so
-    // it collects to literals and reaches the slot-cells scan as a
-    // pushed In(cell, …) — on the cell-sorted compacted layout (the
-    // stream driver's window range-sorts this entity) parquet min/max
-    // stats skip every file holding no probed cell, so the gather
-    // reads the probed SLICE of the index instead of all of it
-    // (`slot_gather_prune` family measures the law; PlanSpec pins the
-    // pushed filter). Semantics-preserving: rows outside the union
-    // cannot meet the gather equi-join anyway. The CUT stage below
-    // still reads the unfiltered rows — it needs every slot of the
-    // gathered candidates, probed or not.
-    val probeCells = asg
-      .select(explode(slice(col("probes"), 1, slotNProbe)
-        .getField("cid")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val cand = asg
-      .select(col("q_id"), explode(
-        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
-      .distinct()
-      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id")).distinct()
+    // the centroid cut needs the cosines to ALL K cells — the kernel
+    // computes them either way, so arming the cut only widens the
+    // kept fold output, never the work
+    val (asg, scells, cand) = slotStage01(queries, root, idCol, vecCol,
+      slotNProbe, p = if (cutC > 0) scb.size else slotNProbe, allowed,
+      scb, slices)
     // stage 1a′ (centroid cut): rank gathered candidates by the cheap
     // centroid interaction Σ_qpos max_slot cos(query slot, slot-cell
     // centroid) — every term is a lookup into the (q_id, qpos, cell)
@@ -1214,29 +1247,9 @@ object SemanticStream {
       throw new IllegalStateException(
         s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
     repairSlots(s, root, scb, slices)
-    val dim = slices * scb.head._2.length
-    val asg = SimSearch.ivfAssign(
-        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-          slices, dim), "sid", "sv", scb, p = scb.size)
-      .select(expr(s"id div $slices").as("q_id"),
-        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
-        col("v").as("qv"), col("probes"))
-      .localCheckpoint()
-    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
-      .select(col("id").as("c_id"), col("cell"))
-    val probeCells = asg
-      .select(explode(slice(col("probes"), 1, slotNProbe)
-        .getField("cid")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val cand = asg
-      .select(col("q_id"), explode(
-        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
-      .distinct()
-      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id")).distinct()
-      .localCheckpoint()
-    (cand, queryCellCosines(asg))
+    val (asg, _, cand) = slotStage01(queries, root, idCol, vecCol,
+      slotNProbe, p = scb.size, allowed = None, scb, slices)
+    (cand.localCheckpoint(), queryCellCosines(asg))
   }
 
   /** Land the slot index's FORWARD projection: the (id, cell) rows
@@ -1301,33 +1314,16 @@ object SemanticStream {
         s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
     repairSlots(s, root, scb, slices)
     val w = scb.head._2.length
-    val dim = slices * w
     val (mins, _, isteps) = readGrid(s, root).getOrElse(
       throw new IllegalStateException(
         s"no SQ grid under $root — the diagnostic scores the code " +
           "ordering; bootstrap(withSq = true, withSlots = true)"))
-    // stage 0 at p = K: the centroid ordering needs all-cell cosines
-    // (same fold the armed serve path runs)
-    val asg = SimSearch.ivfAssign(
-        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-          slices, dim), "sid", "sv", scb, p = scb.size)
-      .select(expr(s"id div $slices").as("q_id"),
-        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
-        col("v").as("qv"), col("probes"))
-      .localCheckpoint() // read 3×: probe literals, gather, both scorers
-    val scells = stored(s, root, SlotCellsEntity, SlotCellsDdl)
-      .select(col("id").as("c_id"), col("cell"))
-    val probeCells = asg
-      .select(explode(slice(col("probes"), 1, slotNProbe)
-        .getField("cid")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val cand = asg
-      .select(col("q_id"), explode(
-        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
-      .distinct()
-      .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
-      .where(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id")).distinct()
+    // stage 0 at p = K (the centroid ordering needs all-cell cosines)
+    // + stage 1a — the shared implementation the armed serve path
+    // runs, by construction, not by copy
+    val (asg, scells, cand0) = slotStage01(queries, root, idCol, vecCol,
+      slotNProbe, p = scb.size, allowed = None, scb, slices)
+    val cand = cand0
       .localCheckpoint() // both orderings + the denominator read it
     // centroid ordering over ALL gathered candidates (stage 1a′ minus
     // the cut itself — the identical factored plan the serve path runs)
@@ -1378,9 +1374,17 @@ object SemanticStream {
     * `sampleN` LOWEST-id stored vectors (replayable as ORDER BY id
     * LIMIT n in the oracle) — memoized per (root, book hash, knobs)
     * so a long-serving process pays the diagnostic once per book
-    * generation, not per query batch. An empty read (no sample
-    * candidates) scores 1.0: with nothing gathered the cut cannot
-    * discard anything, i.e. it is harmless by definition. */
+    * generation, not per query batch. Only sample queries whose
+    * gather actually EXERCISED the cut (n_cand > cutC) vote: a
+    * narrow gather retains everything by construction (agree ≡ 1.0),
+    * which says nothing about what the cut would do to a wider
+    * production gather — averaging those rows in could arm the cut
+    * on decorrelated geometry whenever the sample's ids happen to
+    * sit in sparse cells (r13 review). If NO sample query exercised
+    * the cut the read is 1.0 — on that index every gather is
+    * narrower than cutC, so an armed cut discards nothing; widen
+    * `sampleN` if the sample is suspected unrepresentative of the
+    * query distribution. */
   def slotAlignmentRead(spark: SparkSession, root: String,
       sampleN: Int = 8, k: Int = 8, cutC: Int = SlotPolicy.CutC,
       slotNProbe: Int = SlotPolicy.SlotNProbe): Double = {
@@ -1393,6 +1397,7 @@ object SemanticStream {
         .select(col("id").as("vec_id"), col("v").as("embedding"))
         .orderBy(col("vec_id")).limit(sampleN)
       val read = slotCutAgreement(sample, root, k, slotNProbe, cutC)
+        .where(col("n_cand") > cutC) // only cut-exercising rows vote
         .agg(avg(col("agree"))).collect().headOption
         .map(r => if (r.isNullAt(0)) 1.0 else r.getDouble(0))
         .getOrElse(1.0)
