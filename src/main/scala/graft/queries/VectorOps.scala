@@ -97,6 +97,96 @@ object VectorOps {
        |        WHERE crn <= ${graft.streaming.SemanticStream.SlotPolicy.CutC}),""".stripMargin
   }
 
+  /** q210's oracle body, factored: q219 (the forward-projection-armed
+    * serve) is LAYOUT-ONLY — results are bit-identical to the plain
+    * slot serve — so it gates against the IDENTICAL SQL replay. */
+  private lazy val slotServedOracleSql: String = {
+        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
+        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
+        // de-quantized element i (1..8) of candidate code slice cpos
+        val recon = "(prm.mn[cp.cpos*8 + i] + " +
+          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
+        def fold(terms: String) =
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
+        // zero-norm slots score 0.0, mirroring SqSlotCosExpr's guard —
+        // an unguarded division yields NaN, which max() ranks greatest
+        // in BOTH engines, silently promoting degenerate candidates
+        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
+        val ccFold = fold(s"$recon * $recon")
+        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
+          s"THEN CAST(0.0 AS DOUBLE) " +
+          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
+          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
+           |        FROM e, $slot p),
+           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
+           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
+           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
+           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
+           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
+           |        FROM slt CROSS JOIN scb),
+           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
+           |          FROM asn WHERE crn = 1),
+           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
+           |          unnest(v) AS x FROM e),
+           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
+           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
+           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
+           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
+           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
+           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
+           |        FROM st),
+           |cd AS (SELECT vec_id,
+           |         list_transform(range(1, len(v) + 1),
+           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
+           |       FROM e CROSS JOIN prm),
+           |qpr AS (SELECT vec_id AS q_id, cid AS cell
+           |        FROM asn WHERE vec_id < 4
+           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
+           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
+           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
+           |         JOIN scell USING (cell)
+           |         WHERE p.q_id <> scell.c_id),
+           |${slotCutCtesSql("vec_id < 4")}
+           |sl1 AS (SELECT cut.q_id, cut.c_id, qs.pos AS qpos, cp.cpos,
+           |          $slotCos AS sc
+           |        FROM cut
+           |        JOIN slt qs ON qs.vec_id = cut.q_id
+           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
+           |        JOIN cd ON cd.vec_id = cut.c_id
+           |        CROSS JOIN prm),
+           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
+           |        FROM sl1 GROUP BY 1, 2, 3),
+           |s1 AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
+           |       FROM mx1 GROUP BY 1, 2),
+           |pre AS (SELECT q_id, c_id FROM (
+           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
+           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
+           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
+           |       FROM q, $slot p),
+           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
+           |       FROM e, $slot p
+           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
+           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
+           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
+           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
+           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
+           |       FROM pc GROUP BY 1, 2, 3),
+           |sc AS (SELECT q_id, c_id,
+           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           |       FROM mx GROUP BY 1, 2),
+           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
+           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
+           |      FROM sc)
+           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
+  }
+
   /** DuckDB expression for LSH plane component i of plane p — the same
     * integer LCG [[SimSearch.planeComponent]] uses. */
   private def planeSql(p: Int, i: String): String =
@@ -1278,93 +1368,39 @@ object VectorOps {
           slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
           cutC = SemanticStream.SlotPolicy.CutC)
       },
-      Some {
-        val slot = "(SELECT unnest(range(0, 8)) AS pos)"
-        def sl(v: String) = s"list_slice($v, p.pos*8 + 1, p.pos*8 + 8)"
-        // de-quantized element i (1..8) of candidate code slice cpos
-        val recon = "(prm.mn[cp.cpos*8 + i] + " +
-          "CAST(cd.codes[cp.cpos*8 + i] AS DOUBLE) * prm.istep[cp.cpos*8 + i])"
-        def fold(terms: String) =
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-            s"list_transform(range(1, 9), i -> $terms)), (acc, x) -> acc + x)"
-        // zero-norm slots score 0.0, mirroring SqSlotCosExpr's guard —
-        // an unguarded division yields NaN, which max() ranks greatest
-        // in BOTH engines, silently promoting degenerate candidates
-        val qqFold = fold("CAST(qs.sv[i] AS DOUBLE) * CAST(qs.sv[i] AS DOUBLE)")
-        val ccFold = fold(s"$recon * $recon")
-        val slotCos = s"(CASE WHEN $qqFold = 0 OR $ccFold = 0 " +
-          s"THEN CAST(0.0 AS DOUBLE) " +
-          s"ELSE round(${fold(s"CAST(qs.sv[i] AS DOUBLE) * $recon")} / " +
-          s"(sqrt($qqFold) * sqrt($ccFold)), 6) END)"
-        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-           |slt AS (SELECT vec_id, p.pos AS pos, ${sl("v")} AS sv
-           |        FROM e, $slot p),
-           |scb AS (SELECT vec_id*8 + pos AS cid, sv AS cv FROM slt
-           |        ORDER BY cid LIMIT ${graft.streaming.SemanticStream.SlotK}),
-           |asn AS (SELECT slt.vec_id, slt.pos, slt.sv, cid,
-           |          row_number() OVER (PARTITION BY slt.vec_id, slt.pos
-           |            ORDER BY ${cosSql("slt.sv", "cv")} DESC, cid) AS crn
-           |        FROM slt CROSS JOIN scb),
-           |scell AS (SELECT vec_id AS c_id, pos AS cpos, cid AS cell
-           |          FROM asn WHERE crn = 1),
-           |exg AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos,
-           |          unnest(v) AS x FROM e),
-           |st AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn,
-           |         max(CAST(x AS DOUBLE)) AS mx FROM exg GROUP BY 1),
-           |prm AS (SELECT list(mn ORDER BY pos) AS mn,
-           |          list(CASE WHEN mx > mn THEN CAST(255.0 AS DOUBLE) / (mx - mn)
-           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS sc,
-           |          list(CASE WHEN mx > mn THEN (mx - mn) / CAST(255.0 AS DOUBLE)
-           |               ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS istep
-           |        FROM st),
-           |cd AS (SELECT vec_id,
-           |         list_transform(range(1, len(v) + 1),
-           |           i -> CAST(round((CAST(v[i] AS DOUBLE) - prm.mn[i]) * prm.sc[i], 0) AS BIGINT)) AS codes
-           |       FROM e CROSS JOIN prm),
-           |qpr AS (SELECT vec_id AS q_id, cid AS cell
-           |        FROM asn WHERE vec_id < 4
-           |          AND crn <= ${graft.streaming.SemanticStream.SlotPolicy.SlotNProbe}),
-           |cand AS (SELECT DISTINCT p.q_id, scell.c_id
-           |         FROM (SELECT DISTINCT q_id, cell FROM qpr) p
-           |         JOIN scell USING (cell)
-           |         WHERE p.q_id <> scell.c_id),
-           |${slotCutCtesSql("vec_id < 4")}
-           |sl1 AS (SELECT cut.q_id, cut.c_id, qs.pos AS qpos, cp.cpos,
-           |          $slotCos AS sc
-           |        FROM cut
-           |        JOIN slt qs ON qs.vec_id = cut.q_id
-           |        CROSS JOIN (SELECT unnest(range(0, 8)) AS cpos) cp
-           |        JOIN cd ON cd.vec_id = cut.c_id
-           |        CROSS JOIN prm),
-           |mx1 AS (SELECT q_id, c_id, qpos, max(sc) AS mxc
-           |        FROM sl1 GROUP BY 1, 2, 3),
-           |s1 AS (SELECT q_id, c_id,
-           |         CAST(sum(CAST(mxc AS DECIMAL(20,6))) AS DOUBLE) AS s1
-           |       FROM mx1 GROUP BY 1, 2),
-           |pre AS (SELECT q_id, c_id FROM (
-           |          SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-           |            ORDER BY s1 DESC, c_id) AS prn FROM s1)
-           |        WHERE prn <= ${graft.streaming.SemanticStream.SlotPolicy.PrefilterC}),
-           |q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
-           |mq AS (SELECT vec_id AS q_id, p.pos AS qpos, ${sl("v")} AS sv
-           |       FROM q, $slot p),
-           |mc AS (SELECT vec_id AS c_id, p.pos AS cpos, ${sl("v")} AS sv
-           |       FROM e, $slot p
-           |       WHERE vec_id IN (SELECT DISTINCT c_id FROM pre)),
-           |pc AS (SELECT pre.q_id, pre.c_id, mq.qpos,
-           |         ${cosSqlZ("mq.sv", "mc.sv")} AS cos
-           |       FROM pre JOIN mq USING (q_id) JOIN mc USING (c_id)),
-           |mx AS (SELECT q_id, c_id, qpos, max(cos) AS m
-           |       FROM pc GROUP BY 1, 2, 3),
-           |sc AS (SELECT q_id, c_id,
-           |         CAST(sum(CAST(m AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
-           |       FROM mx GROUP BY 1, 2),
-           |r AS (SELECT q_id, c_id, maxsim, row_number() OVER (
-           |        PARTITION BY q_id ORDER BY maxsim DESC, c_id) AS rn
-           |      FROM sc)
-           |SELECT q_id, rn, c_id, maxsim FROM r WHERE rn <= 3""".stripMargin
-      },
+      Some(slotServedOracleSql),
       "slot-level late-interaction serving (PLAID shape): per-query-slot probes into the maintained slot index, SQ-code-scored stage-1, candidate-bounded MaxSim cascade"),
+
+    // FORWARD-PROJECTION-ARMED slot serve — q210's exact pipeline with
+    // the doc_id-bucketed forward copy of the slot index REGISTERED on
+    // the store, so the centroid cut's candidate-keyed join reads the
+    // bucketed layout instead of re-shuffling the corpus-cardinality
+    // slot rows (measured 6→5 exchanges at n=8000, `slot_forward`;
+    // BucketingSpec pins both the factored-stage plan and the serve
+    // call's). The ver-tagged staleness guard means the swap is
+    // LAYOUT-ONLY: results are bit-identical to the plain path, which
+    // is why the oracle is q210's SQL verbatim — the gate asserts
+    // engine equality of the forward-armed serve, not a new
+    // semantics. Its own store root (not q210's) so the registered
+    // q210/q215/q217 paths keep serving the oracle-checked plain
+    // entity.
+    "q219_maxsim_forward_serve" -> Q(
+      (s, d) => {
+        import graft.streaming.SemanticStream
+        val root = graft.Temps.dirFor(s"maxsim-fwd-$d")
+        val loc = graft.Temps.dirFor(s"maxsim-fwd-db-$d")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_fwd LOCATION '$loc'")
+        val emb = embeddings(s, d)
+        SemanticStream.bootstrap(emb, root, withSq = true, withSlots = true)
+        SemanticStream.writeSlotForward(s, root, "graft_fwd.slot_cells", 8)
+        SemanticStream.queryTopKMaxSimSlots(
+          emb.where(col("vec_id") < 4), root, topK = 3,
+          prefilterC = SemanticStream.SlotPolicy.PrefilterC,
+          slotNProbe = SemanticStream.SlotPolicy.SlotNProbe,
+          cutC = SemanticStream.SlotPolicy.CutC)
+      },
+      Some(slotServedOracleSql),
+      "forward-projection-armed slot serve: the centroid cut reads the registered doc_id-bucketed copy of the slot index (ver-guarded, retrain-refreshed) — layout-only, so the oracle is the plain serve's SQL verbatim"),
 
     // METADATA-FILTERED late interaction — q188's filtered-search
     // contract composed onto the slot face: the eligible-id set

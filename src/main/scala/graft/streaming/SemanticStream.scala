@@ -122,6 +122,21 @@ object SemanticStream {
     * structurally cannot see. */
   val SlotBookEntity = "slot_codebook"
   val SlotCellsEntity = "slot_cells"
+  /** Forward-projection REGISTRATION (opt-in via [[writeSlotForward]]):
+    * one row (tbl, buckets, ver) recording where the doc_id-bucketed
+    * copy of `slot_cells` lives and which slot-book generation it was
+    * projected under. `ver` is the staleness guard the r13 advice
+    * asked for: readers ([[readSlotForward]]) accept the bucketed copy
+    * only when its recorded hash equals the LIVE book's, so a crash
+    * between a retrain's cells swap and the projection rebuild — or a
+    * consumer racing a refresh — falls back to the plain entity
+    * instead of silently scoring the cut against the old book's
+    * assignments. The meta row is also what makes the refresh
+    * AUTOMATIC: [[reassignSlots]] (retrain, torn-swap roll-forward,
+    * pre-ver migration — every path that swaps the entity) re-lands
+    * the projection for any registered table, so the bucketed copy
+    * tracks the entity without a caller-side refresh contract. */
+  val SlotForwardMetaEntity = "slot_forward_meta"
   /** Default slot-space cell count and Lloyd's rounds, pinned from the
     * SlotSweep grid (SCALE.md round 11): with the SQ-code scoring
     * stage the quantizer only GATHERS — seed and 3-round-trained
@@ -200,6 +215,7 @@ object SemanticStream {
   private val SlotBookDdl =
     "cid bigint, cv array<double>, cn double, slices int"
   private val SlotCellsDdl = "id bigint, pos int, cell bigint, ver string"
+  private val SlotForwardMetaDdl = "tbl string, buckets int, ver string"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -426,6 +442,19 @@ object SemanticStream {
       slotCellRows(stored(s, root, CellsEntity, CellsDdl), "id", "v",
         scb, slices, dim, ver),
       root, SlotCellsEntity)
+    // a REGISTERED forward projection is a downstream copy of the
+    // entity just swapped — re-land it under the new book so the
+    // bucketed layout tracks the entity automatically (the r13
+    // staleness hole: SlotRetrainSpec used to show the CALLER
+    // re-landing it by hand). A crash between the cells swap and this
+    // rebuild leaves the meta row carrying the OLD ver, which
+    // [[readSlotForward]]'s guard rejects — stale reads are
+    // impossible, only a (correct) plain-path fallback until the next
+    // swap path re-runs this refresh.
+    stored(s, root, SlotForwardMetaEntity, SlotForwardMetaDdl)
+      .collect().headOption.foreach { r =>
+        landSlotForward(s, root, r.getString(0), r.getInt(1), ver)
+      }
   }
 
   /** Clean-check memo for [[repairSlots]]: once a root's slot cells
@@ -1158,7 +1187,19 @@ object SemanticStream {
       else {
         val wc = Window.partitionBy(col("q_id"))
           .orderBy(col("ccut").desc, col("c_id").asc)
-        centroidCutScores(cand, scells, queryCellCosines(asg))
+        // the cut's candidate-keyed join reads the doc_id-bucketed
+        // FORWARD projection when a registered fresh copy exists
+        // (measured 6→5 exchanges, `slot_forward`; BucketingSpec plan
+        // pin) — the r13 gap was that only the bench consumed it. The
+        // ver guard makes the swap safe: stale/missing → the plain
+        // entity, so registered stores without a projection are
+        // byte-identical to before. Joining the UNFILTERED projection
+        // is equivalent to joining `scells` even under `allowed`:
+        // `cand` is already restricted to eligible ids, and an inner
+        // join on c_id cannot resurrect ineligible rows.
+        val cutCells = readSlotForward(s, root, codebookVersion(scb))
+          .getOrElse(scells)
+        centroidCutScores(cand, cutCells, queryCellCosines(asg))
           .withColumn("crn", row_number().over(wc))
           .where(col("crn") <= cutC)
           .select(col("q_id"), col("c_id"))
@@ -1252,26 +1293,65 @@ object SemanticStream {
     (cand.localCheckpoint(), queryCellCosines(asg))
   }
 
-  /** Land the slot index's FORWARD projection: the (id, cell) rows
-    * bucketed (and sorted) by doc id in the session catalog — the
-    * second physical projection of the `slot_cells` entity SCALE.md's
-    * inverted/forward analysis calls for. The GATHER keeps reading the
-    * cell-sorted inverted layout (pushed In(cell, …) file pruning,
-    * `slot_gather_prune`); the CUT stage's candidate-keyed join reads
-    * THIS layout and loses its corpus-side shuffle exchange (the
-    * `attr_bucketed` machinery applied to the slot face —
-    * `slot_forward` has the measured row, BucketingSpec the plan pin).
-    * Rebuild after [[slotRetrain]]/[[reassignSlots]] the way any
-    * downstream projection refreshes: the bucketed copy carries the
-    * book hash in no column — it is a projection of the repaired
-    * entity, so land it AFTER a serve/ingest call has rolled forward
-    * any torn swap. */
+  /** Land + REGISTER the slot index's FORWARD projection: the
+    * (id, cell) rows bucketed (and sorted) by doc id in the session
+    * catalog — the second physical projection of the `slot_cells`
+    * entity SCALE.md's inverted/forward analysis calls for. The
+    * GATHER keeps reading the cell-sorted inverted layout (pushed
+    * In(cell, …) file pruning, `slot_gather_prune`); the CUT stage's
+    * candidate-keyed join reads THIS layout and loses its corpus-side
+    * shuffle exchange (the `attr_bucketed` machinery applied to the
+    * slot face — `slot_forward` has the measured row, BucketingSpec
+    * the plan pin, and since r14 the PRODUCTION serve path
+    * ([[queryTopKMaxSimSlots]]) consumes it whenever it is fresh).
+    * Registration order is the crash contract: the bucketed table
+    * lands first, the ver-tagged meta row second (the commit marker)
+    * — a kill between the two leaves the old meta (or none), which
+    * the read guard treats as "no fresh projection". Once registered,
+    * every entity swap ([[slotRetrain]], torn-swap roll-forward,
+    * pre-ver migration) re-lands the projection automatically
+    * ([[reassignSlots]]), closing the r13 manual-refresh hole. */
   def writeSlotForward(spark: SparkSession, root: String, table: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val (scb, slices) = readSlotBook(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no slot sidecar under $root — bootstrap(withSlots = true) first"))
+    // project the REPAIRED entity: a torn retrain rolled forward here
+    // rather than projected as-is (the old scaladoc's caller contract,
+    // now mechanized)
+    repairSlots(spark, root, scb, slices)
+    landSlotForward(spark, root, table, buckets, codebookVersion(scb))
+  }
+
+  /** The projection write itself: bucketed copy first, ver-tagged meta
+    * row second (commit marker). Shared by [[writeSlotForward]] and
+    * the automatic refresh in [[reassignSlots]]. */
+  private def landSlotForward(spark: SparkSession, root: String,
+      table: String, buckets: Int, ver: String): Unit = {
     graft.sinks.Bucketing.writeBucketed(
       stored(spark, root, SlotCellsEntity, SlotCellsDdl)
         .select(col("id"), col("cell")),
       table, "id", buckets)
+    import spark.implicits._
+    Layout.replaceStatic(
+      Seq((table, buckets, ver)).toDF("tbl", "buckets", "ver"),
+      root, SlotForwardMetaEntity)
+  }
+
+  /** The registered forward projection, IF it is fresh under the live
+    * slot book: the staleness guard (r13 advice) — the meta row's
+    * recorded book hash must equal `liveVer` and the catalog table
+    * must exist, else None and callers read the plain entity. Shape
+    * matches [[centroidCutScores]]'s `scells` argument (c_id, cell). */
+  def readSlotForward(spark: SparkSession, root: String,
+      liveVer: String): Option[DataFrame] =
+    stored(spark, root, SlotForwardMetaEntity, SlotForwardMetaDdl)
+      .collect().headOption.collect {
+        case r if r.getString(2) == liveVer &&
+            spark.catalog.tableExists(r.getString(0)) =>
+          graft.sinks.Bucketing.readBucketed(spark, r.getString(0))
+            .select(col("id").as("c_id"), col("cell"))
+      }
 
   /** Slot-alignment DIAGNOSTIC — mechanizes [[SlotPolicy]]'s
     * arm/disarm rule (the r12 verdict's top serving gap: "arm the cut

@@ -178,22 +178,78 @@ class SlotRetrainSpec extends AnyFunSuite {
     assert(cellsState(root).map(_._4) === Set(bookVer(root)))
   }
 
-  test("writeSlotForward lands the post-retrain assignments (projection refresh)") {
-    // the forward projection is a downstream copy of the slot_cells
-    // entity: landed AFTER a retrain it must carry the NEW book's
-    // assignments row for row (same (id, cell) multiset the cut
-    // stage's plain path would read)
+  test("slotRetrain auto-refreshes a registered forward projection (no caller contract)") {
+    // the r13 staleness hole, closed: the forward projection is
+    // REGISTERED (ver-tagged meta row), and every entity swap
+    // re-lands it — a retrain AFTER the registration leaves the
+    // bucketed copy carrying the NEW book's assignments row for row,
+    // with no caller-side re-landing
     val root = graft.Temps.dir("slot-fwd-refresh")
     boot(root)
     val s = spark
     s.sql("CREATE DATABASE IF NOT EXISTS slotfwddb LOCATION '" +
       graft.Temps.dir("slot-fwd-db") + "'")
-    SemanticStream.slotRetrain(spark, root, slotK = 2)
     SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd", 4)
+    SemanticStream.slotRetrain(spark, root, slotK = 2)
     val fwd = graft.sinks.Bucketing.readBucketed(spark, "slotfwddb.fwd")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val inv = cellsState(root).toSeq.map(c => (c._1, c._3)).sorted
-    assert(fwd === inv)
+    assert(fwd === inv, "post-retrain projection matches the swapped entity")
+    // and the refreshed copy passes the read guard under the new book
+    val live = bookVer(root)
+    assert(SemanticStream.readSlotForward(spark, root, live).isDefined)
+  }
+
+  test("stale forward projection is declined, serve falls back to the plain entity") {
+    // the ver guard (r13 advice): a meta row recording a DIFFERENT
+    // book generation than the live one (the crash window between the
+    // cells swap and the projection rebuild) must not be read — the
+    // serve path silently (and correctly) uses the plain entity
+    val root = graft.Temps.dir("slot-fwd-stale")
+    boot(root)
+    val s = spark
+    import s.implicits._
+    s.sql("CREATE DATABASE IF NOT EXISTS slotfwddb LOCATION '" +
+      graft.Temps.dir("slot-fwd-db2") + "'")
+    SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd_stale", 4)
+    assert(SemanticStream.readSlotForward(spark, root, bookVer(root)).isDefined)
+    // simulate the torn refresh: meta pinned to a bogus generation
+    Layout.replaceStatic(
+      Seq(("slotfwddb.fwd_stale", 4, "deadbeef")).toDF("tbl", "buckets", "ver"),
+      root, SemanticStream.SlotForwardMetaEntity)
+    assert(SemanticStream.readSlotForward(spark, root, bookVer(root)).isEmpty,
+      "stale ver must be declined")
+    // serve still answers, identically to a store with no projection
+    val plainRoot = graft.Temps.dir("slot-fwd-stale-plain")
+    boot(plainRoot)
+    def answers(r: String) =
+      SemanticStream.queryTopKMaxSimSlots(
+          df(Seq(500L -> Seq(0.0, 1.0, 0.0, 1.0))), r, topK = 3,
+          prefilterC = 16, slotNProbe = 1, cutC = 2)
+        .select("q_id", "rn", "c_id", "maxsim").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSet
+    assert(answers(root) === answers(plainRoot))
+  }
+
+  test("forward-armed serve equals plain serve bit for bit (layout-only swap)") {
+    val root = graft.Temps.dir("slot-fwd-serve")
+    val plainRoot = graft.Temps.dir("slot-fwd-serve-plain")
+    boot(root); boot(plainRoot)
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS slotfwddb LOCATION '" +
+      graft.Temps.dir("slot-fwd-db3") + "'")
+    SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd_serve", 4)
+    def answers(r: String) =
+      SemanticStream.queryTopKMaxSimSlots(
+          df(Seq(500L -> Seq(0.0, 1.0, 0.0, 1.0))), r, topK = 3,
+          prefilterC = 16, slotNProbe = 1, cutC = 2)
+        .select("q_id", "rn", "c_id", "maxsim").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSet
+    val armed = answers(root)
+    assert(armed.nonEmpty)
+    assert(armed === answers(plainRoot))
   }
 
   test("kill between book and cells swap: next slot-face serve rolls forward") {
