@@ -43,10 +43,16 @@ object MediaExprs {
   val GridCols = 9
   val GridCells: Int = GridRows * GridCols
 
-  /** payload bytes → array<long>(4) of 16-bit dHash quarters. Empty /
-    * null-length payloads hash to all-zero quarters (no comparisons
-    * fire). Static and allocation-light: one pass over the bytes for
-    * the 72 segment sums, then 64 integer cross-multiplications. */
+  /** payload bytes → array<long>(4) of 16-bit dHash quarters. EMPTY
+    * (non-null, zero-length) payloads hash to all-zero quarters (no
+    * comparisons fire); a NULL payload never reaches this function —
+    * the expression is null-propagating (`nullSafeEval`), so NULL
+    * payloads yield NULL quarters, drop out of the band join in both
+    * engines, and read `kept` in the dedup manifest (r13 advice: the
+    * doc used to claim null → zero quarters; the null guard here is
+    * for direct callers only). Static and allocation-light: one pass
+    * over the bytes for the 72 segment sums, then 64 integer
+    * cross-multiplications. */
   def dHashQuartersEval(payload: Array[Byte]): GenericArrayData = {
     val n = if (payload == null) 0 else payload.length
     val sums = new Array[Long](GridCells)

@@ -12,8 +12,17 @@ import Tables._
   * the binary arithmetic over the same utf-8 payloads. */
 object MediaOps {
 
-  /** Shared DuckDB CTE chain for the dHash near-dup queries (q216 and
-    * q218 replay the identical hash; one definition — r13 review):
+  /** Shared DuckDB CTE chain for the dHash near-dup queries (q216,
+    * q218, q220, q221 replay the identical hash; one definition — r13
+    * review). ASCII-ONLY REPLAY ASSUMPTION (r13 advice, documented):
+    * the Spark side hashes the payload's UTF-8 BYTES while this
+    * replay walks CHARACTERS (string_split + ascii + length), so the
+    * two agree exactly when every character is single-byte — true of
+    * the synthetic documents corpus, and the same discipline every
+    * TextOps oracle already rides (tokenizers, shingles, span hashes
+    * all replay character-wise). A non-ASCII corpus would shift
+    * segment boundaries AND byte values, failing the gate loudly
+    * (hash mismatch), not silently.
     * injected variant corpus → byte lists → 72 segment sums → integer
     * cross-multiplied mean comparisons → 4×16-bit quarter packing →
     * band join → candidate pairs → exact-Hamming `pairs`. Ends with

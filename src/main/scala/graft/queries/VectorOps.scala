@@ -2081,7 +2081,7 @@ object VectorOps {
            |       FROM rcD JOIN rsD USING (q_id, c_id) GROUP BY 1),
            |armD AS MATERIALIZED (SELECT coalesce(avg(round(
            |           CAST(coalesce(hD.hits, 0) AS DOUBLE) /
-           |           CAST(least(8, ncD.n_cand) AS DOUBLE), 6)), 1.0) >= 0.9
+           |           CAST(least(8, ncD.n_cand) AS DOUBLE), 6)), 0.0) >= 0.9
            |           AS armed
            |         FROM ncD LEFT JOIN hD USING (q_id)
            |         WHERE ncD.n_cand > $cutC),

@@ -1461,10 +1461,15 @@ object SemanticStream {
     * production gather — averaging those rows in could arm the cut
     * on decorrelated geometry whenever the sample's ids happen to
     * sit in sparse cells (r13 review). If NO sample query exercised
-    * the cut the read is 1.0 — on that index every gather is
-    * narrower than cutC, so an armed cut discards nothing; widen
-    * `sampleN` if the sample is suspected unrepresentative of the
-    * query distribution. */
+    * the cut the read is 0.0 — DISARMED (r13 advice): absence of
+    * evidence is not alignment, and the failure directions are
+    * asymmetric — arming on an unexercised sample risks the silent
+    * recall loss the diagnostic exists to prevent (a decorrelated
+    * corpus whose small sample gathers narrowly would cut production
+    * queries that gather wide), while disarming merely serves the
+    * plain, always-correct path at the uncut cost. Widen `sampleN`
+    * (or lower the probe's cutC) until the sample exercises the cut
+    * if the corpus is believed aligned. */
   def slotAlignmentRead(spark: SparkSession, root: String,
       sampleN: Int = 8, k: Int = 8, cutC: Int = SlotPolicy.CutC,
       slotNProbe: Int = SlotPolicy.SlotNProbe): Double = {
@@ -1479,8 +1484,8 @@ object SemanticStream {
       val read = slotCutAgreement(sample, root, k, slotNProbe, cutC)
         .where(col("n_cand") > cutC) // only cut-exercising rows vote
         .agg(avg(col("agree"))).collect().headOption
-        .map(r => if (r.isNullAt(0)) 1.0 else r.getDouble(0))
-        .getOrElse(1.0)
+        .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+        .getOrElse(0.0)
       java.lang.Double.valueOf(read)
     }).doubleValue()
   }

@@ -113,6 +113,13 @@ class SlotPolicySpec extends AnyFunSuite {
     // by equality with the explicit calls.
     assert(SemanticStream.slotAlignmentRead(spark, rootA, cutC = 64) >= 0.9)
     assert(SemanticStream.slotAlignmentRead(spark, rootD, cutC = 64) < 0.9)
+    // an UNEXERCISED sample (no gather wider than cutC) must read
+    // DISARMED, not armed (r13 advice: absence of evidence is not
+    // alignment — arming risks silent recall loss, disarming only
+    // costs the uncut bill). cutC far above any gather width → zero
+    // voting rows → 0.0.
+    assert(SemanticStream.slotAlignmentRead(spark, rootA,
+      cutC = 1000000) === 0.0)
     def served(emb: org.apache.spark.sql.DataFrame, root: String,
         cutC: Int): Set[(Long, Long)] =
       SemanticStream.queryTopKMaxSimSlots(
