@@ -45,7 +45,10 @@ object SlotDriftBench {
           col("embedding").cast("array<double>").as("embedding"))
         .localCheckpoint()
       val autoThreshold = args.lift(3).map(_.toDouble).getOrElse(0.25)
-      for (mode <- Seq("frozen", "fixed", "auto")) {
+      // the capped arm's cadence: at 12 batches and persistent-drift
+      // tail ~1/3 of the stream, cap 3 bounds the tail to ≤ 2 fires
+      val minBetween = args.lift(4).map(_.toInt).getOrElse(3)
+      for (mode <- Seq("frozen", "fixed", "auto", "capped")) {
         val root = graft.Temps.dir(s"slot-drift-$mode")
         SemanticStream.bootstrap(base, root, withSq = true,
           withSlots = true, slotK = slotK, slotRounds = 3)
@@ -68,10 +71,16 @@ object SlotDriftBench {
           // already computed above so the aggregation isn't paid (and
           // billed into retrain_secs) twice per batch
           var fired = false
-          if (mode == "auto") {
+          if (mode == "auto" || mode == "capped") {
+            // "capped" = the wired trigger under the r14 cadence cap:
+            // persistent drift fires ⌈drifted/cap⌉ retrains instead of
+            // one per drifted batch, with recall riding the
+            // post-retrain book between fires (slot_drift_serve row)
             val t1 = System.nanoTime()
             fired = SemanticStream.slotRetrainIfUnbalanced(spark, root,
-              man, autoThreshold, slotK, share = Some(batchSlots)).nonEmpty
+              man, autoThreshold, slotK, share = Some(batchSlots),
+              minBatchesBetween = if (mode == "capped") minBetween else 0)
+              .nonEmpty
             retrainSecs = (System.nanoTime() - t1) / 1e9
           }
           val slotImb = SemanticStream.slotCellImbalance(spark, root)

@@ -585,6 +585,18 @@ object SemanticStream {
         .getOrElse(0.0)
   }
 
+  /** Process-local cadence bookkeeping for the slot drift trigger:
+    * batches seen / batch index of the last fired retrain, per root.
+    * Deliberately NOT persisted — the cap is a COST governor, not a
+    * correctness invariant (any retrain is safe under the book-ver
+    * repair contract), so the worst a restart costs is one
+    * earlier-than-cadence retrain while the counters re-warm; the
+    * same one-driver-per-root assumption every memo here rides. */
+  private val slotIngestCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val slotLastRetrain =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** [[retrainIfUnbalanced]]'s slot-face twin — the arming the r12
     * verdict flagged as missing (metric + retrain + a measured trigger
     * gap existed; nothing fired the retrain): [[slotRetrain]] when the
@@ -595,15 +607,38 @@ object SemanticStream {
     * [[slotCellImbalance]]'s dedup-shielded ~0.02 band. A caller that
     * already computed the batch share (monitoring reads it anyway)
     * passes it via `share` so the aggregation isn't paid twice.
-    * Returns the new book hash when a retrain ran. */
+    *
+    * `minBatchesBetween` is the CADENCE CAP (r13 verdict #3 —
+    * SCALE.md's operating note mechanized): under PERSISTENT
+    * degenerate arrival the batch metric stays above threshold on
+    * every kept batch, and each fire is a full book re-fit +
+    * index-wide reassignment — the one per-batch cost that is
+    * corpus-linear. With the cap, a drifted batch fires only when at
+    * least that many batches have passed since the last fire (the
+    * FIRST fire is never delayed — drift onset still triggers
+    * immediately); retrains per N drifted batches are bounded by
+    * ⌈N / cap⌉ while recall rides the post-retrain book between
+    * fires (`slot_drift` capped arm measures it). 0 = uncapped (the
+    * r13 behavior). Returns the new book hash when a retrain ran. */
   def slotRetrainIfUnbalanced(spark: SparkSession, root: String,
       manifest: DataFrame, threshold: Double, slotK: Int = SlotK,
-      rounds: Int = 3, share: Option[Double] = None): Option[String] =
+      rounds: Int = 3, share: Option[Double] = None,
+      minBatchesBetween: Int = 0): Option[String] =
     if (readSlotBook(spark, root).isEmpty) None
-    else if (share.getOrElse(slotBatchImbalance(spark, root, manifest))
-        >= threshold)
-      Some(slotRetrain(spark, root, slotK, rounds))
-    else None
+    else {
+      val n = slotIngestCounts.merge(root, java.lang.Long.valueOf(1L),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        .longValue()
+      val drifted =
+        share.getOrElse(slotBatchImbalance(spark, root, manifest)) >=
+          threshold
+      val cadenceOk = Option(slotLastRetrain.get(root))
+        .forall(last => n - last.longValue() >= minBatchesBetween.toLong)
+      if (drifted && cadenceOk) {
+        slotLastRetrain.put(root, java.lang.Long.valueOf(n))
+        Some(slotRetrain(spark, root, slotK, rounds))
+      } else None
+    }
 
   /** Seed the index from an existing corpus: id-seeded codebook
     * (K lowest-id vectors — [[retrain]] upgrades it to the trained
@@ -790,7 +825,11 @@ object SemanticStream {
     * would never fire). `slotAutoThreshold > 0` arms the SLOT book's
     * twin ([[slotRetrainIfUnbalanced]] on the same manifest, at
     * `slotAutoK` cells) — the r12 gap: the slot face had the metric
-    * and the retrain but nothing arming them. `compactEvery > 0`
+    * and the retrain but nothing arming them — with
+    * `slotMinBatchesBetween` as its cadence cap (r13 gap: persistent
+    * degenerate arrival fired a full retrain on every kept batch; the
+    * cap bounds fires to ⌈batches/cap⌉, first fire never delayed).
+    * `compactEvery > 0`
     * compacts the cells +
     * manifest stores AND every armed sidecar (PQ/SQ codes, JL rows,
     * slot cells — compactStatic is a no-op None for entities the
@@ -804,7 +843,8 @@ object SemanticStream {
       probes: Int = 1, autoThreshold: Double = 0.0,
       compactEvery: Int = 0, k: Int = SimSearch.IvfK,
       residual: Option[Double] = None, slotAutoThreshold: Double = 0.0,
-      slotAutoK: Int = SlotK): StreamingQuery =
+      slotAutoK: Int = SlotK,
+      slotMinBatchesBetween: Int = 0): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(rawDir)
@@ -816,7 +856,7 @@ object SemanticStream {
           retrainIfUnbalanced(spark, root, man, autoThreshold, k)
         if (slotAutoThreshold > 0)
           slotRetrainIfUnbalanced(spark, root, man, slotAutoThreshold,
-            slotAutoK)
+            slotAutoK, minBatchesBetween = slotMinBatchesBetween)
         man.unpersist()
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
           Seq(CellsEntity, ManifestEntity, PqCodesEntity, SqCodesEntity,

@@ -154,6 +154,35 @@ class SlotRetrainSpec extends AnyFunSuite {
       threshold = 0.1).isEmpty)
   }
 
+  test("cadence cap bounds retrain frequency under persistent drift") {
+    // r13 verdict #3 mechanized: under persistent degenerate arrival
+    // the uncapped trigger fires a full retrain on EVERY drifted
+    // batch. With minBatchesBetween = 2 the first fire is immediate
+    // (drift onset is never delayed) and subsequent fires wait out
+    // the cadence — 5 persistently-drifted batches fire ⌈5/2⌉ = 3
+    // retrains, not 5. The share is passed explicitly (the monitoring
+    // caller's path) so the case pins the GATE, independent of how
+    // the batch happens to dedup.
+    val root = graft.Temps.dir("slot-retrain-cadence")
+    boot(root)
+    val man = SemanticStream.ingestVectors(
+      df(Seq(103L -> Seq(-1.0, 0.0, -1.0, 0.0))), root)
+    def tick(): Boolean = SemanticStream.slotRetrainIfUnbalanced(
+      spark, root, man, threshold = 0.9, slotK = 2,
+      share = Some(1.0), minBatchesBetween = 2).nonEmpty
+    assert((1 to 5).map(_ => tick()) === Seq(true, false, true, false, true),
+      "first fire immediate, then every 2nd drifted batch")
+    // and a non-drifted batch consumes cadence without firing
+    val root2 = graft.Temps.dir("slot-retrain-cadence2")
+    boot(root2)
+    def tick2(s: Double): Boolean = SemanticStream.slotRetrainIfUnbalanced(
+      spark, root2, man, threshold = 0.9, slotK = 2,
+      share = Some(s), minBatchesBetween = 2).nonEmpty
+    assert(tick2(1.0), "onset fires")
+    assert(!tick2(0.1) && !tick2(0.1), "calm batches never fire")
+    assert(tick2(1.0), "drift after the cadence window fires again")
+  }
+
   test("torn bootstrap (book landed, cells never did) repairs instead of memoizing clean") {
     // the OTHER torn-bootstrap shape (r12 advice): a crash between the
     // slot-book and slot-cells upserts leaves a present book over an
