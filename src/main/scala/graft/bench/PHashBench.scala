@@ -16,10 +16,13 @@ import graft.ops.Multimodal
   *     production path);
   *   - BANDED = [[Multimodal.dHashNearDupPairs]] at radius t.
   *
-  * Law: recall = 1.0 for t ≤ 3 (4 bands × 16 bits — any pair within
-  * total distance 3 agrees on ≥ 1 whole quarter), decaying above as
-  * the pigeonhole guarantee expires; candidate volume ≈ Σ bucket²
-  * per band ≪ n²/2. JSON rows, family `phash_band`.
+  * Law, measured at BOTH grid widths (r13 verdict #4): recall = 1.0
+  * for t ≤ bands − 1 (any pair within that distance agrees on ≥ 1
+  * whole quarter — radius 3 at the default 8×9 / 4 bands, radius 7
+  * at the wide 16×9 / 8 bands), decaying above as the pigeonhole
+  * guarantee expires; candidate volume ≈ Σ bucket² per band ≪ n²/2,
+  * at the SAME 2¹⁶-value band keys for both widths — the grid
+  * constant is the n²/2^w knob. JSON rows, family `phash_band`.
   *
   * Usage: `runMain graft.bench.PHashBench
   * [sfDir=/root/testdata/sf0.1]`. */
@@ -44,33 +47,49 @@ object PHashBench {
       val media = Multimodal.asMedia(docs.unionByName(variants),
         "doc_id", "text")
       val n = media.count()
-      val qs = Multimodal.dHashQuarters(media).localCheckpoint()
-      // measurement baseline: all-pairs exact Hamming (bounded corpus)
-      val hamming = (0 until 4).map(k =>
-          bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
-        .reduce(_ + _).cast("long")
-      val exact = qs.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3")
-        .join(qs.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"),
-          col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), hamming.as("h"))
-        .localCheckpoint()
-      // band-join candidate volume (radius-independent)
-      val bands = (0 until 4).map(k =>
-          qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
-        .reduce(_.unionByName(_))
-      val cand = bands.toDF("a_id", "band", "key")
-        .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct().count()
-      for (t <- Seq(0, 1, 3, 6, 10)) {
-        val exactN = exact.where(col("h") <= t).count()
-        val bandedN = Multimodal.dHashNearDupPairs(media, t).count()
-        val recall =
-          if (exactN == 0) 1.0 else bandedN.toDouble / exactN
-        println(s"""{"family":"phash_band","n":$n,"t":$t,""" +
-          s""""exact_pairs":$exactN,"banded_pairs":$bandedN,""" +
-          s""""cand":$cand,"all_pairs":${n * (n - 1) / 2},""" +
-          s""""recall":${math.round(recall * 10000) / 10000.0}}""")
+      // both grid widths (r13 verdict #4 — the wide variant measured,
+      // not narrated): 8×9 = 4 bands / 64 bits, exact through radius
+      // 3; 16×9 = 8 bands / 128 bits, exact through radius 7 at the
+      // SAME 2¹⁶-value band keys. The law to read off the rows: the
+      // per-band candidate volume holds (~bands·n²/2¹⁶ scaled by key
+      // skew) while the pigeonhole radius doubles — the grid constant
+      // is the n²/2^w knob.
+      for ((gridRows, radii) <- Seq(8 -> Seq(0, 1, 3, 6, 10),
+          16 -> Seq(0, 1, 3, 6, 7, 10, 14))) {
+        val nb = gridRows / 2
+        val qs = Multimodal.dHashQuarters(media, gridRows, 9)
+          .localCheckpoint()
+        // measurement baseline: all-pairs exact Hamming (bounded corpus)
+        val hamming = (0 until nb).map(k =>
+            bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
+          .reduce(_ + _).cast("long")
+        val exact = qs
+          .toDF(("a_id" +: (0 until nb).map(k => s"a_q$k")): _*)
+          .join(qs.toDF(("b_id" +: (0 until nb).map(k => s"b_q$k")): _*),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), hamming.as("h"))
+          .localCheckpoint()
+        // band-join candidate volume (radius-independent)
+        val bands = (0 until nb).map(k =>
+            qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
+          .reduce(_.unionByName(_))
+        val cand = bands.toDF("a_id", "band", "key")
+          .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct().count()
+        for (t <- radii) {
+          val exactN = exact.where(col("h") <= t).count()
+          val bandedN = Multimodal.dHashNearDupPairs(media, t, gridRows, 9)
+            .count()
+          val recall =
+            if (exactN == 0) 1.0 else bandedN.toDouble / exactN
+          println(s"""{"family":"phash_band","grid_rows":$gridRows,""" +
+            s""""bands":$nb,"n":$n,"t":$t,""" +
+            s""""exact_pairs":$exactN,"banded_pairs":$bandedN,""" +
+            s""""cand":$cand,"all_pairs":${n * (n - 1) / 2},""" +
+            s""""recall":${math.round(recall * 10000) / 10000.0}}""")
+        }
+        exact.unpersist(); qs.unpersist()
       }
     } finally spark.stop()
   }

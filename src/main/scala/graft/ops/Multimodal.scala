@@ -129,19 +129,23 @@ object Multimodal {
         greatest(lit(1), (length(col("payload")) / factor)).cast("int"))).as("resized_checksum"),
       (length(col("payload")) / factor).cast("long").as("resized_bytes"))
 
-  /** Perceptual hash of every payload as four 16-bit dHash quarters
-    * (q0..q3) — the metric-structured content hash the exact checksums
-    * can't give (small payload change → small Hamming distance). The
-    * hash itself is the fused native expression
+  /** Perceptual hash of every payload as gridRows/2 ≤16-bit dHash
+    * quarters (q0..q{b−1}) — the metric-structured content hash the
+    * exact checksums can't give (small payload change → small Hamming
+    * distance). The hash itself is the fused native expression
     * [[graft.functions.MediaExprs.dHashQuarters]]; see its scaladoc
     * for the stubbed-codec stand-in (block-mean byte downsample in
     * place of decoded pixels — swap the sampling, keep everything
-    * downstream). */
-  def dHashQuarters(media: DataFrame): DataFrame =
+    * downstream) and for the grid-width scale lever (default 8×9 = 4
+    * bands / radius-3 pigeonhole; 16×9 = 8 bands / radius-7 at the
+    * same 16-bit band keys). */
+  def dHashQuarters(media: DataFrame,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): DataFrame =
     media
-      .withColumn("QS",
-        graft.functions.MediaExprs.dHashQuarters(col("payload")))
-      .select(col("media_id") +: (0 until 4).map(k =>
+      .withColumn("QS", graft.functions.MediaExprs.dHashQuarters(
+        col("payload"), gridRows, gridCols))
+      .select(col("media_id") +: (0 until gridRows / 2).map(k =>
         element_at(col("QS"), k + 1).as(s"q$k")): _*)
 
   /** The DEDUP DECISION on top of [[dHashNearDupPairs]] — q135's
@@ -157,8 +161,10 @@ object Multimodal {
     * face (q101's shape) over the pair set. One aggregate over the
     * bounded pair set — the manifest shape a training-data pipeline
     * filters media by. */
-  def dHashDedupManifest(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val pairs = dHashNearDupPairs(media, maxHamming)
+  def dHashDedupManifest(media: DataFrame, maxHamming: Int = 3,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): DataFrame = {
+    val pairs = dHashNearDupPairs(media, maxHamming, gridRows, gridCols)
       .select(col("a_id"), col("b_id"))
     val reps = pairs // keep-first: b dups to the least smaller-id partner
       .groupBy(col("b_id").as("media_id"))
@@ -172,28 +178,36 @@ object Multimodal {
 
   /** Image near-dup pairs by banded perceptual Hamming distance — the
     * q121 wide-SimHash machinery applied to the media payloads (NEVER
-    * all-pairs): any pair within total Hamming distance 3 agrees
-    * exactly on ≥ 1 of the four 16-bit quarters (pigeonhole), so the
-    * (band, quarter) equi-join over 2¹⁶-value keys finds ALL radius-3
+    * all-pairs): any pair within total Hamming distance bands − 1
+    * agrees exactly on ≥ 1 of the ≤16-bit quarters (pigeonhole), so
+    * the (band, quarter) equi-join over 2¹⁶-value keys finds ALL such
     * pairs at ~n²/2¹⁶ candidates per band; candidates then re-rank by
-    * the exact 64-bit Hamming distance and keep ≤ `maxHamming`.
-    * EXACT for maxHamming ≤ 3; above 3 the bands are a recall<1
-    * prefilter (PHashBench measures the band/recall law). */
-  def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val qs = dHashQuarters(media).localCheckpoint() // bands + re-rank read it
-    val bands = (0 until 4).map(k =>
+    * the exact full-width Hamming distance and keep ≤ `maxHamming`.
+    * EXACT for maxHamming ≤ bands − 1 (3 at the default 8×9 grid, 7
+    * at 16×9); above that the bands are a recall<1 prefilter
+    * (PHashBench measures the band/recall law at both widths). The
+    * grid is the scale knob: wider grid → more bands at the SAME
+    * per-band key cardinality → larger exact radius as n² outruns
+    * 2¹⁶. */
+  def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): DataFrame = {
+    val nb = gridRows / 2
+    val qs = dHashQuarters(media, gridRows, gridCols)
+      .localCheckpoint() // bands + re-rank read it
+    val bands = (0 until nb).map(k =>
         qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
       .reduce(_.unionByName(_))
     val cand = bands.toDF("a_id", "band", "key")
       .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val hamming = (0 until 4).map(k =>
+    val hamming = (0 until nb).map(k =>
         bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
       .reduce(_ + _).cast("long")
     cand
-      .join(qs.toDF("a_id", "a_q0", "a_q1", "a_q2", "a_q3"), "a_id")
-      .join(qs.toDF("b_id", "b_q0", "b_q1", "b_q2", "b_q3"), "b_id")
+      .join(qs.toDF(("a_id" +: (0 until nb).map(k => s"a_q$k")): _*), "a_id")
+      .join(qs.toDF(("b_id" +: (0 until nb).map(k => s"b_q$k")): _*), "b_id")
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
   }

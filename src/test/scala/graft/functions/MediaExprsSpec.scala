@@ -66,6 +66,52 @@ class MediaExprsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "kept").map(_._1) === Set(1L, 2L, 3L))
   }
 
+  test("wide 16x9 grid: 8 quarters, same metric property, same band-key budget") {
+    // the r14 width lever: doubling the rows doubles the bands (and
+    // the pigeonhole radius the banded join is exact through) while
+    // every quarter stays within the 16-bit band-key budget
+    def wide(bytes: Array[Byte]): Seq[Long] =
+      MediaExprs.dHashQuartersEval(bytes, 16, 9).toLongArray().toSeq
+    // 1 byte per 16×9 cell (more would wrap the unsigned byte range
+    // mid-payload and break monotonicity)
+    val inc = Array.tabulate(144)(i => i.toByte)
+    assert(wide(inc) === Seq.fill(8)(65535L))
+    assert(wide(Array.emptyByteArray) === Seq.fill(8)(0L))
+    // one byte perturbs one grid cell → ≤ 2 adjacent comparisons, at
+    // any width
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(432)(rnd.nextInt(256).toByte)
+    val q0 = wide(base)
+    for (pos <- Seq(0, 100, 250, 431)) {
+      val mut = base.clone()
+      mut(pos) = (mut(pos) + 113).toByte
+      val q1 = wide(mut)
+      val d = (0 until 8).map(k =>
+        java.lang.Long.bitCount(q0(k) ^ q1(k))).sum
+      assert(d <= 2, s"one byte at $pos moved $d bits")
+    }
+    // width-generic banded pairs: at the wide grid the (orig, variant)
+    // pair still surfaces (pigeonhole now covers radius 7) and every
+    // reported distance is exact over the 128 bits
+    val s = spark
+    import s.implicits._
+    val media = graft.ops.Multimodal.asMedia(
+      Seq(1L -> ("alpha document body " * 8),
+          2L -> ("ZZZZ@@@@" * 24),
+          9L -> ("alphA document body " + ("alpha document body " * 7)))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = graft.ops.Multimodal
+      .dHashNearDupPairs(media, maxHamming = 7, gridRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 9L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // narrow default unchanged by the generalization (the q216/q218
+    // hash): 8×9 via the generic path == the 1-arg legacy path
+    val n1 = MediaExprs.dHashQuartersEval(base).toLongArray().toSeq
+    val n2 = MediaExprs.dHashQuartersEval(base, 8, 9).toLongArray().toSeq
+    assert(n1 === n2)
+  }
+
   test("the native expression in a plan equals the static eval") {
     val s = spark
     import s.implicits._
