@@ -174,6 +174,54 @@ object MediaOps {
               |FROM docs LEFT JOIN reps ON reps.media_id = docs.doc_id""".stripMargin),
       "keep-first dedup manifest over perceptual-hash near-dup pairs: dup/kept + representative provenance per media row"),
 
+    // CANONICAL ROOTS over the pHash near-dup graph (r13 verdict #5) —
+    // q101's last-mile shape on the media face: q218's rep_id is
+    // PROVENANCE (non-transitive — a rep may itself be a dup of a
+    // still-smaller id), while a pipeline FILTERING media wants every
+    // row mapped to the one kept canonical per cluster. Pairs → the
+    // pointer-jumping connected components (GraphOps, the q71/q101
+    // machinery) → per-cluster min-id root + cluster size + keep
+    // flag. One bounded composition over the banded pair set, never
+    // all-pairs; the oracle replays the closure with a recursive CTE
+    // over the shared dHash chain (the q101/q209 pattern).
+    "q221_phash_roots" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMedia(injectedDocs(s, d), "doc_id", "text")
+        val pairs = Multimodal.dHashNearDupPairs(media, maxHamming = 3)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comp = graft.analytics.GraphOps.connectedComponents(pairs)
+          .toDF("media_id", "root_id")
+        val assigned = media.select(col("media_id"))
+          .join(comp, Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("root_id"), col("media_id")).as("root_id"))
+        val sizes = assigned.groupBy(col("root_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        assigned.join(sizes, Seq("root_id"))
+          .select(col("media_id"), col("root_id"), col("cluster_size"),
+            (col("media_id") === col("root_id")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE ${dHashPairsSql(3)},
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |        UNION SELECT b_id, a_id FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, src FROM sym
+              |  UNION
+              |  SELECT sym.dst, reach.r FROM reach JOIN sym ON sym.src = reach.id),
+              |comp AS (SELECT id AS media_id, min(r) AS root_id
+              |         FROM reach GROUP BY 1),
+              |assigned AS (
+              |  SELECT docs.doc_id AS media_id,
+              |         coalesce(comp.root_id, docs.doc_id) AS root_id
+              |  FROM docs LEFT JOIN comp ON comp.media_id = docs.doc_id),
+              |sz AS (SELECT root_id, count(*) AS cluster_size
+              |       FROM assigned GROUP BY 1)
+              |SELECT a.media_id, a.root_id,
+              |       CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+              |       a.media_id = a.root_id AS keep
+              |FROM assigned a JOIN sz USING (root_id)""".stripMargin),
+      "canonical roots over the pHash near-dup graph: banded pairs -> connected components -> per-cluster min-id root, the kept-canonical mapping a media-filtering pipeline consumes (q218's rep_id is provenance, this is the transitive closure)"),
+
     // resize stub — checksum plumbing oracle-checked
     "q63_media_resize" -> Q(
       (s, d) => Multimodal.resizeStub(
