@@ -174,6 +174,62 @@ object MediaOps {
               |FROM docs LEFT JOIN reps ON reps.media_id = docs.doc_id""".stripMargin),
       "keep-first dedup manifest over perceptual-hash near-dup pairs: dup/kept + representative provenance per media row"),
 
+    // ONLINE media dedup (r13 verdict #2) — the maintained face of
+    // q216/q218: the batch probes the STORED pHash band index
+    // (graft.streaming.MediaStream — the curate_bands discipline on
+    // the media column) instead of re-hashing the corpus per run.
+    // Two phases, both replayed: bootstrap seeds the quarters index
+    // from the corpus split (base docs with doc_id % 3 != 0); the
+    // ingest batch (base docs with doc_id % 3 == 0 plus ALL injected
+    // variants) probes it. The split is chosen so every status
+    // arises: a variant of a corpus doc → dup_corpus (rep = the
+    // stored original), a variant of a batch doc (doc_id % 21 == 0)
+    // → dup_batch (rep = the smaller batch-mate), plain batch docs →
+    // kept. The oracle computes the same pairs via the shared CTE
+    // chain over ALL docs, then applies the rule: partners of a batch
+    // row are stored near-dups (ANY id — first-arrival-wins across
+    // batches) plus smaller-id batch-mates; rep = least partner,
+    // status by the rep's locality.
+    "q220_phash_online" -> Q(
+      (s, d) => {
+        import graft.streaming.MediaStream
+        val root = graft.Temps.dirFor(s"phash-online-$d")
+        val all = injectedDocs(s, d)
+        val corpus = all.where(col("doc_id") < 1000000L &&
+          col("doc_id") % 3 =!= 0)
+        val batch = all.where(col("doc_id") >= 1000000L ||
+          col("doc_id") % 3 === 0)
+        MediaStream.bootstrap(
+          Multimodal.asMedia(corpus, "doc_id", "text"), root)
+        MediaStream.ingestBatch(
+          Multimodal.asMedia(batch, "doc_id", "text"), root, maxHamming = 3)
+      },
+      Some(s"""WITH ${dHashPairsSql(3)},
+              |corp AS (SELECT doc_id FROM docs
+              |         WHERE doc_id < 1000000 AND doc_id % 3 <> 0),
+              |bat AS (SELECT doc_id FROM docs
+              |        WHERE doc_id >= 1000000 OR doc_id % 3 = 0),
+              |sym AS (SELECT a_id AS x, b_id AS y FROM pairs
+              |        UNION ALL SELECT b_id, a_id FROM pairs),
+              |part AS (SELECT s.x AS media_id, s.y AS pid,
+              |           CASE WHEN s.y IN (SELECT doc_id FROM corp)
+              |                THEN 'corpus' ELSE 'batch' END AS tag
+              |         FROM sym s
+              |         WHERE s.x IN (SELECT doc_id FROM bat)
+              |           AND (s.y IN (SELECT doc_id FROM corp) OR s.y < s.x)),
+              |rep AS (SELECT media_id, min(pid) AS rep_id
+              |        FROM part GROUP BY 1),
+              |rt AS (SELECT p.media_id, p.pid, p.tag FROM part p
+              |       JOIN rep ON rep.media_id = p.media_id
+              |         AND rep.rep_id = p.pid)
+              |SELECT b.doc_id AS media_id,
+              |       CASE WHEN rt.pid IS NULL THEN 'kept'
+              |            WHEN rt.tag = 'corpus' THEN 'dup_corpus'
+              |            ELSE 'dup_batch' END AS status,
+              |       rt.pid AS rep_id
+              |FROM bat b LEFT JOIN rt ON rt.media_id = b.doc_id""".stripMargin),
+      "online media dedup: the batch probes the MAINTAINED pHash band index (corpus never re-hashed) - per-batch manifest with dup_corpus/dup_batch/kept provenance, the curate-stream discipline on the media column"),
+
     // CANONICAL ROOTS over the pHash near-dup graph (r13 verdict #5) —
     // q101's last-mile shape on the media face: q218's rep_id is
     // PROVENANCE (non-transitive — a rep may itself be a dup of a
