@@ -16,14 +16,18 @@ import graft.streaming.MediaStream
   * band law), while `oneshot_secs` grows with the corpus — the gap is
   * what the maintained index buys a streaming pipeline.
   *
-  * Scenario: the documents table split round-robin into a seed corpus
+  * Scenario: the documents table AMPLIFIED ×`amp` (each copy
+  * prefix-perturbed, so copies are distinct payloads — the ScaleLaws
+  * amplification discipline; at the default 8× the corpus is ~40k
+  * media rows, enough that the one-shot's corpus-linear hash pass
+  * dominates its job overhead), split round-robin into a seed corpus
   * + `batches` ingest batches; each batch additionally injects
-  * one-byte variants of its own %7 docs (ids offset per batch) so
-  * every ingest exercises both dup paths with nonempty results.
-  * JSON rows, family `phash_online`.
+  * one-byte variants of a deterministic slice of its own docs (ids
+  * offset beyond the amp range) so every ingest exercises both dup
+  * paths with nonempty results. JSON rows, family `phash_online`.
   *
   * Usage: `runMain graft.bench.MediaStreamBench [batches=6]
-  * [sfDir=/root/testdata/sf0.1]`. */
+  * [sfDir=/root/testdata/sf0.1] [amp=8]`. */
 object MediaStreamBench {
 
   private def time[A](f: => A): (A, Double) = {
@@ -35,12 +39,23 @@ object MediaStreamBench {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(6)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val amp = args.lift(2).map(_.toInt).getOrElse(8)
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
-      val docs = graft.queries.Tables.documents(spark, sfDir)
+      val base = graft.queries.Tables.documents(spark, sfDir)
         .where(col("doc_id") < 1000000L)
         .select(col("doc_id"), col("text"))
+      // ×amp distinct copies: the per-copy prefix has a DIFFERENT
+      // LENGTH per copy, so every segment boundary shifts and copies
+      // are metrically unrelated payloads (a same-length prefix would
+      // make copies one-byte variants of each other and turn the
+      // amplified corpus into dup clusters) — no artificial dup
+      // structure, just MORE rows
+      val docs = (0 until amp).map(k =>
+          base.select((col("doc_id") * amp + k).as("doc_id"),
+            concat(lit("<" * (3 * k + 1) + " "), col("text")).as("text")))
+        .reduce(_.unionByName(_))
         .localCheckpoint()
       val groups = batches + 1
       def slice(g: Int) = docs.where(col("doc_id") % groups === g)
@@ -58,9 +73,13 @@ object MediaStreamBench {
       var arrived = seed
       for (b <- 1 to batches) {
         val baseB = slice(b)
+        // one-byte variants of a deterministic ~1/5 slice of this
+        // batch's docs, offset beyond the amp id range (the % rule is
+        // on doc_id / groups so it cannot collide with the group
+        // split the way a plain % would)
         val batch = baseB.unionByName(
-          baseB.where(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + b * 1000000L).as("doc_id"),
+          baseB.where(pmod(expr(s"doc_id div $groups"), lit(5L)) === 0)
+            .select((col("doc_id") + 100000000L).as("doc_id"),
               concat(lit("Z"), expr("substring(text, 2)")).as("text")))
           .localCheckpoint()
         val media = Multimodal.asMedia(batch, "doc_id", "text")

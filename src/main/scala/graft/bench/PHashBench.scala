@@ -34,9 +34,19 @@ object PHashBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
       // same collision cap as q216/q218: variant ids live at
-      // doc_id + m·10⁶, so the base universe excludes that range
+      // doc_id + m·10⁶, so the base universe excludes that range.
+      // PAYLOAD-SIZE FLOOR for the width comparison: the block-mean
+      // stand-in needs ≥ ~2 bytes per grid cell — a payload shorter
+      // than the cell count leaves most wide-grid segments EMPTY
+      // (zero bits), degenerating the 16×9 hash to near-zero keys
+      // that collide massively (measured: t=0 "identical" pairs 1.8k
+      // → 73k without the floor). A REAL codec never hits this (it
+      // always yields rows×cols pixels regardless of byte size), so
+      // the floor keeps the measured law about the GRID, not the
+      // stub's byte-starvation artifact. 288 = 2 × the 144-cell wide
+      // grid; both widths measured on the same floored corpus.
       val docs = graft.queries.Tables.documents(spark, sfDir)
-        .where(col("doc_id") < 1000000L)
+        .where(col("doc_id") < 1000000L && length(col("text")) >= 288)
         .select(col("doc_id"), col("text"))
       val variants = Seq(1, 8, 32, 64).map { m =>
         docs.where(col("doc_id") % 5 === 0)

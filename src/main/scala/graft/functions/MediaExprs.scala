@@ -47,7 +47,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * doubling the bits any fixed radius is spread over — a
   * grid-constant-only change, everything downstream (banding, Hamming
   * re-rank, manifest) width-generic. PHashBench measures both widths
-  * (`phash_band`). */
+  * (`phash_band`). One prerequisite the STUB exposes that a real
+  * codec never would: the block-mean stand-in needs payloads ≳ 2
+  * bytes per grid cell — shorter payloads leave wide-grid segments
+  * empty (zero bits), degenerating the hash toward all-zero keys
+  * that collide massively. Decoded pixels always fill the grid, so
+  * this is a byte-starvation artifact of the sampling stand-in, not
+  * of the layout; the bench floors its corpus accordingly. */
 object MediaExprs {
 
   /** Default grid geometry: 8 comparison rows × 9 sample columns = 72
