@@ -23,23 +23,28 @@ object MediaOps {
     * all replay character-wise). A non-ASCII corpus would shift
     * segment boundaries AND byte values, failing the gate loudly
     * (hash mismatch), not silently.
-    * injected variant corpus → byte lists → 72 segment sums → integer
-    * cross-multiplied mean comparisons → 4×16-bit quarter packing →
-    * band join → candidate pairs → exact-Hamming `pairs`. Ends with
-    * the `pairs` CTE (a_id, b_id, plus sa/sb quarters available via
-    * qq); callers append their own tail. The base docs are capped to
-    * doc_id < 1000000 in BOTH engines so the injected variant ids
-    * (doc_id + 10⁶) cannot collide with real ids at any scale factor
-    * (vacuous at the current 500-doc tables — hashes unchanged). */
-  private def dHashPairsSql(maxHamming: Int): String = {
+    * injected variant corpus → byte lists → gridRows·9 segment sums →
+    * integer cross-multiplied mean comparisons → gridRows/2 ×16-bit
+    * quarter packing → band join → candidate pairs → exact-Hamming
+    * `pairs`. WIDTH-GENERIC since r14 (`gridRows`, the MediaExprs
+    * knob): the default 8 replays q216/q218's exact chain; 16 replays
+    * the wide layout q222 gates. Ends with the `pairs` CTE (a_id,
+    * b_id, plus sa/sb quarters available via qq); callers append
+    * their own tail. The base docs are capped to doc_id < 1000000 in
+    * BOTH engines so the injected variant ids (doc_id + 10⁶) cannot
+    * collide with real ids at any scale factor (vacuous at the
+    * current 500-doc tables — hashes unchanged). */
+  private def dHashPairsSql(maxHamming: Int, gridRows: Int = 8): String = {
+    val nb = gridRows / 2
+    val cells = gridRows * 9
     def qSql(k: Int): String =
       s"CAST(sum(CASE WHEN (ai//9)//2 = $k THEN " +
         s"bit * (CAST(1 AS BIGINT) << CAST(((ai//9)%2)*8 + ai%9 AS INT)) " +
         s"ELSE 0 END) AS BIGINT) AS q$k"
-    val bandUnion = (0 until 4).map(k =>
+    val bandUnion = (0 until nb).map(k =>
       s"SELECT doc_id, $k AS band, q$k AS key FROM qq")
       .mkString("\n  UNION ALL ")
-    val hammingSql = (0 until 4).map(k =>
+    val hammingSql = (0 until nb).map(k =>
       s"bit_count(xor(sa.q$k, sb.q$k))").mkString(" + ")
     s"""d0 AS (SELECT doc_id, text FROM documents
        |       WHERE doc_id < 1000000),
@@ -50,9 +55,9 @@ object MediaOps {
        |b AS (SELECT doc_id,
        |        list_transform(string_split(text, ''), c -> ascii(c)) AS B,
        |        CAST(length(text) AS BIGINT) AS n FROM docs),
-       |seg AS (SELECT doc_id, g.i, (g.i*n)//72 AS lo,
-       |          ((g.i+1)*n)//72 AS hi, B
-       |        FROM b CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g),
+       |seg AS (SELECT doc_id, g.i, (g.i*n)//$cells AS lo,
+       |          ((g.i+1)*n)//$cells AS hi, B
+       |        FROM b CROSS JOIN (SELECT unnest(range(0, $cells)) AS i) g),
        |sv AS (SELECT doc_id, i,
        |         CAST(coalesce(list_sum(list_slice(B,
        |           CAST(lo+1 AS INT), CAST(hi AS INT))), 0) AS BIGINT) AS s,
@@ -62,7 +67,7 @@ object MediaOps {
        |        FROM sv a JOIN sv b2
        |          ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
        |        WHERE a.i % 9 < 8),
-       |qq AS (SELECT doc_id, ${(0 until 4).map(qSql).mkString(", ")}
+       |qq AS (SELECT doc_id, ${(0 until nb).map(qSql).mkString(", ")}
        |       FROM cmp GROUP BY 1),
        |bands AS (
        |  $bandUnion),
@@ -173,6 +178,22 @@ object MediaOps {
               |  rep_id
               |FROM docs LEFT JOIN reps ON reps.media_id = docs.doc_id""".stripMargin),
       "keep-first dedup manifest over perceptual-hash near-dup pairs: dup/kept + representative provenance per media row"),
+
+    // WIDE-GRID near-dup pairs — q216's pipeline at the 16×9 layout
+    // (8 bands of ≤16 bits, pigeonhole-exact through radius 7): the
+    // scale lever the `phash_band` family measures (double the
+    // radius budget at the same 2¹⁶-value band keys), now
+    // oracle-gated at width so the width-generic expression, banding,
+    // and re-rank replay bit for bit in a second geometry — a
+    // grid-constant regression would break exactly one of q216/q222.
+    // maxHamming = 7 exercises the wide layout's full exact budget.
+    "q222_phash_wide" -> Q(
+      (s, d) => Multimodal.dHashNearDupPairs(
+        Multimodal.asMedia(injectedDocs(s, d), "doc_id", "text"),
+        maxHamming = 7, gridRows = 16),
+      Some(s"""WITH ${dHashPairsSql(7, gridRows = 16)}
+              |SELECT a_id, b_id, hamming FROM pairs""".stripMargin),
+      "wide-grid (16x9, 8-band) perceptual-hash near-dup pairs: the measured width lever oracle-gated in a second geometry, pigeonhole-exact through radius 7"),
 
     // ONLINE media dedup (r13 verdict #2) — the maintained face of
     // q216/q218: the batch probes the STORED pHash band index
