@@ -189,26 +189,41 @@ object Multimodal {
     * grid is the scale knob: wider grid → more bands at the SAME
     * per-band key cardinality → larger exact radius as n² outruns
     * 2¹⁶. */
+  /** The (media_id, band, key) projection of a quarters frame — nb
+    * rows per signature. Shared by the one-shot pair pipeline here
+    * and the maintained-index probes ([[graft.streaming.MediaStream]]
+    * — one implementation per width-sensitive piece, r14 review). */
+  private[graft] def bandRows(qs: DataFrame, nb: Int): DataFrame =
+    (0 until nb).map(k =>
+        qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
+      .reduce(_.unionByName(_))
+
+  /** Exact Hamming between quarter row-sets prefixed a_/b_, joined by
+    * a candidate frame (aId, bId) — the banded pipelines' shared
+    * re-rank. */
+  private[graft] def hammingJoin(cand: DataFrame, aQs: DataFrame,
+      bQs: DataFrame, aId: String, bId: String, nb: Int): DataFrame = {
+    val h = (0 until nb).map(k =>
+        bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
+      .reduce(_ + _).cast("long")
+    cand
+      .join(aQs.toDF((aId +: (0 until nb).map(k => s"a_q$k")): _*), aId)
+      .join(bQs.toDF((bId +: (0 until nb).map(k => s"b_q$k")): _*), bId)
+      .select(col(aId), col(bId), h.as("hamming"))
+  }
+
   def dHashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
       gridRows: Int = graft.functions.MediaExprs.GridRows,
       gridCols: Int = graft.functions.MediaExprs.GridCols): DataFrame = {
     val nb = gridRows / 2
     val qs = dHashQuarters(media, gridRows, gridCols)
       .localCheckpoint() // bands + re-rank read it
-    val bands = (0 until nb).map(k =>
-        qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
-      .reduce(_.unionByName(_))
+    val bands = bandRows(qs, nb)
     val cand = bands.toDF("a_id", "band", "key")
       .join(bands.toDF("b_id", "band", "key"), Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val hamming = (0 until nb).map(k =>
-        bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
-      .reduce(_ + _).cast("long")
-    cand
-      .join(qs.toDF(("a_id" +: (0 until nb).map(k => s"a_q$k")): _*), "a_id")
-      .join(qs.toDF(("b_id" +: (0 until nb).map(k => s"b_q$k")): _*), "b_id")
-      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+    hammingJoin(cand, qs, qs, "a_id", "b_id", nb)
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -14,9 +14,11 @@ import graft.sinks.Layout
   * ([[CurateStream]]: batches probe the stored band index, the corpus
   * is never re-signed) applies verbatim:
   *
-  *   - `media_quarters` (media_id, q0..q3): every KEPT payload's dHash
-  *     quarters at the pinned 8×9 grid
-  *     ([[graft.functions.MediaExprs]]) — the stored index. The band
+  *   - `media_quarters` (media_id, q0..q{b−1}): every KEPT payload's
+  *     dHash quarters at the grid width FIXED at [[bootstrap]]
+  *     (default 8×9 / 4 quarters; the width lever of
+  *     [[graft.functions.MediaExprs]] applies here too, and a probe
+  *     at the wrong width fails loudly) — the stored index. The band
   *     projection (4 rows of (media_id, band, key) per signature) is
   *     DERIVED at probe time, exactly like `curate_bands`' 2×2
   *     projection: storing one row per signature keeps the entity at
@@ -56,8 +58,9 @@ object MediaStream {
   val QuartersEntity = "media_quarters"
   val ManifestEntity = "media_manifest"
 
-  private val QuartersDdl =
-    "media_id bigint, q0 bigint, q1 bigint, q2 bigint, q3 bigint"
+  private def quartersDdl(nb: Int): String =
+    ("media_id bigint" +: (0 until nb).map(k => s"q$k bigint"))
+      .mkString(", ")
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -68,32 +71,35 @@ object MediaStream {
     Layout.readStatic(s, root, entity, recover = true)
       .getOrElse(emptyFrame(s, ddl))
 
-  /** The (media_id, band, key) projection of a quarters frame —
-    * derived, like `curate_bands`' projection; 4 rows per signature. */
-  private def bandsOf(qs: DataFrame): DataFrame =
-    (0 until 4).map(k =>
-        qs.select(col("media_id"), lit(k).as("band"), col(s"q$k").as("key")))
-      .reduce(_.unionByName(_))
-
-  /** Exact Hamming between two quarter row-sets joined by a candidate
-    * pair frame (aId, bId). */
-  private def hammingPairs(cand: DataFrame, aQs: DataFrame,
-      bQs: DataFrame, aId: String, bId: String): DataFrame = {
-    val h = (0 until 4).map(k =>
-        bit_count(col(s"a_q$k").bitwiseXOR(col(s"b_q$k"))))
-      .reduce(_ + _).cast("long")
-    cand
-      .join(aQs.toDF((aId +: (0 until 4).map(k => s"a_q$k")): _*), aId)
-      .join(bQs.toDF((bId +: (0 until 4).map(k => s"b_q$k")): _*), bId)
-      .select(col(aId), col(bId), h.as("hamming"))
+  /** The stored quarters index at the caller's grid width, failing
+    * LOUDLY when the store was built at a different width — a
+    * mismatched probe would silently find zero band matches and mark
+    * every duplicate `kept` (the store's width is fixed at
+    * [[bootstrap]]; the bands/Hamming machinery itself is the
+    * width-generic [[graft.ops.Multimodal]] implementation, shared
+    * with the one-shot face — r14 review). */
+  private def storedQuarters(s: SparkSession, root: String,
+      nb: Int): DataFrame = {
+    val qs = stored(s, root, QuartersEntity, quartersDdl(nb))
+    require(qs.columns.length == nb + 1,
+      s"media_quarters under $root has ${qs.columns.length - 1} quarter " +
+        s"columns but the call expects $nb — the store's grid width is " +
+        "fixed at bootstrap; probe it at the same gridRows")
+    qs
   }
 
   /** Seed the index from an existing media corpus (assumed already
     * deduped: ALL payloads contribute quarters — the
     * [[CurateStream.bootstrap]] contract). Idempotent: the upsert is
-    * keyed by media_id. */
-  def bootstrap(media: DataFrame, root: String): Unit =
-    Layout.upsertStatic(graft.ops.Multimodal.dHashQuarters(media),
+    * keyed by media_id. `gridRows`/`gridCols` pick the hash geometry
+    * ([[graft.functions.MediaExprs]]' width lever) and FIX the
+    * store's width — every later [[ingestBatch]] must probe at the
+    * same grid (guarded loudly). */
+  def bootstrap(media: DataFrame, root: String,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): Unit =
+    Layout.upsertStatic(
+      graft.ops.Multimodal.dHashQuarters(media, gridRows, gridCols),
       root, QuartersEntity, Seq("media_id"))
 
   /** Dedup one media batch against the stored quarters index: returns
@@ -101,33 +107,41 @@ object MediaStream {
     * quarters into the index. Deterministic and replay-idempotent
     * (see object doc). */
   def ingestBatch(batch: DataFrame, root: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): DataFrame = {
+    import graft.ops.Multimodal
     val s = batch.sparkSession
+    val nb = gridRows / 2
     // one fused hash pass over the batch; everything downstream (two
     // band joins, two Hamming re-ranks, the kept fold) reads it
-    val qsB = graft.ops.Multimodal.dHashQuarters(batch).localCheckpoint()
+    val qsB = Multimodal.dHashQuarters(batch, gridRows, gridCols)
+      .localCheckpoint()
     val ids = qsB.select("media_id")
 
     // probe EXCLUDES this batch's own ids — a replayed half-applied
     // batch must not see its own landed quarters (bit-stable statuses)
-    val qsIdx = stored(s, root, QuartersEntity, QuartersDdl)
+    val qsIdx = storedQuarters(s, root, nb)
       .join(ids, Seq("media_id"), "left_anti")
 
     // corpus partners: ANY stored near-dup (first-arrival-wins across
     // batches); batch partners: SMALLER-id batch-mates (keep-first)
-    val candCorpus = bandsOf(qsB).toDF("b_id", "band", "key")
-      .join(bandsOf(qsIdx).toDF("c_id", "band", "key"), Seq("band", "key"))
+    val candCorpus = Multimodal.bandRows(qsB, nb).toDF("b_id", "band", "key")
+      .join(Multimodal.bandRows(qsIdx, nb).toDF("c_id", "band", "key"),
+        Seq("band", "key"))
       .select("b_id", "c_id").distinct()
-    val corpusPart = hammingPairs(candCorpus, qsB, qsIdx, "b_id", "c_id")
+    val corpusPart = Multimodal
+      .hammingJoin(candCorpus, qsB, qsIdx, "b_id", "c_id", nb)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("c_id").as("pid"),
         lit("corpus").as("tag"))
-    val bb = bandsOf(qsB)
+    val bb = Multimodal.bandRows(qsB, nb)
     val candBatch = bb.toDF("a_id", "band", "key")
       .join(bb.toDF("b_id", "band", "key"), Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val batchPart = hammingPairs(candBatch, qsB, qsB, "a_id", "b_id")
+    val batchPart = Multimodal
+      .hammingJoin(candBatch, qsB, qsB, "a_id", "b_id", nb)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("a_id").as("pid"),
         lit("batch").as("tag"))
@@ -173,13 +187,15 @@ object MediaStream {
     * [[CurateStream]] maintenance-window law). */
   def run(spark: SparkSession, rawDir: String, schema: StructType,
       root: String, checkpoint: String, maxFilesPerTrigger: Int = 1,
-      maxHamming: Int = 3, compactEvery: Int = 0): StreamingQuery =
+      maxHamming: Int = 3, compactEvery: Int = 0,
+      gridRows: Int = graft.functions.MediaExprs.GridRows,
+      gridCols: Int = graft.functions.MediaExprs.GridCols): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(rawDir)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, root, maxHamming).unpersist()
+        ingestBatch(b, root, maxHamming, gridRows, gridCols).unpersist()
         if (compactEvery > 0 && (id + 1) % compactEvery == 0)
           Seq(QuartersEntity, ManifestEntity)
             .foreach(Layout.compactStatic(spark, root, _))

@@ -215,7 +215,8 @@ object SemanticStream {
   private val SlotBookDdl =
     "cid bigint, cv array<double>, cn double, slices int"
   private val SlotCellsDdl = "id bigint, pos int, cell bigint, ver string"
-  private val SlotForwardMetaDdl = "tbl string, buckets int, ver string"
+  private val SlotForwardMetaDdl =
+    "tbl string, buckets int, ver string, cnt bigint"
 
   private def emptyFrame(s: SparkSession, ddl: String): DataFrame =
     s.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -629,12 +630,15 @@ object SemanticStream {
       val n = slotIngestCounts.merge(root, java.lang.Long.valueOf(1L),
         (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
         .longValue()
-      val drifted =
-        share.getOrElse(slotBatchImbalance(spark, root, manifest)) >=
-          threshold
+      // cadence gate FIRST (an in-memory check): a cadence-blocked
+      // batch must not pay the drift aggregation whose verdict it
+      // would discard (r14 review) — callers that pass `share`
+      // (monitoring computed it anyway) are unaffected either way
       val cadenceOk = Option(slotLastRetrain.get(root))
         .forall(last => n - last.longValue() >= minBatchesBetween.toLong)
-      if (drifted && cadenceOk) {
+      if (cadenceOk &&
+          share.getOrElse(slotBatchImbalance(spark, root, manifest)) >=
+            threshold) {
         slotLastRetrain.put(root, java.lang.Long.valueOf(n))
         Some(slotRetrain(spark, root, slotK, rounds))
       } else None
@@ -870,6 +874,13 @@ object SemanticStream {
           // the law; the fetch reads ≤ probed-cells' files)
           Layout.compactStatic(spark, root, SlotCellsEntity,
             sortBy = Seq("cell"))
+          // a REGISTERED forward projection refreshes in the same
+          // window: ingest growth stales it (the count guard declines
+          // it until re-landed — readSlotForward), so the deployment
+          // that wants the armed cut's bucketed plan between windows
+          // pays one projection rewrite per window, next to the file
+          // sawtooth it already pays here
+          refreshSlotForwardIfRegistered(spark, root)
         }
         ()
       }
@@ -1350,7 +1361,12 @@ object SemanticStream {
     * the read guard treats as "no fresh projection". Once registered,
     * every entity swap ([[slotRetrain]], torn-swap roll-forward,
     * pre-ver migration) re-lands the projection automatically
-    * ([[reassignSlots]]), closing the r13 manual-refresh hole. */
+    * ([[reassignSlots]]), closing the r13 manual-refresh hole; ingest
+    * GROWTH (new rows under the unchanged book hash) instead STALES
+    * it — the count guard in [[readSlotForward]] declines the copy
+    * (plain-path fallback, never a result missing the new docs) until
+    * the next re-land, which a streaming deployment gets from
+    * [[run]]'s compaction window. */
   def writeSlotForward(spark: SparkSession, root: String, table: String,
       buckets: Int): Unit = {
     val (scb, slices) = readSlotBook(spark, root).getOrElse(
@@ -1363,35 +1379,79 @@ object SemanticStream {
     landSlotForward(spark, root, table, buckets, codebookVersion(scb))
   }
 
-  /** The projection write itself: bucketed copy first, ver-tagged meta
-    * row second (commit marker). Shared by [[writeSlotForward]] and
-    * the automatic refresh in [[reassignSlots]]. */
+  /** The projection write itself: bucketed copy first, then the meta
+    * row (commit marker) carrying the book hash AND the projected row
+    * count. Shared by [[writeSlotForward]] and the automatic refresh
+    * in [[reassignSlots]] / the streaming driver's compaction
+    * window. */
   private def landSlotForward(spark: SparkSession, root: String,
       table: String, buckets: Int, ver: String): Unit = {
     graft.sinks.Bucketing.writeBucketed(
       stored(spark, root, SlotCellsEntity, SlotCellsDdl)
         .select(col("id"), col("cell")),
       table, "id", buckets)
+    val cnt = graft.sinks.Bucketing.readBucketed(spark, table).count()
     import spark.implicits._
     Layout.replaceStatic(
-      Seq((table, buckets, ver)).toDF("tbl", "buckets", "ver"),
+      Seq((table, buckets, ver, cnt)).toDF("tbl", "buckets", "ver", "cnt"),
       root, SlotForwardMetaEntity)
   }
 
-  /** The registered forward projection, IF it is fresh under the live
-    * slot book: the staleness guard (r13 advice) — the meta row's
-    * recorded book hash must equal `liveVer` and the catalog table
-    * must exist, else None and callers read the plain entity. Shape
-    * matches [[centroidCutScores]]'s `scells` argument (c_id, cell). */
-  def readSlotForward(spark: SparkSession, root: String,
-      liveVer: String): Option[DataFrame] =
+  /** Re-land a REGISTERED forward projection under the live book —
+    * the streaming deployment's freshness cadence, called from
+    * [[run]]'s compaction window (ingest growth stales the
+    * projection via the count guard; this brings it back). No-op
+    * when nothing is registered or the store has no slot sidecar. */
+  private def refreshSlotForwardIfRegistered(spark: SparkSession,
+      root: String): Unit =
     stored(spark, root, SlotForwardMetaEntity, SlotForwardMetaDdl)
-      .collect().headOption.collect {
-        case r if r.getString(2) == liveVer &&
-            spark.catalog.tableExists(r.getString(0)) =>
+      .collect().headOption.foreach { r =>
+        readSlotBook(spark, root).foreach { case (scb, slices) =>
+          repairSlots(spark, root, scb, slices)
+          landSlotForward(spark, root, r.getString(0), r.getInt(1),
+            codebookVersion(scb))
+        }
+      }
+
+  /** The registered forward projection, IF it is fresh under the LIVE
+    * slot index — the staleness guard, two components (r13 advice +
+    * r14 review):
+    *
+    *   - the meta row's book hash must equal `liveVer` — catches
+    *     retrains/reassignments whose projection rebuild crashed;
+    *   - the meta row's recorded ROW COUNT must equal the live
+    *     entity's — catches [[ingestVectors]] growth, which appends
+    *     slot rows under the UNCHANGED book hash: a ver-only guard
+    *     would serve a projection missing the newly ingested docs,
+    *     and the armed cut's inner join would silently drop them
+    *     from results (the asymmetric failure again — declining only
+    *     costs the plain path's exchange). Count equality is a sound
+    *     content proxy here: under the entity's lifecycle (anti-join
+    *     upserts keyed (id, pos); atomic whole-entity replaces that
+    *     re-land the projection) rows are never mutated in place
+    *     under one ver, so the count moves iff content moved. The
+    *     check is one metadata-cheap count per ARMED serve; a
+    *     long-running ingest deployment re-lands the projection in
+    *     the driver's compaction window ([[run]]) to stay fresh.
+    *
+    * A meta row written before the count column existed (r14 schema)
+    * is DECLINED, not crashed on — stale-safe migration: the next
+    * [[writeSlotForward]]/refresh re-lands it with the count. Returns
+    * the (c_id, cell) shape [[centroidCutScores]] takes. */
+  def readSlotForward(spark: SparkSession, root: String,
+      liveVer: String): Option[DataFrame] = {
+    val meta = Layout.readStatic(spark, root, SlotForwardMetaEntity,
+      recover = true)
+    meta.filter(_.columns.contains("cnt"))
+      .flatMap(_.collect().headOption).collect {
+        case r if r.getString(2) == liveVer && !r.isNullAt(3) &&
+            spark.catalog.tableExists(r.getString(0)) &&
+            stored(spark, root, SlotCellsEntity, SlotCellsDdl).count() ==
+              r.getLong(3) =>
           graft.sinks.Bucketing.readBucketed(spark, r.getString(0))
             .select(col("id").as("c_id"), col("cell"))
       }
+  }
 
   /** Slot-alignment DIAGNOSTIC — mechanizes [[SlotPolicy]]'s
     * arm/disarm rule (the r12 verdict's top serving gap: "arm the cut

@@ -261,6 +261,56 @@ class SlotRetrainSpec extends AnyFunSuite {
     assert(answers(root) === answers(plainRoot))
   }
 
+  test("ingest growth stales the projection: count guard declines it and the new doc stays reachable") {
+    // the r14 review's failure scenario, pinned: ingestVectors
+    // appends slot rows under the UNCHANGED book hash, so a ver-only
+    // guard would serve a projection missing the new docs and the
+    // armed cut's inner join would silently drop them from results.
+    // The count guard must decline the copy; the armed serve then
+    // equals the plain serve INCLUDING the newly ingested doc, and a
+    // re-land re-arms the projection.
+    val root = graft.Temps.dir("slot-fwd-growth")
+    val plainRoot = graft.Temps.dir("slot-fwd-growth-plain")
+    boot(root); boot(plainRoot)
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS slotfwddb LOCATION '" +
+      graft.Temps.dir("slot-fwd-db4") + "'")
+    SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd_growth", 4)
+    assert(SemanticStream.readSlotForward(spark, root, bookVer(root)).isDefined)
+    // a NEW doc anti-aligned with both corpus clusters (kept by
+    // dedup) whose slots still land in the B cell the query probes —
+    // so it is GATHERED, and with cutC covering the whole gather the
+    // only thing that could drop it from results is the stale
+    // projection's inner join (the bug under pin)
+    val newDoc = 7L -> Seq(-1.0, 0.0, -1.0, 0.0)
+    Seq(root, plainRoot).foreach { r =>
+      val man = SemanticStream.ingestVectors(df(Seq(newDoc)), r)
+      assert(man.where(col("status") === "kept").count() === 1, r)
+      man.unpersist()
+    }
+    // same book hash, but the projection no longer covers the entity
+    assert(SemanticStream.readSlotForward(spark, root, bookVer(root)).isEmpty,
+      "count guard must decline the grown entity's stale projection")
+    def answers(r: String) =
+      SemanticStream.queryTopKMaxSimSlots(
+          // query along the new doc's own direction: its probe lands
+          // in doc 7's cell, so the gather must include it — any
+          // absence from results is the projection-join dropout
+          df(Seq(500L -> Seq(-1.0, 0.1, -1.0, 0.0))), r, topK = 6,
+          prefilterC = 16, slotNProbe = 2, cutC = 8)
+        .select("q_id", "rn", "c_id", "maxsim").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+        .toSet
+    val got = answers(root)
+    assert(got === answers(plainRoot), "declined copy → plain-path parity")
+    assert(got.exists(_._3 == 7L),
+      "the newly ingested doc must be servable — the bug the guard closes")
+    // re-landing restores the armed path, bit-identically
+    SemanticStream.writeSlotForward(spark, root, "slotfwddb.fwd_growth", 4)
+    assert(SemanticStream.readSlotForward(spark, root, bookVer(root)).isDefined)
+    assert(answers(root) === got)
+  }
+
   test("forward-armed serve equals plain serve bit for bit (layout-only swap)") {
     val root = graft.Temps.dir("slot-fwd-serve")
     val plainRoot = graft.Temps.dir("slot-fwd-serve-plain")
