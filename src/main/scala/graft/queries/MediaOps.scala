@@ -81,6 +81,32 @@ object MediaOps {
        |          WHERE $hammingSql <= $maxHamming)""".stripMargin
   }
 
+  /** The online-face corpus/batch split + keep-first resolution CTEs
+    * (q220's dedup rule, shared verbatim by q223's index replay):
+    * corp/bat partition the injected docs, `part` enumerates each
+    * batch row's allowed partners (stored near-dups at ANY id —
+    * first-arrival-wins — plus smaller-id batch-mates), `rt` carries
+    * the least partner with its locality tag. Expects the `docs` and
+    * `pairs` CTEs from [[dHashPairsSql]]. */
+  private val onlineSplitSql: String =
+    """corp AS (SELECT doc_id FROM docs
+      |         WHERE doc_id < 1000000 AND doc_id % 3 <> 0),
+      |bat AS (SELECT doc_id FROM docs
+      |        WHERE doc_id >= 1000000 OR doc_id % 3 = 0),
+      |sym AS (SELECT a_id AS x, b_id AS y FROM pairs
+      |        UNION ALL SELECT b_id, a_id FROM pairs),
+      |part AS (SELECT s.x AS media_id, s.y AS pid,
+      |           CASE WHEN s.y IN (SELECT doc_id FROM corp)
+      |                THEN 'corpus' ELSE 'batch' END AS tag
+      |         FROM sym s
+      |         WHERE s.x IN (SELECT doc_id FROM bat)
+      |           AND (s.y IN (SELECT doc_id FROM corp) OR s.y < s.x)),
+      |rep AS (SELECT media_id, min(pid) AS rep_id
+      |        FROM part GROUP BY 1),
+      |rt AS (SELECT p.media_id, p.pid, p.tag FROM part p
+      |       JOIN rep ON rep.media_id = p.media_id
+      |         AND rep.rep_id = p.pid)""".stripMargin
+
   /** The matching Spark-side injected corpus (capped base + one-byte
     * variants at doc_id + 10⁶ — both engines replay the injection). */
   private def injectedDocs(s: org.apache.spark.sql.SparkSession,
@@ -90,6 +116,25 @@ object MediaOps {
     docs.unionByName(docs.where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+  }
+
+  /** The online-face store build shared by q220/q223: bootstrap the
+    * corpus split, ingest the batch split (both replay-idempotent, so
+    * repeated invocations of either query land bit-stable state on
+    * the memoized root). Returns (root, manifest). */
+  private def onlineIngest(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, org.apache.spark.sql.DataFrame) = {
+    import graft.streaming.MediaStream
+    val root = graft.Temps.dirFor(s"phash-online-$d")
+    val all = injectedDocs(s, d)
+    val corpus = all.where(col("doc_id") < 1000000L &&
+      col("doc_id") % 3 =!= 0)
+    val batch = all.where(col("doc_id") >= 1000000L ||
+      col("doc_id") % 3 === 0)
+    MediaStream.bootstrap(
+      Multimodal.asMedia(corpus, "doc_id", "text"), root)
+    (root, MediaStream.ingestBatch(
+      Multimodal.asMedia(batch, "doc_id", "text"), root, maxHamming = 3))
   }
 
   def defs: Map[String, Q] = Map(
@@ -212,37 +257,9 @@ object MediaOps {
     // batches) plus smaller-id batch-mates; rep = least partner,
     // status by the rep's locality.
     "q220_phash_online" -> Q(
-      (s, d) => {
-        import graft.streaming.MediaStream
-        val root = graft.Temps.dirFor(s"phash-online-$d")
-        val all = injectedDocs(s, d)
-        val corpus = all.where(col("doc_id") < 1000000L &&
-          col("doc_id") % 3 =!= 0)
-        val batch = all.where(col("doc_id") >= 1000000L ||
-          col("doc_id") % 3 === 0)
-        MediaStream.bootstrap(
-          Multimodal.asMedia(corpus, "doc_id", "text"), root)
-        MediaStream.ingestBatch(
-          Multimodal.asMedia(batch, "doc_id", "text"), root, maxHamming = 3)
-      },
+      (s, d) => onlineIngest(s, d)._2,
       Some(s"""WITH ${dHashPairsSql(3)},
-              |corp AS (SELECT doc_id FROM docs
-              |         WHERE doc_id < 1000000 AND doc_id % 3 <> 0),
-              |bat AS (SELECT doc_id FROM docs
-              |        WHERE doc_id >= 1000000 OR doc_id % 3 = 0),
-              |sym AS (SELECT a_id AS x, b_id AS y FROM pairs
-              |        UNION ALL SELECT b_id, a_id FROM pairs),
-              |part AS (SELECT s.x AS media_id, s.y AS pid,
-              |           CASE WHEN s.y IN (SELECT doc_id FROM corp)
-              |                THEN 'corpus' ELSE 'batch' END AS tag
-              |         FROM sym s
-              |         WHERE s.x IN (SELECT doc_id FROM bat)
-              |           AND (s.y IN (SELECT doc_id FROM corp) OR s.y < s.x)),
-              |rep AS (SELECT media_id, min(pid) AS rep_id
-              |        FROM part GROUP BY 1),
-              |rt AS (SELECT p.media_id, p.pid, p.tag FROM part p
-              |       JOIN rep ON rep.media_id = p.media_id
-              |         AND rep.rep_id = p.pid)
+              |$onlineSplitSql
               |SELECT b.doc_id AS media_id,
               |       CASE WHEN rt.pid IS NULL THEN 'kept'
               |            WHEN rt.tag = 'corpus' THEN 'dup_corpus'
@@ -250,6 +267,41 @@ object MediaOps {
               |       rt.pid AS rep_id
               |FROM bat b LEFT JOIN rt ON rt.media_id = b.doc_id""".stripMargin),
       "online media dedup: the batch probes the MAINTAINED pHash band index (corpus never re-hashed) - per-batch manifest with dup_corpus/dup_batch/kept provenance, the curate-stream discipline on the media column"),
+
+    // BAND-INDEX HEALTH of the maintained media store — cellImbalance's
+    // analog for the banded-join face: per band, the key-bucket stats
+    // that PRICE every future batch's probe (est_cand = Σ_key C(n,2)
+    // is literally the per-band corpus-side candidate bill; top_share
+    // the single-bucket concentration a degenerating payload
+    // distribution inflates — e.g. byte-starved payloads hashing
+    // toward zero keys). Runs over the SAME maintained store q220
+    // lands; the oracle replays the index content (corpus ∪ kept
+    // batch rows via the shared keep-first CTEs) and its band
+    // statistics. One aggregate over derived band rows; the corpus is
+    // never re-hashed on the Spark side — the index is read.
+    "q223_media_band_skew" -> Q(
+      (s, d) => {
+        val (root, man) = onlineIngest(s, d)
+        man.unpersist()
+        graft.streaming.MediaStream.bandSkew(s, root)
+      },
+      Some(s"""WITH ${dHashPairsSql(3)},
+              |$onlineSplitSql,
+              |keptb AS (SELECT b.doc_id FROM bat b
+              |          LEFT JOIN rt ON rt.media_id = b.doc_id
+              |          WHERE rt.pid IS NULL),
+              |idx AS (SELECT doc_id FROM corp
+              |        UNION ALL SELECT doc_id FROM keptb),
+              |ib AS (SELECT bands.band, bands.key FROM bands
+              |       JOIN idx USING (doc_id)),
+              |g AS (SELECT band, key, CAST(count(*) AS BIGINT) AS n
+              |      FROM ib GROUP BY 1, 2)
+              |SELECT band, CAST(sum(n) AS BIGINT) AS n_rows,
+              |       CAST(count(*) AS BIGINT) AS n_keys,
+              |       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share,
+              |       CAST(sum((n*(n-1))//2) AS BIGINT) AS est_cand
+              |FROM g GROUP BY 1""".stripMargin),
+      "band-index health of the maintained media store: per-band key-bucket stats (top-bucket share + the Sum C(n,2) candidate bill) - the cellImbalance analog an operator trends to catch probe-cost degradation before it bites"),
 
     // CANONICAL ROOTS over the pHash near-dup graph (r13 verdict #5) —
     // q101's last-mile shape on the media face: q218's rep_id is

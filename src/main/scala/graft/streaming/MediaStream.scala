@@ -175,6 +175,37 @@ object MediaStream {
     manifest
   }
 
+  /** Band-key health of the stored quarters index —
+    * [[SemanticStream.cellImbalance]]'s analog for the banded-join
+    * face: per band, the key-bucket statistics that PRICE the probe.
+    * Candidate volume per band is Σ_key C(n_key, 2), so a skewing key
+    * distribution (degenerate payloads — e.g. byte-starved tiny
+    * payloads whose segments are mostly empty hash toward zero keys)
+    * inflates every future batch's probe bill long before any
+    * correctness surface moves; `est_cand` IS that per-band bill
+    * against the current index, `top_share` the single-bucket
+    * concentration (uniform would read ~n/2¹⁶ per key). One
+    * aggregate over the derived band rows — the index is scanned, the
+    * corpus never re-hashed. Trend it the way cellImbalance is
+    * trended; the lever when it degrades is the payload floor /
+    * width choice ([[graft.functions.MediaExprs]]'s byte-starvation
+    * note), not a retrain — the hash is payload-determined. */
+  def bandSkew(spark: SparkSession, root: String,
+      gridRows: Int = graft.functions.MediaExprs.GridRows): DataFrame = {
+    val nb = gridRows / 2
+    graft.ops.Multimodal.bandRows(storedQuarters(spark, root, nb), nb)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6)
+          .as("top_share"),
+        // n·(n−1) is even, so the /2 is exact in double space at any
+        // realistic bucket size; cast per-row keeps the sum integral
+        sum((col("n") * (col("n") - 1) / 2).cast("long")).as("est_cand"))
+  }
+
   /** The Structured Streaming driver — [[CurateStream.run]]'s media
     * twin: watch `rawDir` for media batches (parquet in the
     * [[graft.ops.Multimodal.mediaSchema]] shape), dedup each
