@@ -55,4 +55,15 @@ object Sessions {
     GraftFunctions.register(s)
     s
   }
+
+  /** Label every job `f` submits (optimization-guide §1.5: a program
+    * that runs many actions per query is unreadable in the UI / job
+    * listeners without descriptions). Thread-local, saved and restored
+    * so nested labels and caller labels survive. */
+  def labeled[T](s: SparkSession, desc: String)(f: => T): T = {
+    val key = "spark.job.description"
+    val prev = s.sparkContext.getLocalProperty(key)
+    s.sparkContext.setJobDescription(desc)
+    try f finally s.sparkContext.setJobDescription(prev)
+  }
 }

@@ -35,6 +35,40 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(s"$root/static/$entity")
 
+  /** Shared pool for fanning out MUTUALLY INDEPENDENT store writes
+    * (optimization-guide §2.6 — actions are only sequential because the
+    * driver calls them sequentially; independent jobs submitted from a
+    * small thread pool back-fill executors freed by each other's
+    * stragglers). Daemon threads, sized to the widest fan-out a caller
+    * uses (index entity chains), not to the data. */
+  private lazy val fanoutPool = java.util.concurrent.Executors
+    // cached (unbounded) rather than fixed: a chain may itself fan out
+    // (bootstrap(withLex) → upsertLex), and a fixed pool whose threads
+    // all block awaiting queued nested tasks would deadlock. The write
+    // chains are job-submission-bound, their true concurrency is capped
+    // by the callers' fan-out widths (≤ ~13), and threads are daemon.
+    .newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "graft-layout-fanout")
+      t.setDaemon(true)
+      t
+    })
+  private lazy val fanoutEc =
+    scala.concurrent.ExecutionContext.fromExecutor(fanoutPool)
+
+  /** Run independent write chains concurrently and wait for all.
+    * Callers own the independence argument: each thunk must touch its
+    * own entity directories only, with any required ordering (e.g.
+    * commit-marker-last, books-before-codes) kept INSIDE one thunk. A
+    * failure in any chain propagates after all chains settle. */
+  def fanout(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = fanoutEc
+    Await.result(
+      Future.sequence(writes.map(w => Future(w()))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
+  }
+
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

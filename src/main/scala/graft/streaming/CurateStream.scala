@@ -262,11 +262,15 @@ object CurateStream {
     * subset (bootstrap overlap, ingest replay, crash retry) is a
     * row-wise no-op. Shared by [[bootstrap]]`(withLex)`, the per-batch
     * ingest fold, and the offline index build (q175). */
-  def upsertLex(docs: DataFrame, root: String): Unit = {
-    Layout.upsertStatic(postingsOf(docs), root, PostingsEntity,
-      Seq("t", "doc_id"))
-    Layout.upsertStatic(dlOf(docs), root, DlEntity, Seq("doc_id"))
-  }
+  def upsertLex(docs: DataFrame, root: String): Unit =
+    // the two entities are independent facts of the same kept docs —
+    // fan out (guide §2.6); a crash leaving one landed is the same
+    // torn state the old sequential prefix could leave, and both
+    // upserts are idempotent
+    Layout.fanout(Seq(
+      () => Layout.upsertStatic(postingsOf(docs), root, PostingsEntity,
+        Seq("t", "doc_id")),
+      () => Layout.upsertStatic(dlOf(docs), root, DlEntity, Seq("doc_id"))))
 
   /** MinHash signature frame (doc_id, h0..h3); docs with no shingles
     * (under 4 tokens) have no signature and skip the near-dup layer. */
@@ -318,26 +322,53 @@ object CurateStream {
       withSpans: Boolean = false, withSketch: Boolean = false,
       sketchShards: Int = 1, withLex: Boolean = false,
       withCert: Boolean = false): Unit = {
-    // sketch BEFORE keys: the superset invariant (KeySketch object doc)
-    // holds through every crash window, and ingests auto-detect the
-    // sketch's presence — a bootstrap that died between the two leaves
-    // a gated-but-correct or ungated-but-correct store, never a wrong one
-    if (withSketch)
-      KeySketch.write(corpus.sparkSession, root,
-        KeySketch.build(
-          corpus.select(contentKey(col("text")).as("key")), "key",
-          capacity = 0L, shards = sketchShards))
-    Layout.upsertStatic(
-      corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
-      root, KeysEntity, Seq("key", "doc_id"))
-    Layout.upsertStatic(sigsOf(corpus), root, BandsEntity, Seq("doc_id"))
-    Layout.upsertStatic(benchShinglesOf(corpus), root, BenchEntity, Seq("sh"))
-    if (withSpans)
+    // The index builds are mutually independent (each its own entity
+    // directory, each an idempotent upsert), so they fan out in
+    // PARALLEL like [[ingestBatch]]'s writes already do
+    // (optimization-guide §2.6 — the bootstrap bill becomes the
+    // slowest build, not the sum; the span build is linear in corpus
+    // tokens and used to serialize behind the cheap ones). The one
+    // ordering invariant stays chained inside one thunk: sketch BEFORE
+    // keys (the superset invariant — KeySketch object doc — holds
+    // through every crash window, and ingests auto-detect the sketch's
+    // presence; a bootstrap that died between the two leaves a
+    // gated-but-correct or ungated-but-correct store, never a wrong
+    // one). A crash mid-fan-out leaves a subset of entities landed,
+    // which re-running bootstrap completes — same as the old
+    // sequential prefix.
+    val s = corpus.sparkSession
+    def lab(desc: String)(f: => Unit): () => Unit =
+      () => graft.Sessions.labeled(s, desc)(f)
+    val builds = Seq.newBuilder[() => Unit]
+    builds += lab("curate-bootstrap:keys") {
+      if (withSketch)
+        KeySketch.write(corpus.sparkSession, root,
+          KeySketch.build(
+            corpus.select(contentKey(col("text")).as("key")), "key",
+            capacity = 0L, shards = sketchShards))
+      Layout.upsertStatic(
+        corpus.select(contentKey(col("text")).as("key"), col("doc_id")),
+        root, KeysEntity, Seq("key", "doc_id"))
+    }
+    builds += lab("curate-bootstrap:bands") {
+      Layout.upsertStatic(sigsOf(corpus), root, BandsEntity, Seq("doc_id"))
+    }
+    builds += lab("curate-bootstrap:bench") {
+      Layout.upsertStatic(benchShinglesOf(corpus), root, BenchEntity,
+        Seq("sh"))
+    }
+    if (withSpans) builds += lab("curate-bootstrap:spans") {
       Layout.upsertStatic(spanSetOf(corpus), root, SpansEntity,
         Seq("sp", "doc_id"))
-    if (withLex) upsertLex(corpus, root)
-    if (withCert) upsertCert(corpus.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_toks")), root)
+    }
+    if (withLex) builds += lab("curate-bootstrap:lex") {
+      upsertLex(corpus, root)
+    }
+    if (withCert) builds += lab("curate-bootstrap:cert") {
+      upsertCert(corpus.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks")), root)
+    }
+    Layout.fanout(builds.result())
   }
 
   /** Curate one batch against the stored index: returns (and lands)
@@ -374,7 +405,7 @@ object CurateStream {
     // fused frame is the first lever). The window shuffle on `key`
     // also spreads the signature/tokenize arithmetic across the
     // cluster, which is what sigsOf's explicit repartition bought.
-    val landed = batch0
+    val landed0 = batch0
       .withColumn("key", contentKey(col("text")))
       .withColumn("rn", row_number().over(Window.partitionBy(col("key"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)))
@@ -394,7 +425,9 @@ object CurateStream {
           col("n_toks"), col("stopword_ratio")) ++
           MinHashCoeffs.indices.map(j =>
             element_at(col("sig"), j + 1).as(s"h$j"))): _*)
-      .localCheckpoint()
+    val landed = graft.Sessions.labeled(s, "curate-ingest:landed") {
+      landed0.localCheckpoint()
+    }
     // no distinct: the ids frame only ever feeds anti-join probes,
     // where duplicate rows collapse in the hash relation for free —
     // a distinct here would be a whole shuffle per batch
@@ -520,7 +553,7 @@ object CurateStream {
     // stored tables, and the upserts below mutate them — an unmaterial-
     // ized manifest would re-probe the post-write store and flag the
     // batch's own kept docs as corpus duplicates
-    val manifest = withQ
+    val manifest0 = withQ
       .join(flag(dupExactCorpus, "f_dec"), Seq("doc_id"), "left")
       .join(flag(dupNearCorpus, "f_dnc"), Seq("doc_id"), "left")
       .join(flag(dupNearBatch, "f_dnb"), Seq("doc_id"), "left")
@@ -537,7 +570,9 @@ object CurateStream {
           .when(col("n_toks") < 40L || col("stopword_ratio") < 0.03,
             "low_quality")
           .otherwise("kept").as("status"))
-      .localCheckpoint()
+    val manifest = graft.Sessions.labeled(s, "curate-ingest:manifest") {
+      manifest0.localCheckpoint()
+    }
 
     // one tiny collect off the checkpointed manifest settles which
     // entities this batch touches at all (and the kept-key count the
@@ -565,8 +600,10 @@ object CurateStream {
     val kept = manifest.where(col("status") === "kept").select("doc_id")
     implicit val ec: scala.concurrent.ExecutionContext = upsertEc
     import scala.concurrent.{Await, Future}
+    def lw[T](desc: String)(f: => T): Future[T] =
+      Future(graft.Sessions.labeled(s, desc)(f))
     val writes = Seq(
-      Future {
+      lw("curate-ingest:keys") {
         if (keptN > 0) {
           sketch.foreach { sk =>
             KeySketch.write(s, root, KeySketch.merge(sk,
@@ -579,16 +616,16 @@ object CurateStream {
             root, KeysEntity, Seq("key", "doc_id"))
         }
       },
-      Future {
+      lw("curate-ingest:bands") {
         if (keptN > 0)
           Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
             root, BandsEntity, Seq("doc_id"))
       },
-      Future {
+      lw("curate-ingest:bench") {
         if (benchN > 0)
           Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
       },
-      Future {
+      lw("curate-ingest:spans") {
         bSpans.foreach { sp =>
           if (keptN > 0)
             Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
@@ -600,14 +637,14 @@ object CurateStream {
       // than carrying the token arrays through the checkpoint for every
       // batch whether or not the lex layer is armed); dl reuses the
       // n_toks already materialized on it
-      Future {
+      lw("curate-ingest:postings") {
         if (lexIndex && keptN > 0)
           Layout.upsertStatic(
             postingsOf(landed.join(kept, Seq("doc_id"), "left_semi")
               .select("doc_id", "text")),
             root, PostingsEntity, Seq("t", "doc_id"))
       },
-      Future {
+      lw("curate-ingest:dl") {
         if (lexIndex && keptN > 0)
           Layout.upsertStatic(
             landed.join(kept, Seq("doc_id"), "left_semi")
@@ -617,7 +654,7 @@ object CurateStream {
       // certificate delta (opt-in): one agg over the batch's kept rows
       // off the checkpointed landed frame; statuses are bit-stable so a
       // replay lands the identical (bkey, shard) rows — a no-op upsert
-      Future {
+      lw("curate-ingest:cert") {
         if (certIndex && keptN > 0)
           upsertCert(landed.join(kept, Seq("doc_id"), "left_semi")
             .select("doc_id", "n_toks"), root)

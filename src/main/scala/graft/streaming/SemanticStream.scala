@@ -663,41 +663,81 @@ object SemanticStream {
       slotSlices: Int = graft.ops.LateInteraction.Slices,
       slotDim: Int = SimSearch.LshDim): Unit = {
     val s = corpus.sparkSession
-    val cb = SimSearch.collectCodebook(
-      SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
+    val cb = graft.Sessions.labeled(s, "semantic-bootstrap:codebook") {
+      SimSearch.collectCodebook(
+        SimSearch.ivfCentroids(corpus, idCol, vecCol, k))
+    }
     val ver = codebookVersion(cb)
-    Layout.upsertStatic(codebookFrame(s, cb, ver), root, CodebookEntity,
-      Seq("cid"))
-    val cells = SimSearch.ivfAssign(corpus, idCol, vecCol, cb, p = 1)
-      .select(col("id"),
-        element_at(col("probes"), 1).getField("cid").as("cell"),
-        col("v"), col("n"), lit(ver).as("ver"))
-    Layout.upsertStatic(cells, root, CellsEntity, Seq("id"))
-    if (withPq) {
-      val books = graft.ops.Pq.seedBooks(corpus, idCol, vecCol, pqM, pqKsub)
-      Layout.upsertStatic(booksFrame(s, books), root, PqBooksEntity,
-        Seq("m", "j"))
-      Layout.upsertStatic(
-        graft.ops.Pq.encodeCodes(corpus, idCol, vecCol, books)
-          .select(col("c_id").as("id"), col("codes")),
-        root, PqCodesEntity, Seq("id"))
+    graft.Sessions.labeled(s, "semantic-bootstrap:codebook") {
+      Layout.upsertStatic(codebookFrame(s, cb, ver), root, CodebookEntity,
+        Seq("cid"))
     }
-    if (withSq) {
-      val (mins, scales, isteps) = graft.ops.Sq.dimGrid(corpus, vecCol)
-      Layout.upsertStatic(gridFrame(s, mins, scales, isteps), root,
-        SqGridEntity, Seq("pos"))
-      Layout.upsertStatic(
-        corpus.select(col(idCol).as("id"),
-          graft.ops.Sq.encode(col(vecCol), mins, scales).as("codes")),
-        root, SqCodesEntity, Seq("id"))
+    // The sidecar chains below are mutually independent — each derives
+    // from the corpus + the already-landed codebook and touches its own
+    // entity directories only — so they FAN OUT concurrently
+    // (optimization-guide §2.6; the per-bootstrap bill becomes the
+    // slowest chain, not the sum of 2–7 sequential write jobs). Order
+    // that matters stays INSIDE a chain: books before codes, grid
+    // before codes, meta before vecs, slot book before slot cells — so
+    // a crash can never land code/vec rows whose book/grid/meta is
+    // missing. A crash mid-fan-out leaves some SUBSET of chains landed,
+    // exactly the torn-bootstrap states the sequential prefix could
+    // already produce (all upserts are idempotent; re-running bootstrap
+    // completes the store, readers of a missing sidecar fail loudly).
+    val chains = Seq.newBuilder[() => Unit]
+    chains += { () => graft.Sessions.labeled(s, "semantic-bootstrap:cells") {
+      val cells = SimSearch.ivfAssign(corpus, idCol, vecCol, cb, p = 1)
+        .select(col("id"),
+          element_at(col("probes"), 1).getField("cid").as("cell"),
+          col("v"), col("n"), lit(ver).as("ver"))
+      Layout.upsertStatic(cells, root, CellsEntity, Seq("id"))
+    }}
+    if (withPq) chains += { () =>
+      graft.Sessions.labeled(s, "semantic-bootstrap:pq") {
+        val books = graft.ops.Pq.seedBooks(corpus, idCol, vecCol, pqM, pqKsub)
+        Layout.upsertStatic(booksFrame(s, books), root, PqBooksEntity,
+          Seq("m", "j"))
+        Layout.upsertStatic(
+          graft.ops.Pq.encodeCodes(corpus, idCol, vecCol, books)
+            .select(col("c_id").as("id"), col("codes")),
+          root, PqCodesEntity, Seq("id"))
+      }
     }
-    if (withJl) {
-      Layout.upsertStatic(jlMetaFrame(s, jlDOut, jlSeed), root,
-        JlMetaEntity, Seq("dout", "seed"))
-      Layout.upsertStatic(jlRows(corpus, idCol, vecCol, jlDOut, jlSeed),
-        root, JlVecsEntity, Seq("id"))
+    if (withSq) chains += { () =>
+      graft.Sessions.labeled(s, "semantic-bootstrap:sq") {
+        val (mins, scales, isteps) = graft.ops.Sq.dimGrid(corpus, vecCol)
+        Layout.upsertStatic(gridFrame(s, mins, scales, isteps), root,
+          SqGridEntity, Seq("pos"))
+        Layout.upsertStatic(
+          corpus.select(col(idCol).as("id"),
+            graft.ops.Sq.encode(col(vecCol), mins, scales).as("codes")),
+          root, SqCodesEntity, Seq("id"))
+      }
     }
-    if (withSlots) {
+    if (withJl) chains += { () =>
+      graft.Sessions.labeled(s, "semantic-bootstrap:jl") {
+        Layout.upsertStatic(jlMetaFrame(s, jlDOut, jlSeed), root,
+          JlMetaEntity, Seq("dout", "seed"))
+        Layout.upsertStatic(jlRows(corpus, idCol, vecCol, jlDOut, jlSeed),
+          root, JlVecsEntity, Seq("id"))
+      }
+    }
+    if (withSlots) chains += { () =>
+      graft.Sessions.labeled(s, "semantic-bootstrap:slots") {
+        bootstrapSlots(corpus, root, idCol, vecCol, slotK, slotRounds,
+          slotSlices, slotDim)
+      }
+    }
+    Layout.fanout(chains.result())
+  }
+
+  /** The slot-sidecar chain of [[bootstrap]] (factored so the fan-out
+    * keeps book-before-cells ordering inside one chain). */
+  private def bootstrapSlots(corpus: DataFrame, root: String,
+      idCol: String, vecCol: String, slotK: Int, slotRounds: Int,
+      slotSlices: Int, slotDim: Int): Unit = {
+    val s = corpus.sparkSession
+    locally {
       // frozen slot-space coarse quantizer: the slotK lowest-(id, pos)
       // slot vectors seed the centroids (same deterministic,
       // oracle-replayable discipline as the main seed codebook), then
@@ -1175,13 +1215,15 @@ object SemanticStream {
       slices: Int): (DataFrame, DataFrame, DataFrame) = {
     val s = queries.sparkSession
     val dim = slices * scb.head._2.length
-    val asg = SimSearch.ivfAssign(
-        slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
-          slices, dim), "sid", "sv", scb, p = p)
-      .select(expr(s"id div $slices").as("q_id"),
-        pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
-        col("v").as("qv"), col("probes"))
-      .localCheckpoint()
+    val asg = graft.Sessions.labeled(s, "slot-serve:stage0-fold") {
+      SimSearch.ivfAssign(
+          slotRows(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+            slices, dim), "sid", "sv", scb, p = p)
+        .select(expr(s"id div $slices").as("q_id"),
+          pmod(col("id"), lit(slices.toLong)).cast("int").as("qpos"),
+          col("v").as("qv"), col("probes"))
+        .localCheckpoint()
+    }
     val scells0 = stored(s, root, SlotCellsEntity, SlotCellsDdl)
       .select(col("id").as("c_id"), col("cell"))
     val scells = allowed match {
@@ -1190,10 +1232,12 @@ object SemanticStream {
           "left_semi")
       case None => scells0
     }
-    val probeCells = asg
-      .select(explode(slice(col("probes"), 1, slotNProbe)
-        .getField("cid")).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val probeCells = graft.Sessions.labeled(s, "slot-serve:probe-literals") {
+      asg
+        .select(explode(slice(col("probes"), 1, slotNProbe)
+          .getField("cid")).as("cell"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    }
     val cand = asg
       .select(col("q_id"), explode(
         slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
@@ -1862,56 +1906,66 @@ object SemanticStream {
     }).localCheckpoint() // materialize before the index writes below
     val kept = manifest.where(col("status") === "kept")
       .select(col("vec_id").as("id"))
-    Layout.upsertStatic(
-      asg.select(col("vec_id").as("id"), col("cell"), col("v"), col("n"))
-        .withColumn("ver", lit(ver))
-        .join(kept, Seq("id"), "left_semi"),
-      root, CellsEntity, Seq("id"))
-    // PQ sidecar (present iff bootstrap(withPq = true)): kept vectors
-    // fold their code rows in under the frozen books — same anti-join
-    // upsert discipline, before the manifest commit marker
-    readBooks(s, root).foreach { books =>
-      Layout.upsertStatic(
-        asg.select(col("vec_id").as("id"),
-            graft.functions.PqExprs.encode(col("v"), books).as("codes"))
+    // index entities fan out in PARALLEL, manifest (the commit marker)
+    // last — CurateStream's argument verbatim (optimization-guide
+    // §2.6): the chains are mutually independent (each its own entity
+    // directories, each an idempotent anti-join off the checkpointed
+    // asg/manifest frames), a crash mid-fan-out leaves any SUBSET of
+    // entities landed with no manifest, which the replay's
+    // self-excluding probes absorb exactly like the old sequential
+    // prefix. Per-sidecar ordering (repair before fold) stays inside
+    // one chain.
+    Layout.fanout(Seq(
+      () => Layout.upsertStatic(
+        asg.select(col("vec_id").as("id"), col("cell"), col("v"), col("n"))
+          .withColumn("ver", lit(ver))
           .join(kept, Seq("id"), "left_semi"),
-        root, PqCodesEntity, Seq("id"))
-    }
-    // SQ sidecar (present iff bootstrap(withSq = true)): kept vectors
-    // encode under the frozen grid — same discipline as the PQ codes
-    readGrid(s, root).foreach { case (mins, scales, _) =>
-      Layout.upsertStatic(
-        asg.select(col("vec_id").as("id"),
-            graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
-          .join(kept, Seq("id"), "left_semi"),
-        root, SqCodesEntity, Seq("id"))
-    }
-    // JL sidecar (present iff bootstrap(withJl = true)): kept vectors
-    // project ONCE at ingest under the stored plane family (a torn
-    // family rotation is rolled forward first so the fold never lands
-    // rows of a family the meta no longer names)
-    readJlMeta(s, root).foreach { case (dOut, seed, _) =>
-      repairJl(s, root, dOut, seed)
-      Layout.upsertStatic(
-        jlRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
-            dOut, seed)
-          .join(kept, Seq("id"), "left_semi"),
-        root, JlVecsEntity, Seq("id"))
-    }
-    // slot sidecar (present iff bootstrap(withSlots = true)): kept
-    // vectors' slot assignments fold in under the frozen slot codebook
-    // — 3 integers + a version tag per (doc, slot), same anti-join
-    // discipline; a torn slotRetrain is rolled forward first so the
-    // fold never lands rows of a book the store no longer holds
-    readSlotBook(s, root).foreach { case (scb, slices) =>
-      repairSlots(s, root, scb, slices)
-      val dim = slices * scb.head._2.length
-      Layout.upsertStatic(
-        slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
-            scb, slices, dim, codebookVersion(scb))
-          .join(kept, Seq("id"), "left_semi"),
-        root, SlotCellsEntity, Seq("id", "pos"))
-    }
+        root, CellsEntity, Seq("id")),
+      // PQ sidecar (present iff bootstrap(withPq = true)): kept vectors
+      // fold their code rows in under the frozen books — same anti-join
+      // upsert discipline, before the manifest commit marker
+      () => readBooks(s, root).foreach { books =>
+        Layout.upsertStatic(
+          asg.select(col("vec_id").as("id"),
+              graft.functions.PqExprs.encode(col("v"), books).as("codes"))
+            .join(kept, Seq("id"), "left_semi"),
+          root, PqCodesEntity, Seq("id"))
+      },
+      // SQ sidecar (present iff bootstrap(withSq = true)): kept vectors
+      // encode under the frozen grid — same discipline as the PQ codes
+      () => readGrid(s, root).foreach { case (mins, scales, _) =>
+        Layout.upsertStatic(
+          asg.select(col("vec_id").as("id"),
+              graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
+            .join(kept, Seq("id"), "left_semi"),
+          root, SqCodesEntity, Seq("id"))
+      },
+      // JL sidecar (present iff bootstrap(withJl = true)): kept vectors
+      // project ONCE at ingest under the stored plane family (a torn
+      // family rotation is rolled forward first so the fold never lands
+      // rows of a family the meta no longer names)
+      () => readJlMeta(s, root).foreach { case (dOut, seed, _) =>
+        repairJl(s, root, dOut, seed)
+        Layout.upsertStatic(
+          jlRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
+              dOut, seed)
+            .join(kept, Seq("id"), "left_semi"),
+          root, JlVecsEntity, Seq("id"))
+      },
+      // slot sidecar (present iff bootstrap(withSlots = true)): kept
+      // vectors' slot assignments fold in under the frozen slot codebook
+      // — 3 integers + a version tag per (doc, slot), same anti-join
+      // discipline; a torn slotRetrain is rolled forward first so the
+      // fold never lands rows of a book the store no longer holds
+      () => readSlotBook(s, root).foreach { case (scb, slices) =>
+        repairSlots(s, root, scb, slices)
+        val dim = slices * scb.head._2.length
+        Layout.upsertStatic(
+          slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
+              scb, slices, dim, codebookVersion(scb))
+            .join(kept, Seq("id"), "left_semi"),
+          root, SlotCellsEntity, Seq("id", "pos"))
+      }))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
     // drop the per-batch pinned checkpoints (see CurateStream: a
     // long-lived ingest session would otherwise accumulate them);
