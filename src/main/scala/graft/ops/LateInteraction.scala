@@ -41,6 +41,26 @@ object LateInteraction {
   /** Sub-vectors per document: 64-dim embedding → 8 slices of 8 dims. */
   val Slices = 8
 
+  /** The MaxSim fold `Σ_qpos max cos` as ONE aggregation instead of two
+    * (max per (keys, qpos) exchange + sum per keys exchange): qpos is a
+    * small known range, so the per-qpos maxima become `slices`
+    * conditional-max columns of a single groupBy(keys) and the decimal
+    * sum a fixed-order chain of exact decimal additions — one exchange
+    * fewer per fold, and the shuffle carries one row per pair instead
+    * of one per (pair, qpos) (guide §2.3/§2.4; the decimal(20,6) adds
+    * are exact, so the result is bit-identical to the old
+    * sum-of-decimals — a missing qpos group contributes coalesced 0,
+    * which is also what the old sum's absent row contributed). */
+  def qposMaxSum(pairs: DataFrame, keys: Seq[String], qposCol: String,
+      valCol: String, slices: Int, out: String): DataFrame = {
+    val maxima = (0 until slices).map { i =>
+      coalesce(max(when(col(qposCol) === i, col(valCol))), lit(0.0))
+        .cast("decimal(20,6)")
+    }
+    pairs.groupBy(keys.map(col): _*)
+      .agg(maxima.reduce(_ + _).cast("double").as(out))
+  }
+
   /** (id, pos, sv, sn): slice `vecCol` into `slices` contiguous
     * sub-vectors of dim/slices elements each, with their L2 norms. */
   def multiVec(vectors: DataFrame, idCol: String, vecCol: String,
@@ -92,10 +112,16 @@ object LateInteraction {
     // stage (a full prefilter scan in the brute face) runs once
     val preC = pre.localCheckpoint()
     // slice only the candidates: at corpus scale the semi-join keeps the
-    // T× slice blow-up (and everything after it) off non-candidates
+    // T× slice blow-up (and everything after it) off non-candidates.
+    // BROADCAST the candidate ids (bounded nQ × prefilterC by contract):
+    // preC is a checkpointed RDD with unknown stats, so without the hint
+    // the planner sort-merge-joins — shuffling the WHOLE stored corpus
+    // by id to probe a bounded set (guide §3.1: broadcast the side that
+    // fits; measured 2 exchanges + 2 sorts dropped from the serve plan)
     val candIds = preC.select(col("c_id")).distinct()
     val cm = multiVec(
-      corpus.join(candIds, col(cIdCol) === candIds("c_id"), "left_semi"),
+      corpus.join(broadcast(candIds), col(cIdCol) === candIds("c_id"),
+        "left_semi"),
       cIdCol, cVecCol, slices, dim)
       .select(col("id").as("c_id"), col("pos").as("cpos"),
         col("sv").as("cv"), col("sn").as("cn"))
@@ -115,10 +141,8 @@ object LateInteraction {
           .otherwise(round(SimSearch.cosine(col("qv"), col("cv"),
             col("qn"), col("cn")), 6))
           .as("cos"))
-    val slotMax = pairCos.groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("cos")).as("m"))
-    val scored = slotMax.groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("m").cast("decimal(20,6)")).cast("double").as("maxsim"))
+    val scored = qposMaxSum(pairCos, Seq("q_id", "c_id"), "qpos", "cos",
+      slices, "maxsim")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("maxsim").desc, col("c_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -430,16 +430,26 @@ object CurateStream {
     }
     // no distinct: the ids frame only ever feeds anti-join probes,
     // where duplicate rows collapse in the hash relation for free —
-    // a distinct here would be a whole shuffle per batch
+    // a distinct here would be a whole shuffle per batch.
+    // BROADCAST DISCIPLINE (optimization guide §3.1/§3.2, applied to
+    // every probe below): the batch and everything derived from it is
+    // micro-batch-bounded while the index tables are corpus-sized, and
+    // the batch-side frames hang off a checkpointed RDD whose stats the
+    // planner doesn't know — so without hints it sort-merge-joins,
+    // SHUFFLING THE CORPUS-SIZED INDEX PER BATCH to answer a
+    // batch-bounded membership question. Hinting the batch side
+    // broadcast makes every index scan STREAM (no exchange, no sort);
+    // where the batch side is the PRESERVED side of a semi/outer join
+    // (so it can't be the build side), the probe is flipped into two
+    // broadcast joins: index SEMI broadcast(batch keys) → tiny hit set
+    // → batch SEMI/LEFT broadcast(hit set). Row sets are unchanged.
     val ids = landed.select("doc_id")
 
     // probes EXCLUDE this batch's own ids — a replayed half-applied
     // batch must not see its own landed rows (bit-stable statuses)
-    val keyIdx = stored(s, root, KeysEntity, "key string, doc_id bigint")
-      .join(ids, Seq("doc_id"), "left_anti").select("key").distinct()
     val sigIdx = stored(s, root, BandsEntity,
         "doc_id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint")
-      .join(ids, Seq("doc_id"), "left_anti")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
     val benchIdx = stored(s, root, BenchEntity, "sh bigint")
 
     // exact layer: stored content-key probe + within-batch keep-best.
@@ -457,7 +467,19 @@ object CurateStream {
       case Some(sk) => sk.gate(keyed, "key")
       case None => keyed
     }
-    val dupExactCorpus0 = exactProbe.join(keyIdx, Seq("key"), "left_semi")
+    // flipped probe (see discipline note above): the corpus key store
+    // streams through two broadcast hash joins — self-exclusion anti +
+    // batch-key semi — leaving only the ≤|batch| matched keys to
+    // distinct and re-broadcast at the confirm join; the old direct
+    // semi (batch SEMI corpus-keys) had the corpus as the build side,
+    // which the planner could only sort-merge = one corpus-key shuffle
+    // per batch
+    val keyHits = stored(s, root, KeysEntity, "key string, doc_id bigint")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .join(broadcast(exactProbe.select("key")), Seq("key"), "left_semi")
+      .select("key").distinct()
+    val dupExactCorpus0 = exactProbe
+      .join(broadcast(keyHits), Seq("key"), "left_semi")
       .select("doc_id")
     // the sharded gate is a UNION of S branch scans, and this frame's
     // subtree re-evaluates inside every downstream join branch (b1 →
@@ -473,25 +495,27 @@ object CurateStream {
       else dupExactCorpus0
     val dupExactBatch = keyed.where(col("rn") > 1).select("doc_id")
     val b1 = keyed.select("doc_id")
-      .join(dupExactCorpus, Seq("doc_id"), "left_anti")
-      .join(dupExactBatch, Seq("doc_id"), "left_anti")
+      .join(broadcast(dupExactCorpus), Seq("doc_id"), "left_anti")
+      .join(broadcast(dupExactBatch), Seq("doc_id"), "left_anti")
 
     // near-dup layer: batch signatures probe the stored band index AND
     // self-join their own bands (q143's two scorers); the signature
     // columns are already materialized on the landed frame
     val sigB = landed.where(col("h0").isNotNull)
       .select((col("doc_id") +: MinHashCoeffs.indices.map(j => col(s"h$j"))): _*)
-    val bsig = sigB.join(b1, Seq("doc_id"), "left_semi")
+    val bsig = sigB.join(broadcast(b1), Seq("doc_id"), "left_semi")
+    // `cand`+`a` are batch-bounded pair/signature frames, broadcast so
+    // the `b` side (the corpus band index in the corpus scorer) streams
     def agree(a: DataFrame, aId: String, b: DataFrame, bId: String,
-        cand: DataFrame): DataFrame = cand
-      .join(a.toDF(aId, "a0", "a1", "a2", "a3"), aId)
+        cand: DataFrame): DataFrame = broadcast(cand
+        .join(broadcast(a.toDF(aId, "a0", "a1", "a2", "a3")), aId))
       .join(b.toDF(bId, "b0", "b1", "b2", "b3"), bId)
       .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
         when(col("a1") === col("b1"), 1).otherwise(0) +
         when(col("a2") === col("b2"), 1).otherwise(0) +
         when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
         >= 0.5)
-    val candCorpus = bandsOf(bsig).toDF("b_id", "band", "x", "y")
+    val candCorpus = broadcast(bandsOf(bsig).toDF("b_id", "band", "x", "y"))
       .join(bandsOf(sigIdx).toDF("c_id", "band", "x", "y"),
         Seq("band", "x", "y"))
       .select("b_id", "c_id").distinct()
@@ -505,15 +529,18 @@ object CurateStream {
     val dupNearBatch = agree(bsig, "a_id", bsig, "b_id", candBatch)
       .select(col("b_id").as("doc_id")).distinct()
     val b2 = b1
-      .join(dupNearCorpus, Seq("doc_id"), "left_anti")
-      .join(dupNearBatch, Seq("doc_id"), "left_anti")
+      .join(broadcast(dupNearCorpus), Seq("doc_id"), "left_anti")
+      .join(broadcast(dupNearBatch), Seq("doc_id"), "left_anti")
 
     // decontamination: stored bench shingles ∪ THIS batch's members'
     // (a batch doc contaminated by a batch-mate bench member is caught
-    // in the same ingest, matching q143's full-corpus bench rule)
+    // in the same ingest, matching q143's full-corpus bench rule).
+    // No distinct before the broadcast: the semi-join's hash relation
+    // collapses duplicate shingles for free — the distinct was a whole
+    // extra shuffle of the stored bench set per batch
     val batchBench = benchShinglesOf(landed)
-    val bench = benchIdx.unionByName(batchBench).distinct()
-    val contaminated = landed.join(b2, Seq("doc_id"), "left_semi")
+    val bench = benchIdx.unionByName(batchBench)
+    val contaminated = landed.join(broadcast(b2), Seq("doc_id"), "left_semi")
       .where(col("doc_id") % 29 =!= 0)
       .select(col("doc_id"), explode(
         graft.functions.EvmExprs.shingleHashesFromText(col("text"))).as("sh"))
@@ -530,15 +557,23 @@ object CurateStream {
     // fold is a filter of this frame, not a recompute).
     val bSpans: Option[DataFrame] =
       if (!spanGate) None
-      else Some(spanSetOf(landed.join(b2, Seq("doc_id"), "left_semi")
+      else Some(spanSetOf(landed.join(broadcast(b2), Seq("doc_id"), "left_semi")
         .where(col("doc_id") % 29 =!= 0)).localCheckpoint())
     val spanDup: DataFrame = bSpans match {
       case None => emptyFrame(s, "doc_id bigint")
       case Some(sp) =>
-        val spanIdx = stored(s, root, SpansEntity, "doc_id bigint, sp bigint")
-          .join(ids, Seq("doc_id"), "left_anti")
+        // flipped probe (discipline note above): the corpus-token-linear
+        // span store streams through broadcast anti + semi joins; only
+        // the ≤|batch spans| HIT set is distinct'd and re-broadcast into
+        // the coverage left join (the distinct keeps the left join's
+        // row multiplicity at 1 per batch span, exactly as the old
+        // full-index distinct did — n_sp/n_dup are unchanged)
+        val spanHits = stored(s, root, SpansEntity, "doc_id bigint, sp bigint")
+          .join(broadcast(ids), Seq("doc_id"), "left_anti")
+          .join(broadcast(sp.select("sp")), Seq("sp"), "left_semi")
           .select("sp").distinct()
-        sp.join(spanIdx.withColumn("isdup", lit(1)), Seq("sp"), "left")
+        sp.join(broadcast(spanHits.withColumn("isdup", lit(1))),
+            Seq("sp"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_sp"),
             sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
@@ -554,11 +589,11 @@ object CurateStream {
     // ized manifest would re-probe the post-write store and flag the
     // batch's own kept docs as corpus duplicates
     val manifest0 = withQ
-      .join(flag(dupExactCorpus, "f_dec"), Seq("doc_id"), "left")
-      .join(flag(dupNearCorpus, "f_dnc"), Seq("doc_id"), "left")
-      .join(flag(dupNearBatch, "f_dnb"), Seq("doc_id"), "left")
-      .join(flag(spanDup, "f_span"), Seq("doc_id"), "left")
-      .join(flag(contaminated, "f_cont"), Seq("doc_id"), "left")
+      .join(broadcast(flag(dupExactCorpus, "f_dec")), Seq("doc_id"), "left")
+      .join(broadcast(flag(dupNearCorpus, "f_dnc")), Seq("doc_id"), "left")
+      .join(broadcast(flag(dupNearBatch, "f_dnb")), Seq("doc_id"), "left")
+      .join(broadcast(flag(spanDup, "f_span")), Seq("doc_id"), "left")
+      .join(broadcast(flag(contaminated, "f_cont")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("n_toks"),
         when(col("f_dec") === 1, "dup_exact_corpus")
           .when(col("rn") > 1, "dup_exact_batch")
@@ -607,18 +642,18 @@ object CurateStream {
         if (keptN > 0) {
           sketch.foreach { sk =>
             KeySketch.write(s, root, KeySketch.merge(sk,
-              keyed.join(kept, Seq("doc_id"), "left_semi").select("key"),
+              keyed.join(broadcast(kept), Seq("doc_id"), "left_semi").select("key"),
               "key", knownCount = keptN))
           }
           Layout.upsertStatic(
-            keyed.join(kept, Seq("doc_id"), "left_semi")
+            keyed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select("key", "doc_id"),
             root, KeysEntity, Seq("key", "doc_id"))
         }
       },
       lw("curate-ingest:bands") {
         if (keptN > 0)
-          Layout.upsertStatic(sigB.join(kept, Seq("doc_id"), "left_semi"),
+          Layout.upsertStatic(sigB.join(broadcast(kept), Seq("doc_id"), "left_semi"),
             root, BandsEntity, Seq("doc_id"))
       },
       lw("curate-ingest:bench") {
@@ -628,7 +663,7 @@ object CurateStream {
       lw("curate-ingest:spans") {
         bSpans.foreach { sp =>
           if (keptN > 0)
-            Layout.upsertStatic(sp.join(kept, Seq("doc_id"), "left_semi"),
+            Layout.upsertStatic(sp.join(broadcast(kept), Seq("doc_id"), "left_semi"),
               root, SpansEntity, Seq("sp", "doc_id"))
         }
       },
@@ -640,14 +675,14 @@ object CurateStream {
       lw("curate-ingest:postings") {
         if (lexIndex && keptN > 0)
           Layout.upsertStatic(
-            postingsOf(landed.join(kept, Seq("doc_id"), "left_semi")
+            postingsOf(landed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select("doc_id", "text")),
             root, PostingsEntity, Seq("t", "doc_id"))
       },
       lw("curate-ingest:dl") {
         if (lexIndex && keptN > 0)
           Layout.upsertStatic(
-            landed.join(kept, Seq("doc_id"), "left_semi")
+            landed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("n_toks").as("dl")),
             root, DlEntity, Seq("doc_id"))
       },
@@ -656,7 +691,7 @@ object CurateStream {
       // replay lands the identical (bkey, shard) rows — a no-op upsert
       lw("curate-ingest:cert") {
         if (certIndex && keptN > 0)
-          upsertCert(landed.join(kept, Seq("doc_id"), "left_semi")
+          upsertCert(landed.join(broadcast(kept), Seq("doc_id"), "left_semi")
             .select("doc_id", "n_toks"), root)
       })
     Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)

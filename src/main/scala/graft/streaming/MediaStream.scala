@@ -120,28 +120,36 @@ object MediaStream {
     val ids = qsB.select("media_id")
 
     // probe EXCLUDES this batch's own ids — a replayed half-applied
-    // batch must not see its own landed quarters (bit-stable statuses)
+    // batch must not see its own landed quarters (bit-stable statuses).
+    // Broadcast discipline (guide §3.1, the CurateStream probe argument
+    // verbatim): the batch-derived frames are micro-batch-bounded and
+    // stats-less; the stored quarters index is corpus-sized — hint the
+    // batch side so the index scan STREAMS instead of being shuffled
+    // per batch
     val qsIdx = storedQuarters(s, root, nb)
-      .join(ids, Seq("media_id"), "left_anti")
+      .join(broadcast(ids), Seq("media_id"), "left_anti")
 
     // corpus partners: ANY stored near-dup (first-arrival-wins across
     // batches); batch partners: SMALLER-id batch-mates (keep-first)
-    val candCorpus = Multimodal.bandRows(qsB, nb).toDF("b_id", "band", "key")
+    val candCorpus = broadcast(
+        Multimodal.bandRows(qsB, nb).toDF("b_id", "band", "key"))
       .join(Multimodal.bandRows(qsIdx, nb).toDF("c_id", "band", "key"),
         Seq("band", "key"))
       .select("b_id", "c_id").distinct()
     val corpusPart = Multimodal
-      .hammingJoin(candCorpus, qsB, qsIdx, "b_id", "c_id", nb)
+      .hammingJoin(candCorpus, qsB, qsIdx, "b_id", "c_id", nb,
+        broadcastPairs = true)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("c_id").as("pid"),
         lit("corpus").as("tag"))
     val bb = Multimodal.bandRows(qsB, nb)
-    val candBatch = bb.toDF("a_id", "band", "key")
+    val candBatch = broadcast(bb.toDF("a_id", "band", "key"))
       .join(bb.toDF("b_id", "band", "key"), Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val batchPart = Multimodal
-      .hammingJoin(candBatch, qsB, qsB, "a_id", "b_id", nb)
+      .hammingJoin(candBatch, qsB, qsB, "a_id", "b_id", nb,
+        broadcastPairs = true)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("a_id").as("pid"),
         lit("batch").as("tag"))
@@ -158,7 +166,7 @@ object MediaStream {
     // materialize BEFORE any index write (the manifest's plan reads
     // the stored quarters, which the fold below mutates)
     val manifest = ids
-      .join(reps, Seq("media_id"), "left")
+      .join(broadcast(reps), Seq("media_id"), "left")
       .select(col("media_id"),
         when(col("rep_id").isNull, "kept")
           .when(col("tag") === "corpus", "dup_corpus")
@@ -168,7 +176,7 @@ object MediaStream {
 
     // kept quarters first, manifest LAST (the batch's commit marker)
     val kept = manifest.where(col("status") === "kept").select("media_id")
-    Layout.upsertStatic(qsB.join(kept, Seq("media_id"), "left_semi"),
+    Layout.upsertStatic(qsB.join(broadcast(kept), Seq("media_id"), "left_semi"),
       root, QuartersEntity, Seq("media_id"))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("media_id"))
     qsB.unpersist()

@@ -1040,7 +1040,11 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("codes"))
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("sdist").asc, col("c_id").asc)
-    probes.join(cellIds, Seq("cell"))
+    // broadcast the probe fold (≤ nq·nProbe rows, a checkpointed RDD
+    // with unknown stats): without the hint the planner sort-merge
+    // shuffles the corpus-sized inverted file by cell to meet it
+    // (guide §3.1 — broadcast the side that fits)
+    broadcast(probes).join(cellIds, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .join(codes, Seq("c_id"))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
@@ -1238,10 +1242,14 @@ object SemanticStream {
           .getField("cid")).as("cell"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
     }
-    val cand = asg
-      .select(col("q_id"), explode(
-        slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
-      .distinct()
+    // broadcast the probe pairs (≤ nq·T·slotNProbe rows, the same
+    // bound that sanctions the literal collect above): asg is a
+    // checkpointed RDD with unknown stats — without the hint the
+    // planner shuffles the pruned slot-index scan to sort-merge it
+    val cand = broadcast(asg
+        .select(col("q_id"), explode(
+          slice(col("probes"), 1, slotNProbe).getField("cid")).as("cell"))
+        .distinct())
       .join(scells.where(col("cell").isin(probeCells: _*)), Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id")).distinct()
@@ -1294,7 +1302,7 @@ object SemanticStream {
         // join on c_id cannot resurrect ineligible rows.
         val cutCells = readSlotForward(s, root, codebookVersion(scb))
           .getOrElse(scells)
-        centroidCutScores(cand, cutCells, queryCellCosines(asg))
+        centroidCutScores(cand, cutCells, queryCellCosines(asg), slices)
           .withColumn("crn", row_number().over(wc))
           .where(col("crn") <= cutC)
           .select(col("q_id"), col("c_id"))
@@ -1310,18 +1318,28 @@ object SemanticStream {
     // coarse quantizer can't order docs. SlotSweep, SCALE.md r11.)
     val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
       .select(col("id").as("c_id"), col("codes"))
-    val s1 = pre1.join(codes, Seq("c_id"))
-      .join(asg.select(col("q_id"), col("qpos"), col("qv")), Seq("q_id"))
-      .select(col("q_id"), col("c_id"), col("qpos"),
-        explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
-        col("qv"), col("codes"))
-      .select(col("q_id"), col("c_id"), col("qpos"),
-        graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
-          col("cpos"), mins, isteps, w).as("sc"))
-      .groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("sc")).as("mx"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("mx").cast("decimal(20,6)")).cast("double").as("s1"))
+    // BROADCAST the bounded sides (the query fold ≤ nq·T rows always;
+    // pre1 ≤ cutC·nq pairs — but ONLY when the cut armed it: the uncut
+    // path's pre1 is the raw gather, whose width is corpus-fraction at
+    // small K, so it keeps the planner's choice): both are
+    // checkpointed/derived frames with unknown stats, so without hints
+    // the planner shuffles the corpus-sized code store against them
+    // (guide §3.1). The fold is then ONE aggregation
+    // ([[graft.ops.LateInteraction.qposMaxSum]] — exchange per pair
+    // instead of per (pair, qpos) plus a second exchange; decimal adds
+    // exact, results bit-identical).
+    val pre1b = if (cutC > 0) broadcast(pre1) else pre1
+    val s1 = graft.ops.LateInteraction.qposMaxSum(
+      codes.join(pre1b, Seq("c_id"))
+        .join(broadcast(asg.select(col("q_id"), col("qpos"), col("qv"))),
+          Seq("q_id"))
+        .select(col("q_id"), col("c_id"), col("qpos"),
+          explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
+          col("qv"), col("codes"))
+        .select(col("q_id"), col("c_id"), col("qpos"),
+          graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
+            col("cpos"), mins, isteps, w).as("sc")),
+      Seq("q_id", "c_id"), "qpos", "sc", slices, "s1")
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("s1").desc, col("c_id").asc)
     val pre = s1.withColumn("prn", row_number().over(w1))
@@ -1361,13 +1379,17 @@ object SemanticStream {
     * gather reads the cell-sorted projection, this stage reads the
     * doc-keyed one). */
   def centroidCutScores(cand: DataFrame, scells: DataFrame,
-      qcn: DataFrame): DataFrame =
-    cand.join(scells, Seq("c_id"))
-      .join(qcn, Seq("q_id", "cell"))
-      .groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("qc")).as("mq"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("mq").cast("decimal(20,6)")).cast("double").as("ccut"))
+      qcn: DataFrame,
+      slices: Int = graft.ops.LateInteraction.Slices): DataFrame =
+    // the Σ_qpos max interaction as ONE aggregation (qposMaxSum — one
+    // exchange fewer, one shuffled row per pair instead of per
+    // (pair, qpos), bit-identical decimal sum); qcn is the bounded
+    // plan-carried fold (≤ nq·T·K rows), broadcast so the
+    // candidate-keyed stream is never shuffled to meet it
+    graft.ops.LateInteraction.qposMaxSum(
+      cand.join(scells, Seq("c_id"))
+        .join(broadcast(qcn), Seq("q_id", "cell")),
+      Seq("q_id", "c_id"), "qpos", "qc", slices, "ccut")
 
   /** Stage 0 + stage 1a as a standalone pair for measurement
     * harnesses: the gathered candidates and the p = K per-(query,
@@ -1551,22 +1573,25 @@ object SemanticStream {
       .localCheckpoint() // both orderings + the denominator read it
     // centroid ordering over ALL gathered candidates (stage 1a′ minus
     // the cut itself — the identical factored plan the serve path runs)
-    val ccut = centroidCutScores(cand, scells, queryCellCosines(asg))
+    val ccut = centroidCutScores(cand, scells, queryCellCosines(asg), slices)
     // code ordering over the same candidates (stage 1b, uncut)
     val codes = stored(s, root, SqCodesEntity, SqCodesDdl)
       .select(col("id").as("c_id"), col("codes"))
-    val s1 = cand.join(codes, Seq("c_id"))
-      .join(asg.select(col("q_id"), col("qpos"), col("qv")), Seq("q_id"))
-      .select(col("q_id"), col("c_id"), col("qpos"),
-        explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
-        col("qv"), col("codes"))
-      .select(col("q_id"), col("c_id"), col("qpos"),
-        graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
-          col("cpos"), mins, isteps, w).as("sc"))
-      .groupBy(col("q_id"), col("c_id"), col("qpos"))
-      .agg(max(col("sc")).as("mx"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("mx").cast("decimal(20,6)")).cast("double").as("s1"))
+    // same fused fold + bounded-broadcast shape as the serve path's
+    // stage 1b (qposMaxSum: one exchange, one shuffled row per pair;
+    // the query fold is ≤ sampleN·T rows — broadcast; `cand` is the
+    // raw gather, NOT broadcast)
+    val s1 = graft.ops.LateInteraction.qposMaxSum(
+      cand.join(codes, Seq("c_id"))
+        .join(broadcast(asg.select(col("q_id"), col("qpos"), col("qv"))),
+          Seq("q_id"))
+        .select(col("q_id"), col("c_id"), col("qpos"),
+          explode(sequence(lit(0), lit(slices - 1))).as("cpos"),
+          col("qv"), col("codes"))
+        .select(col("q_id"), col("c_id"), col("qpos"),
+          graft.functions.SqExprs.slotCos(col("qv"), col("codes"),
+            col("cpos"), mins, isteps, w).as("sc")),
+      Seq("q_id", "c_id"), "qpos", "sc", slices, "s1")
     val wC = Window.partitionBy(col("q_id"))
       .orderBy(col("ccut").desc, col("c_id").asc)
     val wS = Window.partitionBy(col("q_id"))
@@ -1840,20 +1865,24 @@ object SemanticStream {
       .localCheckpoint()
     val ids = asg.select(col("vec_id").as("id"))
     // the inverted file, minus this batch's own (possibly half-landed
-    // on a replay) rows
+    // on a replay) rows. Broadcast discipline (guide §3.1, the
+    // CurateStream probe argument verbatim): the batch-derived frames
+    // are micro-batch-bounded and stats-less (checkpointed RDDs), the
+    // inverted file is corpus-sized — hint the batch side broadcast so
+    // the corpus scan STREAMS instead of being shuffled per ingest
     val corpusCells = stored(s, root, CellsEntity, CellsDdl)
       .select("id", "cell", "v", "n")
-      .join(ids, Seq("id"), "left_anti")
+      .join(broadcast(ids), Seq("id"), "left_anti")
     val a = asg.select(col("vec_id"), explode(col("pcells")).as("cell"),
       col("v").as("av"), col("n").as("an"))
-    val corpusMatches = a
+    val corpusMatches = broadcast(a)
       .join(corpusCells.toDF("c_id", "cell", "cv", "cn"), Seq("cell"))
       .where(round(SimSearch.cosine(col("av"), col("cv"), col("an"),
         col("cn")), 6) >= DupThreshold)
       .select(col("vec_id"), col("c_id").as("m_id"), lit(1).as("fc"))
     val batchMatches = a
-      .join(asg.select(col("vec_id").as("b_id"), col("cell"),
-        col("v").as("bv"), col("n").as("bn")), Seq("cell"))
+      .join(broadcast(asg.select(col("vec_id").as("b_id"), col("cell"),
+        col("v").as("bv"), col("n").as("bn"))), Seq("cell"))
       .where(col("b_id") < col("vec_id"))
       .where(round(SimSearch.cosine(col("av"), col("bv"), col("an"),
         col("bn")), 6) >= DupThreshold)
@@ -1865,7 +1894,7 @@ object SemanticStream {
       .agg(min(col("m_id")).as("rep_id"),
         expr("min_by(fc, m_id)").as("fc"))
     val manifest0 = asg.select("vec_id", "cell")
-      .join(reps, Seq("vec_id"), "left")
+      .join(broadcast(reps), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("rep_id").isNull, "kept")
           .when(col("fc") === 1, "dup_corpus")
@@ -1888,7 +1917,7 @@ object SemanticStream {
             col("v").as("av"), col("n").as("an"))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos").desc, col("s_id").asc)
-        val sus = pr
+        val sus = broadcast(pr)
           .join(corpusCells.toDF("s_id", "cell", "sv", "sn"), Seq("cell"))
           .select(col("vec_id"), col("s_id"),
             round(SimSearch.cosine(col("av"), col("sv"), col("an"),
@@ -1897,7 +1926,7 @@ object SemanticStream {
           .withColumn("srn", row_number().over(w))
           .where(col("srn") === 1)
           .select(col("vec_id"), col("s_id"))
-        manifest0.join(sus, Seq("vec_id"), "left")
+        manifest0.join(broadcast(sus), Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell"),
             when(col("status") === "kept" && col("s_id").isNotNull,
               "blend_suspect").otherwise(col("status")).as("status"),
@@ -1919,7 +1948,7 @@ object SemanticStream {
       () => Layout.upsertStatic(
         asg.select(col("vec_id").as("id"), col("cell"), col("v"), col("n"))
           .withColumn("ver", lit(ver))
-          .join(kept, Seq("id"), "left_semi"),
+          .join(broadcast(kept), Seq("id"), "left_semi"),
         root, CellsEntity, Seq("id")),
       // PQ sidecar (present iff bootstrap(withPq = true)): kept vectors
       // fold their code rows in under the frozen books — same anti-join
@@ -1928,7 +1957,7 @@ object SemanticStream {
         Layout.upsertStatic(
           asg.select(col("vec_id").as("id"),
               graft.functions.PqExprs.encode(col("v"), books).as("codes"))
-            .join(kept, Seq("id"), "left_semi"),
+            .join(broadcast(kept), Seq("id"), "left_semi"),
           root, PqCodesEntity, Seq("id"))
       },
       // SQ sidecar (present iff bootstrap(withSq = true)): kept vectors
@@ -1937,7 +1966,7 @@ object SemanticStream {
         Layout.upsertStatic(
           asg.select(col("vec_id").as("id"),
               graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
-            .join(kept, Seq("id"), "left_semi"),
+            .join(broadcast(kept), Seq("id"), "left_semi"),
           root, SqCodesEntity, Seq("id"))
       },
       // JL sidecar (present iff bootstrap(withJl = true)): kept vectors
@@ -1949,7 +1978,7 @@ object SemanticStream {
         Layout.upsertStatic(
           jlRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
               dOut, seed)
-            .join(kept, Seq("id"), "left_semi"),
+            .join(broadcast(kept), Seq("id"), "left_semi"),
           root, JlVecsEntity, Seq("id"))
       },
       // slot sidecar (present iff bootstrap(withSlots = true)): kept
@@ -1963,7 +1992,7 @@ object SemanticStream {
         Layout.upsertStatic(
           slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
               scb, slices, dim, codebookVersion(scb))
-            .join(kept, Seq("id"), "left_semi"),
+            .join(broadcast(kept), Seq("id"), "left_semi"),
           root, SlotCellsEntity, Seq("id", "pos"))
       }))
     Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
