@@ -75,7 +75,16 @@ object Bench {
 
   def budgetedLine(results: Seq[(String, Double)], total: Double,
       outFile: String, suffix: String, mapBudget: Int = 1400): String = {
-    val entries = results.map { case (k, v) => "\"" + k + "\":" + dp3(v) }
+    // TOP-BY-TIME, not alphabetical (r14 verdict: the sorted-name prefix
+    // kept exactly the sub-second long tail and every hot query fell off
+    // the line, so three rounds of driver records saw none of the
+    // optimization surface). Entries are ranked by descending time and
+    // kept until the budget fills — the regression check needs the
+    // expensive queries; the full map still goes to `outFile` and the
+    // committed BENCH_full artifact. Ties break by name for determinism.
+    val entries = results
+      .sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + dp3(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>

@@ -61,7 +61,12 @@ object RetrievalOps {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    qterms.join(tf, Seq("t"))
+    // broadcast the query-term frame (bounded by the 5 query docs'
+    // vocabulary; stats-less off the checkpointed token frame): the
+    // posting-shaped tf side streams instead of shuffling by term.
+    // dl stays on planner choice — it is doc-count-sized (corpus-scale
+    // at 100 TB), the one join here with no bounded side.
+    broadcast(qterms).join(tf, Seq("t"))
       .join(broadcast(dfreq), Seq("t"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -132,7 +137,11 @@ object RetrievalOps {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    qterms.join(slice, Seq("t"))
+    // broadcast the query-term frame (bounded by the query docs'
+    // vocabulary — the same bound that sanctioned its collect into the
+    // In-filter above): the fetched posting slice streams instead of
+    // shuffling by term. dl stays on planner choice (doc-count-sized).
+    broadcast(qterms).join(slice, Seq("t"))
       .join(broadcast(dfreq), Seq("t"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -343,7 +352,24 @@ object RetrievalOps {
           .select(col("q_id"), col("c_id").as("doc_id"), col("rn").as("dense_rn"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("rrf").desc, col("doc_id").asc)
-        lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+        // the full-outer fusion join rewritten as union + max-aggregate:
+        // broadcast hash join is NOT supported for full outer (the hint
+        // is silently dropped and the planner sort-merges — 2 Exchange +
+        // 2 Sort for two ≤5-rows-per-query frames), while the union
+        // aggregates map-side into one Exchange and no Sort. Row-set
+        // equivalence: (q_id, doc_id) is UNIQUE within each leg (both
+        // come out of per-q_id top-k windows over distinct doc_ids), so
+        // each fused group holds ≤1 lex row and ≤1 dense row and
+        // max(rn) recovers exactly the full-outer's lex_rn/dense_rn —
+        // null when the leg is absent, the leg's rn otherwise; the rrf
+        // arithmetic below is unchanged on identical inputs.
+        lex.select(col("q_id"), col("doc_id"), col("lex_rn"),
+            lit(null).cast("int").as("dense_rn"))
+          .unionAll(dense.select(col("q_id"), col("doc_id"),
+            lit(null).cast("int").as("lex_rn"), col("dense_rn")))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(max(col("lex_rn")).as("lex_rn"),
+            max(col("dense_rn")).as("dense_rn"))
           .select(col("q_id"), col("doc_id"),
             round(
               coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +
@@ -408,7 +434,19 @@ object RetrievalOps {
             col("rn").as("dense_rn"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("rrf").desc, col("doc_id").asc)
-        lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+        // full-outer fusion rewritten as union + max-aggregate (see
+        // q162: BHJ is unsupported for full outer, so the planner
+        // sort-merged two ≤5-rows-per-query frames; the union
+        // aggregates map-side into one Exchange, no Sort). (q_id,
+        // doc_id) is unique within each leg, so max over the ≤2-row
+        // group reproduces the full-outer's columns exactly.
+        lex.select(col("q_id"), col("doc_id"), col("lex_rn"),
+            lit(null).cast("int").as("dense_rn"))
+          .unionAll(dense.select(col("q_id"), col("doc_id"),
+            lit(null).cast("int").as("lex_rn"), col("dense_rn")))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(max(col("lex_rn")).as("lex_rn"),
+            max(col("dense_rn")).as("dense_rn"))
           .select(col("q_id"), col("doc_id"),
             round(
               coalesce(lit(1.0) / (lit(60) + col("lex_rn")), lit(0.0)) +

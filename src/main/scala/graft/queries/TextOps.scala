@@ -2764,7 +2764,9 @@ object TextOps {
         val splitOf = (c: Column) => when(
           pmod(graft.functions.EvmExprs.tokenHash(c.cast("string")),
             lit(10L)) < 9, lit("train")).otherwise(lit("test"))
-        val matchedPairs = cand
+        // the scored (post-agreement) match pairs, materialized once —
+        // read twice below (cluster-lookup key set + the left join)
+        val scored = cand
           .join(batchSig.toDF("b_id", "b0", "b1", "b2", "b3"), "b_id")
           .join(corpusSig.toDF("c_id", "c0", "c1", "c2", "c3"), "c_id")
           .where(((when(col("b0") === col("c0"), 1).otherwise(0) +
@@ -2772,7 +2774,27 @@ object TextOps {
             when(col("b2") === col("c2"), 1).otherwise(0) +
             when(col("b3") === col("c3"), 1).otherwise(0)).cast("double") / 4)
             >= 0.5)
-          .join(comp, Seq("c_id"), "left")
+          .select(col("b_id"), col("c_id"))
+          .localCheckpoint()
+        // FLIP the cluster lookup (r14's CurateStream discipline): comp
+        // is corpus-cluster-sized, so `scored LEFT JOIN comp` sort-merge
+        // shuffled BOTH sides; instead comp is SEMI-joined against the
+        // broadcast key set (comp streams, no shuffle), and the
+        // batch-bounded hit set broadcasts back into the left join.
+        // Row-set equivalence: comp's c_id is unique (CC groupBy), and
+        // restricting a left join's right side to keys present on the
+        // left changes nothing. The pair frame is collision-shaped —
+        // bounded in expectation, not hard-bounded under band skew —
+        // so the broadcasts ride the PairGuard cap like the streaming
+        // probes do; past the cap the original planner-choice join runs.
+        val bcOk = scored.count() <=
+          graft.streaming.PairGuard.maxRows(s)
+        val matchedPairs = (if (bcOk) {
+            val hits = comp.join(
+              broadcast(scored.select("c_id").distinct()),
+              Seq("c_id"), "left_semi")
+            scored.join(broadcast(hits), Seq("c_id"), "left")
+          } else scored.join(comp, Seq("c_id"), "left"))
           .select(col("b_id"),
             coalesce(col("canonical"), col("c_id")).as("ccan"))
           .withColumn("msplit", splitOf(col("ccan")))
@@ -2781,7 +2803,9 @@ object TextOps {
             countDistinct(col("msplit")).as("nsp"))
           .withColumnRenamed("b_id", "doc_id")
         docs.where(col("doc_id") % 5 === 0).select(col("doc_id"))
-          .join(att, Seq("doc_id"), "left")
+          // att is ≤ the batch's doc count (one row per matched batch
+          // doc) — hard-bounded, so the assignment join broadcasts it
+          .join(broadcast(att), Seq("doc_id"), "left")
           .select(col("doc_id"), col("attach").isNotNull.as("matched"),
             splitOf(coalesce(col("attach"), col("doc_id"))).as("split"),
             splitOf(col("doc_id")).as("own"),

@@ -238,9 +238,25 @@ object Layout {
     * listing is snapshotted at read time, append only ADDS files
     * (never deletes an input), and Spark's overwrite-into-input guard
     * applies to overwrite mode only — so the probe + write run as ONE
-    * job instead of paying a materialization action per upsert. */
+    * job instead of paying a materialization action per upsert.
+    *
+    * `flipProbe` (opt-in, per-MICRO-BATCH callers only): the default
+    * anti-join's build/stream choice is the planner's, and once the
+    * store outgrows the broadcast threshold it sort-merges — i.e.
+    * every batch upsert re-shuffles the CORPUS-SCALE store by key.
+    * With the flip the store instead STREAMS through a broadcast SEMI
+    * on the incoming keys (no store shuffle, and the pushed key set
+    * prunes row groups on a key-clustered compacted store) and only
+    * the hit set — ≤ the incoming row count — broadcasts back into
+    * the anti. Existence algebra: df ANTI store ≡ df ANTI (store SEMI
+    * df.keys) on the same null-safe keys, so the appended rows are
+    * identical. The caller owns the bound: flip ONLY frames bounded
+    * by a micro-batch (the incoming frame is localCheckpointed here
+    * and read twice — key broadcast + anti probe). */
   def upsertStatic(df: DataFrame, root: String, entity: String,
-      keys: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+      keys: Seq[String], maxRecordsPerFile: Long = 1000000L,
+      flipProbe: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.broadcast
     val path = s"$root/static/$entity"
     val spark = df.sparkSession
     readStatic(spark, root, entity, recover = true) match {
@@ -258,11 +274,20 @@ object Layout {
         val probe = existing
           .select(keys.map(k => col(k).as(s"__k_$k")): _*)
         val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        val fresh = df.join(probe, cond, "left_anti")
+        var ck: Option[DataFrame] = None
+        val fresh =
+          if (flipProbe) {
+            val inc = df.localCheckpoint()
+            ck = Some(inc)
+            val hits = probe.join(
+              broadcast(inc.select(keys.map(col): _*)), cond, "left_semi")
+            inc.join(broadcast(hits), cond, "left_anti")
+          } else df.join(probe, cond, "left_anti")
         if (existing.columns.toSet == df.columns.toSet) {
           fresh.write.mode("append")
             .option("maxRecordsPerFile", maxRecordsPerFile)
             .parquet(path)
+          ck.foreach(_.unpersist())
         } else {
           // SCHEMA EVOLUTION: a blind append of a different column set
           // would create a mixed-footer directory where a plain
@@ -276,6 +301,7 @@ object Layout {
           overwriteStaticAtomic(
             existing.unionByName(fresh, allowMissingColumns = true),
             root, entity, maxRecordsPerFile)
+          ck.foreach(_.unpersist())
         }
     }
     spark.catalog.refreshByPath(path)

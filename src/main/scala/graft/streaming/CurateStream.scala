@@ -180,7 +180,8 @@ object CurateStream {
           r.getLong(3), seqRows(r.getLong(0))))
         .toDF("bkey", "shard", "n_docs", "sum_toks", "xor_fp",
           "xor_fp_seq")
-      Layout.upsertStatic(delta, root, CertEntity, Seq("bkey", "shard"))
+      Layout.upsertStatic(delta, root, CertEntity, Seq("bkey", "shard"),
+        flipProbe = true)
     }
   }
 
@@ -504,29 +505,41 @@ object CurateStream {
     val sigB = landed.where(col("h0").isNotNull)
       .select((col("doc_id") +: MinHashCoeffs.indices.map(j => col(s"h$j"))): _*)
     val bsig = sigB.join(broadcast(b1), Seq("doc_id"), "left_semi")
-    // `cand`+`a` are batch-bounded pair/signature frames, broadcast so
-    // the `b` side (the corpus band index in the corpus scorer) streams
+    // `a` is a batch-bounded signature frame, broadcast unconditionally;
+    // `cand` is a band-COLLISION pair frame — bounded in expectation
+    // only, so its broadcast is GUARDED on the exact pair count
+    // ([[PairGuard]], r14 verdict #2: an explicit hint bypasses
+    // autoBroadcastJoinThreshold, and a degenerate band key would turn
+    // the hint into a driver OOM at scale; past the cap the scorer join
+    // falls back to planner choice — row sets unchanged either way)
     def agree(a: DataFrame, aId: String, b: DataFrame, bId: String,
-        cand: DataFrame): DataFrame = broadcast(cand
-        .join(broadcast(a.toDF(aId, "a0", "a1", "a2", "a3")), aId))
-      .join(b.toDF(bId, "b0", "b1", "b2", "b3"), bId)
-      .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
-        when(col("a1") === col("b1"), 1).otherwise(0) +
-        when(col("a2") === col("b2"), 1).otherwise(0) +
-        when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
-        >= 0.5)
-    val candCorpus = broadcast(bandsOf(bsig).toDF("b_id", "band", "x", "y"))
-      .join(bandsOf(sigIdx).toDF("c_id", "band", "x", "y"),
-        Seq("band", "x", "y"))
-      .select("b_id", "c_id").distinct()
-    val dupNearCorpus = agree(bsig, "b_id", sigIdx, "c_id", candCorpus)
+        cand: DataFrame, bcPairs: Boolean): DataFrame = {
+      val pre = cand.join(broadcast(a.toDF(aId, "a0", "a1", "a2", "a3")), aId)
+      (if (bcPairs) broadcast(pre) else pre)
+        .join(b.toDF(bId, "b0", "b1", "b2", "b3"), bId)
+        .where(((when(col("a0") === col("b0"), 1).otherwise(0) +
+          when(col("a1") === col("b1"), 1).otherwise(0) +
+          when(col("a2") === col("b2"), 1).otherwise(0) +
+          when(col("a3") === col("b3"), 1).otherwise(0)).cast("double") / 4)
+          >= 0.5)
+    }
+    val (candCorpus, bcCorpus) = PairGuard.checkpointAndDecide(
+      broadcast(bandsOf(bsig).toDF("b_id", "band", "x", "y"))
+        .join(bandsOf(sigIdx).toDF("c_id", "band", "x", "y"),
+          Seq("band", "x", "y"))
+        .select("b_id", "c_id").distinct(),
+      "curate-ingest:cand-corpus")
+    val dupNearCorpus = agree(bsig, "b_id", sigIdx, "c_id", candCorpus,
+        bcCorpus)
       .select(col("b_id").as("doc_id")).distinct()
     val bb = bandsOf(bsig)
-    val candBatch = bb.toDF("a_id", "band", "x", "y")
-      .join(bb.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val dupNearBatch = agree(bsig, "a_id", bsig, "b_id", candBatch)
+    val (candBatch, bcBatch) = PairGuard.checkpointAndDecide(
+      bb.toDF("a_id", "band", "x", "y")
+        .join(bb.toDF("b_id", "band", "x", "y"), Seq("band", "x", "y"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct(),
+      "curate-ingest:cand-batch")
+    val dupNearBatch = agree(bsig, "a_id", bsig, "b_id", candBatch, bcBatch)
       .select(col("b_id").as("doc_id")).distinct()
     val b2 = b1
       .join(broadcast(dupNearCorpus), Seq("doc_id"), "left_anti")
@@ -648,23 +661,24 @@ object CurateStream {
           Layout.upsertStatic(
             keyed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select("key", "doc_id"),
-            root, KeysEntity, Seq("key", "doc_id"))
+            root, KeysEntity, Seq("key", "doc_id"), flipProbe = true)
         }
       },
       lw("curate-ingest:bands") {
         if (keptN > 0)
           Layout.upsertStatic(sigB.join(broadcast(kept), Seq("doc_id"), "left_semi"),
-            root, BandsEntity, Seq("doc_id"))
+            root, BandsEntity, Seq("doc_id"), flipProbe = true)
       },
       lw("curate-ingest:bench") {
         if (benchN > 0)
-          Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"))
+          Layout.upsertStatic(batchBench, root, BenchEntity, Seq("sh"),
+            flipProbe = true)
       },
       lw("curate-ingest:spans") {
         bSpans.foreach { sp =>
           if (keptN > 0)
             Layout.upsertStatic(sp.join(broadcast(kept), Seq("doc_id"), "left_semi"),
-              root, SpansEntity, Seq("sp", "doc_id"))
+              root, SpansEntity, Seq("sp", "doc_id"), flipProbe = true)
         }
       },
       // lexical fold: postings re-tokenize the kept texts off the
@@ -677,14 +691,14 @@ object CurateStream {
           Layout.upsertStatic(
             postingsOf(landed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select("doc_id", "text")),
-            root, PostingsEntity, Seq("t", "doc_id"))
+            root, PostingsEntity, Seq("t", "doc_id"), flipProbe = true)
       },
       lw("curate-ingest:dl") {
         if (lexIndex && keptN > 0)
           Layout.upsertStatic(
             landed.join(broadcast(kept), Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("n_toks").as("dl")),
-            root, DlEntity, Seq("doc_id"))
+            root, DlEntity, Seq("doc_id"), flipProbe = true)
       },
       // certificate delta (opt-in): one agg over the batch's kept rows
       // off the checkpointed landed frame; statuses are bit-stable so a
@@ -695,7 +709,8 @@ object CurateStream {
             .select("doc_id", "n_toks"), root)
       })
     Await.result(Future.sequence(writes), scala.concurrent.duration.Duration.Inf)
-    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"))
+    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("doc_id"),
+      flipProbe = true)
     // a long-lived ingest process calls this once per micro-batch in
     // ONE session: the localCheckpoints above would otherwise stay
     // pinned in executor storage forever (2-3 blocks per batch ×
@@ -703,6 +718,8 @@ object CurateStream {
     // landed; only the returned manifest stays materialized.
     landed.unpersist()
     bSpans.foreach(_.unpersist())
+    candCorpus.unpersist()
+    candBatch.unpersist()
     if (sketch.exists(_.shardCount > 1)) dupExactCorpus.unpersist()
     manifest
   }

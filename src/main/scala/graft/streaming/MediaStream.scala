@@ -130,26 +130,36 @@ object MediaStream {
       .join(broadcast(ids), Seq("media_id"), "left_anti")
 
     // corpus partners: ANY stored near-dup (first-arrival-wins across
-    // batches); batch partners: SMALLER-id batch-mates (keep-first)
-    val candCorpus = broadcast(
-        Multimodal.bandRows(qsB, nb).toDF("b_id", "band", "key"))
-      .join(Multimodal.bandRows(qsIdx, nb).toDF("c_id", "band", "key"),
-        Seq("band", "key"))
-      .select("b_id", "c_id").distinct()
+    // batches); batch partners: SMALLER-id batch-mates (keep-first).
+    // The band-collision PAIR frames' broadcast into the Hamming
+    // re-rank is GUARDED on their exact row count ([[PairGuard]], r14
+    // verdict #2): bounded in expectation by the phash_band law, NOT
+    // hard-bounded under band-key skew — exactly the degenerate mode
+    // [[bandSkew]]'s est_cand/top_share diagnostic measures. Past the
+    // cap the re-rank falls back to planner choice; row sets unchanged.
+    val (candCorpus, bcCorpus) = PairGuard.checkpointAndDecide(
+      broadcast(
+          Multimodal.bandRows(qsB, nb).toDF("b_id", "band", "key"))
+        .join(Multimodal.bandRows(qsIdx, nb).toDF("c_id", "band", "key"),
+          Seq("band", "key"))
+        .select("b_id", "c_id").distinct(),
+      "media-ingest:cand-corpus")
     val corpusPart = Multimodal
       .hammingJoin(candCorpus, qsB, qsIdx, "b_id", "c_id", nb,
-        broadcastPairs = true)
+        broadcastPairs = bcCorpus)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("c_id").as("pid"),
         lit("corpus").as("tag"))
     val bb = Multimodal.bandRows(qsB, nb)
-    val candBatch = broadcast(bb.toDF("a_id", "band", "key"))
-      .join(bb.toDF("b_id", "band", "key"), Seq("band", "key"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val (candBatch, bcBatch) = PairGuard.checkpointAndDecide(
+      broadcast(bb.toDF("a_id", "band", "key"))
+        .join(bb.toDF("b_id", "band", "key"), Seq("band", "key"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct(),
+      "media-ingest:cand-batch")
     val batchPart = Multimodal
       .hammingJoin(candBatch, qsB, qsB, "a_id", "b_id", nb,
-        broadcastPairs = true)
+        broadcastPairs = bcBatch)
       .where(col("hamming") <= maxHamming)
       .select(col("b_id").as("media_id"), col("a_id").as("pid"),
         lit("batch").as("tag"))
@@ -177,9 +187,12 @@ object MediaStream {
     // kept quarters first, manifest LAST (the batch's commit marker)
     val kept = manifest.where(col("status") === "kept").select("media_id")
     Layout.upsertStatic(qsB.join(broadcast(kept), Seq("media_id"), "left_semi"),
-      root, QuartersEntity, Seq("media_id"))
-    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("media_id"))
+      root, QuartersEntity, Seq("media_id"), flipProbe = true)
+    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("media_id"),
+      flipProbe = true)
     qsB.unpersist()
+    candCorpus.unpersist()
+    candBatch.unpersist()
     manifest
   }
 

@@ -954,7 +954,11 @@ object SemanticStream {
         col("v").as("cv"), col("n").as("cn"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    probes.join(cells, Seq("cell")).where(col("q_id") =!= col("c_id"))
+    // broadcast the probe fold (≤ nq·nProbe rows — the sqCandidates
+    // bound verbatim): without the hint the planner can sort-merge
+    // shuffle the corpus-sized inverted file by cell to meet it
+    broadcast(probes).join(cells, Seq("cell"))
+      .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
           .as("cos"))
@@ -983,7 +987,10 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    cand.join(vecs, Seq("c_id"))
+    // the candidate set is HARD-bounded (≤ nq·prefilterC rows — the
+    // prefilter window just cut it): broadcast it so the full-vector
+    // fetch streams the inverted file instead of shuffling it by c_id
+    broadcast(cand).join(vecs, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
           .as("cos"))
@@ -1600,10 +1607,15 @@ object SemanticStream {
       .where(col("rn") <= cutC).select(col("q_id"), col("c_id"))
     val topS = s1.withColumn("rn", row_number().over(wS))
       .where(col("rn") <= k).select(col("q_id"), col("c_id"))
-    val hits = topC.join(topS, Seq("q_id", "c_id"), "left_semi")
+    // both rankings are HARD-bounded by their windows (topC ≤
+    // sampleN·cutC rows, topS ≤ sampleN·k): broadcast the code top-k
+    // into the semi so neither ranking shuffles, and broadcast the
+    // per-query hit counts (≤ sampleN rows) into the outer join —
+    // sample-bounded frames, safe at any corpus scale
+    val hits = topC.join(broadcast(topS), Seq("q_id", "c_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"), col("n_cand"),
         round(coalesce(col("hits"), lit(0L)).cast("double") /
           least(lit(k.toLong), col("n_cand")).cast("double"), 6)
@@ -1726,7 +1738,10 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("pv").as("cpv"), col("pn").as("cpn"))
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("pcos").desc, col("c_id").asc)
-    val cand = probes.join(cellIds, Seq("cell"))
+    // broadcast the probe fold (≤ nq·nProbe rows, checkpointed and so
+    // stats-less — the sqCandidates discipline): the corpus-sized cell
+    // index and JL sidecar stream instead of being shuffled per query
+    val cand = broadcast(probes).join(cellIds, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .join(pvs, Seq("c_id"))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
@@ -1738,7 +1753,9 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    cand.join(vecs, Seq("c_id"))
+    // candidates are HARD-bounded (≤ nq·prefilterC): broadcast into the
+    // exact re-rank so the full-vector fetch streams the inverted file
+    broadcast(cand).join(vecs, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
           .as("cos"))
@@ -1783,7 +1800,10 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("codes"))
     val w1 = Window.partitionBy(col("q_id"))
       .orderBy(col("adist").asc, col("c_id").asc)
-    val cand = probes.join(cellIds, Seq("cell"))
+    // broadcast the probe fold (≤ nq·nProbe rows, checkpointed and so
+    // stats-less — the sqCandidates discipline): the corpus-sized cell
+    // index and PQ code sidecar stream instead of being shuffled
+    val cand = broadcast(probes).join(cellIds, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .join(codes, Seq("c_id"))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
@@ -1795,7 +1815,9 @@ object SemanticStream {
       .select(col("id").as("c_id"), col("v").as("cv"), col("n").as("cn"))
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
-    cand.join(vecs, Seq("c_id"))
+    // candidates are HARD-bounded (≤ nq·prefilterC): broadcast into the
+    // exact re-rank so the full-vector fetch streams the inverted file
+    broadcast(cand).join(vecs, Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         round(SimSearch.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
           .as("cos"))
@@ -1949,7 +1971,7 @@ object SemanticStream {
         asg.select(col("vec_id").as("id"), col("cell"), col("v"), col("n"))
           .withColumn("ver", lit(ver))
           .join(broadcast(kept), Seq("id"), "left_semi"),
-        root, CellsEntity, Seq("id")),
+        root, CellsEntity, Seq("id"), flipProbe = true),
       // PQ sidecar (present iff bootstrap(withPq = true)): kept vectors
       // fold their code rows in under the frozen books — same anti-join
       // upsert discipline, before the manifest commit marker
@@ -1958,7 +1980,7 @@ object SemanticStream {
           asg.select(col("vec_id").as("id"),
               graft.functions.PqExprs.encode(col("v"), books).as("codes"))
             .join(broadcast(kept), Seq("id"), "left_semi"),
-          root, PqCodesEntity, Seq("id"))
+          root, PqCodesEntity, Seq("id"), flipProbe = true)
       },
       // SQ sidecar (present iff bootstrap(withSq = true)): kept vectors
       // encode under the frozen grid — same discipline as the PQ codes
@@ -1967,7 +1989,7 @@ object SemanticStream {
           asg.select(col("vec_id").as("id"),
               graft.functions.SqExprs.encode(col("v"), mins, scales).as("codes"))
             .join(broadcast(kept), Seq("id"), "left_semi"),
-          root, SqCodesEntity, Seq("id"))
+          root, SqCodesEntity, Seq("id"), flipProbe = true)
       },
       // JL sidecar (present iff bootstrap(withJl = true)): kept vectors
       // project ONCE at ingest under the stored plane family (a torn
@@ -1979,7 +2001,7 @@ object SemanticStream {
           jlRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
               dOut, seed)
             .join(broadcast(kept), Seq("id"), "left_semi"),
-          root, JlVecsEntity, Seq("id"))
+          root, JlVecsEntity, Seq("id"), flipProbe = true)
       },
       // slot sidecar (present iff bootstrap(withSlots = true)): kept
       // vectors' slot assignments fold in under the frozen slot codebook
@@ -1993,9 +2015,10 @@ object SemanticStream {
           slotCellRows(asg.select(col("vec_id"), col("v")), "vec_id", "v",
               scb, slices, dim, codebookVersion(scb))
             .join(broadcast(kept), Seq("id"), "left_semi"),
-          root, SlotCellsEntity, Seq("id", "pos"))
+          root, SlotCellsEntity, Seq("id", "pos"), flipProbe = true)
       }))
-    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"))
+    Layout.upsertStatic(manifest, root, ManifestEntity, Seq("vec_id"),
+      flipProbe = true)
     // drop the per-batch pinned checkpoints (see CurateStream: a
     // long-lived ingest session would otherwise accumulate them);
     // the returned manifest stays materialized for the caller

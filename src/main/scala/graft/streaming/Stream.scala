@@ -104,7 +104,8 @@ object Stream {
       // from a crashed tick is dropped and re-landed on replay
       Layout.upsertStaticReplace(abi, outRoot, "abi", Seq("skeleton_hash"))
       graft.etl.Decompile.signatureEntities(abi).foreach { case (entity, df) =>
-        Layout.upsertStatic(df, outRoot, entity, Seq("signature"))
+        Layout.upsertStatic(df, outRoot, entity, Seq("signature"),
+          flipProbe = true)
       }
       fresh
         .join(decompiled.select(col("skeleton_hash"), col("failed_decompilation")),

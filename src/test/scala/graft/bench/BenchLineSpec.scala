@@ -46,4 +46,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""queries_total":10"""))
     assert(line.contains(""""queries_reported":10"""))
   }
+
+  test("truncation keeps the TOP-BY-TIME queries, not the name prefix") {
+    // fakeResults times grow with the index, so the hottest queries are
+    // the highest-numbered names — the alphabetical-prefix bug kept
+    // exactly the opposite end (r14 verdict: every optimized query was
+    // invisible to the driver record)
+    val n = 400
+    val line = graft.Bench.budgetedLine(fakeResults(n), 99.9,
+      "/tmp/bench.json", suffix)
+    val reported = """"queries_reported":(\d+)""".r
+      .findFirstMatchIn(line).get.group(1).toInt
+    assert(reported < n)
+    // the single most expensive query is on the line; the cheapest is not
+    assert(line.contains(f"q${n - 1}%03d_some_longer_query_name"))
+    assert(!line.contains("q000_some_longer_query_name"))
+    // and the kept entries arrive in descending-time order
+    val firstKept = """"(q\d+_some_longer_query_name)":""".r
+      .findFirstMatchIn(line.drop(line.indexOf("\"queries\":"))).get.group(1)
+    assert(firstKept === f"q${n - 1}%03d_some_longer_query_name")
+  }
 }

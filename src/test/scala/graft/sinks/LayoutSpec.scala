@@ -120,6 +120,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out2/static/wd").count() === 3)
   }
 
+  test("upsertStatic flipProbe: identical append set, null keys included") {
+    // the flipped probe (store SEMI broadcast(incoming keys) → anti
+    // against the hit set) must land exactly the rows the plain
+    // anti-join lands — including the null-safe-equality corner where
+    // a null key must still match its stored twin
+    import spark.implicits._
+    val out = graft.Temps.dir("upsert-flip")
+    val first = Seq((Some("0xaa"), 1L), (None, 2L))
+      .toDF("signature", "v")
+    Layout.upsertStatic(first, out, "sigs", Seq("signature"),
+      flipProbe = true)
+    // replay with the flip: nothing lands twice, null key matches itself
+    Layout.upsertStatic(first, out, "sigs", Seq("signature"),
+      flipProbe = true)
+    assert(spark.read.parquet(s"$out/static/sigs").count() === 2)
+    // later batch: known keys (incl. the null) skipped even with new
+    // payloads, new key appended — first-write-wins like the plain path
+    val second = Seq((None, 99L), (Some("0xcc"), 3L))
+      .toDF("signature", "v")
+    Layout.upsertStatic(second, out, "sigs", Seq("signature"),
+      flipProbe = true)
+    val rows = spark.read.parquet(s"$out/static/sigs")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rows === Map(Some("0xaa") -> 1L, None -> 2L, Some("0xcc") -> 3L))
+  }
+
   test("upsertStaticReplace: incoming keys replace torn partial rows") {
     import spark.implicits._
     val out = graft.Temps.dir("upsert-replace")
