@@ -19,14 +19,20 @@ object GraphOps {
 
   /** In/out/total degree per node — one shuffle per direction. */
   def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("id"), "full_outer")
-      .select(col("id"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L)))
-          .as("degree"))
+    // endpoint-tagged union + ONE grouped aggregate instead of two
+    // groupBys paired by a full-outer join (BHJ-unsupported, so the
+    // pairing sort-merged two node-sized frames; the union
+    // partial-aggregates map-side into a single exchange, no sorts).
+    // Per id, sum(is_out)/sum(1-is_out) are exactly the out/in edge
+    // counts — 0 when the node only appears on the other side, which
+    // is what the old coalesce(.., 0) produced.
+    edges.select(col("src").as("id"), lit(1L).as("is_out"))
+      .unionAll(edges.select(col("dst").as("id"), lit(0L).as("is_out")))
+      .groupBy(col("id"))
+      .agg(sum(col("is_out")).as("out_deg"),
+        sum(lit(1L) - col("is_out")).as("in_deg"))
+      .select(col("id"), col("out_deg"), col("in_deg"),
+        (col("out_deg") + col("in_deg")).as("degree"))
   }
 
   /** Connected components (undirected) by min-label propagation WITH

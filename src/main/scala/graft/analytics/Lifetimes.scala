@@ -14,16 +14,34 @@ object Lifetimes {
   /** J5: per-contract deploy/destroy summary — the `ContractLife` row
     * (lifetimes.rs:30-45, 320-357). */
   def contractLives(deployments: DataFrame, destructions: DataFrame): DataFrame = {
-    val dep = deployments.groupBy(col("contract")).agg(
-      count(lit(1)).as("n_deploys"),
-      min(col("block_number")).as("first_deploy_block"),
-      min(col("block_datetime")).as("first_deploy_ts"))
-    val des = destructions.groupBy(col("contract")).agg(
-      count(lit(1)).as("n_destructions"),
-      max(col("block_number")).as("last_destr_block"),
-      max(col("block_datetime")).as("last_destr_ts"))
-    dep.join(des, Seq("contract"), "full_outer")
-      .na.fill(0L, Seq("n_deploys", "n_destructions"))
+    // the two per-contract aggregates + full-outer pairing fused into
+    // ONE grouped aggregate over a tagged union (optimization-guide
+    // §2.3/§2.4: BHJ is unsupported for full outer, so the pairing
+    // sort-merged two corpus-contract-sized frames; the union
+    // partial-aggregates map-side into a single exchange with no
+    // sorts). Equivalence: per contract, sum(is_dep)/sum(1-is_dep)
+    // reproduce the two counts (0 — not null — when a side is absent,
+    // exactly what na.fill(0) produced), and min/max over the
+    // side-tagged null columns reproduce the outer join's
+    // null-when-absent min/max; counts/min/max are order-independent,
+    // no floating point anywhere.
+    val bnT = deployments.schema("block_number").dataType
+    val tsT = deployments.schema("block_datetime").dataType
+    val dep = deployments.select(col("contract"), lit(1L).as("is_dep"),
+      col("block_number").as("dep_bn"), col("block_datetime").as("dep_ts"),
+      lit(null).cast(bnT).as("des_bn"), lit(null).cast(tsT).as("des_ts"))
+    val des = destructions.select(col("contract"), lit(0L).as("is_dep"),
+      lit(null).cast(bnT).as("dep_bn"), lit(null).cast(tsT).as("dep_ts"),
+      col("block_number").as("des_bn"), col("block_datetime").as("des_ts"))
+    dep.unionAll(des)
+      .groupBy(col("contract"))
+      .agg(
+        sum(col("is_dep")).as("n_deploys"),
+        min(col("dep_bn")).as("first_deploy_block"),
+        min(col("dep_ts")).as("first_deploy_ts"),
+        sum(lit(1L) - col("is_dep")).as("n_destructions"),
+        max(col("des_bn")).as("last_destr_block"),
+        max(col("des_ts")).as("last_destr_ts"))
   }
 
   /** A10 (RQ1): contracts with ≥1 destruction vs all (lifetimes.rs:65-82). */

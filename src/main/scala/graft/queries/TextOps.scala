@@ -653,16 +653,25 @@ object TextOps {
         pmod(tokenHash(col("t")), lit(B.toLong)).as("b"))
       .localCheckpoint() // read 3×: target model, raw model, scoring
     val isTgt = col("doc_id") % 7 === 0
-    val tgt = toks.where(isTgt)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct_t"))
-    val raw = toks.where(!isTgt)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct_r"))
-    val nt = toks.where(isTgt).agg(count(lit(1)).as("n_t"))
-    val nr = toks.where(!isTgt).agg(count(lit(1)).as("n_r"))
-    val llr = tgt.join(raw, Seq("b"), "full_outer")
+    // isTgt PARTITIONS toks, so the two bucket models (and the two
+    // scalar totals) are one conditional-aggregate pass each, not two
+    // scans each paired by a full-outer join (BHJ-unsupported → SMJ).
+    // Exact mirror of the old shapes: per bucket, sum(when(side, 1))
+    // is that side's count and NULL when the side is absent (the
+    // full-outer's null), coalesced to 0 below exactly as before; the
+    // scalar totals use count(when(side, 1)) — count, like the old
+    // per-side count(), is 0 (never null) on an empty side. A bucket
+    // appears iff it appeared in either side — same row set.
+    val cts = toks.groupBy(col("b")).agg(
+      sum(when(isTgt, 1L)).as("ct_t"),
+      sum(when(!isTgt, 1L)).as("ct_r"))
+    val ns = toks.agg(
+      count(when(isTgt, lit(1))).as("n_t"),
+      count(when(!isTgt, lit(1))).as("n_r"))
+    val llr = cts
       .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
         coalesce(col("ct_r"), lit(0L)).as("ct_r"))
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .crossJoin(broadcast(ns))
       .select(col("b"),
         round(log(
           ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
@@ -2433,16 +2442,21 @@ object TextOps {
             pmod(tokenHash(col("t")), lit(B.toLong)).as("b"), col("tf"))
           .localCheckpoint() // read 3×: target model, raw model, scoring
         val isTgt = col("doc_id") % 7 === 0
-        val tgt = post.where(isTgt)
-          .groupBy(col("b")).agg(sum(col("tf")).as("ct_t"))
-        val raw = post.where(!isTgt)
-          .groupBy(col("b")).agg(sum(col("tf")).as("ct_r"))
-        val nt = post.where(isTgt).agg(sum(col("tf")).as("n_t"))
-        val nr = post.where(!isTgt).agg(sum(col("tf")).as("n_r"))
-        val llr = tgt.join(raw, Seq("b"), "full_outer")
+        // isTgt PARTITIONS post — single conditional-aggregate pass
+        // per model instead of two scans paired by a full-outer join
+        // (dsirWeights' rationale; exact mirror: per-bucket nulls
+        // coalesced below as before, scalar totals keep sum's
+        // null-on-empty-side semantics)
+        val cts = post.groupBy(col("b")).agg(
+          sum(when(isTgt, col("tf"))).as("ct_t"),
+          sum(when(!isTgt, col("tf"))).as("ct_r"))
+        val ns = post.agg(
+          sum(when(isTgt, col("tf"))).as("n_t"),
+          sum(when(!isTgt, col("tf"))).as("n_r"))
+        val llr = cts
           .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
             coalesce(col("ct_r"), lit(0L)).as("ct_r"))
-          .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+          .crossJoin(broadcast(ns))
           .select(col("b"),
             round(log(
               ((col("ct_t") + 1) * (col("n_r") + B)).cast("double") /
@@ -3326,7 +3340,26 @@ object TextOps {
           .toDF("shard", "n_docs_a", "toks_a", "sum_a")
         val b = exportCertOf(packed, CurateTokenBudget - 20L)
           .toDF("shard", "n_docs_b", "toks_b", "sum_b")
-        a.join(b, Seq("shard"), "full_outer")
+        // full-outer rewritten as union + max-aggregate (the q162/q173
+        // discipline: BHJ is unsupported for full outer, so the planner
+        // sort-merged two shard-count-sized certificate frames). shard
+        // is UNIQUE within each leg (exportCertOf groups by shard), so
+        // each fused group holds <=1 a-row and <=1 b-row and max
+        // recovers exactly the full-outer's columns — null when the
+        // leg is absent; the coalesce defaults below are unchanged.
+        val nl = lit(null).cast("long")
+        a.select(col("shard"), col("n_docs_a"), col("toks_a"), col("sum_a"),
+            nl.as("n_docs_b"), nl.as("toks_b"), nl.as("sum_b"))
+          .unionAll(b.select(col("shard"), nl.as("n_docs_a"),
+            nl.as("toks_a"), nl.as("sum_a"),
+            col("n_docs_b"), col("toks_b"), col("sum_b")))
+          .groupBy(col("shard"))
+          .agg(max(col("n_docs_a")).as("n_docs_a"),
+            max(col("toks_a")).as("toks_a"),
+            max(col("sum_a")).as("sum_a"),
+            max(col("n_docs_b")).as("n_docs_b"),
+            max(col("toks_b")).as("toks_b"),
+            max(col("sum_b")).as("sum_b"))
           .select(col("shard"),
             coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
             coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),

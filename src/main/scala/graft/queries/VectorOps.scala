@@ -1554,7 +1554,11 @@ object VectorOps {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP))
         val idcg = terms.sum.toDouble
         val termArr = array(terms.map(t => lit(t.toDouble)): _*)
-        served.join(gold, Seq("q_id", "c_id"), "left_outer")
+        // gold is HARD-bounded (8 queries x k=10 rows) but stats-less
+        // behind its localCheckpoint, so the planner sort-merged this
+        // outer join locally and always would at scale; broadcast the
+        // bounded side — the served ranking streams
+        served.join(broadcast(gold), Seq("q_id", "c_id"), "left_outer")
           .join(broadcast(top1), Seq("q_id"))
           .groupBy(col("q_id"))
           .agg(

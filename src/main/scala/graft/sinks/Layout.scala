@@ -64,7 +64,14 @@ object Layout {
     import scala.concurrent.{Await, Future}
     implicit val ec: scala.concurrent.ExecutionContext = fanoutEc
     Await.result(
-      Future.sequence(writes.map(w => Future(w()))),
+      Future.sequence(writes.map(w => Future {
+        // job descriptions are THREAD-LOCAL and the cached pool reuses
+        // threads, so a chain that doesn't label itself would inherit
+        // a stale label from a previous task on this thread — clear it
+        org.apache.spark.sql.SparkSession.getDefaultSession.foreach(
+          _.sparkContext.setLocalProperty("spark.job.description", null))
+        w()
+      })),
       scala.concurrent.duration.Duration.Inf)
     ()
   }
